@@ -1,0 +1,583 @@
+"""PromQL AST → Spark DataFrame compiler.
+
+This module replaces the external promql-engine the reference delegates to
+(reference cmd/serve.go:201-222): each PromQL node compiles to a declarative
+DataFrame plan, so Catalyst supplies predicate pushdown, column pruning,
+partition pruning, join strategy selection and codegen (SURVEY.md §4).
+
+Core design (SURVEY.md §4.2): instead of joining samples against a step grid
+(a shuffle join), every sample *computes the grid steps it serves* with
+``sequence()`` + ``explode`` — pure map-side work — and a single groupBy per
+selector resolves lookback ("latest sample ≤ t within lookback", reference
+api/http/query.go:160,393-395).  Window functions like ``rate`` fold sorted
+per-(series, step) arrays with higher-order functions — bounded by
+samples-per-window, so the plan scales with data, not with query range.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.functions import folds
+from thanos_parquet_gateway_spark.promql import ast as A
+from thanos_parquet_gateway_spark.promql.values import (
+    EvalParams,
+    InstantVector,
+    RangeVector,
+    ScalarV,
+    StringV,
+)
+from thanos_parquet_gateway_spark.schema import (
+    canonical_sig,
+    drop_labels,
+    keep_labels,
+    label,
+)
+
+def NAN() -> Column:
+    return F.lit(float("nan"))
+
+
+def INF() -> Column:
+    return F.lit(float("inf"))
+
+
+def NEG_INF() -> Column:
+    return F.lit(float("-inf"))
+
+_MATH_FUNCS = {
+    "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
+    "sqrt": F.sqrt, "ln": F.log, "log2": F.log2, "log10": F.log10,
+    "acos": F.acos, "asin": F.asin, "atan": F.atan, "cos": F.cos,
+    "sin": F.sin, "tan": F.tan, "cosh": F.cosh, "sinh": F.sinh,
+    "tanh": F.tanh, "acosh": F.acosh, "asinh": F.asinh, "atanh": F.atanh,
+    "deg": F.degrees, "rad": F.radians,
+    "sgn": lambda c: F.when(F.isnan(c), c).otherwise(
+        F.signum(c)).cast("double"),
+}
+
+_TIME_FUNCS = {
+    "minute": lambda t: F.minute(t), "hour": lambda t: F.hour(t),
+    "day_of_week": lambda t: F.dayofweek(t) - 1,
+    "day_of_month": lambda t: F.dayofmonth(t),
+    "day_of_year": lambda t: F.dayofyear(t),
+    "days_in_month": lambda t: F.dayofmonth(F.last_day(t)),
+    "month": lambda t: F.month(t), "year": lambda t: F.year(t),
+}
+
+
+def ieee_cmp(op: str, l: Column, r: Column) -> Column:
+    """IEEE-754 comparison: any comparison involving NaN is False, except
+    ``!=`` which is True.  (Spark's native semantics treat NaN == NaN as
+    True and NaN as greater than any double — PromQL must not.)"""
+    raw = {"==": l == r, "!=": l != r, ">": l > r, "<": l < r,
+           ">=": l >= r, "<=": l <= r}[op]
+    return F.when(F.isnan(l) | F.isnan(r), F.lit(op == "!=")).otherwise(raw)
+
+
+def arith_value(op: str, l: Column, r: Column) -> Column:
+    """Arithmetic with Go/IEEE float semantics (Spark's `/` and `%` return
+    NULL on zero divisors; PromQL needs ±Inf / NaN)."""
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        return (F.when(r == 0.0,
+                       F.when(F.isnan(l) | (l == 0.0), NAN())
+                        .when(l > 0, INF()).otherwise(NEG_INF()))
+                 .otherwise(l / r))
+    if op == "%":
+        return F.when((r == 0.0) | F.isnan(r) | F.isnan(l), NAN()).otherwise(l % r)
+    if op == "^":
+        return F.pow(l, r)
+    if op == "atan2":
+        return F.atan2(l, r)
+    raise ValueError(f"unknown arithmetic op {op}")
+
+
+def _nan_to_null(c: Column) -> Column:
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
+class PromQLCompileError(ValueError):
+    pass
+
+
+class Compiler:
+    def __init__(self, samples: DataFrame, params: EvalParams,
+                 ext_labels: dict[str, str] | None = None):
+        self.samples = samples
+        self.p = params
+        self.ext_labels = ext_labels or {}
+        self.spark = samples.sparkSession
+        self.step = max(params.step_ms, 1)
+
+    # ------------------------------------------------------------------ grid
+    def grid_df(self) -> DataFrame:
+        """One row per evaluation step — tiny, used only by absent()/scalar()."""
+        p = self.p
+        return self.spark.range(1).select(
+            F.explode(F.sequence(F.lit(p.start_ms), F.lit(p.end_ms),
+                                 F.lit(self.step))).alias("t"))
+
+    def _serve_steps(self, ts: Column, window_ms: int) -> Column:
+        """Grid steps t (start..end by step) with t - window < ts ≤ t,
+        i.e. t ∈ [ts, ts + window).  Map-side; no join against the grid."""
+        p, step = self.p, self.step
+        lo = F.greatest(ts, F.lit(p.start_ms))
+        t_first = F.lit(p.start_ms) + F.ceil((lo - F.lit(p.start_ms)) /
+                                             F.lit(step)).cast("long") * step
+        hi = F.least(F.lit(p.end_ms), ts + F.lit(window_ms - 1))
+        t_last = F.lit(p.start_ms) + F.floor((hi - F.lit(p.start_ms)) /
+                                             F.lit(step)).cast("long") * step
+        empty = F.array().cast("array<long>")
+        return F.when(t_first <= t_last,
+                      F.sequence(t_first, t_last, F.lit(step))).otherwise(empty)
+
+    # ------------------------------------------------------------- dispatch
+    def compile(self, node: A.Node):
+        if isinstance(node, A.NumberLiteral):
+            return float(node.value)
+        if isinstance(node, A.StringLiteral):
+            return StringV(node.value)
+        if isinstance(node, A.VectorSelector):
+            return self._vector_selector(node)
+        if isinstance(node, A.MatrixSelector):
+            return self._matrix_selector(node)
+        if isinstance(node, A.Subquery):
+            return self._subquery(node)
+        if isinstance(node, A.Aggregation):
+            return self._aggregation(node)
+        if isinstance(node, A.BinaryExpr):
+            return self._binary(node)
+        if isinstance(node, A.UnaryExpr):
+            return self._unary(node)
+        if isinstance(node, A.Call):
+            return self._call(node)
+        raise PromQLCompileError(f"cannot compile {type(node).__name__}")
+
+    # ------------------------------------------------------------ selectors
+    def _matcher_cond(self, m: A.Matcher) -> Column | None:
+        """Label matcher → predicate (reference search/constraint.go:32-67;
+        missing label ≡ '' per search/constraint.go:130-138).  Matchers on
+        external labels are consumed against constants (elision, reference
+        search/search.go:356-376): None → always true, False literal →
+        short-circuit empty."""
+        if m.label in self.ext_labels:
+            v = self.ext_labels[m.label]
+            import re as _re
+            ok = {"=": v == m.value, "!=": v != m.value,
+                  "=~": _re.fullmatch(m.value, v) is not None,
+                  "!~": _re.fullmatch(m.value, v) is None}[m.op]
+            return None if ok else F.lit(False)
+        col = (F.col("__name__") if m.label == "__name__" else
+               label("labels", m.label))
+        if m.op == "=":
+            return col == m.value
+        if m.op == "!=":
+            return col != m.value
+        anchored = f"^(?:{m.value})$"
+        if m.op == "=~":
+            return col.rlike(anchored)
+        if m.op == "!~":
+            return ~col.rlike(anchored)
+        raise PromQLCompileError(f"bad matcher op {m.op}")
+
+    def _selector_base(self, vs: A.VectorSelector) -> DataFrame:
+        df = self.samples
+        if vs.name:
+            df = df.filter(F.col("__name__") == vs.name)  # parquet pushdown
+        for m in vs.matchers:
+            cond = self._matcher_cond(m)
+            if cond is not None:
+                df = df.filter(cond)
+        if self.ext_labels:
+            ext = F.create_map(*[F.lit(x) for kv in self.ext_labels.items()
+                                 for x in kv])
+            keep = drop_labels("labels", list(self.ext_labels))
+            df = df.withColumn("labels", F.map_concat(keep, ext))
+        ts_eff = F.col("ts") + F.lit(vs.offset_ms) if vs.offset_ms else F.col("ts")
+        return df.select(canonical_sig("labels").alias("sig"),
+                         F.col("labels"), ts_eff.alias("ts"), F.col("value"))
+
+    def _resolve_at(self, at_ms: int) -> int:
+        if at_ms == -1:
+            return self.p.start_ms
+        if at_ms == -2:
+            return self.p.end_ms
+        return at_ms
+
+    def _vector_selector(self, vs: A.VectorSelector) -> InstantVector:
+        base = self._selector_base(vs)
+        lb = self.p.lookback_ms
+        if vs.at_ms is not None:
+            at = self._resolve_at(vs.at_ms) + vs.offset_ms * 0  # offset applied in base
+            at_df = (base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at))
+                     .groupBy("sig")
+                     .agg(F.max(F.struct("ts", "value")).alias("sv"),
+                          F.first("labels").alias("labels")))
+            out = (at_df.crossJoin(F.broadcast(self.grid_df()))
+                   .select("t", "sig", "labels",
+                           F.col("sv.ts").alias("sample_ts"),
+                           F.col("sv.value").alias("value")))
+            return InstantVector(out)
+        exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
+        out = (exploded.groupBy("t", "sig")
+               .agg(F.max(F.struct("ts", "value")).alias("sv"),
+                    F.first("labels").alias("labels"))
+               .select("t", "sig", "labels",
+                       F.col("sv.ts").alias("sample_ts"),
+                       F.col("sv.value").alias("value")))
+        return InstantVector(out)
+
+    def _matrix_selector(self, ms: A.MatrixSelector) -> RangeVector:
+        vs = ms.selector
+        base = self._selector_base(vs)
+        rng = ms.range_ms
+        if vs.at_ms is not None:
+            at = self._resolve_at(vs.at_ms)
+            win = (base.filter((F.col("ts") > at - rng) & (F.col("ts") <= at)))
+            out = (win.crossJoin(F.broadcast(self.grid_df()))
+                   .select("t", "sig", "labels", "ts", "value"))
+            return RangeVector(out, rng)
+        exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), rng)))
+        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value"), rng)
+
+    def _subquery(self, sq: A.Subquery) -> RangeVector:
+        """x[range:step] — inner expr evaluated on its own epoch-aligned grid,
+        results re-windowed like a matrix selector."""
+        p = self.p
+        sub_step = sq.step_ms or p.subquery_step_ms
+        outer_end = p.end_ms - sq.offset_ms
+        outer_start = p.start_ms - sq.offset_ms
+        if sq.at_ms is not None:
+            outer_start = outer_end = self._resolve_at(sq.at_ms) - sq.offset_ms
+        inner_start = int(math.ceil((outer_start - sq.range_ms + 1) / sub_step)) * sub_step
+        inner_end = outer_end
+        inner = Compiler(self.samples,
+                         EvalParams(inner_start, inner_end, sub_step,
+                                    p.lookback_ms, p.deterministic,
+                                    p.subquery_step_ms),
+                         self.ext_labels)
+        iv = inner.compile_vector(sq.expr)
+        pts = iv.df.select("sig", "labels",
+                           (F.col("t") + F.lit(sq.offset_ms)).alias("ts"),
+                           "value")
+        if sq.at_ms is not None:
+            at = self._resolve_at(sq.at_ms)
+            win = pts.filter((F.col("ts") > at - sq.range_ms) & (F.col("ts") <= at))
+            out = (win.crossJoin(F.broadcast(self.grid_df()))
+                   .select("t", "sig", "labels", "ts", "value"))
+            return RangeVector(out, sq.range_ms)
+        exploded = pts.withColumn(
+            "t", F.explode(self._serve_steps(F.col("ts"), sq.range_ms)))
+        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value"),
+                           sq.range_ms)
+
+    def compile_vector(self, node: A.Node) -> InstantVector:
+        v = self.compile(node)
+        if isinstance(v, float):
+            v = self._scalar_to_vector(ScalarV(self._const_scalar_df(v)))
+        elif isinstance(v, ScalarV):
+            v = self._scalar_to_vector(v)
+        if not isinstance(v, InstantVector):
+            raise PromQLCompileError("expected instant vector")
+        return v
+
+    # ---------------------------------------------------------- aggregation
+    def _grouped(self, iv: InstantVector, grouping: list[str], without: bool,
+                 has_grouping: bool) -> DataFrame:
+        if without:
+            gl = drop_labels("labels", list(grouping) + ["__name__"])
+        elif has_grouping:
+            gl = keep_labels("labels", list(grouping))
+        else:
+            gl = F.map_from_arrays(F.array().cast("array<string>"),
+                                   F.array().cast("array<string>"))
+        return (iv.df.withColumn("glabels", gl)
+                .withColumn("gsig", canonical_sig(F.col("glabels"))))
+
+    def _aggregation(self, agg: A.Aggregation):
+        iv = self.compile_vector(agg.expr)
+        param = None
+        if agg.param is not None:
+            p = self.compile(agg.param)
+            if isinstance(p, StringV):
+                param = p.value
+            elif isinstance(p, float):
+                param = p
+            else:
+                raise PromQLCompileError(f"{agg.op} param must be literal")
+        df = self._grouped(iv, agg.grouping, agg.without, agg.has_grouping)
+
+        if agg.op in ("topk", "bottomk"):
+            from pyspark.sql import Window
+            k = int(param)
+            if agg.op == "topk":
+                order = [F.isnan("value").asc(), F.col("value").desc(), F.col("sig").asc()]
+            else:
+                order = [F.isnan("value").asc(), F.col("value").asc(), F.col("sig").asc()]
+            w = Window.partitionBy("t", "gsig").orderBy(*order)
+            out = (df.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= k)
+                   .select("t", "sig", "labels",
+                           F.lit(None).cast("long").alias("sample_ts"), "value"))
+            return InstantVector(out)
+
+        if agg.op == "count_values":
+            vstr = F.col("value").cast("string")
+            nl = F.map_concat(
+                F.map_filter(F.col("glabels"), lambda k, _v: k != F.lit(param)),
+                F.create_map(F.lit(param), vstr))
+            out = (df.withColumn("labels", nl)
+                   .withColumn("sig", canonical_sig(F.col("labels")))
+                   .groupBy("t", "sig")
+                   .agg(F.first("labels").alias("labels"),
+                        F.count("*").cast("double").alias("value"))
+                   .select("t", "sig", "labels",
+                           F.lit(None).cast("long").alias("sample_ts"), "value"))
+            return InstantVector(out)
+
+        if self.p.deterministic:
+            g = (df.groupBy("t", "gsig")
+                 .agg(folds.sorted_pairs(F.col("sig"), F.col("value")).alias("arr"),
+                      F.first("glabels").alias("labels")))
+            arr = F.col("arr")
+            vals = folds.values_of(arr)
+            non_nan = F.filter(vals, lambda v: ~F.isnan(v))
+            val = {
+                "sum": lambda: folds.fold_sum(arr),
+                "avg": lambda: folds.fold_avg(arr),
+                "count": lambda: F.size(arr).cast("double"),
+                "group": lambda: F.lit(1.0),
+                "min": lambda: F.coalesce(F.array_min(non_nan), NAN()),
+                "max": lambda: F.coalesce(F.array_max(non_nan), NAN()),
+                "stddev": lambda: folds.fold_stddev_pop(arr),
+                "stdvar": lambda: folds.fold_var_pop(arr),
+                "quantile": lambda: folds.fold_quantile(arr, F.lit(float(param))),
+            }[agg.op]()
+            out = g.select("t", F.col("gsig").alias("sig"), "labels",
+                           F.lit(None).cast("long").alias("sample_ts"),
+                           val.alias("value"))
+            return InstantVector(out)
+
+        nanif = _nan_to_null(F.col("value"))
+        exprs = {
+            "sum": F.sum("value"),
+            "avg": F.avg("value"),
+            "count": F.count("*").cast("double"),
+            "group": F.first(F.lit(1.0)),
+            "min": F.coalesce(F.min(nanif), F.first(NAN())),
+            "max": F.coalesce(F.max(nanif), F.first(NAN())),
+            "stddev": F.coalesce(F.stddev_pop("value"), F.first(NAN())),
+            "stdvar": F.coalesce(F.var_pop("value"), F.first(NAN())),
+            "quantile": F.percentile(F.col("value"), F.lit(float(param))
+                                     if param is not None else F.lit(0.5)),
+        }
+        out = (df.groupBy("t", "gsig")
+               .agg(exprs[agg.op].alias("value"), F.first("glabels").alias("labels"))
+               .select("t", F.col("gsig").alias("sig"), "labels",
+                       F.lit(None).cast("long").alias("sample_ts"),
+                       F.col("value").cast("double").alias("value")))
+        return InstantVector(out)
+
+    # -------------------------------------------------------------- binary
+    def _const_scalar_df(self, v: float) -> DataFrame:
+        return self.grid_df().select("t", F.lit(v).cast("double").alias("value"))
+
+    def _scalar_to_vector(self, s: ScalarV) -> InstantVector:
+        empty = F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<string>"))
+        df = s.df.select("t", canonical_sig(empty).alias("sig"),
+                         empty.alias("labels"),
+                         F.lit(None).cast("long").alias("sample_ts"), "value")
+        return InstantVector(df)
+
+    def _match_sig(self, vm: A.VectorMatching) -> Column:
+        """Join key for vector matching (SURVEY.md §2.C): on(...) keeps the
+        listed labels; ignoring/default drops listed + __name__."""
+        if vm.explicit and vm.on:
+            return canonical_sig(keep_labels("labels", vm.labels))
+        dropped = (list(vm.labels) if vm.explicit else []) + ["__name__"]
+        return canonical_sig(drop_labels("labels", dropped))
+
+    def _binary(self, be: A.BinaryExpr):
+        l = self.compile(be.lhs)
+        r = self.compile(be.rhs)
+        op = be.op
+
+        if isinstance(l, float) and isinstance(r, float):
+            return self._const_binop(op, l, r, be.bool_modifier)
+
+        if op in A.SET_OPS:
+            if not (isinstance(l, InstantVector) and isinstance(r, InstantVector)):
+                raise PromQLCompileError(f"{op} requires vector operands")
+            return self._set_op(op, l, r, be.matching)
+
+        l_vec = isinstance(l, InstantVector)
+        r_vec = isinstance(r, InstantVector)
+        if l_vec and r_vec:
+            return self._vector_vector(be, l, r)
+        if l_vec or r_vec:
+            return self._vector_scalar(be, l, r)
+        # scalar (df) ⊗ scalar
+        ldf = l.df if isinstance(l, ScalarV) else self._const_scalar_df(l)
+        rdf = r.df if isinstance(r, ScalarV) else self._const_scalar_df(r)
+        j = ldf.alias("l").join(rdf.alias("r"), "t")
+        lv, rv = F.col("l.value"), F.col("r.value")
+        if op in A.COMPARISON_OPS:
+            val = ieee_cmp(op, lv, rv).cast("double")
+        else:
+            val = arith_value(op, lv, rv)
+        return ScalarV(j.select("t", val.alias("value")))
+
+    def _const_binop(self, op, l: float, r: float, bool_mod: bool):
+        if op in A.COMPARISON_OPS:
+            res = {"==": l == r, "!=": l != r, ">": l > r, "<": l < r,
+                   ">=": l >= r, "<=": l <= r}[op]
+            if math.isnan(l) or math.isnan(r):
+                res = op == "!="
+            return 1.0 if res else 0.0
+        try:
+            if op == "+":
+                return l + r
+            if op == "-":
+                return l - r
+            if op == "*":
+                return l * r
+            if op == "/":
+                if r == 0:
+                    return math.nan if (l == 0 or math.isnan(l)) else math.copysign(math.inf, l)
+                return l / r
+            if op == "%":
+                return math.fmod(l, r) if r != 0 else math.nan
+            if op == "^":
+                return math.pow(l, r)
+            if op == "atan2":
+                return math.atan2(l, r)
+        except (OverflowError, ValueError):
+            return math.nan
+        raise PromQLCompileError(f"unknown op {op}")
+
+    def _vector_scalar(self, be: A.BinaryExpr, l, r) -> InstantVector:
+        op = be.op
+        swap = not isinstance(l, InstantVector)
+        vec = r if swap else l
+        sca = l if swap else r
+        df = vec.df
+        if isinstance(sca, float):
+            sc = F.lit(float(sca))
+        else:
+            sdf = sca.df.withColumnRenamed("value", "__sv")
+            df = df.join(F.broadcast(sdf), "t")
+            sc = F.col("__sv")
+        lv, rv = (sc, F.col("value")) if swap else (F.col("value"), sc)
+        if op in A.COMPARISON_OPS:
+            cond = ieee_cmp(op, lv, rv)
+            if be.bool_modifier:
+                out = (df.withColumn("value", cond.cast("double"))
+                       .withColumn("labels", drop_labels("labels", ["__name__"]))
+                       .withColumn("sig", canonical_sig(F.col("labels"))))
+            else:
+                out = df.filter(cond)
+        else:
+            out = (df.withColumn("value", arith_value(op, lv, rv))
+                   .withColumn("labels", drop_labels("labels", ["__name__"]))
+                   .withColumn("sig", canonical_sig(F.col("labels"))))
+        return InstantVector(out.select("t", "sig", "labels", "sample_ts", "value"))
+
+    def _vector_vector(self, be: A.BinaryExpr, l: InstantVector,
+                       r: InstantVector) -> InstantVector:
+        op, vm = be.op, be.matching
+        if vm.card == "one-to-many":  # group_right: swap, carry op orientation
+            swapped = A.BinaryExpr(op, be.rhs, be.lhs, be.bool_modifier,
+                                   A.VectorMatching(vm.on, vm.labels,
+                                                    "many-to-one", vm.include,
+                                                    vm.explicit))
+            iv = self._vector_vector_impl(swapped, r, l, swap_values=True)
+            return iv
+        return self._vector_vector_impl(be, l, r, swap_values=False)
+
+    def _vector_vector_impl(self, be, l, r, swap_values: bool) -> InstantVector:
+        op, vm = be.op, be.matching
+        msig = self._match_sig(vm)
+        ldf = l.df.withColumn("msig", msig)
+        rdf = (r.df.withColumn("msig", msig)
+               .select("t", "msig", F.col("value").alias("__rv"),
+                       F.col("labels").alias("__rlabels")))
+        j = ldf.join(rdf, ["t", "msig"])
+        lv, rv = F.col("value"), F.col("__rv")
+        if swap_values:
+            lv, rv = rv, lv
+        if op in A.COMPARISON_OPS:
+            cond = ieee_cmp(op, lv, rv)
+            if be.bool_modifier:
+                out = (j.withColumn("value", cond.cast("double"))
+                       .withColumn("labels", self._result_labels(vm))
+                       .withColumn("sig", canonical_sig(F.col("labels"))))
+            else:
+                out = j.filter(cond).withColumn("value", lv)
+        else:
+            out = (j.withColumn("value", arith_value(op, lv, rv))
+                   .withColumn("labels", self._result_labels(vm))
+                   .withColumn("sig", canonical_sig(F.col("labels"))))
+        return InstantVector(
+            out.select("t", "sig", "labels",
+                       F.lit(None).cast("long").alias("sample_ts"), "value"))
+
+    def _result_labels(self, vm: A.VectorMatching) -> Column:
+        """Result label set of an arithmetic/bool vector-vector op: on(...) 1:1
+        keeps the on-labels; ignoring/default keeps lhs minus ignoring minus
+        __name__; group_left additionally copies include-labels from the one
+        side (reference test evidence db/db_test.go:660-680)."""
+        if vm.explicit and vm.on and vm.card == "one-to-one":
+            base = keep_labels("labels", vm.labels)
+        else:
+            dropped = (list(vm.labels) if vm.explicit and not vm.on else []) + ["__name__"]
+            base = drop_labels("labels", dropped)
+        if vm.include:
+            inc = F.array(*[F.lit(k) for k in vm.include])
+            base = F.map_concat(
+                F.map_filter(base, lambda k, _v: ~F.array_contains(inc, k)),
+                F.map_filter(F.col("__rlabels"), lambda k, _v: F.array_contains(inc, k)))
+        return base
+
+    def _set_op(self, op: str, l: InstantVector, r: InstantVector,
+                vm: A.VectorMatching) -> InstantVector:
+        msig = self._match_sig(vm)
+        ldf = l.df.withColumn("msig", msig)
+        rkeys = r.df.withColumn("msig", msig).select("t", "msig").distinct()
+        if op == "and":
+            out = ldf.join(rkeys, ["t", "msig"], "left_semi")
+        elif op == "unless":
+            out = ldf.join(rkeys, ["t", "msig"], "left_anti")
+        else:  # or — all lhs series + rhs series whose match-sig absent in lhs
+            lkeys = ldf.select("t", "msig").distinct()
+            radd = (r.df.withColumn("msig", msig)
+                    .join(lkeys, ["t", "msig"], "left_anti"))
+            out = ldf.unionByName(radd)
+        return InstantVector(out.select("t", "sig", "labels", "sample_ts", "value"))
+
+    def _unary(self, ue: A.UnaryExpr):
+        v = self.compile(ue.expr)
+        if isinstance(v, float):
+            return -v
+        if isinstance(v, ScalarV):
+            return ScalarV(v.df.withColumn("value", -F.col("value")))
+        if isinstance(v, InstantVector):
+            df = (v.df.withColumn("value", -F.col("value"))
+                  .withColumn("labels", drop_labels("labels", ["__name__"]))
+                  .withColumn("sig", canonical_sig(F.col("labels"))))
+            return InstantVector(df.select("t", "sig", "labels", "sample_ts", "value"))
+        raise PromQLCompileError("cannot negate range vector")
+
+    # ---------------------------------------------------------------- calls
+    def _call(self, call: A.Call):
+        from thanos_parquet_gateway_spark.promql import functions as PF
+        return PF.dispatch(self, call)

@@ -1,0 +1,151 @@
+"""Query engine facade: the Spark-native replacement for the reference's
+``serve`` path (reference cmd/serve.go:201-222 + api/http/query.go).
+
+Entry points mirror the Prometheus HTTP API surface the reference exposes
+(api/http/query.go:175-179): instant query, range query, series, label names,
+label values — each returning a DataFrame (never collecting on its own).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.promql import parser as P
+from thanos_parquet_gateway_spark.promql.compiler import Compiler
+from thanos_parquet_gateway_spark.promql.values import (
+    EvalParams,
+    InstantVector,
+    RangeVector,
+    ScalarV,
+)
+from thanos_parquet_gateway_spark.schema import canonical_sig, drop_labels, label
+
+
+@dataclass
+class QueryResult:
+    df: DataFrame
+    result_type: str  # 'vector' | 'matrix' | 'scalar'
+
+
+class PromQLEngine:
+    def __init__(self, samples: DataFrame, *,
+                 lookback_ms: int = 300_000,
+                 deterministic: bool = False,
+                 subquery_step_ms: int = 60_000,
+                 replica_labels: list[str] | None = None,
+                 ext_labels: dict[str, str] | None = None):
+        """``samples``: long-format samples table (schema.py).  ``replica_labels``
+        are dropped and the data deduplicated by (series, ts) — the Spark
+        equivalent of the reference's replica-label drop + hash dedup
+        (reference db/db.go:124-128, db/shard.go:252-268)."""
+        if "__name__" not in samples.columns:
+            samples = samples.withColumn("__name__", label("labels", "__name__"))
+        if replica_labels:
+            samples = (
+                samples.withColumn("labels", drop_labels("labels", replica_labels))
+                .withColumn("__sig", canonical_sig("labels"))
+                .groupBy("__sig", "ts")
+                .agg(F.max("value").alias("value"),
+                     F.first("labels").alias("labels"),
+                     F.first("__name__").alias("__name__"))
+                .drop("__sig"))
+        self.samples = samples
+        self.lookback_ms = lookback_ms
+        self.deterministic = deterministic
+        self.subquery_step_ms = subquery_step_ms
+        self.ext_labels = ext_labels
+
+    # ------------------------------------------------------------- queries
+    def _compile(self, q: str, start_ms: int, end_ms: int, step_ms: int):
+        node = P.parse(q)
+        params = EvalParams(start_ms, end_ms, max(step_ms, 1),
+                            self.lookback_ms, self.deterministic,
+                            self.subquery_step_ms)
+        comp = Compiler(self.samples, params, self.ext_labels)
+        return comp, comp.compile(node)
+
+    def query_range(self, q: str, start_ms: int, end_ms: int,
+                    step_ms: int) -> QueryResult:
+        comp, v = self._compile(q, start_ms, end_ms, step_ms)
+        if isinstance(v, float):
+            v = ScalarV(comp._const_scalar_df(v))
+        if isinstance(v, ScalarV):
+            return QueryResult(v.df.select("t", "value"), "scalar")
+        if isinstance(v, RangeVector):
+            raise ValueError("range query must evaluate to an instant vector/scalar")
+        if isinstance(v, InstantVector):
+            df = v.df.select("t", "sig", "labels", "value")
+            return QueryResult(df, "matrix")
+        raise ValueError(f"unexpected result {type(v).__name__}")
+
+    def query_instant(self, q: str, t_ms: int) -> QueryResult:
+        comp, v = self._compile(q, t_ms, t_ms, 1)
+        if isinstance(v, float):
+            v = ScalarV(comp._const_scalar_df(v))
+        if isinstance(v, ScalarV):
+            return QueryResult(v.df.select("t", "value"), "scalar")
+        if isinstance(v, RangeVector):
+            return QueryResult(v.df.select("t", "sig", "labels", "ts", "value"),
+                               "matrix")
+        return QueryResult(v.df.select("t", "sig", "labels", "value"), "vector")
+
+    # ------------------------------------------- metadata APIs (A27-A31)
+    def _matched(self, match: list[str], start_ms: int, end_ms: int) -> DataFrame:
+        """Union of per-selector filtered samples within [start, end]
+        (reference /series multi-matcher union, api/http/query.go:567-846)."""
+        dfs = []
+        params = EvalParams(start_ms, end_ms, 1, self.lookback_ms)
+        comp = Compiler(self.samples, params, self.ext_labels)
+        base = self.samples.filter(
+            (F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
+        for q in match or ["{__name__=~\".+\"}"]:
+            node = P.parse(q)
+            sel = node
+            from thanos_parquet_gateway_spark.promql import ast as A
+            if isinstance(sel, A.MatrixSelector):
+                sel = sel.selector
+            if not isinstance(sel, A.VectorSelector):
+                raise ValueError("series match[] must be a selector")
+            df = base
+            if sel.name:
+                df = df.filter(F.col("__name__") == sel.name)
+            for m in sel.matchers:
+                cond = comp._matcher_cond(m)
+                if cond is not None:
+                    df = df.filter(cond)
+            dfs.append(df)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def series(self, match: list[str], start_ms: int, end_ms: int,
+               limit: int = 0) -> DataFrame:
+        out = (self._matched(match, start_ms, end_ms)
+               .select(canonical_sig("labels").alias("sig"), "labels")
+               .dropDuplicates(["sig"])
+               .orderBy("sig"))
+        return out.limit(limit) if limit else out
+
+    def label_names(self, match: list[str] | None, start_ms: int, end_ms: int,
+                    limit: int = 0) -> DataFrame:
+        """Reference: schema-level when unconstrained, filtered scan otherwise
+        (search/search.go:294-345)."""
+        out = (self._matched(match or [], start_ms, end_ms)
+               .select(F.explode(F.map_keys("labels")).alias("name"))
+               .distinct().orderBy("name"))
+        return out.limit(limit) if limit else out
+
+    def label_values(self, name: str, match: list[str] | None,
+                     start_ms: int, end_ms: int, limit: int = 0) -> DataFrame:
+        """Reference: dictionary shortcut without matchers, filtered distinct
+        with matchers (search/search.go:153-262) — Parquet dictionary/stats
+        make the unconstrained distinct cheap in Spark too."""
+        out = (self._matched(match or [], start_ms, end_ms)
+               .select(label("labels", name).alias("value"))
+               .filter(F.col("value") != "")
+               .distinct().orderBy("value"))
+        return out.limit(limit) if limit else out

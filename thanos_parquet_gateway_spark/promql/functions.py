@@ -1,0 +1,470 @@
+"""PromQL function library: *_over_time, the rate family, histogram_quantile,
+label manipulation, time functions (SURVEY.md §2.C).
+
+The rate family implements Prometheus' published extrapolation algorithm
+(counter-reset correction + boundary extrapolation) — the reference proves
+these semantics via differential tests (reference db/db_test.go:616-659).
+All window math folds *sorted* per-(series, step) arrays with Spark
+higher-order functions: JVM-side, deterministic, bounded by samples-per-window
+— the scalable shape at 100TB (no driver collects, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.functions import folds
+from thanos_parquet_gateway_spark.promql import ast as A
+from thanos_parquet_gateway_spark.promql.compiler import (
+    _MATH_FUNCS,
+    _TIME_FUNCS,
+    NAN,
+    INF,
+    NEG_INF,
+    Compiler,
+    PromQLCompileError,
+)
+from thanos_parquet_gateway_spark.promql.values import (
+    InstantVector,
+    RangeVector,
+    ScalarV,
+    StringV,
+)
+from thanos_parquet_gateway_spark.schema import canonical_sig, drop_labels
+
+D = "double"
+
+
+def _drop_name(df):
+    return (df.withColumn("labels", drop_labels("labels", ["__name__"]))
+            .withColumn("sig", canonical_sig(F.col("labels"))))
+
+
+def _iv(df) -> InstantVector:
+    return InstantVector(df.select("t", "sig", "labels", "sample_ts", "value"))
+
+
+def _range_arg(c: Compiler, call: A.Call, idx: int = 0) -> RangeVector:
+    v = c.compile(call.args[idx])
+    if not isinstance(v, RangeVector):
+        raise PromQLCompileError(f"{call.func} expects a range vector")
+    return v
+
+
+def _vector_arg(c: Compiler, call: A.Call, idx: int = 0) -> InstantVector:
+    return c.compile_vector(call.args[idx])
+
+
+def _scalar_lit(c: Compiler, call: A.Call, idx: int) -> float:
+    v = c.compile(call.args[idx])
+    if not isinstance(v, float):
+        raise PromQLCompileError(f"{call.func} arg {idx} must be a literal scalar")
+    return v
+
+
+# ---------------------------------------------------------------- over_time
+def _collect_window(rv: RangeVector):
+    """(t, sig) → sorted array of (ts, value) + labels (arrays bounded by
+    samples-per-window)."""
+    return (rv.df.groupBy("t", "sig")
+            .agg(folds.sorted_pairs(F.col("ts"), F.col("value")).alias("arr"),
+                 F.first("labels").alias("labels")))
+
+
+_OVER_TIME = {
+    "sum_over_time": lambda arr: folds.fold_sum(arr),
+    "avg_over_time": lambda arr: folds.fold_avg(arr),
+    "count_over_time": lambda arr: F.size(arr).cast(D),
+    "min_over_time": lambda arr: F.coalesce(
+        F.array_min(F.filter(folds.values_of(arr), lambda v: ~F.isnan(v))), NAN()),
+    "max_over_time": lambda arr: F.coalesce(
+        F.array_max(F.filter(folds.values_of(arr), lambda v: ~F.isnan(v))), NAN()),
+    "last_over_time": lambda arr: F.element_at(arr, -1)["v"],
+    "first_over_time": lambda arr: F.element_at(arr, 1)["v"],
+    "stddev_over_time": lambda arr: folds.fold_stddev_pop(arr),
+    "stdvar_over_time": lambda arr: folds.fold_var_pop(arr),
+    "present_over_time": lambda arr: F.lit(1.0),
+}
+
+
+def _over_time(c: Compiler, call: A.Call) -> InstantVector:
+    fn = call.func
+    if fn == "quantile_over_time":
+        q = _scalar_lit(c, call, 0)
+        rv = _range_arg(c, call, 1)
+        g = _collect_window(rv)
+        val = folds.fold_quantile(F.col("arr"), F.lit(q))
+    else:
+        rv = _range_arg(c, call, 0)
+        g = _collect_window(rv)
+        val = _OVER_TIME[fn](F.col("arr"))
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   val.alias("value"))
+    if fn != "last_over_time":  # last_over_time keeps the metric name
+        out = _drop_name(out)
+    return _iv(out)
+
+
+# -------------------------------------------------------------- rate family
+def _reset_correction(arr: Column) -> Column:
+    """Sum of counter-reset corrections: whenever v[i] < v[i-1], add v[i-1]."""
+    acc0 = F.struct(F.lit(None).cast(D).alias("prev"), F.lit(0.0).alias("corr"))
+    acc = F.aggregate(
+        arr, acc0,
+        lambda a, x: F.struct(
+            x["v"].alias("prev"),
+            (a["corr"] + F.coalesce(F.when(x["v"] < a["prev"], a["prev"]),
+                                    F.lit(0.0))).alias("corr")))
+    return acc["corr"]
+
+
+def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
+                  is_rate: bool) -> InstantVector:
+    """Prometheus extrapolatedRate: reset-corrected delta extrapolated to the
+    window boundaries (threshold 1.1× avg sample spacing, half-interval credit
+    beyond; counters also clamp extrapolation-to-zero)."""
+    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    arr = F.col("arr")
+    n = F.size(arr).cast(D)
+    first_t, last_t = F.element_at(arr, 1)["o"], F.element_at(arr, -1)["o"]
+    first_v, last_v = F.element_at(arr, 1)["v"], F.element_at(arr, -1)["v"]
+    delta = (last_v - first_v + _reset_correction(arr)) if counter else (last_v - first_v)
+    g = g.withColumn("__delta", delta)
+    delta = F.col("__delta")
+
+    rng_s = F.lit(rv.range_ms / 1000.0)
+    dur_start = (first_t - (F.col("t") - F.lit(rv.range_ms))).cast(D) / 1000.0
+    dur_end = (F.col("t") - last_t).cast(D) / 1000.0
+    sampled = (last_t - first_t).cast(D) / 1000.0
+    avg_dur = sampled / (n - 1)
+    if counter:
+        dur_to_zero = F.when(delta > 0, sampled * (first_v / delta)).otherwise(dur_start)
+        dur_start = F.when((delta > 0) & (first_v >= 0) & (dur_to_zero < dur_start),
+                           dur_to_zero).otherwise(dur_start)
+    threshold = avg_dur * 1.1
+    extrap = (sampled
+              + F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
+              + F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end))
+    factor = extrap / sampled
+    val = delta * factor / rng_s if is_rate else delta * factor
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   val.alias("value"))
+    return _iv(_drop_name(out))
+
+
+def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
+    """irate/idelta from the last two samples of the window."""
+    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    arr = F.col("arr")
+    last_t, prev_t = F.element_at(arr, -1)["o"], F.element_at(arr, -2)["o"]
+    last_v, prev_v = F.element_at(arr, -1)["v"], F.element_at(arr, -2)["v"]
+    dt_s = (last_t - prev_t).cast(D) / 1000.0
+    if kind == "irate":
+        dv = F.when(last_v >= prev_v, last_v - prev_v).otherwise(last_v)
+        val = dv / dt_s
+    else:
+        val = last_v - prev_v
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
+    return _iv(_drop_name(out))
+
+
+def _counts_fold(arr: Column, mode: str) -> Column:
+    """resets: count v[i] < v[i-1]; changes: count v[i] != v[i-1] (NaN→NaN is
+    not a change)."""
+    acc0 = F.struct(F.lit(None).cast(D).alias("prev"), F.lit(0.0).alias("n"))
+
+    def merge(a, x):
+        if mode == "resets":
+            hit = F.when(x["v"] < a["prev"], 1.0)
+        else:
+            both_nan = F.isnan(x["v"]) & F.isnan(a["prev"])
+            hit = F.when((x["v"] != a["prev"]) | F.isnan(x["v"]) | F.isnan(a["prev"]),
+                         F.when(both_nan, 0.0).otherwise(1.0))
+        return F.struct(x["v"].alias("prev"),
+                        (a["n"] + F.coalesce(hit, F.lit(0.0))).alias("n"))
+
+    return F.aggregate(arr, acc0, merge)["n"]
+
+
+def _linreg(arr: Column, intercept_t: Column):
+    """Least-squares slope/intercept with x = (ts - intercept_t) seconds
+    (Prometheus linearRegression), sequential folds."""
+    x = lambda e: (e["o"] - intercept_t).cast(D) / 1000.0  # noqa: E731
+    acc0 = F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+                    F.lit(0.0).alias("sxy"), F.lit(0.0).alias("sx2"))
+    s = F.aggregate(arr, acc0, lambda a, e: F.struct(
+        (a["sx"] + x(e)).alias("sx"),
+        (a["sy"] + e["v"]).alias("sy"),
+        (a["sxy"] + x(e) * e["v"]).alias("sxy"),
+        (a["sx2"] + x(e) * x(e)).alias("sx2")))
+    n = F.size(arr).cast(D)
+    cov = s["sxy"] - s["sx"] * s["sy"] / n
+    var = s["sx2"] - s["sx"] * s["sx"] / n
+    slope = cov / var
+    intercept = s["sy"] / n - slope * s["sx"] / n
+    return slope, intercept
+
+
+def _deriv(c: Compiler, call: A.Call) -> InstantVector:
+    rv = _range_arg(c, call)
+    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    slope, _ = _linreg(F.col("arr"), F.element_at(F.col("arr"), 1)["o"])
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   slope.alias("value"))
+    return _iv(_drop_name(out))
+
+
+def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
+    rv = _range_arg(c, call, 0)
+    dur = _scalar_lit(c, call, 1)
+    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    slope, intercept = _linreg(F.col("arr"), F.col("t"))
+    val = intercept + slope * F.lit(float(dur))
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
+    return _iv(_drop_name(out))
+
+
+# --------------------------------------------------------- histogram_quantile
+def _histogram_quantile(c: Compiler, call: A.Call) -> InstantVector:
+    """Classic-bucket quantile: group bucket series by labels-minus-le, sort
+    by le, enforce monotonicity, linearly interpolate (reference test evidence
+    db/db_test.go:344-351; upstream algorithm bucketQuantile)."""
+    q = _scalar_lit(c, call, 0)
+    iv = _vector_arg(c, call, 1)
+    df = iv.df.withColumn(
+        "__le",
+        F.when(F.element_at(F.col("labels"), "le").isin("+Inf", "Inf", "inf"), INF())
+         .otherwise(F.element_at(F.col("labels"), "le").cast(D)))
+    df = df.filter(F.col("__le").isNotNull())
+    df = (df.withColumn("labels", drop_labels("labels", ["le", "__name__"]))
+          .withColumn("sig", canonical_sig(F.col("labels"))))
+    g = (df.groupBy("t", "sig")
+         .agg(folds.sorted_pairs(F.col("__le"), F.col("value")).alias("arr"),
+              F.first("labels").alias("labels")))
+    arr = F.col("arr")
+    les = F.transform(arr, lambda x: x["o"])
+    # running-max monotonicity fix-up
+    counts = F.aggregate(
+        arr, F.array().cast("array<double>"),
+        lambda acc, x: F.concat(acc, F.array(
+            F.greatest(x["v"], F.element_at(acc, -1)))))
+    b = F.size(arr)
+    has_inf = F.element_at(les, -1) == INF()
+    total = F.element_at(counts, -1)
+    rank = F.lit(float(q)) * total
+    idx = F.aggregate(
+        F.sequence(F.lit(1), b),
+        F.lit(-1),
+        lambda acc, i: F.when((acc == -1) & (F.element_at(counts, i) >= rank), i)
+                        .otherwise(acc))
+    lower = F.when(idx == 1, F.when(F.element_at(les, 1) <= 0,
+                                    F.element_at(les, 1)).otherwise(F.lit(0.0))) \
+             .otherwise(F.element_at(les, F.greatest(idx - 1, F.lit(1))))
+    upper = F.element_at(les, F.greatest(idx, F.lit(1)))
+    count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
+        F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
+    count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
+    interp = lower + (upper - lower) * (rank - count_lo) / (count_hi - count_lo)
+    val = (F.when(F.lit(q) < 0, NEG_INF())
+            .when(F.lit(q) > 1, INF())
+            .when(F.lit(float(q)) != F.lit(float(q)), NAN())
+            .when(~has_inf | (b < 2) | (total == 0), NAN())
+            .when(idx == b, F.element_at(les, -2))  # rank in the +Inf bucket
+            .when((idx == 1) & (F.element_at(les, 1) <= 0), F.element_at(les, 1))
+            .otherwise(interp))
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
+    return _iv(out)
+
+
+# ----------------------------------------------------------- label functions
+def _label_replace(c: Compiler, call: A.Call) -> InstantVector:
+    iv = _vector_arg(c, call, 0)
+    dst = c.compile(call.args[1]).value
+    repl = c.compile(call.args[2]).value
+    src = c.compile(call.args[3]).value
+    regex = c.compile(call.args[4]).value
+    anchored = f"^(?:{regex})$"
+    src_val = F.coalesce(F.element_at(F.col("labels"), src), F.lit(""))
+    matched = src_val.rlike(anchored)
+    new_val = F.regexp_replace(src_val, anchored, repl)
+    without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(dst))
+    with_dst = F.when(new_val == "", without_dst).otherwise(
+        F.map_concat(without_dst, F.create_map(F.lit(dst), new_val)))
+    nl = F.when(matched, with_dst).otherwise(F.col("labels"))
+    df = (iv.df.withColumn("labels", nl)
+          .withColumn("sig", canonical_sig(F.col("labels"))))
+    return _iv(df)
+
+
+def _label_join(c: Compiler, call: A.Call) -> InstantVector:
+    iv = _vector_arg(c, call, 0)
+    dst = c.compile(call.args[1]).value
+    sep = c.compile(call.args[2]).value
+    srcs = [c.compile(a).value for a in call.args[3:]]
+    joined = F.concat_ws(
+        sep, *[F.coalesce(F.element_at(F.col("labels"), s), F.lit("")) for s in srcs])
+    without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(dst))
+    nl = F.when(joined == "", without_dst).otherwise(
+        F.map_concat(without_dst, F.create_map(F.lit(dst), joined)))
+    df = (iv.df.withColumn("labels", nl)
+          .withColumn("sig", canonical_sig(F.col("labels"))))
+    return _iv(df)
+
+
+# ------------------------------------------------------------------- absent
+def _absent_labels(node: A.Node) -> dict[str, str]:
+    """Labels of an absent() result: equality matchers of the inner selector,
+    metric name excluded (upstream createLabelsForAbsentFunction)."""
+    sel = node
+    if isinstance(sel, A.MatrixSelector):
+        sel = sel.selector
+    out: dict[str, str] = {}
+    if isinstance(sel, A.VectorSelector):
+        for m in sel.matchers:
+            if m.op == "=" and m.label != "__name__":
+                out[m.label] = m.value
+    return out
+
+
+def _absent(c: Compiler, call: A.Call, over_time: bool) -> InstantVector:
+    inner = c.compile(call.args[0])
+    if over_time:
+        if not isinstance(inner, RangeVector):
+            raise PromQLCompileError("absent_over_time expects a range vector")
+        present = inner.df.select("t").distinct()
+    else:
+        if not isinstance(inner, InstantVector):
+            raise PromQLCompileError("absent expects an instant vector")
+        present = inner.df.select("t").distinct()
+    lbls = _absent_labels(call.args[0])
+    if lbls:
+        lmap = F.create_map(*[F.lit(x) for kv in sorted(lbls.items()) for x in kv])
+    else:
+        lmap = F.map_from_arrays(F.array().cast("array<string>"),
+                                 F.array().cast("array<string>"))
+    out = (c.grid_df().join(present, "t", "left_anti")
+           .select("t", canonical_sig(lmap).alias("sig"), lmap.alias("labels"),
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   F.lit(1.0).alias("value")))
+    return InstantVector(out)
+
+
+# ---------------------------------------------------------------- dispatch
+def dispatch(c: Compiler, call: A.Call):
+    fn = call.func
+
+    if fn in _MATH_FUNCS:
+        iv = _vector_arg(c, call)
+        df = iv.df.withColumn("value", _MATH_FUNCS[fn](F.col("value")).cast(D))
+        return _iv(_drop_name(df))
+
+    if fn in _OVER_TIME or fn == "quantile_over_time":
+        return _over_time(c, call)
+
+    if fn in ("rate", "increase"):
+        return _extrapolated(c, _range_arg(c, call), counter=True,
+                             is_rate=(fn == "rate"))
+    if fn == "delta":
+        return _extrapolated(c, _range_arg(c, call), counter=False, is_rate=False)
+    if fn in ("irate", "idelta"):
+        return _instant_pair(c, _range_arg(c, call), fn)
+    if fn in ("resets", "changes"):
+        rv = _range_arg(c, call)
+        g = _collect_window(rv)
+        val = _counts_fold(F.col("arr"), fn)
+        out = g.select("t", "sig", "labels",
+                       F.lit(None).cast("long").alias("sample_ts"),
+                       val.alias("value"))
+        return _iv(_drop_name(out))
+    if fn == "deriv":
+        return _deriv(c, call)
+    if fn == "predict_linear":
+        return _predict_linear(c, call)
+
+    if fn == "histogram_quantile":
+        return _histogram_quantile(c, call)
+    if fn == "label_replace":
+        return _label_replace(c, call)
+    if fn == "label_join":
+        return _label_join(c, call)
+    if fn == "absent":
+        return _absent(c, call, over_time=False)
+    if fn == "absent_over_time":
+        return _absent(c, call, over_time=True)
+
+    if fn == "round":
+        iv = _vector_arg(c, call)
+        to = _scalar_lit(c, call, 1) if len(call.args) > 1 else 1.0
+        # PromQL round: nearest multiple of `to`, ties round up
+        val = F.floor(F.col("value") / F.lit(to) + 0.5) * F.lit(to)
+        df = iv.df.withColumn("value", val.cast(D))
+        return _iv(_drop_name(df))
+
+    if fn in ("clamp", "clamp_min", "clamp_max"):
+        iv = _vector_arg(c, call)
+        v = F.col("value")
+        if fn == "clamp":
+            mn, mx = _scalar_lit(c, call, 1), _scalar_lit(c, call, 2)
+            val = F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
+            val = F.when(F.lit(mn) > F.lit(mx), NAN()).otherwise(val)
+        elif fn == "clamp_min":
+            val = F.greatest(v, F.lit(_scalar_lit(c, call, 1)))
+        else:
+            val = F.least(v, F.lit(_scalar_lit(c, call, 1)))
+        df = iv.df.withColumn("value", F.when(F.isnan(v), v).otherwise(val))
+        return _iv(_drop_name(df))
+
+    if fn == "vector":
+        v = c.compile(call.args[0])
+        if isinstance(v, float):
+            return c._scalar_to_vector(ScalarV(c._const_scalar_df(v)))
+        if isinstance(v, ScalarV):
+            return c._scalar_to_vector(v)
+        raise PromQLCompileError("vector() expects a scalar")
+
+    if fn == "scalar":
+        iv = _vector_arg(c, call)
+        per_t = (iv.df.groupBy("t")
+                 .agg(F.count("*").alias("__n"), F.first("value").alias("__v")))
+        out = (c.grid_df().join(per_t, "t", "left")
+               .select("t", F.when(F.col("__n") == 1, F.col("__v"))
+                             .otherwise(NAN()).alias("value")))
+        return ScalarV(out)
+
+    if fn == "time":
+        return ScalarV(c.grid_df().select(
+            "t", (F.col("t").cast(D) / 1000.0).alias("value")))
+
+    if fn == "timestamp":
+        iv = _vector_arg(c, call)
+        df = iv.df.withColumn(
+            "value",
+            (F.coalesce(F.col("sample_ts"), F.col("t")).cast(D) / 1000.0))
+        return _iv(_drop_name(df))
+
+    if fn in _TIME_FUNCS:
+        if call.args:
+            iv = _vector_arg(c, call)
+        else:
+            iv = c._scalar_to_vector(ScalarV(c.grid_df().select(
+                "t", (F.col("t").cast(D) / 1000.0).alias("value"))))
+        ts_col = F.timestamp_seconds(F.col("value"))
+        df = iv.df.withColumn("value", _TIME_FUNCS[fn](ts_col).cast(D))
+        return _iv(_drop_name(df))
+
+    if fn == "pi":
+        return float(3.141592653589793)
+
+    if fn in ("sort", "sort_desc"):
+        iv = _vector_arg(c, call)
+        order = (F.col("value").desc() if fn == "sort_desc" else F.col("value").asc())
+        return InstantVector(iv.df.orderBy("t", order, F.col("sig")))
+
+    raise PromQLCompileError(f"unsupported function {fn}")

@@ -1,0 +1,388 @@
+"""PromQL lexer + Pratt parser → AST.
+
+Grammar follows the public PromQL specification (operator precedence:
+or < and/unless < comparison < +- < */%/atan2 < ^ < unary < postfix
+[range] / offset / @).  The reference exercises this grammar through its
+differential test corpus (reference db/db_test.go:313-1407).
+"""
+
+from __future__ import annotations
+
+import re
+
+from thanos_parquet_gateway_spark.promql.ast import (
+    Aggregation,
+    AGGREGATION_OPS,
+    BinaryExpr,
+    Call,
+    COMPARISON_OPS,
+    Matcher,
+    MatrixSelector,
+    Node,
+    NumberLiteral,
+    PARAM_AGGREGATIONS,
+    StringLiteral,
+    Subquery,
+    UnaryExpr,
+    VectorMatching,
+    VectorSelector,
+)
+
+_DUR_RE = re.compile(r"(?:\d+(?:\.\d+)?(?:ms|s|m|h|d|w|y))+")
+_DUR_PART = re.compile(r"(\d+(?:\.\d+)?)(ms|s|m|h|d|w|y)")
+_NUM_RE = re.compile(r"(?:0x[0-9a-fA-F]+|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)")
+_IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_:]*")
+
+_UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+            "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000}
+
+_OPS = ["=~", "!~", "==", "!=", "<=", ">=", "<", ">", "=", "+", "-", "*",
+        "/", "%", "^", "(", ")", "{", "}", "[", "]", ",", ":", "@"]
+
+
+class PromQLSyntaxError(ValueError):
+    pass
+
+
+class Token:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind: str, text: str, pos: int):
+        self.kind = kind  # NUM DUR STR IDENT OP EOF
+        self.text = text
+        self.pos = pos
+
+    def __repr__(self):  # pragma: no cover
+        return f"Token({self.kind},{self.text!r})"
+
+
+def parse_duration_ms(text: str) -> int:
+    total = 0.0
+    for num, unit in _DUR_PART.findall(text):
+        total += float(num) * _UNIT_MS[unit]
+    return int(total)
+
+
+def lex(q: str) -> list[Token]:
+    toks: list[Token] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "#":  # comment to EOL
+            while i < n and q[i] != "\n":
+                i += 1
+            continue
+        if c in "'\"`":
+            quote = c
+            j = i + 1
+            buf = []
+            while j < n and q[j] != quote:
+                if q[j] == "\\" and j + 1 < n:
+                    esc = q[j + 1]
+                    buf.append({"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+                                quote: quote}.get(esc, "\\" + esc))
+                    j += 2
+                else:
+                    buf.append(q[j])
+                    j += 1
+            if j >= n:
+                raise PromQLSyntaxError(f"unterminated string at {i}")
+            toks.append(Token("STR", "".join(buf), i))
+            i = j + 1
+            continue
+        m = _DUR_RE.match(q, i)
+        if m and not _NUM_RE.fullmatch(m.group(0)):
+            # duration only when it actually contains a unit suffix
+            nxt = q[m.end():m.end() + 1]
+            if not (nxt and (nxt.isalnum() or nxt == "_")):
+                toks.append(Token("DUR", m.group(0), i))
+                i = m.end()
+                continue
+        m = _NUM_RE.match(q, i)
+        if m and not (c == "." and not q[i + 1:i + 2].isdigit()):
+            nxt = q[m.end():m.end() + 1]
+            if not (nxt and (nxt.isalpha() or nxt == "_")):
+                toks.append(Token("NUM", m.group(0), i))
+                i = m.end()
+                continue
+        m = _IDENT_RE.match(q, i)
+        if m:
+            toks.append(Token("IDENT", m.group(0), i))
+            i = m.end()
+            continue
+        for op in _OPS:
+            if q.startswith(op, i):
+                toks.append(Token("OP", op, i))
+                i += len(op)
+                break
+        else:
+            raise PromQLSyntaxError(f"unexpected character {c!r} at {i}")
+    toks.append(Token("EOF", "", n))
+    return toks
+
+
+# precedence levels (binding powers); higher binds tighter
+_PREC = {"or": 1, "and": 2, "unless": 2,
+         "==": 3, "!=": 3, "<=": 3, "<": 3, ">=": 3, ">": 3,
+         "+": 4, "-": 4,
+         "*": 5, "/": 5, "%": 5, "atan2": 5,
+         "^": 6}
+_RIGHT_ASSOC = {"^"}
+
+
+class Parser:
+    def __init__(self, q: str):
+        self.toks = lex(q)
+        self.i = 0
+
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Token:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise PromQLSyntaxError(
+                f"expected {text or kind}, got {t.text!r} at {t.pos}")
+        return t
+
+    # -- expressions ------------------------------------------------------
+    def parse_expr(self, min_prec: int = 0) -> Node:
+        lhs = self.parse_unary()
+        while True:
+            t = self.peek()
+            op = t.text if (t.kind == "OP" or
+                            (t.kind == "IDENT" and t.text in
+                             ("and", "or", "unless", "atan2"))) else None
+            if op not in _PREC or _PREC[op] < min_prec:
+                return lhs
+            self.next()
+            bool_mod = False
+            if self.peek().kind == "IDENT" and self.peek().text == "bool":
+                self.next()
+                bool_mod = True
+            matching = self._parse_matching()
+            nxt_prec = _PREC[op] + (0 if op in _RIGHT_ASSOC else 1)
+            rhs = self.parse_expr(nxt_prec)
+            if op in ("and", "or", "unless") and not matching.explicit:
+                matching.card = "many-to-many"
+            lhs = BinaryExpr(op, lhs, rhs, bool_mod, matching)
+
+    def _parse_matching(self) -> VectorMatching:
+        vm = VectorMatching()
+        t = self.peek()
+        if t.kind == "IDENT" and t.text in ("on", "ignoring"):
+            vm.explicit = True
+            vm.on = t.text == "on"
+            self.next()
+            vm.labels = self._label_list()
+            t = self.peek()
+            if t.kind == "IDENT" and t.text in ("group_left", "group_right"):
+                vm.card = ("many-to-one" if t.text == "group_left"
+                           else "one-to-many")
+                self.next()
+                if self.peek().kind == "OP" and self.peek().text == "(":
+                    vm.include = self._label_list()
+        return vm
+
+    def _label_list(self) -> list[str]:
+        self.expect("OP", "(")
+        out = []
+        while not (self.peek().kind == "OP" and self.peek().text == ")"):
+            out.append(self.expect("IDENT").text)
+            if self.peek().kind == "OP" and self.peek().text == ",":
+                self.next()
+        self.expect("OP", ")")
+        return out
+
+    def parse_unary(self) -> Node:
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("+", "-"):
+            self.next()
+            expr = self.parse_unary()
+            # unary binds tighter than binops but looser than postfix
+            if t.text == "-":
+                if isinstance(expr, NumberLiteral):
+                    return NumberLiteral(-expr.value)
+                return UnaryExpr("-", expr)
+            return expr
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Node:
+        expr = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.text == "[":
+                self.next()
+                rng_tok = self.next()
+                if rng_tok.kind == "DUR":
+                    rng = parse_duration_ms(rng_tok.text)
+                elif rng_tok.kind == "NUM":
+                    rng = int(float(rng_tok.text) * 1000)
+                else:
+                    raise PromQLSyntaxError(f"bad range at {rng_tok.pos}")
+                if self.peek().kind == "OP" and self.peek().text == ":":
+                    self.next()
+                    step = 0
+                    if not (self.peek().kind == "OP" and self.peek().text == "]"):
+                        st = self.next()
+                        step = (parse_duration_ms(st.text) if st.kind == "DUR"
+                                else int(float(st.text) * 1000))
+                    self.expect("OP", "]")
+                    expr = Subquery(expr, rng, step)
+                else:
+                    self.expect("OP", "]")
+                    if not isinstance(expr, VectorSelector):
+                        raise PromQLSyntaxError(
+                            "range selector requires a vector selector")
+                    expr = MatrixSelector(expr, rng)
+            elif t.kind == "IDENT" and t.text == "offset":
+                self.next()
+                neg = False
+                if self.peek().kind == "OP" and self.peek().text == "-":
+                    self.next()
+                    neg = True
+                ot = self.next()
+                off = (parse_duration_ms(ot.text) if ot.kind == "DUR"
+                       else int(float(ot.text) * 1000))
+                if neg:
+                    off = -off
+                self._apply_offset(expr, off)
+            elif t.kind == "OP" and t.text == "@":
+                self.next()
+                at = self.next()
+                if at.kind == "NUM":
+                    at_ms = int(float(at.text) * 1000)
+                elif at.kind == "IDENT" and at.text in ("start", "end"):
+                    self.expect("OP", "(")
+                    self.expect("OP", ")")
+                    at_ms = -1 if at.text == "start" else -2  # sentinels
+                else:
+                    raise PromQLSyntaxError(f"bad @ modifier at {at.pos}")
+                self._apply_at(expr, at_ms)
+            else:
+                return expr
+
+    def _apply_offset(self, expr: Node, off: int) -> None:
+        if isinstance(expr, VectorSelector):
+            expr.offset_ms = off
+        elif isinstance(expr, MatrixSelector):
+            expr.selector.offset_ms = off
+        elif isinstance(expr, Subquery):
+            expr.offset_ms = off
+        else:
+            raise PromQLSyntaxError("offset only valid on selectors/subqueries")
+
+    def _apply_at(self, expr: Node, at_ms: int) -> None:
+        if isinstance(expr, VectorSelector):
+            expr.at_ms = at_ms
+        elif isinstance(expr, MatrixSelector):
+            expr.selector.at_ms = at_ms
+        elif isinstance(expr, Subquery):
+            expr.at_ms = at_ms
+        else:
+            raise PromQLSyntaxError("@ only valid on selectors/subqueries")
+
+    def parse_primary(self) -> Node:
+        t = self.next()
+        if t.kind == "NUM":
+            return NumberLiteral(float(int(t.text, 16)) if
+                                 t.text.startswith("0x") else float(t.text))
+        if t.kind == "STR":
+            return StringLiteral(t.text)
+        if t.kind == "OP" and t.text == "(":
+            e = self.parse_expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind == "OP" and t.text == "{":
+            self.i -= 1
+            return self._parse_selector(None)
+        if t.kind == "IDENT":
+            name = t.text
+            low = name.lower()
+            if low in ("inf", "nan"):
+                return NumberLiteral(float(low))
+            nxt = self.peek()
+            if low in AGGREGATION_OPS and (
+                    nxt.kind == "OP" and nxt.text == "(" or
+                    (nxt.kind == "IDENT" and nxt.text in ("by", "without"))):
+                return self._parse_aggregation(low)
+            if nxt.kind == "OP" and nxt.text == "(":
+                return self._parse_call(name)
+            return self._parse_selector(name)
+        raise PromQLSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _parse_aggregation(self, op: str) -> Node:
+        grouping: list[str] = []
+        without = False
+        has_grouping = False
+        if self.peek().kind == "IDENT" and self.peek().text in ("by", "without"):
+            without = self.next().text == "without"
+            grouping = self._label_list()
+            has_grouping = True
+        self.expect("OP", "(")
+        args = [self.parse_expr()]
+        while self.peek().kind == "OP" and self.peek().text == ",":
+            self.next()
+            args.append(self.parse_expr())
+        self.expect("OP", ")")
+        if self.peek().kind == "IDENT" and self.peek().text in ("by", "without"):
+            without = self.next().text == "without"
+            grouping = self._label_list()
+            has_grouping = True
+        if op in PARAM_AGGREGATIONS:
+            if len(args) != 2:
+                raise PromQLSyntaxError(f"{op} expects (param, vector)")
+            param, expr = args
+        else:
+            if len(args) != 1:
+                raise PromQLSyntaxError(f"{op} expects 1 argument")
+            param, expr = None, args[0]
+        return Aggregation(op, expr, param, grouping, without, has_grouping)
+
+    def _parse_call(self, func: str) -> Node:
+        self.expect("OP", "(")
+        args: list[Node] = []
+        if not (self.peek().kind == "OP" and self.peek().text == ")"):
+            args.append(self.parse_expr())
+            while self.peek().kind == "OP" and self.peek().text == ",":
+                self.next()
+                args.append(self.parse_expr())
+        self.expect("OP", ")")
+        return Call(func, args)
+
+    def _parse_selector(self, name: str | None) -> VectorSelector:
+        matchers: list[Matcher] = []
+        if self.peek().kind == "OP" and self.peek().text == "{":
+            self.next()
+            while not (self.peek().kind == "OP" and self.peek().text == "}"):
+                lbl_tok = self.next()
+                if lbl_tok.kind not in ("IDENT", "STR"):
+                    raise PromQLSyntaxError(f"bad matcher label at {lbl_tok.pos}")
+                op_tok = self.next()
+                if op_tok.text not in ("=", "!=", "=~", "!~"):
+                    raise PromQLSyntaxError(f"bad matcher op at {op_tok.pos}")
+                val = self.expect("STR").text
+                matchers.append(Matcher(lbl_tok.text, op_tok.text, val))
+                if self.peek().kind == "OP" and self.peek().text == ",":
+                    self.next()
+            self.expect("OP", "}")
+        if name is None and not matchers:
+            raise PromQLSyntaxError("empty selector")
+        return VectorSelector(name, matchers)
+
+
+def parse(q: str) -> Node:
+    p = Parser(q)
+    expr = p.parse_expr()
+    if p.peek().kind != "EOF":
+        t = p.peek()
+        raise PromQLSyntaxError(f"trailing input {t.text!r} at {t.pos}")
+    return expr

@@ -1,0 +1,52 @@
+"""Runtime value types of the PromQL→DataFrame compiler.
+
+PromQL's value taxonomy (scalar / instant vector / range vector / string) is
+represented as DataFrames with fixed column layouts; Spark's lazy evaluation
+plays the role of the reference's lazy series sets (db/seriesset.go:58-111).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class EvalParams:
+    start_ms: int
+    end_ms: int
+    step_ms: int
+    lookback_ms: int = 300_000  # reference default (api/http/query.go:160)
+    deterministic: bool = False  # order-stable folds for oracle comparison
+    subquery_step_ms: int = 60_000
+
+
+@dataclass
+class InstantVector:
+    """df: (t long, sig string, labels map<string,string>,
+            sample_ts long nullable, value double)"""
+
+    df: DataFrame
+
+
+@dataclass
+class RangeVector:
+    """df: (t long, sig string, labels map<string,string>, ts long, value double)
+    — all samples in (t - range, t] per step t."""
+
+    df: DataFrame
+    range_ms: int = 0
+
+
+@dataclass
+class ScalarV:
+    """Time-dependent scalar: df (t long, value double); literal scalars are
+    kept as plain Python floats until they must materialize."""
+
+    df: DataFrame
+
+
+@dataclass
+class StringV:
+    value: str

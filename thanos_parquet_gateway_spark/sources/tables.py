@@ -1,0 +1,73 @@
+"""Parquet sources.
+
+The reference's source layer discovers parquet blocks in object storage and
+opens them with async page reads (locate/discover.go:125-305,
+locate/syncer.go:278-284).  In Spark that whole layer is
+``spark.read.parquet`` — the vectorized reader + S3A/GCS connector give the
+ranged reads, page skipping and readahead for free (SURVEY.md §2.A A1-A3).
+
+Also defines the canonical events→samples derivation used by tests/bench:
+the driver's synthetic ``events`` table plays the role of a Prometheus scrape
+corpus (metric name = event_type, labels from user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) read as long ns (see session.py); normalize
+        # to micros TimestampType + keep epoch-ms for the samples model
+        ts_field = dict(df.dtypes)["ts"]
+        if ts_field == "bigint":
+            df = df.withColumn("ts_ms", (F.col("ts") / 1_000_000).cast("long")) \
+                   .withColumn("ts", F.timestamp_micros((F.col("ts") / 1_000).cast("long")))
+        else:
+            df = df.withColumn("ts_ms", F.unix_millis("ts"))
+    return df
+
+
+def samples_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events(event_id, ts, user_id, event_type, value, props) → samples.
+
+    Series identity: __name__ = event_type, user = user_id, shard = user_id%8.
+    Catalyst folds element_at(map_from_arrays(...)) back to the underlying
+    columns, so matcher filters still push down to the parquet scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    labels = F.map_from_arrays(
+        F.array(F.lit("__name__"), F.lit("shard"), F.lit("user")),
+        F.array(
+            F.col("event_type"),
+            (F.col("user_id") % 8).cast("string"),
+            F.col("user_id").cast("string"),
+        ),
+    )
+    return e.select(
+        F.col("event_type").alias("__name__"),
+        labels.alias("labels"),
+        F.col("ts_ms").alias("ts"),
+        F.col("value").alias("value"),
+    )
+
+
+# DuckDB-side equivalent of samples_from_events for oracle SQL (keys sorted:
+# __name__ < shard < user — must match canonical_sig ordering).
+SAMPLES_ORACLE_CTE = """
+samples AS (
+    SELECT event_type AS name,
+           CAST(user_id % 8 AS VARCHAR) AS shard,
+           CAST(user_id AS VARCHAR) AS "user",
+           epoch_ms(ts) AS ts,
+           value
+    FROM events
+)
+"""
