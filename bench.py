@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Mirrors the reference's benchmark contract (db/db_bench_test.go:69-307:
+select shapes over high-cardinality corpora + converter throughput) with the
+engine running in production mode (native partial aggregations, not the
+order-stable oracle folds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from pyspark.sql import functions as F
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.operators import dedup, similarity
+    from thanos_parquet_gateway_spark.plans import entry_queries as EQ
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+    from thanos_parquet_gateway_spark.sources.tables import load_table
+
+    spark = get_spark("bench")
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=EQ.LOOKBACK, deterministic=False)
+
+    def drain(df):
+        # execute the full plan without driver materialization cost
+        return df.write.format("noop").mode("overwrite").save()
+
+    benches = {
+        "promql_instant_sum": lambda: drain(
+            eng.query_instant("sum by (shard) (click)", EQ.T).df),
+        "promql_range_rate": lambda: drain(
+            eng.query_range("rate(click[2d])", EQ.R_START, EQ.R_END, EQ.STEP).df),
+        "promql_range_agg": lambda: drain(
+            eng.query_range("sum by (shard) (count_over_time(click[1d]))",
+                            EQ.R_START, EQ.R_END, EQ.STEP).df),
+        "promql_topk_binop": lambda: drain(
+            eng.query_instant(
+                "topk(5, count_over_time(click[7d]) / on(user) "
+                "count_over_time(view[7d]))", EQ.T).df),
+        "tpch_q1": lambda: drain(EQ.QUERIES["tpch_q1_pricing"](spark, sf_dir)),
+        "tpch_q3": lambda: drain(EQ.QUERIES["tpch_q3_shipping"](spark, sf_dir)),
+        "tpch_q5": lambda: drain(EQ.QUERIES["tpch_q5_region_revenue"](spark, sf_dir)),
+        "dedup_lsh": lambda: drain(
+            dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))),
+        "sim_topk": lambda: drain(
+            similarity.brute_force_topk(
+                load_table(spark, sf_dir, "embeddings"),
+                load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < 3)
+                .select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("query_vec")), k=5)),
+        "events_sessionize": lambda: drain(
+            EQ.QUERIES["events_sessionize"](spark, sf_dir)),
+    }
+
+    # warm the JVM/scan path once so timings measure the engine, not startup
+    drain(load_table(spark, sf_dir, "lineitem").limit(1))
+
+    times = {}
+    for name, fn in benches.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({"metric": "headline_queries_total", "value": total,
+                      "unit": "sec", "queries": times, "sf": sf}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from thanos_parquet_gateway_spark import get_spark
+    s = get_spark("tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def make_samples(spark, rows):
+    """rows: list of (labels: dict, ts_ms: int, value: float) → samples df."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ])
+    return spark.createDataFrame(
+        [(labels, ts, float(v)) for labels, ts, v in rows], schema)

@@ -1,0 +1,122 @@
+"""Conversion-layer tests: structural invariants on written files (mirrors
+reference convert/convert_test.go:151-431), planner coverage anti-join
+(convert/plan_test.go:22+), retention two-phase delete (locate/deletion.go)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.convert import (
+    apply_retention,
+    convert_samples,
+    mark_for_deletion,
+    plan_days,
+)
+from thanos_parquet_gateway_spark.convert.planner import source_days
+from thanos_parquet_gateway_spark.sources import samples_from_events
+
+
+@pytest.fixture(scope="module")
+def converted(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("samples_table"))
+    raw = samples_from_events(spark, sf_dir)
+    manifest = convert_samples(raw, out, max_records_per_file=100_000)
+    return out, manifest, raw
+
+
+def test_partition_layout(converted, spark):
+    out, manifest, raw = converted
+    days = sorted(p.split("date=")[-1] for p in glob.glob(f"{out}/stream=0/date=*"))
+    assert len(days) == 30  # one UTC-day block per day (db/db.go:29-31)
+    assert days[0] == "2024-01-01" and days[-1] == "2024-01-30"
+
+
+def test_roundtrip_counts_and_dedup(converted, spark):
+    out, manifest, raw = converted
+    from thanos_parquet_gateway_spark.convert.convert import prepare_samples
+    back = spark.read.parquet(out)
+    assert back.count() == \
+        prepare_samples(raw).dropDuplicates(["series_hash", "ts"]).count()
+    # partition column recovered, every row in its right day partition
+    bad = back.filter(
+        F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd") !=
+        F.col("date")).count()
+    assert bad == 0
+
+
+def test_files_sorted_within(converted):
+    """Page-skip precondition: rows sorted by (__name__, series_hash, ts)
+    within every file (reference sorting columns, convert/convert.go:102-111)."""
+    out, _, _ = converted
+    files = glob.glob(f"{out}/stream=0/date=2024-01-0*/**/*.parquet", recursive=True)
+    assert files
+    for f in files[:8]:
+        t = pq.read_table(f, columns=["__name__", "series_hash", "ts"])
+        rows = list(zip(t["__name__"].to_pylist(), t["series_hash"].to_pylist(),
+                        t["ts"].to_pylist()))
+        assert rows == sorted(rows), f"unsorted rows in {f}"
+
+
+def test_manifest_bounds(converted, spark):
+    out, manifest, raw = converted
+    m = {r["date"]: r for r in manifest.collect()}
+    assert len(m) == 30
+    jan2 = m["2024-01-02"]
+    assert 1704153600000 <= jan2["mint"] <= jan2["maxt"] < 1704240000000
+
+
+def test_planner_anti_join(converted, spark):
+    out, manifest, raw = converted
+    src = source_days(raw)
+    # nothing converted → all complete days planned (newest partial dropped
+    # only when incomplete; our synthetic data covers full days)
+    plan_all = plan_days(src, None, drop_partial_newest=False)
+    assert plan_all.count() == 30
+    # manifest covers everything → empty plan
+    assert plan_days(src, manifest, drop_partial_newest=False).count() == 0
+    # partial coverage → complement, newest-first, maxDays cap
+    partial = manifest.filter(F.col("date") < "2024-01-20")
+    p = plan_days(src, partial, max_days=5, drop_partial_newest=False)
+    rows = [r["date"] for r in p.collect()]
+    assert rows == sorted(rows, reverse=True) and len(rows) == 5
+    assert rows[0] == "2024-01-30"
+
+
+def test_retention_two_phase(converted, spark, tmp_path):
+    out, manifest, raw = converted
+    now = 1706486400000  # 2024-01-29
+    marked = mark_for_deletion(manifest, retention_days=14, now_ms=now)
+    n_marked = marked.filter(F.col("deleted_at").isNotNull()).count()
+    assert n_marked == 14  # days 01..14 are past 14d retention
+    # within consistency delay → nothing deleted yet
+    assert apply_retention(marked, out, now_ms=now) == []
+    # after the delay → partitions physically dropped
+    deleted = apply_retention(marked, out, now_ms=now + 13 * 3600 * 1000)
+    assert len(deleted) == 14
+    days_left = glob.glob(f"{out}/stream=0/date=*")
+    assert len(days_left) == 16
+
+
+def test_streaming_convert_agrees_with_batch(spark, tmp_path):
+    """Structured-Streaming conversion produces the same table as batch
+    (availableNow drain ≡ one reference convert cycle)."""
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.streaming import stream_convert
+
+    rows = [({"__name__": "m", "job": str(i % 3)}, 1704067200000 + i * 3_600_000,
+             float(i)) for i in range(72)]
+    raw = make_samples(spark, rows)
+    in_path = str(tmp_path / "in")
+    raw.write.parquet(in_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_convert(spark, in_path, out, ckpt)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 72
+    assert sorted(p.split("date=")[-1] for p in glob.glob(f"{out}/stream=0/date=*")) \
+        == ["2024-01-01", "2024-01-02", "2024-01-03"]

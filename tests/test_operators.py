@@ -1,0 +1,171 @@
+"""M8 operator tests: dedup, similarity, text, multimodal, streaming rollup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.operators import dedup, similarity, text
+from thanos_parquet_gateway_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    media_metadata_stats,
+)
+from thanos_parquet_gateway_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_partition_of_corpus(docs):
+    d = dedup.exact_dedup(docs)
+    total = d.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+    assert d.count() <= docs.count()
+
+
+def test_minhash_is_jaccard_estimator(spark):
+    """Identical docs → identical signatures; disjoint docs → distinct."""
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+            (3, "q r s t u v w x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = dedup.minhash_signatures(df).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+
+
+def test_lsh_finds_exact_duplicates(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text with other words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_bounds_and_exactness(spark):
+    rows = [(1, "a b c d"), (2, "a b c e")]  # 2-shingles: {ab,bc,cd} {ab,bc,ce}
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cand = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    j = dedup.ngram_jaccard_pairs(df, threshold=0.0, candidates=cand).collect()
+    assert len(j) == 1
+    assert j[0]["inter"] == 1 and j[0]["union"] == 3  # {a b c} ∩/∪ shingles
+    assert abs(j[0]["jaccard"] - 1 / 3) < 1e-15
+
+
+def test_simhash_similar_docs_close(spark):
+    rows = [(1, "spark engine query plan optimizer data"),
+            (2, "spark engine query plan optimizer code"),
+            (3, "zebra yak xylophone walrus vulture unicorn")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+
+
+def test_brute_force_topk_self_is_rank1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    top = similarity.brute_force_topk(emb, q, k=3).collect()
+    rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in top
+             if r["rank"] == 1}
+    for qid, (vid, cs) in rank1.items():
+        assert vid == qid  # self-similarity = 1 ranks first
+        assert abs(cs - 1.0) < 1e-9
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    import random
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    top = similarity.lsh_topk(emb, q, planes, k=3).collect()
+    # the query vector shares its own bucket → self still rank 1
+    rank1 = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    assert all(vid == qid for qid, vid in rank1.items())
+
+
+def test_language_and_quality_and_tokens(spark):
+    rows = [(1, "the cat and the dog went to the house of a friend"),
+            (2, "der hund und die katze ist nicht zu hause mit der maus"),
+            (3, "xxxx yyyy zzzz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    langs = {r["doc_id"]: r["detected_lang"]
+             for r in text.detect_language(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    q = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q.values())
+    assert q[1]["n_words"] == 12 and q[3]["n_words"] == 3
+    tc = {r["doc_id"]: r for r in text.token_counts(df).collect()}
+    assert tc[1]["ws_tokens"] == 12
+    assert tc[1]["bpe_tokens"] == 12  # pure letter runs
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "a c b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]  # order-sensitive (rolling hash)
+
+
+def test_multimodal_pipeline(docs):
+    media = documents_as_media(docs)
+    stats = media_metadata_stats(media).collect()
+    assert stats[0]["codec"] == "raw" and stats[0]["n_items"] == docs.count()
+    # payload must be pruned from the metadata-only scan
+    plan = media_metadata_stats(media)._jdf.queryExecution().executedPlan().toString()
+    feats = extract_features(media)
+    rows = feats.limit(5).collect()
+    assert all(len(r["feature"]) == 4 for r in rows)
+    n = {r["media_id"]: r["n_bytes"] for r in feats.collect()}
+    truth = {r["doc_id"]: len(r["text"].encode())
+             for r in docs.select("doc_id", "text").collect()}
+    assert n == truth
+
+
+def test_multimodal_unknown_codec_raises(spark):
+    from thanos_parquet_gateway_spark.operators.multimodal import _decode_payload
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\xff\xd8", "jpeg")
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.streaming import (
+        batch_equivalent_rollup,
+        stream_rollup,
+    )
+    t0 = 1704067200000
+    rows = [({"__name__": "m", "j": str(i % 2)}, t0 + i * 600_000,
+             float(i)) for i in range(50)]
+    # sentinel far in the future advances the watermark so all real windows
+    # finalize and are emitted in append mode
+    sentinel_ts = t0 + 10 * 86_400_000
+    raw = make_samples(spark, rows + [({"__name__": "flush"}, sentinel_ts, 0.0)])
+    in_path = str(tmp_path / "in")
+    raw.write.parquet(in_path)
+    q = stream_rollup(spark, in_path, str(tmp_path / "out"),
+                      str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = batch_equivalent_rollup(raw).filter(
+        F.col("window_start") < sentinel_ts - 2 * 3_600_000)
+    g = {(r["window_start"], r["sig"]): (r["n_samples"], r["sum_value"])
+         for r in got.collect()}
+    w = {(r["window_start"], r["sig"]): (r["n_samples"], r["sum_value"])
+         for r in want.collect()}
+    assert g == w

@@ -1,0 +1,110 @@
+"""Parser unit tests (grammar coverage mirrors the query shapes in the
+reference's differential corpus, db/db_test.go:313-1407)."""
+
+from __future__ import annotations
+
+import pytest
+
+from thanos_parquet_gateway_spark.promql import ast as A
+from thanos_parquet_gateway_spark.promql.parser import (
+    parse,
+    parse_duration_ms,
+    PromQLSyntaxError,
+)
+
+
+def test_durations():
+    assert parse_duration_ms("5m") == 300_000
+    assert parse_duration_ms("1h30m") == 5_400_000
+    assert parse_duration_ms("1.5h") == 5_400_000
+    assert parse_duration_ms("10ms") == 10
+    assert parse_duration_ms("2d") == 172_800_000
+
+
+def test_selector_with_matchers():
+    n = parse('http_requests_total{job="api", code!="500", path=~"/v1/.*", m!~"x"}')
+    assert isinstance(n, A.VectorSelector)
+    assert n.name == "http_requests_total"
+    ops = [m.op for m in n.matchers]
+    assert ops == ["=", "!=", "=~", "!~"]
+
+
+def test_nameless_selector_and_empty_error():
+    n = parse('{__name__=~"a|b", job="x"}')
+    assert isinstance(n, A.VectorSelector) and n.name is None
+    with pytest.raises(PromQLSyntaxError):
+        parse("{}")
+
+
+def test_precedence():
+    n = parse("1 + 2 * 3 ^ 2")
+    assert isinstance(n, A.BinaryExpr) and n.op == "+"
+    assert n.rhs.op == "*"
+    assert n.rhs.rhs.op == "^"
+    # ^ is right-associative
+    p = parse("2 ^ 3 ^ 2")
+    assert p.op == "^" and isinstance(p.lhs, A.NumberLiteral)
+    assert p.rhs.op == "^"
+
+
+def test_comparison_and_set_precedence():
+    n = parse("a + b > c and d")
+    assert n.op == "and"
+    assert n.lhs.op == ">"
+    assert n.lhs.lhs.op == "+"
+
+
+def test_aggregation_forms():
+    for qtext in ["sum by (a, b) (m)", "sum(m) by (a, b)"]:
+        n = parse(qtext)
+        assert isinstance(n, A.Aggregation)
+        assert n.grouping == ["a", "b"] and not n.without
+    n = parse("sum without (a) (m)")
+    assert n.without
+    n = parse("topk(3, m)")
+    assert n.op == "topk" and isinstance(n.param, A.NumberLiteral)
+    n = parse('count_values("ver", m)')
+    assert isinstance(n.param, A.StringLiteral)
+
+
+def test_matrix_subquery_offset_at():
+    n = parse("rate(m[5m] offset 1m)")
+    ms = n.args[0]
+    assert isinstance(ms, A.MatrixSelector)
+    assert ms.range_ms == 300_000 and ms.selector.offset_ms == 60_000
+    sq = parse("avg_over_time(m[1h:5m])").args[0]
+    assert isinstance(sq, A.Subquery)
+    assert sq.range_ms == 3_600_000 and sq.step_ms == 300_000
+    at = parse("m @ 100")
+    assert at.at_ms == 100_000
+    neg = parse("m offset -5m")
+    assert neg.offset_ms == -300_000
+
+
+def test_vector_matching():
+    n = parse("a / on(x, y) group_left(z) b")
+    vm = n.matching
+    assert vm.on and vm.labels == ["x", "y"]
+    assert vm.card == "many-to-one" and vm.include == ["z"]
+    n = parse("a - ignoring(w) b")
+    assert not n.matching.on and n.matching.labels == ["w"]
+
+
+def test_bool_modifier_and_unary():
+    n = parse("m > bool 1")
+    assert n.bool_modifier
+    n = parse("-m + 2")
+    assert n.op == "+" and isinstance(n.lhs, A.UnaryExpr)
+
+
+def test_number_literals():
+    assert parse("0x1f").value == 31.0
+    assert parse("1e3").value == 1000.0
+    assert parse("Inf").value == float("inf")
+    import math
+    assert math.isnan(parse("NaN").value)
+
+
+def test_trailing_garbage_rejected():
+    with pytest.raises(PromQLSyntaxError):
+        parse("sum(m))")

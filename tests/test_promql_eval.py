@@ -1,0 +1,314 @@
+"""PromQL evaluation fixtures: hand-computed expectations in the style of the
+reference's differential tests (db/db_test.go:313-1127) and the upstream
+promqltest corpus semantics (db/db_test.go:53-71)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import make_samples
+
+S = 1000  # one second in ms
+
+
+def eng_for(spark, rows, lookback_ms=300_000, **kw):
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    return PromQLEngine(make_samples(spark, rows), lookback_ms=lookback_ms,
+                        deterministic=True, **kw)
+
+
+def vec(result):
+    """result df → {labels_frozenset: value}"""
+    out = {}
+    for r in result.df.collect():
+        out[frozenset(dict(r["labels"]).items())] = r["value"]
+    return out
+
+
+def counter(name, labels, start_ts, step_ms, values):
+    return [({**labels, "__name__": name}, start_ts + i * step_ms, v)
+            for i, v in enumerate(values)]
+
+
+BASIC = (
+    counter("m", {"job": "a"}, 0, 10 * S, [1, 2, 3, 4, 5]) +
+    counter("m", {"job": "b"}, 0, 10 * S, [10, 20, 30, 40, 50]) +
+    counter("n", {"job": "a"}, 0, 10 * S, [7, 7, 7, 7, 7])
+)
+
+
+def test_instant_lookback_last_sample(spark):
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("m", 25 * S))
+    assert r == {frozenset({("__name__", "m"), ("job", "a")}): 3.0,
+                 frozenset({("__name__", "m"), ("job", "b")}): 30.0}
+    # beyond lookback → empty
+    assert vec(eng.query_instant("m", 1000 * S)) == {}
+
+
+def test_sum_by_without(spark):
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("sum by (job) (m)", 40 * S))
+    assert r == {frozenset({("job", "a")}): 5.0, frozenset({("job", "b")}): 50.0}
+    r = vec(eng.query_instant("sum without (job) (m)", 40 * S))
+    assert r == {frozenset(): 55.0}
+    r = vec(eng.query_instant("sum(m)", 40 * S))
+    assert r == {frozenset(): 55.0}
+
+
+def test_arith_vector_scalar_drops_name(spark):
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("m * 2", 40 * S))
+    assert r == {frozenset({("job", "a")}): 10.0, frozenset({("job", "b")}): 100.0}
+
+
+def test_comparison_filter_keeps_name(spark):
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("m > 10", 40 * S))
+    assert r == {frozenset({("__name__", "m"), ("job", "b")}): 50.0}
+    r = vec(eng.query_instant("m > bool 10", 40 * S))
+    assert r == {frozenset({("job", "a")}): 0.0, frozenset({("job", "b")}): 1.0}
+
+
+def test_vector_vector_matching(spark):
+    eng = eng_for(spark, BASIC)
+    # default matching: m and n share {job="a"} only after __name__ drop
+    r = vec(eng.query_instant("m + n", 40 * S))
+    assert r == {frozenset({("job", "a")}): 12.0}
+    r = vec(eng.query_instant("m + on(job) n", 40 * S))
+    assert r == {frozenset({("job", "a")}): 12.0}
+
+
+def test_group_left_include(spark):
+    rows = (counter("req", {"pod": "p1", "node": ""}, 0, 10 * S, [10]) +
+            counter("req", {"pod": "p2", "node": ""}, 0, 10 * S, [20]) +
+            [({"__name__": "info", "pod": "p1", "role": "web"}, 0, 1.0),
+             ({"__name__": "info", "pod": "p2", "role": "db"}, 0, 1.0)])
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant("req * on(pod) group_left(role) info", 5 * S))
+    assert r == {frozenset({("pod", "p1"), ("node", ""), ("role", "web")}): 10.0,
+                 frozenset({("pod", "p2"), ("node", ""), ("role", "db")}): 20.0}
+
+
+def test_set_ops(spark):
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("m and n", 40 * S))
+    assert r == {frozenset({("__name__", "m"), ("job", "a")}): 5.0}
+    r = vec(eng.query_instant("m unless n", 40 * S))
+    assert r == {frozenset({("__name__", "m"), ("job", "b")}): 50.0}
+    # or-matching ignores __name__: n{job="a"}'s label set {job=a} already
+    # exists in lhs → excluded (upstream set-op matching semantics)
+    r = vec(eng.query_instant("m or n", 40 * S))
+    assert len(r) == 2
+    r = vec(eng.query_instant('m or on(nope) n', 40 * S))
+    assert len(r) == 2  # all match-sigs equal on absent label
+
+
+def test_rate_extrapolation_exact(spark):
+    """counter 0,10,20,30,40 @0..40s, rate[50s] at t=50s → exactly 1.0
+    (delta 40 over sampled 40s, extrapolated by 10s at the end: 50/40 factor,
+    divided by 50s range)."""
+    rows = counter("c", {"job": "x"}, 0, 10 * S, [0, 10, 20, 30, 40])
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant("rate(c[50s])", 50 * S))
+    assert r == {frozenset({("job", "x")}): 1.0}
+    r = vec(eng.query_instant("increase(c[50s])", 50 * S))
+    assert r == {frozenset({("job", "x")}): 50.0}
+
+
+def test_rate_counter_reset(spark):
+    rows = counter("c", {"job": "x"}, 0, 10 * S, [0, 10, 5, 15])
+    eng = eng_for(spark, rows)
+    # window (t-40s, t] at t=30 holds all 4 samples (left-open windows, as in
+    # modern Prometheus): delta = 15 - 0 + reset-correction(10) = 25;
+    # counter duration-to-zero = sampled*(first_v/delta) = 0 → no start
+    # extrapolation; durEnd = 0 → factor 1 → exactly 25.
+    r = vec(eng.query_instant("increase(c[40s])", 30 * S))
+    assert r == {frozenset({("job", "x")}): 25.0}
+
+
+def test_delta_and_idelta(spark):
+    rows = counter("g", {"job": "x"}, 0, 10 * S, [100, 90, 70])
+    eng = eng_for(spark, rows)
+    # window (-10s, 20s]: delta = -30 over sampled 20s; durStart 10s < 1.1*avg
+    # → extrapolate by full 10s; durEnd 0 → factor 30/20 → -45.
+    r = vec(eng.query_instant("delta(g[30s])", 20 * S))
+    assert r == {frozenset({("job", "x")}): -45.0}
+    # idelta: last two samples only
+    r = vec(eng.query_instant("idelta(g[20s])", 20 * S))
+    assert r == {frozenset({("job", "x")}): -20.0}
+
+
+def test_over_time_family(spark):
+    rows = counter("m", {"j": "a"}, 0, 10 * S, [1, 2, 3, 4])
+    eng = eng_for(spark, rows)
+    t = 30 * S
+    assert vec(eng.query_instant("sum_over_time(m[40s])", t)) == {
+        frozenset({("j", "a")}): 10.0}
+    assert vec(eng.query_instant("avg_over_time(m[40s])", t)) == {
+        frozenset({("j", "a")}): 2.5}
+    assert vec(eng.query_instant("count_over_time(m[40s])", t)) == {
+        frozenset({("j", "a")}): 4.0}
+    assert vec(eng.query_instant("min_over_time(m[40s])", t)) == {
+        frozenset({("j", "a")}): 1.0}
+    assert vec(eng.query_instant("max_over_time(m[40s])", t)) == {
+        frozenset({("j", "a")}): 4.0}
+    # last_over_time keeps the metric name
+    assert vec(eng.query_instant("last_over_time(m[40s])", t)) == {
+        frozenset({("__name__", "m"), ("j", "a")}): 4.0}
+    assert vec(eng.query_instant("stdvar_over_time(m[40s])", t)) == {
+        frozenset({("j", "a")}): 1.25}
+
+
+def test_quantile_interpolation(spark):
+    rows = [({"__name__": "q", "i": str(i)}, 0, float(v))
+            for i, v in enumerate([1, 2, 3, 4])]
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant("quantile(0.5, q)", 0))
+    assert r == {frozenset(): 2.5}
+    r = vec(eng.query_instant("quantile(0.25, q)", 0))
+    assert r == {frozenset(): 1.75}
+
+
+def test_topk_bottomk(spark):
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("topk(1, m)", 40 * S))
+    assert r == {frozenset({("__name__", "m"), ("job", "b")}): 50.0}
+    r = vec(eng.query_instant("bottomk(1, m)", 40 * S))
+    assert r == {frozenset({("__name__", "m"), ("job", "a")}): 5.0}
+
+
+def test_histogram_quantile(spark):
+    rows = [({"__name__": "h_bucket", "le": "1"}, 0, 10.0),
+            ({"__name__": "h_bucket", "le": "2"}, 0, 30.0),
+            ({"__name__": "h_bucket", "le": "+Inf"}, 0, 30.0)]
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant("histogram_quantile(0.5, h_bucket)", 0))
+    # rank = 15 → bucket (1,2]: 1 + 1*(15-10)/(30-10) = 1.25
+    assert r == {frozenset(): 1.25}
+    # rank in +Inf bucket → highest finite le
+    r = vec(eng.query_instant("histogram_quantile(1, h_bucket)", 0))
+    assert r == {frozenset(): 2.0}
+
+
+def test_nan_semantics(spark):
+    rows = [({"__name__": "d", "g": "1"}, 0, float("nan")),
+            ({"__name__": "d", "g": "2"}, 0, 2.0),
+            ({"__name__": "d", "g": "3"}, 0, 8.0)]
+    eng = eng_for(spark, rows)
+    # comparisons with NaN are false → NaN row filtered out
+    r = vec(eng.query_instant("d > 0", 0))
+    assert set(r.values()) == {2.0, 8.0}
+    # sum propagates NaN
+    r = vec(eng.query_instant("sum(d)", 0))
+    assert math.isnan(r[frozenset()])
+    # min/max skip NaN
+    assert vec(eng.query_instant("min(d)", 0)) == {frozenset(): 2.0}
+    assert vec(eng.query_instant("max(d)", 0)) == {frozenset(): 8.0}
+
+
+def test_division_by_zero_is_inf(spark):
+    rows = [({"__name__": "z", "g": "1"}, 0, 0.0),
+            ({"__name__": "p", "g": "1"}, 0, 5.0)]
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant("p / on(g) z", 0))
+    assert r[frozenset({("g", "1")})] == float("inf")
+
+
+def test_offset_and_at(spark):
+    rows = counter("m", {"j": "a"}, 0, 10 * S, [1, 2, 3, 4, 5])
+    eng = eng_for(spark, rows)
+    assert vec(eng.query_instant("m offset 20s", 40 * S)) == {
+        frozenset({("__name__", "m"), ("j", "a")}): 3.0}
+    assert vec(eng.query_instant("m @ 20", 40 * S)) == {
+        frozenset({("__name__", "m"), ("j", "a")}): 3.0}
+
+
+def test_range_query_step_grid(spark):
+    rows = counter("m", {"j": "a"}, 0, 10 * S, [1, 2, 3, 4, 5])
+    eng = eng_for(spark, rows)
+    r = eng.query_range("m", 0, 40 * S, 20 * S)
+    got = {row["t"]: row["value"] for row in r.df.collect()}
+    assert got == {0: 1.0, 20 * S: 3.0, 40 * S: 5.0}
+
+
+def test_subquery_max_over_time(spark):
+    rows = counter("m", {"j": "a"}, 0, 10 * S, [1, 5, 2, 4, 3])
+    eng = eng_for(spark, rows, lookback_ms=300_000)
+    r = vec(eng.query_instant("max_over_time(m[40s:10s])", 40 * S))
+    assert r == {frozenset({("j", "a")}): 5.0}
+
+
+def test_math_functions(spark):
+    rows = [({"__name__": "v", "g": "1"}, 0, -4.0)]
+    eng = eng_for(spark, rows)
+    assert vec(eng.query_instant("abs(v)", 0)) == {frozenset({("g", "1")}): 4.0}
+    assert vec(eng.query_instant("sgn(v)", 0)) == {frozenset({("g", "1")}): -1.0}
+    assert vec(eng.query_instant("clamp(v, -1, 1)", 0)) == {
+        frozenset({("g", "1")}): -1.0}
+    assert vec(eng.query_instant("sqrt(abs(v))", 0)) == {
+        frozenset({("g", "1")}): 2.0}
+
+
+def test_label_replace_and_join(spark):
+    rows = [({"__name__": "m", "src": "abc"}, 0, 1.0)]
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant(
+        'label_replace(m, "dst", "x-$1", "src", "a(b)c")', 0))
+    assert r == {frozenset({("__name__", "m"), ("src", "abc"),
+                            ("dst", "x-b")}): 1.0}
+    r = vec(eng.query_instant('label_join(m, "j", "-", "src", "src")', 0))
+    assert r == {frozenset({("__name__", "m"), ("src", "abc"),
+                            ("j", "abc-abc")}): 1.0}
+
+
+def test_absent_and_vector_scalar_time(spark):
+    eng = eng_for(spark, BASIC)
+    assert vec(eng.query_instant('absent(zzz{a="b"})', 0)) == {
+        frozenset({("a", "b")}): 1.0}
+    assert vec(eng.query_instant("vector(3)", 0)) == {frozenset(): 3.0}
+    r = eng.query_instant("scalar(sum(m))", 40 * S)
+    assert r.result_type == "scalar"
+    assert r.df.collect()[0]["value"] == 55.0
+    r = eng.query_instant("time()", 60 * S)
+    assert r.df.collect()[0]["value"] == 60.0
+
+
+def test_changes_resets_deriv(spark):
+    rows = counter("c", {"j": "a"}, 0, 10 * S, [0, 10, 5, 5, 20])
+    eng = eng_for(spark, rows)
+    t = 40 * S
+    assert vec(eng.query_instant("resets(c[50s])", t)) == {
+        frozenset({("j", "a")}): 1.0}
+    assert vec(eng.query_instant("changes(c[50s])", t)) == {
+        frozenset({("j", "a")}): 3.0}
+    # deriv of a perfect line = slope
+    lin = counter("l", {"j": "a"}, 0, 10 * S, [0, 5, 10, 15, 20])
+    eng2 = eng_for(spark, lin)
+    r = vec(eng2.query_instant("deriv(l[50s])", t))
+    assert abs(r[frozenset({("j", "a")})] - 0.5) < 1e-12
+
+
+def test_replica_dedup(spark):
+    """External/replica label semantics (db/db_test.go:118-312)."""
+    rows = [({"__name__": "m", "job": "a", "replica": "r1"}, 0, 5.0),
+            ({"__name__": "m", "job": "a", "replica": "r2"}, 0, 5.0)]
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True, replica_labels=["replica"])
+    r = vec(eng.query_instant("m", 0))
+    assert r == {frozenset({("__name__", "m"), ("job", "a")}): 5.0}
+
+
+def test_external_labels_decoration_and_elision(spark):
+    """External-label overlay + matcher consumption (A17;
+    search/search.go:356-376)."""
+    rows = [({"__name__": "m", "job": "a"}, 0, 5.0)]
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True, ext_labels={"prom": "p1"})
+    r = vec(eng.query_instant('m{prom="p1"}', 0))
+    assert r == {frozenset({("__name__", "m"), ("job", "a"), ("prom", "p1")}): 5.0}
+    assert vec(eng.query_instant('m{prom="other"}', 0)) == {}

@@ -1,0 +1,88 @@
+"""Conversion: raw samples → day/stream-partitioned, sorted samples parquet.
+
+The reference's convert pipeline (reference convert/convert.go:185-258) is a
+hand-built loser-tree merge → shard split → dedup → twin-file sorted parquet
+write streamed to a bucket.  In Spark the whole thing is ONE declarative job
+(SURVEY.md §3.3):
+
+    raw → derive(date, series_hash) → dropDuplicates(series, ts)
+        → repartitionByRange(date, __name__, series_hash)
+        → sortWithinPartitions(__name__, series_hash, ts)
+        → write.partitionBy(stream, date)
+
+- day partitioning ≡ the reference's one-block-per-UTC-day model
+  (db/db.go:29-31, internal/util/date.go:33-39)
+- sort by (__name__, series_hash, ts) ≡ sorting columns + bloom filters
+  (convert/convert.go:102-111,196): gives Parquet page min/max skipping on
+  the name column, which is what the reference's binary-search-on-sorted
+  pages achieves (search/constraint.go:218-243)
+- dedup at conversion ≡ chunk-overlap dedup otherwise paid per query
+  (db/iterator.go:103-121; SURVEY.md §7.3)
+- maxRecordsPerFile ≡ shard/row-group sizing (convert/convert.go:193-204)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.schema import canonical_sig
+
+SORT_COLS = ["__name__", "series_hash", "ts"]
+
+
+def prepare_samples(raw: DataFrame, stream: str = "0") -> DataFrame:
+    """Derive the physical columns: series_hash, date partition, stream."""
+    df = raw
+    if "__name__" not in df.columns:
+        df = df.withColumn("__name__",
+                           F.coalesce(F.element_at("labels", "__name__"), F.lit("")))
+    if "series_hash" not in df.columns:
+        df = df.withColumn("series_hash", F.xxhash64(canonical_sig("labels")))
+    df = df.withColumn("date", F.date_format(
+        F.timestamp_millis(F.col("ts")), "yyyy-MM-dd"))
+    if "stream" not in df.columns:
+        df = df.withColumn("stream", F.lit(stream))
+    return df
+
+
+def convert_samples(raw: DataFrame, out_path: str, *,
+                    stream: str = "0",
+                    max_records_per_file: int = 6_000_000,
+                    dedup: bool = True) -> DataFrame:
+    """Write the partitioned samples table; returns the per-(stream, date)
+    manifest DataFrame (the reference's meta.pb, convert/convert.go:273-302).
+
+    Shuffle plan: ONE repartitionByRange carries both the partitioning and
+    the sort prefix, so the subsequent sortWithinPartitions is shuffle-free.
+    """
+    df = prepare_samples(raw, stream)
+    if dedup:
+        # vertical-merge dedup across overlapping inputs
+        # (reference convert/merge.go:15-121 → one dropDuplicates)
+        df = df.dropDuplicates(["series_hash", "ts"])
+    # partition columns lead the sort so the parquet writer sees rows already
+    # clustered by (stream, date) and does NOT inject its own partition sort
+    # (which would destroy the (__name__, series_hash, ts) page ordering)
+    (df.repartitionByRange("stream", "date", "__name__", "series_hash")
+       .sortWithinPartitions("stream", "date", *SORT_COLS)
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .option("parquet.bloom.filter.enabled#__name__", "true")
+       .option("parquet.bloom.filter.enabled#series_hash", "true")
+       .partitionBy("stream", "date")
+       .parquet(out_path))
+    manifest = (df.groupBy("stream", "date")
+                .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
+                     F.count("*").alias("n_samples"),
+                     F.approx_count_distinct("series_hash").alias("n_series_approx")))
+    return manifest
+
+
+def write_manifest(manifest: DataFrame, out_path: str) -> None:
+    (manifest.coalesce(1).write.mode("overwrite")
+     .parquet(f"{out_path}/_manifest"))
+
+
+def read_manifest(spark, out_path: str) -> DataFrame:
+    return spark.read.parquet(f"{out_path}/_manifest")

@@ -124,15 +124,19 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         .alias("w")).filter(F.col("w") != "")
     h = words.withColumn("hx", F.md5(F.col("w")))
     # contribution vector: for j in 0..bits-1, ±1 from hex digit bit
+    def bit_mask(j):
+        jm = j % 4
+        return (F.when(jm == 0, 1).when(jm == 1, 2)
+                 .when(jm == 2, 4).otherwise(8))
+
     contrib = h.withColumn(
         "vec",
         F.transform(
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: (F.conv(F.substring_index(
-                F.substring(F.col("hx"), (j / 4).cast("int") + 1, 1), " ", 1),
+            lambda j: (F.conv(
+                F.col("hx").substr((j / 4).cast("int") + 1, F.lit(1)),
                 16, 10).cast("int")
-                .bitwiseAND(F.shiftleft(F.lit(1), (j % 4).cast("int")))
-                > 0).cast("int") * 2 - 1))
+                .bitwiseAND(bit_mask(j)) > 0).cast("int") * 2 - 1))
     summed = (contrib.groupBy("doc_id")
               .agg(F.aggregate(
                   F.collect_list("vec"),
@@ -144,6 +148,6 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.aggregate(F.sequence(F.lit(0), F.lit(bits - 1)), F.lit(0).cast("long"),
                     lambda acc, j: acc + F.when(
                         F.element_at(F.col("votes"), j + 1) > 0,
-                        F.shiftleft(F.lit(1).cast("long"), j.cast("int")))
+                        F.pow(F.lit(2.0), j).cast("long"))
                         .otherwise(F.lit(0).cast("long"))))
     return sim.select("doc_id", "simhash")

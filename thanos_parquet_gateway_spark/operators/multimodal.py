@@ -1,0 +1,95 @@
+"""Multimodal column plumbing (SURVEY.md §7.1 M8).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata structs.
+Decode / feature-extract run as Arrow-batched ``mapInPandas`` — the Spark-side
+plumbing (schema, batch shape, partition behavior) is real and tested; the
+actual codec call is stubbed behind ``_decode_payload`` because media
+libraries are not available in this environment (NotImplementedError for real
+codecs, deterministic fake for the 'raw' codec used in tests).
+
+At 100TB: binary payloads stay columnar in parquet; mapInPandas streams Arrow
+batches so peak memory is one batch per core, and metadata-only queries never
+touch the payload column (Parquet column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("checksum", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+])
+
+
+def _decode_payload(payload: bytes, codec: str) -> list[float]:
+    """Stub decode: real codecs (jpeg/png/wav/...) are NOT implemented in this
+    container.  'raw' produces a deterministic 4-dim byte-statistics feature
+    so the mapInPandas plumbing is testable end-to-end."""
+    if codec != "raw":
+        raise NotImplementedError(
+            f"codec {codec!r}: media libraries unavailable; plug a decoder here")
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = len(payload)
+    return [float(n), float(payload[0]), float(payload[-1]),
+            float(sum(payload) % 997)]
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as a 'raw'-codec media payload —
+    exercises the full binary-column path on driver-provided data."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(F.lit("raw").alias("codec"),
+                 F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.octet_length(F.encode(F.col("text"), "UTF-8"))
+                  .cast("long").alias("n_bytes")).alias("meta"))
+
+
+def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_bytes": [], "checksum": [], "feature": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                codec = row["meta"]["codec"] if row["meta"] is not None else "raw"
+                feat = _decode_payload(payload, codec)
+                out["media_id"].append(row["media_id"])
+                out["n_bytes"].append(len(payload))
+                out["checksum"].append(sum(payload) % (1 << 31))
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def media_metadata_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — must not read the payload column (verify
+    with .explain(): ReadSchema excludes `payload`)."""
+    return (media.groupBy(F.col("meta.codec").alias("codec"))
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("meta.n_bytes").alias("total_bytes"),
+                 F.max("meta.n_bytes").alias("max_bytes")))

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (SURVEY.md §7.1 M8).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random-hyperplane / sign-sketch) variant as the 100TB scale path: buckets
+are joined on a short bit-signature key, so the candidate set per query is a
+tiny fraction of the corpus and the join is an equi-join AQE can plan.
+
+All vector math is a *sequential* fold over the array (zip_with + aggregate),
+double precision — deterministic and replicable by an independent SQL oracle.
+No UDFs, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus, rank per query.  At cluster scale the corpus side stays
+    partitioned; only queries move.  Ties break by corpus id (deterministic).
+    Returns (query_id, rank, vec_id, cos_sim)."""
+    from pyspark.sql import Window
+    j = embeddings.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos_sim"))
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-sketch LSH bucket key: bit i = (vec · plane_i) >= 0."""
+    bits = [F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for p in planes]
+    return F.concat(*bits)
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame,
+             planes: list[list[float]], k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate top-k: only corpus vectors whose hyperplane signature
+    equals the query's are scored (equi-join on the bucket key — the scale
+    path; recall grows with fewer planes / multi-probe).
+    Returns (query_id, rank, vec_id, cos_sim)."""
+    from pyspark.sql import Window
+    emb_b = embeddings.withColumn(
+        "__bucket", hyperplane_signature(F.col(vec_col), planes))
+    q_b = queries.withColumn(
+        "__bucket", hyperplane_signature(F.col(query_vec_col), planes))
+    j = emb_b.join(F.broadcast(q_b), "__bucket")
+    scored = j.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos_sim"))
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             planes: list[list[float]] | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.  With `planes`, candidates are
+    restricted to equal LSH buckets (scale path); without, all pairs (small
+    corpora / correctness oracle).  Returns (id_a, id_b, cos_sim ≥ threshold)."""
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if planes is not None:
+        e = e.withColumn("__bucket", hyperplane_signature(F.col("v"), planes))
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__bucket")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__bucket")
+        pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7.1 M8):
+language ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash).
+
+Everything is built from integer counts and fixed-order folds so results are
+deterministic and replicable by an independent SQL oracle; all expressions
+are JVM-side built-ins (whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from thanos_parquet_gateway_spark.operators.dedup import MERSENNE, normalized_words
+
+# tiny per-language stopword lists for the heuristic language detector
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "non", "con", "del"],
+}
+
+# a BPE-ish pre-tokenization: letter runs | single digits | single symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def stopword_hits(words: Column, stopwords: list[str]) -> Column:
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def detect_language(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID; ties break by language code order.
+    Returns (doc_id, detected_lang, lang_hits)."""
+    words = normalized_words(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("doc_id"), words.alias("__w"))
+    hits = [F.struct(stopword_hits(F.col("__w"), sws).alias("hits"),
+                     F.lit(lang).alias("lang"))
+            for lang, sws in sorted(LANG_STOPWORDS.items())]
+    # max over (hits, lang): highest hit count, tie → lexicographically
+    # last language; deterministic.  'und' (undetermined) when zero hits.
+    best = F.greatest(*hits) if len(hits) > 1 else hits[0]
+    return (d.withColumn("__best", best)
+            .select("doc_id",
+                    F.when(F.col("__best.hits") > 0, F.col("__best.lang"))
+                     .otherwise(F.lit("und")).alias("detected_lang"),
+                    F.col("__best.hits").cast("long").alias("lang_hits")))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation, alpha ratio,
+    mean word length sanity.  Pure integer-ratio math (deterministic).
+    Returns (doc_id, n_chars, n_words, alpha_ratio, mean_word_len, quality)."""
+    t = F.col(text_col)
+    words = normalized_words(t)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_wl = (n_chars - n_words + 1).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    len_score = F.least(n_chars, F.lit(500)).cast("double") / 500.0
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    quality = (len_score * 0.4 + alpha_ratio * 0.4 + wl_score * 0.2)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        alpha_ratio.alias("alpha_ratio"),
+        mean_wl.alias("mean_word_len"),
+        quality.alias("quality"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count.
+    Returns (doc_id, ws_tokens, bpe_tokens)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(normalized_words(t)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_REGEX), 0)).cast("long")
+         .alias("bpe_tokens"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", base: int = 31) -> DataFrame:
+    """Rolling polynomial hash over word tokens mod 2^31-1; word hash =
+    first 7 hex digits of md5 (fits 28 bits, products fit int64).
+    Returns (doc_id, fingerprint long)."""
+    words = normalized_words(F.col(text_col))
+    word_hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"))
+    fp = F.aggregate(word_hashes, F.lit(0).cast("long"),
+                     lambda acc, h: (acc * base + h) % MERSENNE)
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))

@@ -1,0 +1,1037 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 claimed
+as done has an entry here (Spark callable) plus a DuckDB oracle (ANSI SQL).
+
+Oracle-parity rules (see functions/folds.py):
+- float aggregations are order-stable sequential folds on BOTH sides
+  (Spark aggregate() over sorted arrays ≡ DuckDB list_reduce over ordered
+  list()), or exact integer/decimal math cast to double at the end;
+- every computed column is aliased identically on both sides;
+- timestamps are epoch-ms BIGINT everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from thanos_parquet_gateway_spark.operators import dedup, similarity, text
+from thanos_parquet_gateway_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    media_metadata_stats,
+)
+from thanos_parquet_gateway_spark.promql.engine import PromQLEngine
+from thanos_parquet_gateway_spark.sources.tables import load_table, samples_from_events
+
+DAY = 86_400_000
+LOOKBACK = 7 * DAY
+T = 1706486400000          # 2024-01-29T00:00:00Z — instant-query eval time
+R_START = 1704672000000    # 2024-01-08
+R_END = T
+STEP = DAY
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+# DuckDB view of the samples model (must mirror sources.samples_from_events;
+# canonical sig order: __name__ < shard < user)
+_SAMPLES = """
+samples AS (
+    SELECT event_type AS name,
+           CAST(user_id % 8 AS VARCHAR) AS shard,
+           CAST(user_id AS VARCHAR) AS "user",
+           epoch_ms(ts) AS ts,
+           value
+    FROM events
+)"""
+
+_GRID = f"grid AS (SELECT unnest(generate_series({R_START}, {R_END}, {STEP})) AS t)"
+
+# last sample per series within lookback at T (ties: ts desc, value desc —
+# mirrors the engine's max(struct(ts, value)))
+_LAST = f"""
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+    WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+)"""
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _engine(spark: SparkSession, sf_dir: str, lookback_ms: int = LOOKBACK) -> PromQLEngine:
+    return PromQLEngine(samples_from_events(spark, sf_dir),
+                        lookback_ms=lookback_ms, deterministic=True)
+
+
+def _lbl(col: str):
+    return F.element_at("labels", col)
+
+
+# =====================================================================
+# PromQL layer (SURVEY.md §2.C) — flagship custom operators
+# =====================================================================
+
+@q("promql_instant_vector", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT "user", shard, value FROM last WHERE rn = 1
+""")
+def promql_instant_vector(spark, sf_dir):
+    """Vector selector + 5m-style lookback (A5/A11; db_test.go:325-341)."""
+    r = _engine(spark, sf_dir).query_instant("click", T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
+@q("promql_instant_regex", f"""
+WITH {_SAMPLES},
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+    WHERE name = 'click' AND regexp_matches("user", '^(?:1.*)$')
+      AND shard <> '3' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT "user", shard, value FROM last WHERE rn = 1
+""")
+def promql_instant_regex(spark, sf_dir):
+    """Regex + negative matchers w/ pushdown (A6/A7; constraint.go:287-457)."""
+    r = _engine(spark, sf_dir).query_instant('click{user=~"1.*", shard!="3"}', T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
+@q("promql_sum_by", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT shard,
+       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                   (a, b) -> a + b) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_sum_by(spark, sf_dir):
+    """sum by(...) aggregation (db_test.go:386-400); order-stable fold."""
+    r = _engine(spark, sf_dir).query_instant("sum by (shard) (click)", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_range_count", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id % 8 AS VARCHAR) AS shard, e.user_id, count(*) AS c
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {DAY} AND e.ts <= g.t
+    GROUP BY 1, 2, 3
+)
+SELECT t, shard, CAST(sum(c) AS DOUBLE) AS value
+FROM win GROUP BY t, shard
+""")
+def promql_range_count(spark, sf_dir):
+    """Range query + step grid + count_over_time (SURVEY.md §4.2 #2)."""
+    r = _engine(spark, sf_dir).query_range(
+        "sum by (shard) (count_over_time(click[1d]))", R_START, R_END, STEP)
+    return r.df.select("t", _lbl("shard").alias("shard"), "value")
+
+
+_RATE_CORE = f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+w2 AS (
+    SELECT *, lag(value) OVER (PARTITION BY t, "user" ORDER BY ts, value) AS pv
+    FROM win
+),
+agg AS (
+    SELECT t, "user", count(*) AS n,
+           CAST(min(ts) AS BIGINT) AS first_t, CAST(max(ts) AS BIGINT) AS last_t,
+           first(value ORDER BY ts, value) AS first_v,
+           last(value ORDER BY ts, value) AS last_v,
+           list_reduce(list_prepend(0.0,
+               list(CASE WHEN value < pv THEN pv ELSE 0.0 END ORDER BY ts, value)),
+               (a, b) -> a + b) AS corr
+    FROM w2 GROUP BY t, "user"
+),
+ex AS (
+    SELECT t, "user", n, first_t, last_t,
+           (last_v - first_v) + corr AS delta,
+           CAST(first_t - (t - {2 * DAY}) AS DOUBLE) / 1000.0 AS dur_start,
+           CAST(t - last_t AS DOUBLE) / 1000.0 AS dur_end,
+           CAST(last_t - first_t AS DOUBLE) / 1000.0 AS sampled,
+           first_v
+    FROM agg WHERE n >= 2
+),
+ex2 AS (
+    SELECT *, sampled / (CAST(n AS DOUBLE) - 1) AS avg_dur,
+           CASE WHEN delta > 0 AND first_v >= 0
+                     AND sampled * (first_v / delta) < dur_start
+                THEN sampled * (first_v / delta) ELSE dur_start END AS dur_start2
+    FROM ex
+),
+ex3 AS (
+    SELECT t, "user", delta,
+           (sampled
+            + CASE WHEN dur_start2 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_start2 END
+            + CASE WHEN dur_end >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_end END)
+           / sampled AS factor
+    FROM ex2
+)"""
+
+@q("promql_rate", _RATE_CORE + f"""
+SELECT t, "user", delta * factor / {2 * DAY / 1000.0} AS value FROM ex3
+""")
+def promql_rate(spark, sf_dir):
+    """rate(): counter resets + Prometheus extrapolation (db_test.go:616-659)."""
+    r = _engine(spark, sf_dir).query_range("rate(click[2d])", R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_increase", _RATE_CORE + """
+SELECT t, "user", delta * factor AS value FROM ex3
+""")
+def promql_increase(spark, sf_dir):
+    r = _engine(spark, sf_dir).query_range("increase(click[2d])", R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_avg_over_time", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'purchase' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+)
+SELECT t, "user",
+       list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)), (a, b) -> a + b)
+         / CAST(count(*) AS DOUBLE) AS value
+FROM win GROUP BY t, "user"
+""")
+def promql_avg_over_time(spark, sf_dir):
+    r = _engine(spark, sf_dir).query_range("avg_over_time(purchase[2d])",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_minmax_over_time", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'view' AND e.ts > g.t - {3 * DAY} AND e.ts <= g.t
+)
+SELECT t, "user", max(value) AS value, min(value) AS minval,
+       CAST(count(*) AS DOUBLE) AS cnt
+FROM win GROUP BY t, "user"
+""")
+def promql_minmax_over_time(spark, sf_dir):
+    """max/min/count_over_time joined into one frame (db_test.go:402-411)."""
+    eng = _engine(spark, sf_dir)
+    mx = eng.query_range("max_over_time(view[3d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), "value")
+    mn = eng.query_range("min_over_time(view[3d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("minval"))
+    ct = eng.query_range("count_over_time(view[3d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("cnt"))
+    return mx.join(mn, ["t", "user"]).join(ct, ["t", "user"])
+
+
+@q("promql_topk", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts FROM events),
+c AS (
+    SELECT CAST(user_id % 8 AS VARCHAR) AS shard, CAST(user_id AS VARCHAR) AS "user",
+           CAST(count(*) AS DOUBLE) AS value
+    FROM events_ms WHERE event_type = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+    GROUP BY 1, 2
+),
+r AS (SELECT *, row_number() OVER (ORDER BY value DESC, shard, "user") AS rk FROM c)
+SELECT "user", shard, value FROM r WHERE rk <= 5
+""")
+def promql_topk(spark, sf_dir):
+    """topk window select (db_test.go:561-594); ties break on series sig."""
+    r = _engine(spark, sf_dir).query_instant("topk(5, count_over_time(click[7d]))", T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
+@q("promql_binop_ratio", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts FROM events),
+c AS (SELECT CAST(user_id AS VARCHAR) AS "user", CAST(count(*) AS DOUBLE) AS v
+      FROM events_ms WHERE event_type = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+      GROUP BY 1),
+v AS (SELECT CAST(user_id AS VARCHAR) AS "user", CAST(count(*) AS DOUBLE) AS v
+      FROM events_ms WHERE event_type = 'view' AND ts > {T - LOOKBACK} AND ts <= {T}
+      GROUP BY 1)
+SELECT c."user" AS "user", c.v / v.v AS value FROM c JOIN v USING ("user")
+""")
+def promql_binop_ratio(spark, sf_dir):
+    """Vector/vector arithmetic with on(...) matching (db_test.go:509-529)."""
+    r = _engine(spark, sf_dir).query_instant(
+        "count_over_time(click[7d]) / on(user) count_over_time(view[7d])", T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
+@q("promql_set_and", f"""
+WITH {_SAMPLES}, {_LAST},
+viewers AS (
+    SELECT DISTINCT "user" FROM samples
+    WHERE name = 'view' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT l."user" AS "user", l.shard AS shard, l.value AS value
+FROM last l JOIN viewers USING ("user")
+WHERE l.rn = 1 AND l.value > 40
+""")
+def promql_set_and(spark, sf_dir):
+    """Comparison filter + and-on semi join (db_test.go:530-543)."""
+    r = _engine(spark, sf_dir).query_instant("click > 40 and on(user) view", T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
+@q("promql_unless", f"""
+WITH {_SAMPLES}, {_LAST},
+buyers AS (
+    SELECT DISTINCT "user" FROM samples
+    WHERE name = 'purchase' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT l."user" AS "user", l.value AS value
+FROM last l ANTI JOIN buyers USING ("user")
+WHERE l.rn = 1
+""")
+def promql_unless(spark, sf_dir):
+    r = _engine(spark, sf_dir).query_instant("click unless on(user) purchase", T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
+@q("promql_quantile_by", f"""
+WITH {_SAMPLES}, {_LAST},
+g AS (
+    SELECT shard, list(value ORDER BY value) AS vals, count(*) AS n
+    FROM last WHERE rn = 1 GROUP BY shard
+)
+SELECT shard,
+       CASE WHEN n = 1 THEN vals[1] ELSE
+         vals[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+         + (vals[CAST(ceil(0.5 * (n - 1)) AS INT) + 1]
+            - vals[CAST(floor(0.5 * (n - 1)) AS INT) + 1])
+           * (0.5 * (n - 1) - floor(0.5 * (n - 1)))
+       END AS value
+FROM g
+""")
+def promql_quantile_by(spark, sf_dir):
+    """PromQL quantile linear interpolation (db_test.go:561-594)."""
+    r = _engine(spark, sf_dir).query_instant("quantile by (shard) (0.5, click)", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_count_values", f"""
+WITH {_SAMPLES},
+last AS (
+    SELECT name, shard, "user", ts, value,
+           row_number() OVER (PARTITION BY name, shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM samples WHERE ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT CAST(floor(value + 0.5) AS VARCHAR) AS bucket,
+       CAST(count(*) AS DOUBLE) AS value
+FROM last WHERE rn = 1 GROUP BY 1
+""")
+def promql_count_values(spark, sf_dir):
+    """count_values + round() (db_test.go:561-594, :595-615); PromQL round
+    is floor(v/to + 0.5)*to — the oracle mirrors that exactly."""
+    r = _engine(spark, sf_dir).query_instant(
+        'count_values("bucket", round({__name__=~".+"}))', T)
+    return r.df.select(_lbl("bucket").alias("bucket"), "value")
+
+
+@q("promql_label_replace_count", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT 'g' || shard AS grp, CAST(count(*) AS DOUBLE) AS value
+FROM last WHERE rn = 1 GROUP BY 1
+""")
+def promql_label_replace_count(spark, sf_dir):
+    """label_replace + count by (acceptance corpus; SURVEY §2.C)."""
+    r = _engine(spark, sf_dir).query_instant(
+        'count by (grp) (label_replace(click, "grp", "g$1", "shard", "(.*)"))', T)
+    return r.df.select(_lbl("grp").alias("grp"), "value")
+
+
+@q("promql_absent", """
+SELECT '99999' AS "user", 1.0 AS value
+""")
+def promql_absent(spark, sf_dir):
+    r = _engine(spark, sf_dir).query_instant('absent(click{user="99999"})', T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
+@q("promql_hist_quantile", f"""
+WITH ev AS (
+    SELECT user_id, value FROM events
+    WHERE event_type = 'click' AND epoch_ms(ts) > {T - LOOKBACK} AND epoch_ms(ts) <= {T}
+),
+c AS (
+    SELECT CAST(user_id AS VARCHAR) AS "user",
+           CAST(count(*) FILTER (value <= 5) AS DOUBLE) AS c1,
+           CAST(count(*) FILTER (value <= 10) AS DOUBLE) AS c2,
+           CAST(count(*) FILTER (value <= 20) AS DOUBLE) AS c3,
+           CAST(count(*) AS DOUBLE) AS c4
+    FROM ev GROUP BY 1
+),
+x AS (
+    SELECT "user", c1, c2, c3, c4, 0.9 * c4 AS rank,
+           CASE WHEN c1 >= 0.9 * c4 THEN 1 WHEN c2 >= 0.9 * c4 THEN 2
+                WHEN c3 >= 0.9 * c4 THEN 3 ELSE 4 END AS idx
+    FROM c WHERE c4 > 0
+)
+SELECT "user",
+       CASE WHEN idx = 4 THEN 20.0
+            WHEN idx = 1 THEN 0.0 + (5.0 - 0.0) * (rank - 0.0) / (c1 - 0.0)
+            WHEN idx = 2 THEN 5.0 + (10.0 - 5.0) * (rank - c1) / (c2 - c1)
+            ELSE 10.0 + (20.0 - 10.0) * (rank - c2) / (c3 - c2) END AS value
+FROM x
+""")
+def promql_hist_quantile(spark, sf_dir):
+    """histogram_quantile over classic le-buckets (db_test.go:344-351).
+
+    Bucket series are built from click-event values at thresholds
+    (5, 10, 20, +Inf) — cumulative counts per user over the 7d window."""
+    e = load_table(spark, sf_dir, "events")
+    e = e.filter((F.col("event_type") == "click") &
+                 (F.col("ts_ms") > T - LOOKBACK) & (F.col("ts_ms") <= T))
+    th = F.explode(F.array(F.lit("5"), F.lit("10"), F.lit("20"), F.lit("+Inf")))
+    b = e.withColumn("le", th)
+    b = b.withColumn("le_val",
+                     F.when(F.col("le") == "+Inf", F.lit(float("inf")))
+                      .otherwise(F.col("le").cast("double")))
+    counts = (b.groupBy("user_id", "le")
+              .agg(F.sum(F.when(F.col("value") <= F.col("le_val"), 1)
+                         .otherwise(0)).cast("double").alias("value")))
+    samples = counts.select(
+        F.lit("lat_bucket").alias("__name__"),
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("le"), F.lit("user")),
+            F.array(F.lit("lat_bucket"), F.col("le"),
+                    F.col("user_id").cast("string"))).alias("labels"),
+        F.lit(T).alias("ts"), F.col("value"))
+    eng = PromQLEngine(samples, lookback_ms=60_000, deterministic=True)
+    r = eng.query_instant("histogram_quantile(0.9, lat_bucket)", T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
+# --------------------------------------------- metadata APIs (A27-A31)
+@q("meta_label_values", f"""
+WITH {_SAMPLES}
+SELECT DISTINCT "user" AS value FROM samples
+WHERE name = 'click' AND shard = '3' AND ts >= {R_START} AND ts <= {T}
+ORDER BY value
+""")
+def meta_label_values(spark, sf_dir):
+    """LabelValues with matchers (A28; search/search.go:202-262)."""
+    return _engine(spark, sf_dir).label_values("user", ['click{shard="3"}'],
+                                               R_START, T)
+
+
+@q("meta_label_names", """
+SELECT * FROM (VALUES ('__name__'), ('shard'), ('user')) AS t(name) ORDER BY name
+""")
+def meta_label_names(spark, sf_dir):
+    """LabelNames (A29/A30; search/search.go:294-345)."""
+    return _engine(spark, sf_dir).label_names(None, R_START, T)
+
+
+@q("meta_series", f"""
+WITH {_SAMPLES}
+SELECT DISTINCT name AS __name__, shard, "user" FROM samples
+WHERE name IN ('click', 'error') AND shard = '5'
+  AND ts >= {R_START} AND ts <= {T}
+""")
+def meta_series(spark, sf_dir):
+    """/series multi-selector union (api/http/query.go:567-846)."""
+    df = _engine(spark, sf_dir).series(['click{shard="5"}', 'error{shard="5"}'],
+                                       R_START, T)
+    return df.select(_lbl("__name__").alias("__name__"),
+                     _lbl("shard").alias("shard"), _lbl("user").alias("user"))
+
+
+# =====================================================================
+# Relational operator layer over the TPC-H-ish tables (scan/filter/join/
+# agg/window/set-op coverage of SURVEY.md §2.A's Spark primitives)
+# =====================================================================
+
+_DEC = "decimal(18,2)"
+
+
+def _revenue_dec():
+    return (F.col("l_extendedprice").cast(_DEC) *
+            (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)))
+
+
+@q("tpch_q1_pricing", """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1_pricing(spark, sf_dir):
+    """Scan + pushdown filter + aggregate (A5/A11 analogues); decimal-exact
+    sums cast to double for bit-stable oracle comparison."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+                 F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base"),
+                 F.sum(_revenue_dec()).cast("double").alias("sum_disc_price"),
+                 (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") /
+                  F.count("*")).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+@q("tpch_q3_shipping", """
+WITH rev AS (
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1::DECIMAL(18,2) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           epoch_ms(any_value(o.o_orderdate)) AS o_orderdate_ms
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey
+)
+SELECT l_orderkey, revenue, o_orderdate_ms FROM rev
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def tpch_q3_shipping(spark, sf_dir):
+    """3-way join (broadcast dims) + agg + top-n (A11 + join strategies)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15")
+    return (l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"),
+                 F.unix_millis(F.any_value("o_orderdate").cast("timestamp"))
+                  .alias("o_orderdate_ms"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@q("tpch_q5_region_revenue", """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""")
+def tpch_q5_region_revenue(spark, sf_dir):
+    """5-way star join with broadcast dims + co-located key reuse."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), (o.o_custkey == c.c_custkey) &
+                  (s.s_nationkey == c.c_nationkey))
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue")))
+
+
+@q("rel_distinct_agg", """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""")
+def rel_distinct_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total")))
+
+
+@q("rel_window_topn", """
+WITH r AS (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer
+)
+SELECT c_mktsegment, c_custkey, c_acctbal, rk FROM r WHERE rk <= 3
+""")
+def rel_window_topn(spark, sf_dir):
+    """Window ranking (A19/A20 analogue: dedup/sort via windows)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(),
+                                              F.col("c_custkey"))
+    return (c.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("c_mktsegment", "c_custkey", "c_acctbal", "rk"))
+
+
+@q("rel_semi_anti", """
+SELECT n.n_name,
+       count(*) FILTER (WHERE has_order) AS with_orders,
+       count(*) FILTER (WHERE NOT has_order) AS without_orders
+FROM (
+    SELECT c.c_custkey, c.c_nationkey,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+    FROM customer c
+) cc JOIN nation n ON n.n_nationkey = cc.c_nationkey
+GROUP BY n.n_name
+""")
+def rel_semi_anti(spark, sf_dir):
+    """Semi/anti joins (set-op machinery behind and/unless, A21)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    n = load_table(spark, sf_dir, "nation")
+    witho = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .groupBy(F.col("c_nationkey").alias("nk_with"))
+             .agg(F.count("*").alias("with_orders")))
+    without = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+               .groupBy(F.col("c_nationkey").alias("nk_without"))
+               .agg(F.count("*").alias("without_orders")))
+    return (n.join(witho, n.n_nationkey == witho.nk_with, "left")
+            .join(without, n.n_nationkey == without.nk_without, "left")
+            .select("n_name",
+                    F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+                    F.coalesce("without_orders", F.lit(0)).alias("without_orders")))
+
+
+@q("events_tumbling_window", """
+SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+""")
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling daily window aggregate over the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy((F.col("ts_ms") / DAY).cast("long").alias("day"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+@q("events_sessionize", """
+WITH e AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+           lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev_ts
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       1 + count(*) FILTER (WHERE prev_ts IS NOT NULL
+                            AND ts_ms - prev_ts > 1800000) AS n_sessions
+FROM e GROUP BY user_id
+""")
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min gap) via window lag — the batch analogue of
+    the streaming session-window operator."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    s = e.withColumn("prev_ts", F.lag("ts_ms").over(w))
+    return (s.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.lit(1) + F.sum(F.when(F.col("prev_ts").isNotNull() &
+                                          (F.col("ts_ms") - F.col("prev_ts") > 1_800_000),
+                                          1).otherwise(0))).alias("n_sessions")))
+
+
+@q("events_asof_join", """
+WITH e AS (
+    SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+           last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+    FROM events
+)
+SELECT event_id, user_id, last_click_ts FROM e WHERE event_type = 'error'
+""")
+def events_asof_join(spark, sf_dir):
+    """As-of join: each error event picks the latest click at-or-before it —
+    single-pass window, no range join (scale path for temporal joins)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    s = e.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts_ms")),
+               ignorenulls=True).over(w))
+    return (s.filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", "last_click_ts"))
+
+
+# =====================================================================
+# M8 scale extensions: dedup / similarity / text / multimodal
+# =====================================================================
+
+@q("dedup_exact", """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLES = r"""
+words AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS shingles
+    FROM words
+)"""
+
+@q("dedup_minhash", f"""
+WITH {_SHINGLES},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+seeded AS (
+    SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS seed FROM exploded
+)
+SELECT doc_id, seed,
+       min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+FROM seeded GROUP BY doc_id, seed
+""")
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (word-3-gram shingles, 8 hash seeds)."""
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_lsh_pairs", f"""
+WITH {_SHINGLES},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+seeded AS (
+    SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS seed FROM exploded
+),
+sig AS (
+    SELECT doc_id, seed,
+           min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+    FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 2 AS band,
+           md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), ','))
+             AS band_key
+    FROM sig GROUP BY doc_id, seed // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_lsh_pairs(spark, sf_dir):
+    """LSH banding candidate pairs (4 bands × 2 rows)."""
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@q("dedup_jaccard", f"""
+WITH {_SHINGLES},
+exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM exploded a JOIN exploded b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT p.doc_a, p.doc_b, p.inter,
+       sa.n + sb.n - p.inter AS "union",
+       CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.6
+""")
+def dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard ≥ 0.6 over all sharing pairs (inverted-index
+    join on shingle; at 100TB the LSH pairs pre-filter the candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"),
+                     dedup.shingles(dedup.normalized_words(F.col("text"))).alias("sh"))
+    expl = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = expl.alias("a"); b = expl.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    j = (pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n", "na"), "doc_a")
+         .join(sizes.withColumnRenamed("doc_id", "doc_b")
+               .withColumnRenamed("n", "nb"), "doc_b")
+         .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+         .withColumn("jaccard", F.col("inter").cast("double") /
+                     F.col("union").cast("double")))
+    return (j.filter(F.col("jaccard") >= 0.6)
+            .select("doc_a", "doc_b", "inter", "union", "jaccard"))
+
+
+@q("dedup_simhash", """
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             AS w
+    FROM documents
+),
+bits AS (
+    SELECT doc_id, w, md5(w) AS hx, unnest(generate_series(0, 31)) AS j
+    FROM words WHERE w <> ''
+),
+votes AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN ((strpos('0123456789abcdef', hx[(j // 4) + 1]) - 1)
+                          & (1 << (j % 4))) > 0 THEN 1 ELSE -1 END) AS vote
+    FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+""")
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_fingerprint", """
+WITH words AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(w, x ->
+                   CAST(('0x' || md5(x)[1:7])::BIGINT AS BIGINT))),
+           (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+FROM words
+""")
+def text_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash document fingerprint."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_token_counts", r"""
+SELECT doc_id,
+       len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+""")
+def text_token_counts(spark, sf_dir):
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_quality", r"""
+WITH base AS (
+    SELECT doc_id, length(text) AS n_chars,
+           len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+             AS n_words,
+           length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha
+    FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+       CAST(n_chars - n_words + 1 AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+         AS mean_word_len,
+       (least(n_chars, 500) / 500.0) * 0.4
+         + (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 0.4
+         + (CASE WHEN CAST(n_chars - n_words + 1 AS DOUBLE)
+                      / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+FROM base
+""")
+def text_quality(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_language", """
+WITH words AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','auf'], x))) AS de,
+           len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS en,
+           len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x))) AS es,
+           len(list_filter(w, x -> list_contains(['le','la','et','les','des','est','un','une','dans','que'], x))) AS fr,
+           len(list_filter(w, x -> list_contains(['il','la','di','che','e','un','per','non','con','del'], x))) AS it
+    FROM words
+),
+unpivoted AS (
+    SELECT doc_id, lang, hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang DESC) AS rk
+    FROM (
+        SELECT doc_id, 'de' AS lang, de AS hits FROM hits UNION ALL
+        SELECT doc_id, 'en', en FROM hits UNION ALL
+        SELECT doc_id, 'es', es FROM hits UNION ALL
+        SELECT doc_id, 'fr', fr FROM hits UNION ALL
+        SELECT doc_id, 'it', it FROM hits
+    )
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS detected_lang,
+       CAST(hits AS BIGINT) AS lang_hits
+FROM unpivoted WHERE rk = 1
+""")
+def text_language(spark, sf_dir):
+    """Stopword-vote language ID (heuristic n-gram detector)."""
+    return text.detect_language(load_table(spark, sf_dir, "documents"))
+
+
+def _query_vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+_DOT = """
+list_reduce(list_prepend(0.0,
+    list_transform(list_zip(e.embedding, q.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+    (a, b) -> a + b)"""
+_NORM_E = """
+sqrt(list_reduce(list_prepend(0.0,
+    list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    (a, b) -> a + b))"""
+_NORM_Q = """
+sqrt(list_reduce(list_prepend(0.0,
+    list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+    (a, b) -> a + b))"""
+
+@q("sim_topk_cosine", f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cos_sim
+    FROM embeddings e, embeddings q
+    WHERE q.vec_id < 3
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+""")
+def sim_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (sequential-fold dot product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _query_vectors(spark, sf_dir), k=5)
+
+
+@q("sim_near_dup", f"""
+WITH pairs AS (
+    SELECT e.vec_id AS id_a, q.vec_id AS id_b,
+           {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cos_sim
+    FROM embeddings e, embeddings q
+    WHERE e.vec_id < q.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+""")
+def sim_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (all-pairs at test scale;
+    hyperplane-LSH bucketing is the 100TB path — see operators.similarity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cos_sim",
+                             similarity.cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos_sim") >= 0.35)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+@q("multimodal_meta_stats", """
+SELECT 'raw' AS codec, count(*) AS n_items,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+""")
+def multimodal_meta_stats(spark, sf_dir):
+    """Metadata-only multimodal aggregate (payload column pruned at scan)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media_metadata_stats(media)
+
+
+@q("multimodal_features")  # mapInPandas plumbing — rows-only check (no SQL oracle)
+def multimodal_features(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "n_bytes", "checksum")
+
+
+# ----------------------------------------------------- conversion layer
+@q("convert_manifest", """
+SELECT '0' AS stream, strftime(ts, '%Y-%m-%d') AS date,
+       min(epoch_ms(ts)) AS mint, max(epoch_ms(ts)) AS maxt,
+       count(*) AS n_samples
+FROM events GROUP BY 2
+""")
+def convert_manifest(spark, sf_dir):
+    """Conversion manifest derivation (B2/B13: per-day coverage bounds)."""
+    from thanos_parquet_gateway_spark.convert.convert import prepare_samples
+    raw = samples_from_events(spark, sf_dir)
+    df = prepare_samples(raw)
+    return (df.groupBy("stream", "date")
+            .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
+                 F.count("*").alias("n_samples")))
+
+
+# --------------------------------------------------------------- flagship
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: range-query the sf0.001 corpus."""
+    eng = PromQLEngine(samples_from_events(spark, "/root/testdata/sf0.001"),
+                       lookback_ms=LOOKBACK, deterministic=True)
+    r = eng.query_range("sum by (shard) (count_over_time(click[1d]))",
+                        R_START, R_END, STEP)
+    return r.df.select("t", F.element_at("labels", "shard").alias("shard"), "value")

@@ -253,7 +253,7 @@ def _histogram_quantile(c: Compiler, call: A.Call) -> InstantVector:
     counts = F.aggregate(
         arr, F.array().cast("array<double>"),
         lambda acc, x: F.concat(acc, F.array(
-            F.greatest(x["v"], F.element_at(acc, -1)))))
+            F.greatest(x["v"], F.try_element_at(acc, F.lit(-1))))))
     b = F.size(arr)
     has_inf = F.element_at(les, -1) == INF()
     total = F.element_at(counts, -1)

@@ -28,8 +28,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to micros TimestampType + keep epoch-ms for the samples model
         ts_field = dict(df.dtypes)["ts"]
         if ts_field == "bigint":
-            df = df.withColumn("ts_ms", (F.col("ts") / 1_000_000).cast("long")) \
-                   .withColumn("ts", F.timestamp_micros((F.col("ts") / 1_000).cast("long")))
+            # integer div: ns ≈ 1.7e18 exceeds double's exact range, so
+            # float division here would round ±1ms (diverging from DuckDB's
+            # truncating epoch_ms oracle)
+            df = df.withColumn("ts_ms", F.expr("ts div 1000000")) \
+                   .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
             df = df.withColumn("ts_ms", F.unix_millis("ts"))
     return df
