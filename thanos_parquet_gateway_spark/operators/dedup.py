@@ -25,11 +25,38 @@ def normalized_words(text_col) -> "F.Column":
 
 
 def shingles(words_col, n: int = 3) -> "F.Column":
-    """Distinct word n-gram shingles: slice windows out of the token array."""
+    """Distinct word n-gram shingles: slice windows out of the token array.
+
+    NOTE: array-lambda form; fine for per-pair refinement, but the corpus-wide
+    hot path uses shingle_rows() instead — higher-order functions are
+    interpreted (no whole-stage codegen) and scale poorly across task threads."""
     k = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), k),
                     lambda i: F.array_join(F.slice(words_col, i, n), " ")))
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles as rows (doc_id, shingle) — the corpus
+    hot path.  Codegen-only plan: posexplode words → lead() window → concat →
+    dropDuplicates (map-side partial dedup).  The explicit repartition spreads
+    work when the source has few input splits; the window reuses that same
+    doc_id partitioning, so it adds only an in-partition sort."""
+    from pyspark.sql import Window
+    d = docs.repartition(_hash_parallelism(docs), F.col(id_col))
+    words = d.select(F.col(id_col).alias("doc_id"),
+                     F.posexplode(normalized_words(F.col(text_col)))
+                     .alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", i).over(win).alias(f"w{i}")
+             for i in range(1, shingle_n)]
+    led = words.select("doc_id", F.col("w"), *leads)
+    return (led.filter(F.col(f"w{shingle_n - 1}").isNotNull())
+            .select("doc_id",
+                    F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, shingle_n)])
+                    .alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"]))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -42,16 +69,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
                  F.count("*").alias("n_copies")))
 
 
+def _hash_parallelism(docs: DataFrame) -> int:
+    """Explicit partition count for the hashing stage: the work is CPU-bound
+    (md5 per shingle×seed) on byte-small rows, so AQE's size-based coalescing
+    would undershoot badly; pin to cluster parallelism instead."""
+    return docs.sparkSession.sparkContext.defaultParallelism
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        shingle_n: int = 3) -> DataFrame:
     """MinHash signature per doc: h_i(doc) = min over shingles of
     md5(i || '|' || shingle) (string min ≡ min over a uniform hash family).
-    Returns (doc_id, seed, minhash)."""
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles(normalized_words(F.col(text_col)), shingle_n)
-                     .alias("sh"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    Returns (doc_id, seed, minhash).
+
+    Hashing runs on exploded rows, NOT inside array lambdas: higher-order
+    functions fall out of whole-stage codegen, making per-element md5 ~10×
+    slower.  groupBy's map-side partial min keeps the shuffle at
+    num_hashes rows per doc regardless of doc length."""
+    exploded = shingle_rows(docs, text_col, id_col, shingle_n)
     seeds = exploded.select(
         "doc_id", "shingle",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"))
@@ -67,7 +103,12 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of num_hashes/bands
     rows; docs sharing any band bucket become candidate pairs (a < b).
-    Returns (doc_a, doc_b) distinct."""
+    Returns (doc_a, doc_b) distinct.
+
+    Plan shape: ONE hashing pass (no self-join — a self-join would hash the
+    corpus twice), then a single shuffle grouping docs per (band, band_key)
+    bucket; pairs expand inside buckets, whose size is bounded by near-dup
+    cluster size, not corpus size."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     band_keys = (sig
@@ -77,11 +118,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                      F.collect_list(F.concat(F.col("seed").cast("string"),
                                              F.lit(":"), F.col("minhash"))))))
                       .alias("band_key")))
-    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (a.join(b, ["band", "band_key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+    buckets = (band_keys.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")))))).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -94,10 +139,9 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     if candidates is None:
         candidates = lsh_candidate_pairs(docs, text_col, id_col,
                                          shingle_n=shingle_n)
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     shingles(normalized_words(F.col(text_col)), shingle_n)
-                     .alias("sh"),
-                     )
+    sh = (shingle_rows(docs, text_col, id_col, shingle_n)
+          .groupBy("doc_id")
+          .agg(F.collect_list("shingle").alias("sh")))
     sh = sh.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
                   F.col("n_sh").alias("n_a"))
