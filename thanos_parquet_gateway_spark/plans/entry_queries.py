@@ -1027,6 +1027,434 @@ def convert_manifest(spark, sf_dir):
                  F.count("*").alias("n_samples")))
 
 
+# =====================================================================
+# PromQL surface widening: modifiers, subqueries, vector matching,
+# rate-family siblings, math/time/label functions (SURVEY.md §2.C)
+# =====================================================================
+
+A_MS = T - 3 * DAY  # @-modifier anchor (2024-01-26)
+
+@q("promql_offset", f"""
+WITH {_SAMPLES},
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+    WHERE name = 'click' AND ts > {T - DAY - LOOKBACK} AND ts <= {T - DAY}
+)
+SELECT shard,
+       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                   (a, b) -> a + b) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_offset(spark, sf_dir):
+    """offset modifier shifts the eval window (db_test.go:944-1004)."""
+    r = _engine(spark, sf_dir).query_instant("sum by (shard) (click offset 1d)", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_at", f"""
+WITH {_SAMPLES},
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+    WHERE name = 'click' AND ts > {A_MS - LOOKBACK} AND ts <= {A_MS}
+)
+SELECT shard,
+       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                   (a, b) -> a + b) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_at(spark, sf_dir):
+    """@-modifier pins the eval timestamp (db_test.go:944-1004)."""
+    r = _engine(spark, sf_dir).query_instant(
+        f"sum by (shard) (click @ {A_MS // 1000})", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_subquery", f"""
+WITH {_SAMPLES},
+sgrid AS (SELECT unnest(generate_series({T - 6 * DAY}, {T}, {DAY})) AS g),
+slast AS (
+    SELECT g, shard, "user", value,
+           row_number() OVER (PARTITION BY g, shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM sgrid JOIN samples
+      ON name = 'click' AND ts > g - {LOOKBACK} AND ts <= g
+),
+ssum AS (
+    SELECT g, shard,
+           list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                       (a, b) -> a + b) AS v
+    FROM slast WHERE rn = 1 GROUP BY g, shard
+)
+SELECT shard, max(v) AS value FROM ssum GROUP BY shard
+""")
+def promql_subquery(spark, sf_dir):
+    """Subquery: inner expr on an epoch-aligned grid, re-windowed
+    (db_test.go:1005-1014)."""
+    r = _engine(spark, sf_dir).query_instant(
+        "max_over_time(sum by (shard) (click)[7d:1d])", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_group_left", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts FROM events),
+c7 AS (
+    SELECT CAST(user_id % 8 AS VARCHAR) AS shard, CAST(user_id AS VARCHAR) AS "user",
+           CAST(count(*) AS DOUBLE) AS v
+    FROM events_ms WHERE event_type = 'click' AND ts > {T - 7 * DAY} AND ts <= {T}
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT shard,
+           list_reduce(list_prepend(0.0, list(v ORDER BY "user")),
+                       (a, b) -> a + b) AS tv
+    FROM c7 GROUP BY shard
+)
+SELECT c."user" AS "user", c.shard AS shard, c.v / t.tv AS value
+FROM c7 c JOIN tot t USING (shard)
+""")
+def promql_group_left(spark, sf_dir):
+    """Many-to-one vector matching: per-user share of shard total
+    (db_test.go:660-680)."""
+    r = _engine(spark, sf_dir).query_instant(
+        "count_over_time(click[7d]) / on(shard) group_left "
+        "sum by (shard) (count_over_time(click[7d]))", T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
+@q("promql_bool_cmp", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT shard, CAST(sum(CASE WHEN value > 40 THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_bool_cmp(spark, sf_dir):
+    """bool-modifier comparison → 0/1 vector (integer-exact sum)."""
+    r = _engine(spark, sf_dir).query_instant("sum by (shard) (click > bool 40)", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_or", f"""
+WITH {_SAMPLES},
+lastn AS (
+    SELECT name, shard, "user", ts, value,
+           row_number() OVER (PARTITION BY name, shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM samples
+    WHERE name IN ('click', 'view') AND ts > {T - LOOKBACK} AND ts <= {T}
+),
+c AS (SELECT * FROM lastn WHERE rn = 1 AND name = 'click'),
+v AS (SELECT * FROM lastn WHERE rn = 1 AND name = 'view')
+SELECT name AS __name__, shard, "user", value FROM c
+UNION ALL
+SELECT v.name, v.shard, v."user", v.value
+FROM v ANTI JOIN c ON c.shard = v.shard AND c."user" = v."user"
+""")
+def promql_or(spark, sf_dir):
+    """or set-op: lhs wins on matching label sets (db_test.go:530-543)."""
+    r = _engine(spark, sf_dir).query_instant("click or view", T)
+    return r.df.select(_lbl("__name__").alias("__name__"),
+                       _lbl("shard").alias("shard"),
+                       _lbl("user").alias("user"), "value")
+
+
+_DELTA_CORE = f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'purchase' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+agg AS (
+    SELECT t, "user", count(*) AS n,
+           CAST(min(ts) AS BIGINT) AS first_t, CAST(max(ts) AS BIGINT) AS last_t,
+           first(value ORDER BY ts, value) AS first_v,
+           last(value ORDER BY ts, value) AS last_v
+    FROM win GROUP BY t, "user"
+),
+ex AS (
+    SELECT t, "user", n, last_v - first_v AS delta,
+           CAST(first_t - (t - {2 * DAY}) AS DOUBLE) / 1000.0 AS dur_start,
+           CAST(t - last_t AS DOUBLE) / 1000.0 AS dur_end,
+           CAST(last_t - first_t AS DOUBLE) / 1000.0 AS sampled
+    FROM agg WHERE n >= 2
+),
+ex2 AS (
+    SELECT *, sampled / (CAST(n AS DOUBLE) - 1) AS avg_dur FROM ex
+)"""
+
+@q("promql_delta", _DELTA_CORE + """
+SELECT t, "user",
+       delta * ((sampled
+            + CASE WHEN dur_start >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_start END
+            + CASE WHEN dur_end >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_end END)
+           / sampled) AS value
+FROM ex2
+""")
+def promql_delta(spark, sf_dir):
+    """Gauge delta: extrapolation without counter correction/zero clamp."""
+    r = _engine(spark, sf_dir).query_range("delta(purchase[2d])",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_irate", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value,
+           row_number() OVER (PARTITION BY g.t, e.user_id
+                              ORDER BY e.ts DESC, e.value DESC) AS rn
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+p AS (
+    SELECT t, "user",
+           max(CASE WHEN rn = 1 THEN ts END) AS t1,
+           max(CASE WHEN rn = 1 THEN value END) AS v1,
+           max(CASE WHEN rn = 2 THEN ts END) AS t2,
+           max(CASE WHEN rn = 2 THEN value END) AS v2,
+           count(*) AS n
+    FROM win GROUP BY t, "user"
+)
+SELECT t, "user",
+       (CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END)
+         / (CAST(t1 - t2 AS DOUBLE) / 1000.0) AS value
+FROM p WHERE n >= 2
+""")
+def promql_irate(spark, sf_dir):
+    """irate: last two samples only (counter-reset aware)."""
+    r = _engine(spark, sf_dir).query_range("irate(click[2d])",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_resets_changes", f"""
+WITH {_SAMPLES},
+w AS (
+    SELECT "user", ts, value,
+           lag(value) OVER (PARTITION BY "user" ORDER BY ts, value) AS pv
+    FROM samples WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT "user",
+       CAST(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS DOUBLE) AS resets,
+       CAST(sum(CASE WHEN value <> pv THEN 1 ELSE 0 END) AS DOUBLE) AS changes
+FROM w GROUP BY "user"
+""")
+def promql_resets_changes(spark, sf_dir):
+    """resets + changes counting folds over the window."""
+    eng = _engine(spark, sf_dir)
+    rs = eng.query_instant("resets(click[7d])", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("resets"))
+    ch = eng.query_instant("changes(click[7d])", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("changes"))
+    return rs.join(ch, ["user"])
+
+
+_LINREG_BASE = f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+base AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+)"""
+
+@q("promql_deriv", _LINREG_BASE + """,
+f AS (SELECT t, "user", CAST(min(ts) AS BIGINT) AS t0, count(*) AS n
+      FROM base GROUP BY t, "user"),
+s AS (
+    SELECT b.t, b."user", any_value(f.n) AS n,
+        list_reduce(list_prepend(0.0,
+            list(CAST(b.ts - f.t0 AS DOUBLE) / 1000.0 ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sx,
+        list_reduce(list_prepend(0.0, list(b.value ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sy,
+        list_reduce(list_prepend(0.0,
+            list(CAST(b.ts - f.t0 AS DOUBLE) / 1000.0 * b.value ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sxy,
+        list_reduce(list_prepend(0.0,
+            list(CAST(b.ts - f.t0 AS DOUBLE) / 1000.0 * (CAST(b.ts - f.t0 AS DOUBLE) / 1000.0)
+                 ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sx2
+    FROM base b JOIN f USING (t, "user") GROUP BY b.t, b."user"
+)
+SELECT t, "user",
+       (sxy - sx * sy / CAST(n AS DOUBLE)) / (sx2 - sx * sx / CAST(n AS DOUBLE)) AS value
+FROM s WHERE n >= 2
+""")
+def promql_deriv(spark, sf_dir):
+    """deriv: least-squares slope, x anchored at first sample."""
+    r = _engine(spark, sf_dir).query_range("deriv(click[2d])",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_predict_linear", _LINREG_BASE + """,
+s AS (
+    SELECT b.t, b."user", count(*) AS n,
+        list_reduce(list_prepend(0.0,
+            list(CAST(b.ts - b.t AS DOUBLE) / 1000.0 ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sx,
+        list_reduce(list_prepend(0.0, list(b.value ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sy,
+        list_reduce(list_prepend(0.0,
+            list(CAST(b.ts - b.t AS DOUBLE) / 1000.0 * b.value ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sxy,
+        list_reduce(list_prepend(0.0,
+            list(CAST(b.ts - b.t AS DOUBLE) / 1000.0 * (CAST(b.ts - b.t AS DOUBLE) / 1000.0)
+                 ORDER BY b.ts, b.value)),
+            (a, c) -> a + c) AS sx2
+    FROM base b GROUP BY b.t, b."user"
+),
+sl AS (
+    SELECT t, "user", n,
+           (sxy - sx * sy / CAST(n AS DOUBLE)) / (sx2 - sx * sx / CAST(n AS DOUBLE)) AS slope,
+           sy, sx
+    FROM s WHERE n >= 2
+)
+SELECT t, "user",
+       (sy / CAST(n AS DOUBLE) - slope * sx / CAST(n AS DOUBLE)) + slope * 3600.0 AS value
+FROM sl
+""")
+def promql_predict_linear(spark, sf_dir):
+    """predict_linear: regression intercept anchored at eval time t."""
+    r = _engine(spark, sf_dir).query_range("predict_linear(click[2d], 3600)",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_math_clamp", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT "user", shard, least(greatest(sqrt(value), 2.0), 6.0) AS value
+FROM last WHERE rn = 1
+""")
+def promql_math_clamp(spark, sf_dir):
+    """Math function composition: clamp(sqrt(v), 2, 6) (db_test.go:595-615)."""
+    r = _engine(spark, sf_dir).query_instant("clamp(sqrt(click), 2, 6)", T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
+@q("promql_day_of_week", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT "user",
+       CAST((CAST(floor(ts / 1000.0 / 86400.0) AS BIGINT) + 4) % 7 AS DOUBLE) AS value
+FROM last WHERE rn = 1
+""")
+def promql_day_of_week(spark, sf_dir):
+    """Time function over sample timestamps (0 = Sunday, Prometheus rule)."""
+    r = _engine(spark, sf_dir).query_instant("day_of_week(timestamp(click))", T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
+@q("promql_stddev_by", f"""
+WITH {_SAMPLES}, {_LAST},
+g AS (
+    SELECT shard, list(value ORDER BY "user") AS vals
+    FROM last WHERE rn = 1 GROUP BY shard
+),
+m AS (
+    SELECT shard, vals,
+           list_reduce(list_prepend(0.0, vals), (a, b) -> a + b) / len(vals) AS mean
+    FROM g
+)
+SELECT shard,
+       sqrt(list_reduce(list_prepend(0.0,
+                list_transform(vals, v -> (v - mean) * (v - mean))),
+            (a, b) -> a + b) / len(vals)) AS value
+FROM m
+""")
+def promql_stddev_by(spark, sf_dir):
+    """stddev aggregation (population, two-pass order-stable fold)."""
+    r = _engine(spark, sf_dir).query_instant("stddev by (shard) (click)", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_label_join", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT shard || '-' || "user" AS combo, CAST(count(*) AS DOUBLE) AS value
+FROM last WHERE rn = 1 GROUP BY 1
+""")
+def promql_label_join(spark, sf_dir):
+    """label_join rewrites the label map, then count by the new label."""
+    r = _engine(spark, sf_dir).query_instant(
+        'count by (combo) (label_join(click, "combo", "-", "shard", "user"))', T)
+    return r.df.select(_lbl("combo").alias("combo"), "value")
+
+
+# 4 deterministic hyperplanes over the 64-dim embeddings (ANN scale path)
+_PLANES = [[float(((d * (i + 3)) % 7) - 3) for d in range(64)] for i in range(4)]
+
+
+def _plane_sql(vec_expr: str) -> str:
+    """Bucket-signature SQL mirroring similarity.hyperplane_signature."""
+    bits = []
+    for p in _PLANES:
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+        dot = (f"list_reduce(list_prepend(0.0, "
+               f"list_transform(generate_series(1, len({vec_expr})), "
+               f"j -> CAST({vec_expr}[j] AS DOUBLE) * ({lit})[j])), (a, b) -> a + b)")
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@q("sim_lsh_topk", f"""
+WITH eb AS (SELECT vec_id, embedding, {_plane_sql('embedding')} AS bucket
+            FROM embeddings),
+qb AS (SELECT vec_id, embedding, bucket FROM eb WHERE vec_id < 3),
+scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cos_sim
+    FROM eb e JOIN qb q ON e.bucket = q.bucket
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+""")
+def sim_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN top-k (the 100TB path: equi-join on the
+    sign-sketch bucket key instead of a full cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, _query_vectors(spark, sf_dir),
+                               planes=_PLANES, k=5)
+
+
+@q("events_hopping_window", f"""
+SELECT w AS wstart, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+    SELECT event_type, value,
+           unnest(generate_series(
+               (epoch_ms(ts) // {DAY}) * {DAY} - {6 * DAY},
+               (epoch_ms(ts) // {DAY}) * {DAY}, {DAY})) AS w
+    FROM events
+)
+GROUP BY 1, 2
+""")
+def events_hopping_window(spark, sf_dir):
+    """Hopping window (7d window, 1d hop): explode window starts map-side —
+    the batch analogue of sliding-window streaming aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    w = e.select(
+        "event_type", "value",
+        F.explode(F.expr(
+            f"sequence(ts_ms div {DAY} * {DAY} - {6 * DAY}, "
+            f"ts_ms div {DAY} * {DAY}, {DAY})")).alias("wstart"))
+    return (w.groupBy("wstart", "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value")))
+
+
 # --------------------------------------------------------------- flagship
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: range-query the sf0.001 corpus."""
