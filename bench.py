@@ -58,8 +58,12 @@ def main():
                 .filter(F.col("vec_id") < 3)
                 .select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").alias("query_vec")), k=5)),
+        "sim_lsh_topk": lambda: drain(
+            EQ.QUERIES["sim_lsh_topk"](spark, sf_dir)),
         "events_sessionize": lambda: drain(
             EQ.QUERIES["events_sessionize"](spark, sf_dir)),
+        "events_hopping": lambda: drain(
+            EQ.QUERIES["events_hopping_window"](spark, sf_dir)),
     }
 
     # warm the JVM/scan path once so timings measure the engine, not startup

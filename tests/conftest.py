@@ -26,12 +26,14 @@ def sf_dir():
 
 
 def make_samples(spark, rows):
-    """rows: list of (labels: dict, ts_ms: int, value: float) → samples df."""
+    """rows: list of (labels: dict, ts_ms: int, value: float|None) → samples
+    df.  value=None is the staleness marker (schema.py)."""
     from pyspark.sql import types as T
     schema = T.StructType([
         T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
         T.StructField("ts", T.LongType(), False),
-        T.StructField("value", T.DoubleType(), False),
+        T.StructField("value", T.DoubleType(), True),
     ])
     return spark.createDataFrame(
-        [(labels, ts, float(v)) for labels, ts, v in rows], schema)
+        [(labels, ts, None if v is None else float(v)) for labels, ts, v in rows],
+        schema)

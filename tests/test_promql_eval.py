@@ -312,3 +312,30 @@ def test_external_labels_decoration_and_elision(spark):
     r = vec(eng.query_instant('m{prom="p1"}', 0))
     assert r == {frozenset({("__name__", "m"), ("job", "a"), ("prom", "p1")}): 5.0}
     assert vec(eng.query_instant('m{prom="other"}', 0)) == {}
+
+
+def test_staleness_markers(spark):
+    """A NULL-valued marker (long-format staleNaN) suppresses the series from
+    instant lookback when latest, and never enters range windows
+    (SURVEY §4.2 #5)."""
+    rows = [
+        ({"__name__": "m", "job": "a"}, 0, 1.0),
+        ({"__name__": "m", "job": "a"}, 10 * S, 2.0),
+        ({"__name__": "m", "job": "a"}, 20 * S, None),   # stale at 20s
+        ({"__name__": "m", "job": "b"}, 0, 9.0),
+    ]
+    eng = eng_for(spark, rows)
+    # at t=15s: job=a alive (latest = 2.0)
+    r = vec(eng.query_instant("m", 15 * S))
+    assert r[frozenset({("__name__", "m"), ("job", "a")})] == 2.0
+    # at t=25s: job=a stale (marker is latest); job=b still alive
+    r = vec(eng.query_instant("m", 25 * S))
+    assert frozenset({("__name__", "m"), ("job", "a")}) not in r
+    assert r[frozenset({("__name__", "m"), ("job", "b")})] == 9.0
+    # range window skips markers: count_over_time sees 2 samples, not 3
+    r = vec(eng.query_instant("count_over_time(m{job=\"a\"}[1m])", 25 * S))
+    assert r[frozenset({("job", "a")})] == 2.0
+    # a real sample after the marker revives the series
+    rows.append(({"__name__": "m", "job": "a"}, 30 * S, 5.0))
+    r = vec(eng_for(spark, rows).query_instant("m", 35 * S))
+    assert r[frozenset({("__name__", "m"), ("job", "a")})] == 5.0

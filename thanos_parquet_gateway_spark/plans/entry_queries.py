@@ -1455,6 +1455,114 @@ def events_hopping_window(spark, sf_dir):
                  F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value")))
 
 
+@q("promql_ext_labels", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT shard, 'prom-a' AS prometheus,
+       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                   (a, b) -> a + b) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_ext_labels(spark, sf_dir):
+    """External-label decoration + matcher elision (A17): the matcher on the
+    constant stream label is consumed without scanning; the label is overlaid
+    on results (reference search/search.go:356-376, materialize.go:73-84)."""
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=LOOKBACK, deterministic=True,
+                       ext_labels={"prometheus": "prom-a"})
+    r = eng.query_instant(
+        'sum by (shard, prometheus) (click{prometheus="prom-a"})', T)
+    return r.df.select(_lbl("shard").alias("shard"),
+                       _lbl("prometheus").alias("prometheus"), "value")
+
+
+@q("promql_replica_dedup", f"""
+WITH raw AS (
+    SELECT event_type AS name,
+           CAST((user_id // 2) % 8 AS VARCHAR) AS shard,
+           CAST(user_id // 2 AS VARCHAR) AS "user",
+           epoch_ms(ts) AS ts, value
+    FROM events
+),
+dedup AS (
+    SELECT name, shard, "user", ts, max(value) AS value
+    FROM raw GROUP BY name, shard, "user", ts
+),
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM dedup
+    WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT shard,
+       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                   (a, b) -> a + b) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_replica_dedup(spark, sf_dir):
+    """Replica-label drop + hash dedup (A18/A19): HA replicas collapse to one
+    series, overlapping samples deduplicated by (series, ts) keeping the max
+    value (reference db/db.go:124-128, db/shard.go:252-268)."""
+    e = load_table(spark, sf_dir, "events")
+    labels = F.map_from_arrays(
+        F.array(F.lit("__name__"), F.lit("replica"), F.lit("shard"),
+                F.lit("user")),
+        F.array(F.col("event_type"),
+                (F.col("user_id") % 2).cast("string"),
+                ((F.col("user_id") / 2).cast("long") % 8).cast("string"),
+                (F.col("user_id") / 2).cast("long").cast("string")))
+    samples = e.select(F.col("event_type").alias("__name__"),
+                       labels.alias("labels"),
+                       F.col("ts_ms").alias("ts"), F.col("value"))
+    eng = PromQLEngine(samples, lookback_ms=LOOKBACK, deterministic=True,
+                       replica_labels=["replica"])
+    r = eng.query_instant("sum by (shard) (click)", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_staleness", f"""
+WITH {_SAMPLES},
+su AS (
+    SELECT shard, "user", ts, value FROM samples WHERE name = 'click'
+    UNION ALL
+    SELECT CAST(user_id % 8 AS VARCHAR), CAST(user_id AS VARCHAR),
+           {T - 3_600_000}, NULL
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0)
+),
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM su WHERE ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT "user", shard, value FROM last WHERE rn = 1 AND value IS NOT NULL
+""")
+def promql_staleness(spark, sf_dir):
+    """Staleness markers (SURVEY §4.2 #5): a NULL-valued marker sample is the
+    long-format encoding of Prometheus staleNaN (NaN payload bits do not
+    survive Arrow/Parquet canonicalization).  A marker that is the series'
+    latest sample suppresses it from instant lookback; markers never enter
+    range windows."""
+    e = load_table(spark, sf_dir, "events")
+    from thanos_parquet_gateway_spark.schema import stale_marker
+    markers = (e.select("user_id").distinct()
+               .filter(F.col("user_id") % 5 == 0)
+               .select(
+                   F.lit("click").alias("__name__"),
+                   F.map_from_arrays(
+                       F.array(F.lit("__name__"), F.lit("shard"), F.lit("user")),
+                       F.array(F.lit("click"),
+                               (F.col("user_id") % 8).cast("string"),
+                               F.col("user_id").cast("string"))).alias("labels"),
+                   F.lit(T - 3_600_000).cast("long").alias("ts"),
+                   stale_marker().alias("value")))
+    samples = samples_from_events(spark, sf_dir).unionByName(markers)
+    eng = PromQLEngine(samples, lookback_ms=LOOKBACK, deterministic=True)
+    r = eng.query_instant("click", T)
+    return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),
+                       "value")
+
+
 # --------------------------------------------------------------- flagship
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: range-query the sf0.001 corpus."""

@@ -189,7 +189,13 @@ class Compiler:
             return ~col.rlike(anchored)
         raise PromQLCompileError(f"bad matcher op {m.op}")
 
-    def _selector_base(self, vs: A.VectorSelector) -> DataFrame:
+    def _selector_base(self, vs: A.VectorSelector, window_ms: int) -> DataFrame:
+        """Filtered + sig-keyed samples for a selector.  The time-window
+        filter is applied BEFORE the canonical-sig projection: sig is the
+        expensive expression in the scan stage, and only in-window rows need
+        it (reference analogue: row-range pushdown before materialization,
+        search/constraint.go → materialize.go).  On time-partitioned converted
+        data the same predicate also drives partition pruning + page skipping."""
         df = self.samples
         if vs.name:
             df = df.filter(F.col("__name__") == vs.name)  # parquet pushdown
@@ -197,6 +203,16 @@ class Compiler:
             cond = self._matcher_cond(m)
             if cond is not None:
                 df = df.filter(cond)
+        if vs.at_ms is not None:
+            wmax = self._resolve_at(vs.at_ms)
+        else:
+            wmax = self.p.end_ms
+        wmin = (self._resolve_at(vs.at_ms) if vs.at_ms is not None
+                else self.p.start_ms) - window_ms
+        # bounds are on raw sample ts: effective ts = ts + offset must fall
+        # in (wmin, wmax]
+        lo, hi = wmin - vs.offset_ms, wmax - vs.offset_ms
+        df = df.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
         if self.ext_labels:
             ext = F.create_map(*[F.lit(x) for kv in self.ext_labels.items()
                                  for x in kv])
@@ -214,14 +230,18 @@ class Compiler:
         return at_ms
 
     def _vector_selector(self, vs: A.VectorSelector) -> InstantVector:
-        base = self._selector_base(vs)
+        base = self._selector_base(vs, self.p.lookback_ms)
         lb = self.p.lookback_ms
+        # staleness: a NULL-valued marker sample participates in "latest
+        # sample" selection (shadowing older real samples) and then drops the
+        # series at steps where it is latest (Prometheus staleness semantics)
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms) + vs.offset_ms * 0  # offset applied in base
             at_df = (base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at))
                      .groupBy("sig")
                      .agg(F.max(F.struct("ts", "value")).alias("sv"),
-                          F.first("labels").alias("labels")))
+                          F.first("labels").alias("labels"))
+                     .filter(F.col("sv.value").isNotNull()))
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
                            F.col("sv.ts").alias("sample_ts"),
@@ -231,6 +251,7 @@ class Compiler:
         out = (exploded.groupBy("t", "sig")
                .agg(F.max(F.struct("ts", "value")).alias("sv"),
                     F.first("labels").alias("labels"))
+               .filter(F.col("sv.value").isNotNull())
                .select("t", "sig", "labels",
                        F.col("sv.ts").alias("sample_ts"),
                        F.col("sv.value").alias("value")))
@@ -238,7 +259,9 @@ class Compiler:
 
     def _matrix_selector(self, ms: A.MatrixSelector) -> RangeVector:
         vs = ms.selector
-        base = self._selector_base(vs)
+        # stale markers never enter range windows (Prometheus skips them)
+        base = self._selector_base(vs, ms.range_ms).filter(
+            F.col("value").isNotNull())
         rng = ms.range_ms
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms)

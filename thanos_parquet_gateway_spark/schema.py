@@ -35,6 +35,19 @@ STREAM = "stream"
 
 LOOKBACK_MS = 5 * 60 * 1000  # PromQL default lookback (reference api/http/query.go:160)
 
+# Prometheus staleness markers are NaNs with a reserved bit pattern
+# (0x7ff0000000000002); Spark/Arrow canonicalize NaN payloads, so the bit
+# trick is unrepresentable here.  The long format instead encodes a stale
+# marker as value IS NULL (ordinary NaN samples stay NaN).  Conversion from
+# Prometheus chunks maps staleNaN → NULL at write time.
+def stale_marker() -> Column:
+    return F.lit(None).cast("double")
+
+
+def is_stale(value_col: Column | str) -> Column:
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return c.isNull()
+
 
 def label(labels_col: Column | str, key: str) -> Column:
     """A label value; missing key decays to '' per reference semantics

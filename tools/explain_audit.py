@@ -1,0 +1,115 @@
+"""Plan-quality audit: prints physical plans for the headline paths and
+checks the scale-critical properties (SURVEY.md §4):
+
+- matcher filters reach the parquet scan (PushedFilters),
+- scans read only needed columns (ReadSchema pruning),
+- small dimension joins broadcast (BroadcastHashJoin),
+- no driver-side collects inside operators.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, expectations: list[tuple[str, str]]):
+    print(f"\n=== {name} ===")
+    ok = True
+    for desc, pattern in expectations:
+        hit = re.search(pattern, plan) is not None
+        print(f"  [{'OK' if hit else 'MISS'}] {desc}")
+        ok &= hit
+    if not ok:
+        print(plan)
+    return ok
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import functions as F
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.operators import dedup, similarity
+    from thanos_parquet_gateway_spark.plans import entry_queries as EQ
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+    from thanos_parquet_gateway_spark.sources.tables import load_table
+
+    spark = get_spark("explain_audit")
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=EQ.LOOKBACK, deterministic=False)
+    results = []
+
+    # 1. instant selector: name/matcher filters must push to the events scan;
+    # the ts window is a row-level filter here (the raw column is nanos — on
+    # the converted ms layout the same predicate prunes partitions/pages)
+    q1 = eng.query_instant('click{user=~"1.*", shard!="3"}', EQ.T).df
+    results.append(check("promql instant selector", plan_of(q1), [
+        ("name equality pushed to scan",
+         r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
+        ("ts window filtered at scan stage", r"div 1000000\) > \d+"),
+    ]))
+
+    # 2. range rate: grid explode must be map-side (no join against a grid)
+    q2 = eng.query_range("rate(click[2d])", EQ.R_START, EQ.R_END, EQ.STEP).df
+    p2 = plan_of(q2)
+    results.append(check("promql range rate", p2, [
+        ("name filter pushed", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
+        ("time-window filter before explode", r"div 1000000\) > \d+"),
+        ("window agg shuffles on (t, sig)", r"hashpartitioning\(t#\d+L?, sig"),
+    ]))
+    if "CartesianProduct" in p2:
+        print("  [MISS] cartesian grid join present")
+        results.append(False)
+
+    # 3. tpch q3: dimension joins must broadcast
+    q3 = EQ.QUERIES["tpch_q3_shipping"](spark, sf_dir)
+    results.append(check("tpch q3", plan_of(q3), [
+        ("broadcast join used", r"BroadcastHashJoin"),
+        ("orders date filter pushed", r"PushedFilters: \[.*LessThan\(o_orderdate"),
+        ("lineitem shipdate filter pushed",
+         r"PushedFilters: \[.*GreaterThan\(l_shipdate"),
+    ]))
+
+    # 4. LSH: hashing spread across partitions; single hashing pass; the
+    # doc_id partitioning must be reused across shingle-dedup/minhash/band
+    # aggregations (few exchanges)
+    q4 = dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    p4 = plan_of(q4)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p4))
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p4))
+    print(f"\n=== dedup lsh ===\n  parquet scans: {n_scans} (want 1), "
+          f"exchanges: {n_exch} (want <=3)")
+    results.append(n_scans == 1 and n_exch <= 3)
+
+    # 5. similarity topk: corpus side stays partitioned, query side broadcast
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    q5 = similarity.brute_force_topk(emb, q, k=5)
+    results.append(check("similarity topk", plan_of(q5), [
+        ("query side broadcast", r"Broadcast(NestedLoopJoin|ExchangeExec|Exchange)"),
+    ]))
+
+    print(f"\n{'ALL OK' if all(results) else 'SOME CHECKS MISSED'}")
+    return 0 if all(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
