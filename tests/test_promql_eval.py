@@ -339,3 +339,18 @@ def test_staleness_markers(spark):
     rows.append(({"__name__": "m", "job": "a"}, 30 * S, 5.0))
     r = vec(eng_for(spark, rows).query_instant("m", 35 * S))
     assert r[frozenset({("__name__", "m"), ("job", "a")})] == 5.0
+
+
+def test_double_exponential_smoothing(spark):
+    """Level/trend recurrence, hand-computed (s0=v0, b0=v1-v0)."""
+    rows = counter("m", {"job": "a"}, 0, 10 * S, [147.42, 55.56, 12.58, 33.05])
+    eng = eng_for(spark, rows, lookback_ms=60_000)
+    r = vec(eng.query_instant(
+        "double_exponential_smoothing(m[1m], 0.5, 0.3)", 40 * S))
+    got = r[frozenset({("job", "a")})]
+    s, b = 147.42, 55.56 - 147.42
+    for v in (55.56, 12.58, 33.05):
+        s_new = 0.5 * v + 0.5 * (s + b)
+        b = 0.3 * (s_new - s) + 0.7 * b
+        s = s_new
+    assert got == pytest.approx(s, abs=0, rel=0)  # exact

@@ -1563,6 +1563,148 @@ def promql_staleness(spark, sf_dir):
                        "value")
 
 
+@q("promql_holt_winters", f"""
+WITH RECURSIVE events_ms AS (
+    SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+arrs AS (
+    SELECT t, "user", list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+           count(*) AS n
+    FROM win GROUP BY t, "user" HAVING count(*) >= 2
+),
+-- level/trend recurrence as a recursive CTE: DuckDB list_reduce mutates
+-- struct accumulators field-by-field, so a struct fold is NOT order-safe
+hw AS (
+    SELECT t, "user", 2 AS i, n, vals[1] AS s, vals[2] - vals[1] AS b FROM arrs
+    UNION ALL
+    SELECT h.t, h."user", h.i + 1, h.n,
+           0.5 * a.vals[h.i] + (1.0 - 0.5) * (h.s + h.b),
+           0.3 * ((0.5 * a.vals[h.i] + (1.0 - 0.5) * (h.s + h.b)) - h.s)
+             + (1.0 - 0.3) * h.b
+    FROM hw h JOIN arrs a ON a.t = h.t AND a."user" = h."user"
+    WHERE h.i <= h.n
+)
+SELECT t, "user", s AS value FROM hw WHERE i = n + 1
+""")
+def promql_holt_winters(spark, sf_dir):
+    """double_exponential_smoothing: level/trend fold (acceptance corpus)."""
+    r = _engine(spark, sf_dir).query_range(
+        "double_exponential_smoothing(click[2d], 0.5, 0.3)",
+        R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_over_time_family", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'purchase' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+)
+SELECT t, "user",
+       list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)),
+                   (a, b) -> a + b) AS sum_v,
+       last(value ORDER BY ts, value) AS last_v,
+       1.0 AS present_v
+FROM win GROUP BY t, "user"
+""")
+def promql_over_time_family(spark, sf_dir):
+    """sum/last/present_over_time joined into one frame."""
+    eng = _engine(spark, sf_dir)
+    s = eng.query_range("sum_over_time(purchase[2d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("sum_v"))
+    l = eng.query_range("last_over_time(purchase[2d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("last_v"))
+    p = eng.query_range("present_over_time(purchase[2d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("present_v"))
+    return s.join(l, ["t", "user"]).join(p, ["t", "user"])
+
+
+@q("promql_quantile_stddev_over_time", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'view' AND e.ts > g.t - {3 * DAY} AND e.ts <= g.t
+),
+arrs AS (
+    SELECT t, "user",
+           list(CAST(value AS DOUBLE) ORDER BY value) AS sorted_vals,
+           list(CAST(value AS DOUBLE) ORDER BY ts, value) AS ts_vals,
+           count(*) AS n
+    FROM win GROUP BY t, "user"
+),
+m AS (
+    SELECT t, "user", sorted_vals, ts_vals, n,
+           0.9 * (CAST(n AS DOUBLE) - 1) AS rank,
+           list_reduce(list_prepend(0.0, ts_vals), (a, b) -> a + b)
+             / CAST(n AS DOUBLE) AS mean
+    FROM arrs
+)
+SELECT t, "user",
+       CASE WHEN n = 0 THEN 'NaN'::DOUBLE ELSE
+           sorted_vals[CAST(floor(rank) AS INT) + 1]
+           + (sorted_vals[CAST(ceil(rank) AS INT) + 1]
+              - sorted_vals[CAST(floor(rank) AS INT) + 1])
+             * (rank - floor(rank))
+       END AS q90,
+       sqrt(list_reduce(list_prepend(0.0,
+                list_transform(ts_vals, v -> (v - mean) * (v - mean))),
+            (a, b) -> a + b) / CAST(n AS DOUBLE)) AS sd
+FROM m
+""")
+def promql_quantile_stddev_over_time(spark, sf_dir):
+    """quantile_over_time + stddev_over_time joined."""
+    eng = _engine(spark, sf_dir)
+    qv = eng.query_range("quantile_over_time(0.9, view[3d])",
+                         R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("q90"))
+    sd = eng.query_range("stddev_over_time(view[3d])", R_START, R_END, STEP).df \
+        .select("t", _lbl("user").alias("user"), F.col("value").alias("sd"))
+    return qv.join(sd, ["t", "user"])
+
+
+@q("promql_idelta", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value,
+           row_number() OVER (PARTITION BY g.t, e.user_id
+                              ORDER BY e.ts DESC, e.value DESC) AS rn
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+p AS (
+    SELECT t, "user",
+           max(CASE WHEN rn = 1 THEN value END) AS v1,
+           max(CASE WHEN rn = 2 THEN value END) AS v2,
+           count(*) AS n
+    FROM win GROUP BY t, "user"
+)
+SELECT t, "user", v1 - v2 AS value FROM p WHERE n >= 2
+""")
+def promql_idelta(spark, sf_dir):
+    r = _engine(spark, sf_dir).query_range("idelta(click[2d])",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_absent_over_time", """
+SELECT '99999' AS "user", 1.0 AS value
+""")
+def promql_absent_over_time(spark, sf_dir):
+    r = _engine(spark, sf_dir).query_instant(
+        'absent_over_time(click{user="99999"}[7d])', T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
 # --------------------------------------------------------------- flagship
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: range-query the sf0.001 corpus."""

@@ -172,6 +172,33 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
     return _iv(_drop_name(out))
 
 
+def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
+    """double_exponential_smoothing (holt_winters): level/trend recurrence
+    folded sequentially over the window.  s0 = v[0], b0 = v[1] - v[0];
+    s_i = sf*v_i + (1-sf)*(s+b); b_i = tf*(s_i - s) + (1-tf)*b."""
+    rv = _range_arg(c, call, 0)
+    sf = _scalar_lit(c, call, 1)
+    tf = _scalar_lit(c, call, 2)
+    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    arr = F.col("arr")
+    first_v = F.element_at(arr, 1)["v"]
+    second_v = F.element_at(arr, 2)["v"]
+    acc0 = F.struct(first_v.alias("s"), (second_v - first_v).alias("b"))
+    sfL, tfL = F.lit(float(sf)), F.lit(float(tf))
+
+    def step(a, e):
+        s_new = sfL * e["v"] + (F.lit(1.0) - sfL) * (a["s"] + a["b"])
+        b_new = tfL * (s_new - a["s"]) + (F.lit(1.0) - tfL) * a["b"]
+        return F.struct(s_new.alias("s"), b_new.alias("b"))
+
+    res = F.aggregate(F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                      acc0, step)
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   res["s"].alias("value"))
+    return _iv(_drop_name(out))
+
+
 def _counts_fold(arr: Column, mode: str) -> Column:
     """resets: count v[i] < v[i-1]; changes: count v[i] != v[i-1] (NaN→NaN is
     not a change)."""
@@ -375,6 +402,8 @@ def dispatch(c: Compiler, call: A.Call):
         return _extrapolated(c, _range_arg(c, call), counter=False, is_rate=False)
     if fn in ("irate", "idelta"):
         return _instant_pair(c, _range_arg(c, call), fn)
+    if fn in ("double_exponential_smoothing", "holt_winters"):
+        return _double_exp_smoothing(c, call)
     if fn in ("resets", "changes"):
         rv = _range_arg(c, call)
         g = _collect_window(rv)
