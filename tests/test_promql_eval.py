@@ -354,3 +354,54 @@ def test_double_exponential_smoothing(spark):
         b = 0.3 * (s_new - s) + 0.7 * b
         s = s_new
     assert got == pytest.approx(s, abs=0, rel=0)  # exact
+
+
+def _hist_samples(spark, rows):
+    """rows: (labels, ts, count, sum, buckets[(le, count)])"""
+    from pyspark.sql import types as T
+    from thanos_parquet_gateway_spark.promql.histograms import HIST_TYPE
+    schema = T.StructType([
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("hist", HIST_TYPE, True),
+    ])
+    data = [(labels, ts, float("nan"), (float(c), float(s),
+             [(float(le), float(bc)) for le, bc in bks]))
+            for labels, ts, c, s, bks in rows]
+    return spark.createDataFrame(data, schema)
+
+
+def test_native_histograms(spark):
+    """Native-histogram samples: count/sum/avg/quantile/fraction + sum-merge
+    (reference float-histogram coverage db/db_test.go:344-351)."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    inf = float("inf")
+    rows = [
+        ({"__name__": "h", "job": "a"}, 0, 4, 10.0, [(1, 2), (2, 1), (inf, 1)]),
+        ({"__name__": "h", "job": "b"}, 0, 2, 6.0, [(1, 1), (inf, 1)]),
+    ]
+    eng = PromQLEngine(_hist_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True)
+    r = vec(eng.query_instant("histogram_count(h)", 0))
+    assert r[frozenset({("job", "a")})] == 4.0
+    assert r[frozenset({("job", "b")})] == 2.0
+    r = vec(eng.query_instant("histogram_sum(h)", 0))
+    assert r[frozenset({("job", "a")})] == 10.0
+    r = vec(eng.query_instant("histogram_avg(h)", 0))
+    assert r[frozenset({("job", "a")})] == 2.5
+    # quantile: rank=0.5*4=2 → first bucket [0,1], interp 0+1*2/2 = 1.0
+    r = vec(eng.query_instant("histogram_quantile(0.5, h)", 0))
+    assert r[frozenset({("job", "a")})] == 1.0
+    # fraction of [0,2]: cumulative at 2 = 3 of 4
+    r = vec(eng.query_instant("histogram_fraction(0, 2, h)", 0))
+    assert r[frozenset({("job", "a")})] == 0.75
+    # sum-merge: bucket union le-aligned, totals add
+    res = eng.query_instant("sum(h)", 0)
+    row = res.df.collect()[0]
+    assert row["hist"]["count"] == 6.0 and row["hist"]["sum"] == 16.0
+    assert [(b["le"], b["count"]) for b in row["hist"]["buckets"]] == \
+        [(1.0, 3.0), (2.0, 1.0), (inf, 2.0)]
+    # quantile over the merged histogram
+    r = vec(eng.query_instant("histogram_quantile(0.5, sum(h))", 0))
+    assert r[frozenset()] == 1.0

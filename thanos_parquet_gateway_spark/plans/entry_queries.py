@@ -1705,6 +1705,105 @@ def promql_absent_over_time(spark, sf_dir):
     return r.df.select(_lbl("user").alias("user"), "value")
 
 
+@q("promql_native_histogram", f"""
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS "user", value FROM events
+    WHERE event_type = 'click' AND value > 0
+      AND epoch_ms(ts) > {T - LOOKBACK} AND epoch_ms(ts) <= {T}
+),
+bucketed AS (
+    SELECT "user", value,
+           CASE WHEN value <= 5 THEN 5.0 WHEN value <= 10 THEN 10.0
+                WHEN value <= 20 THEN 20.0 WHEN value <= 40 THEN 40.0
+                ELSE 'inf'::DOUBLE END AS le
+    FROM ev
+),
+per_bucket AS (
+    SELECT "user", le, CAST(count(*) AS DOUBLE) AS bc
+    FROM bucketed GROUP BY "user", le
+),
+totals AS (
+    SELECT "user", CAST(count(*) AS DOUBLE) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM bucketed GROUP BY "user"
+),
+cum AS (
+    SELECT "user", le, sum(bc) OVER (PARTITION BY "user" ORDER BY le) AS c
+    FROM per_bucket
+),
+located AS (
+    SELECT t."user", t.cnt, t.total, 0.75 * t.cnt AS rank,
+           min(CASE WHEN c.c >= 0.75 * t.cnt THEN c.le END) AS upper_le
+    FROM totals t JOIN cum c USING ("user")
+    GROUP BY t."user", t.cnt, t.total
+),
+interp AS (
+    SELECT l."user", l.cnt, l.total, l.rank, l.upper_le,
+           coalesce(max(c2.le), 0.0) AS lower_le,
+           coalesce(max_by(c2.c, c2.le), 0.0) AS count_lo
+    FROM located l LEFT JOIN cum c2
+      ON c2."user" = l."user" AND c2.le < l.upper_le
+    GROUP BY l."user", l.cnt, l.total, l.rank, l.upper_le
+),
+q75 AS (
+    SELECT i."user", i.cnt, i.total,
+           CASE WHEN i.upper_le = 'inf'::DOUBLE THEN
+                    coalesce((SELECT max(le) FROM per_bucket p
+                              WHERE p."user" = i."user" AND p.le < 'inf'::DOUBLE),
+                             'NaN'::DOUBLE)
+                ELSE i.lower_le + (i.upper_le - i.lower_le)
+                     * (i.rank - i.count_lo) / (cu.c - i.count_lo)
+           END AS q75
+    FROM interp i JOIN cum cu ON cu."user" = i."user" AND cu.le = i.upper_le
+)
+SELECT "user", cnt, total, q75 FROM q75
+""")
+def promql_native_histogram(spark, sf_dir):
+    """Native-histogram samples (custom bucket bounds, NHCB-style): per-user
+    histogram of click values → histogram_count/sum/quantile (reference
+    float-histogram coverage db/db_test.go:344-351; histograms.py)."""
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter((F.col("event_type") == "click") & (F.col("value") > 0) &
+                  (F.col("ts_ms") > T - LOOKBACK) & (F.col("ts_ms") <= T))
+    le = (F.when(F.col("value") <= 5, 5.0).when(F.col("value") <= 10, 10.0)
+          .when(F.col("value") <= 20, 20.0).when(F.col("value") <= 40, 40.0)
+          .otherwise(float("inf")))
+    b = ev.withColumn("le", le)
+    per_bucket = (b.groupBy("user_id", "le")
+                  .agg(F.count("*").cast("double").alias("bc")))
+    buckets = (per_bucket.groupBy("user_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("le"), F.col("bc").alias("count"))))
+                   .alias("bks")))
+    totals = (b.groupBy("user_id")
+              .agg(F.count("*").cast("double").alias("cnt"),
+                   F.sum(F.col("value").cast(_DEC)).cast("double").alias("total")))
+    inf_tail = F.array(F.struct(F.lit(float("inf")).alias("le"),
+                                F.lit(0.0).alias("count")))
+    samples = (totals.join(buckets, "user_id")
+               .select(F.lit("lat_hist").alias("__name__"),
+                       F.map_from_arrays(
+                           F.array(F.lit("__name__"), F.lit("user")),
+                           F.array(F.lit("lat_hist"),
+                                   F.col("user_id").cast("string"))).alias("labels"),
+                       F.lit(T).cast("long").alias("ts"),
+                       F.lit(float("nan")).alias("value"),
+                       H.make_hist(F.col("cnt"), F.col("total"),
+                                   F.when(F.element_at(F.col("bks"), -1)["le"]
+                                          == float("inf"), F.col("bks"))
+                                   .otherwise(F.concat(F.col("bks"), inf_tail)))
+                       .alias("hist")))
+    eng = PromQLEngine(samples, lookback_ms=60_000, deterministic=True)
+    cnt = eng.query_instant("histogram_count(lat_hist)", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("cnt"))
+    tot = eng.query_instant("histogram_sum(lat_hist)", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("total"))
+    q75 = eng.query_instant("histogram_quantile(0.75, lat_hist)", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("q75"))
+    return cnt.join(tot, ["user"]).join(q75, ["user"])
+
+
 # --------------------------------------------------------------- flagship
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: range-query the sf0.001 corpus."""

@@ -219,8 +219,11 @@ class Compiler:
             keep = drop_labels("labels", list(self.ext_labels))
             df = df.withColumn("labels", F.map_concat(keep, ext))
         ts_eff = F.col("ts") + F.lit(vs.offset_ms) if vs.offset_ms else F.col("ts")
-        return df.select(canonical_sig("labels").alias("sig"),
-                         F.col("labels"), ts_eff.alias("ts"), F.col("value"))
+        cols = [canonical_sig("labels").alias("sig"),
+                F.col("labels"), ts_eff.alias("ts"), F.col("value")]
+        if "hist" in df.columns:  # native-histogram samples (histograms.py)
+            cols.append(F.col("hist"))
+        return df.select(*cols)
 
     def _resolve_at(self, at_ms: int) -> int:
         if at_ms == -1:
@@ -235,26 +238,32 @@ class Compiler:
         # staleness: a NULL-valued marker sample participates in "latest
         # sample" selection (shadowing older real samples) and then drops the
         # series at steps where it is latest (Prometheus staleness semantics)
+        has_hist = "hist" in base.columns
+        pair_cols = ["ts", "value"] + (["hist"] if has_hist else [])
+        sel_extra = ([F.col("sv.hist").alias("hist")] if has_hist else [])
+        alive = (F.col("sv.value").isNotNull() |
+                 F.col("sv.hist").isNotNull()) if has_hist else \
+            F.col("sv.value").isNotNull()
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms) + vs.offset_ms * 0  # offset applied in base
             at_df = (base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at))
                      .groupBy("sig")
-                     .agg(F.max(F.struct("ts", "value")).alias("sv"),
+                     .agg(F.max(F.struct(*pair_cols)).alias("sv"),
                           F.first("labels").alias("labels"))
-                     .filter(F.col("sv.value").isNotNull()))
+                     .filter(alive))
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
                            F.col("sv.ts").alias("sample_ts"),
-                           F.col("sv.value").alias("value")))
+                           F.col("sv.value").alias("value"), *sel_extra))
             return InstantVector(out)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
         out = (exploded.groupBy("t", "sig")
-               .agg(F.max(F.struct("ts", "value")).alias("sv"),
+               .agg(F.max(F.struct(*pair_cols)).alias("sv"),
                     F.first("labels").alias("labels"))
-               .filter(F.col("sv.value").isNotNull())
+               .filter(alive)
                .select("t", "sig", "labels",
                        F.col("sv.ts").alias("sample_ts"),
-                       F.col("sv.value").alias("value")))
+                       F.col("sv.value").alias("value"), *sel_extra))
         return InstantVector(out)
 
     def _matrix_selector(self, ms: A.MatrixSelector) -> RangeVector:
@@ -365,6 +374,30 @@ class Compiler:
                         F.count("*").cast("double").alias("value"))
                    .select("t", "sig", "labels",
                            F.lit(None).cast("long").alias("sample_ts"), "value"))
+            return InstantVector(out)
+
+        if "hist" in df.columns and agg.op == "sum":
+            # native-histogram sum: le-aligned bucket merge (histograms.py)
+            from thanos_parquet_gateway_spark.promql import histograms as H
+            hdf = df.filter(F.col("hist").isNotNull())
+            totals = (hdf.groupBy("t", "gsig")
+                      .agg(F.sum(F.col("hist.count")).alias("__c"),
+                           F.sum(F.col("hist.sum")).alias("__s"),
+                           F.first("glabels").alias("labels")))
+            buckets = (hdf.select("t", "gsig",
+                                  F.explode(F.col("hist.buckets")).alias("b"))
+                       .groupBy("t", "gsig", F.col("b.le").alias("__le"))
+                       .agg(F.sum(F.col("b.count")).alias("__bc"))
+                       .groupBy("t", "gsig")
+                       .agg(F.array_sort(F.collect_list(
+                           F.struct(F.col("__le").alias("le"),
+                                    F.col("__bc").alias("count")))).alias("__bk")))
+            out = (totals.join(buckets, ["t", "gsig"])
+                   .select("t", F.col("gsig").alias("sig"), "labels",
+                           F.lit(None).cast("long").alias("sample_ts"),
+                           F.lit(float("nan")).alias("value"),
+                           H.make_hist(F.col("__c"), F.col("__s"),
+                                       F.col("__bk")).alias("hist")))
             return InstantVector(out)
 
         if self.p.deterministic:

@@ -77,7 +77,8 @@ class PromQLEngine:
         if isinstance(v, RangeVector):
             raise ValueError("range query must evaluate to an instant vector/scalar")
         if isinstance(v, InstantVector):
-            df = v.df.select("t", "sig", "labels", "value")
+            extra = ["hist"] if "hist" in v.df.columns else []
+            df = v.df.select("t", "sig", "labels", "value", *extra)
             return QueryResult(df, "matrix")
         raise ValueError(f"unexpected result {type(v).__name__}")
 
@@ -90,7 +91,9 @@ class PromQLEngine:
         if isinstance(v, RangeVector):
             return QueryResult(v.df.select("t", "sig", "labels", "ts", "value"),
                                "matrix")
-        return QueryResult(v.df.select("t", "sig", "labels", "value"), "vector")
+        extra = ["hist"] if "hist" in v.df.columns else []
+        return QueryResult(v.df.select("t", "sig", "labels", "value", *extra),
+                           "vector")
 
     # ------------------------------------------- metadata APIs (A27-A31)
     def _matched(self, match: list[str], start_ms: int, end_ms: int) -> DataFrame:

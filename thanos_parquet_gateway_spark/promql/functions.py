@@ -418,7 +418,38 @@ def dispatch(c: Compiler, call: A.Call):
         return _predict_linear(c, call)
 
     if fn == "histogram_quantile":
+        iv = _vector_arg(c, call, 1)
+        if "hist" in iv.df.columns:  # native histograms (histograms.py)
+            from thanos_parquet_gateway_spark.promql import histograms as H
+            q_ = _scalar_lit(c, call, 0)
+            df = (iv.df.filter(F.col("hist").isNotNull())
+                  .withColumn("value", H.hist_quantile(q_, F.col("hist")))
+                  .drop("hist"))
+            return _iv(_drop_name(df))
         return _histogram_quantile(c, call)
+
+    if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+        from thanos_parquet_gateway_spark.promql import histograms as H
+        iv = _vector_arg(c, call, 0)
+        if "hist" not in iv.df.columns:
+            raise PromQLCompileError(f"{fn} requires native-histogram samples")
+        val = {"histogram_count": H.hist_count, "histogram_sum": H.hist_sum,
+               "histogram_avg": H.hist_avg}[fn](F.col("hist"))
+        df = (iv.df.filter(F.col("hist").isNotNull())
+              .withColumn("value", val).drop("hist"))
+        return _iv(_drop_name(df))
+
+    if fn == "histogram_fraction":
+        from thanos_parquet_gateway_spark.promql import histograms as H
+        lo = _scalar_lit(c, call, 0)
+        hi = _scalar_lit(c, call, 1)
+        iv = _vector_arg(c, call, 2)
+        if "hist" not in iv.df.columns:
+            raise PromQLCompileError("histogram_fraction requires native histograms")
+        df = (iv.df.filter(F.col("hist").isNotNull())
+              .withColumn("value", H.hist_fraction(lo, hi, F.col("hist")))
+              .drop("hist"))
+        return _iv(_drop_name(df))
     if fn == "label_replace":
         return _label_replace(c, call)
     if fn == "label_join":

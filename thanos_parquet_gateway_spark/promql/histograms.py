@@ -1,0 +1,162 @@
+"""Native-histogram support (reference: HISTOGRAM / FLOAT_HISTOGRAM chunk
+encodings, api/grpc/thanos.go:462-473; float-histogram queries
+db/db_test.go:344-351).
+
+Spark-first representation (SURVEY.md §1.4 "native histograms → nested
+StructType"): a nullable ``hist`` column on the samples table,
+
+    hist: struct<count:  double,   -- total observations
+                 sum:    double,   -- sum of observations
+                 buckets: array<struct<le:double, count:double>>>
+
+``buckets`` are NON-cumulative with explicit upper bounds, sorted by le
+ascending, last bucket le = +Inf.  Conversion from Prometheus sparse
+exponential schemas computes the bounds at ingest (le = base^(idx), base =
+2^(2^-schema)) — storing bounds directly makes bucket algebra a plain
+array/groupBy problem and removes schema-mismatch handling from the query
+path (different-schema histograms land on their own le grids and merge via
+le equality, mirroring Prometheus' reduce-to-common-schema on ingest).
+
+Float samples leave ``hist`` NULL; histogram samples carry value = NaN like
+Prometheus' series model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+D = "double"
+
+HIST_TYPE = T.StructType([
+    T.StructField("count", T.DoubleType()),
+    T.StructField("sum", T.DoubleType()),
+    T.StructField("buckets", T.ArrayType(T.StructType([
+        T.StructField("le", T.DoubleType()),
+        T.StructField("count", T.DoubleType()),
+    ]))),
+])
+
+
+def make_hist(count: Column, total: Column, buckets: Column) -> Column:
+    return F.struct(count.cast(D).alias("count"), total.cast(D).alias("sum"),
+                    buckets.alias("buckets"))
+
+
+def null_hist() -> Column:
+    return F.lit(None).cast(HIST_TYPE)
+
+
+def exp_bucket_le(value: Column, schema: int = 0) -> Column:
+    """Upper bound of the exponential bucket containing ``value`` (>0):
+    le = base^ceil(log_base(v)), base = 2^(2^-schema).  schema=0 → powers
+    of two, matching Prometheus native-histogram schema 0."""
+    base = float(2.0 ** (2.0 ** -schema))
+    logb = F.log(F.lit(base), value.cast(D))
+    return F.pow(F.lit(base), F.ceil(logb).cast(D))
+
+
+def hist_count(hist: Column) -> Column:
+    return hist["count"]
+
+
+def hist_sum(hist: Column) -> Column:
+    return hist["sum"]
+
+
+def hist_avg(hist: Column) -> Column:
+    return hist["sum"] / hist["count"]
+
+
+def _cumulative(hist: Column) -> Column:
+    """buckets → running-total counts (same shape, cumulative)."""
+    return F.aggregate(
+        hist["buckets"],
+        F.array().cast("array<struct<le:double,count:double>>"),
+        lambda acc, b: F.concat(acc, F.array(F.struct(
+            b["le"].alias("le"),
+            (b["count"] + F.coalesce(F.try_element_at(acc, F.lit(-1))["count"],
+                                     F.lit(0.0))).alias("count")))))
+
+
+def hist_quantile(q: float, hist: Column) -> Column:
+    """Quantile over native buckets: locate the cumulative bucket containing
+    rank = q*count, linear-interpolate within [lower, upper) (Prometheus
+    bucketQuantile applied to the explicit-bound representation; the +Inf
+    bucket returns the highest finite bound)."""
+    cum = _cumulative(hist)
+    les = F.transform(cum, lambda x: x["le"])
+    counts = F.transform(cum, lambda x: x["count"])
+    b = F.size(cum)
+    total = hist["count"]
+    rank = F.lit(float(q)) * total
+    idx = F.aggregate(
+        F.sequence(F.lit(1), b), F.lit(-1),
+        lambda acc, i: F.when((acc == -1) & (F.element_at(counts, i) >= rank), i)
+                        .otherwise(acc))
+    lower = F.when(idx == 1,
+                   F.when(F.element_at(les, 1) <= 0, F.element_at(les, 1))
+                    .otherwise(F.lit(0.0))) \
+             .otherwise(F.element_at(les, F.greatest(idx - 1, F.lit(1))))
+    upper = F.element_at(les, F.greatest(idx, F.lit(1)))
+    count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
+        F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
+    count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
+    interp = lower + (upper - lower) * (rank - count_lo) / (count_hi - count_lo)
+    nan = F.lit(float("nan"))
+    return (F.when(F.lit(q) < 0, F.lit(float("-inf")))
+             .when(F.lit(q) > 1, F.lit(float("inf")))
+             .when((b < 1) | (total == 0), nan)
+             .when(idx == -1, nan)
+             .when((idx == b) & (b >= 2), F.element_at(les, -2))
+             .when(idx == b, nan)  # only the +Inf bucket exists
+             .otherwise(interp))
+
+
+def _cum_at(hist: Column, x: Column) -> Column:
+    """Interpolated cumulative count at value x (0 below first bound's
+    zero-anchor, total above the last finite bound)."""
+    cum = _cumulative(hist)
+    les = F.transform(cum, lambda e: e["le"])
+    counts = F.transform(cum, lambda e: e["count"])
+    b = F.size(cum)
+    # first bucket index with le >= x
+    idx = F.aggregate(
+        F.sequence(F.lit(1), b), F.lit(-1),
+        lambda acc, i: F.when((acc == -1) & (F.element_at(les, i) >= x), i)
+                        .otherwise(acc))
+    lower = F.when(idx == 1, F.lit(0.0)).otherwise(
+        F.element_at(les, F.greatest(idx - 1, F.lit(1))))
+    count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
+        F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
+    upper = F.element_at(les, F.greatest(idx, F.lit(1)))
+    count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
+    frac = F.when(upper == lower, F.lit(0.0)) \
+            .otherwise((x - lower) / (upper - lower))
+    interp = count_lo + (count_hi - count_lo) * F.least(F.greatest(frac, F.lit(0.0)),
+                                                        F.lit(1.0))
+    total = hist["count"]
+    return (F.when(idx == -1, total)           # x above every bound
+             .when(x <= F.lit(0.0), F.lit(0.0))
+             .otherwise(interp))
+
+
+def hist_fraction(lo: float, hi: float, hist: Column) -> Column:
+    """histogram_fraction(lo, hi, h): estimated fraction of observations in
+    [lo, hi] via interpolated cumulative counts."""
+    total = hist["count"]
+    frac = (_cum_at(hist, F.lit(float(hi))) - _cum_at(hist, F.lit(float(lo)))) / total
+    return F.when(total == 0, F.lit(float("nan"))).otherwise(frac)
+
+
+def merge_two(a: Column, b: Column) -> Column:
+    """Pointwise histogram merge (le-aligned): used by sum aggregation.
+    Bucket union keyed by le; counts add."""
+    both = F.concat(a["buckets"], b["buckets"])
+    les = F.array_sort(F.array_distinct(F.transform(both, lambda e: e["le"])))
+    merged = F.transform(les, lambda le: F.struct(
+        le.alias("le"),
+        F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
+                    lambda acc, e: acc + e["count"]).alias("count")))
+    return make_hist(a["count"] + b["count"], a["sum"] + b["sum"], merged)
