@@ -120,3 +120,33 @@ def test_streaming_convert_agrees_with_batch(spark, tmp_path):
     assert back.count() == 72
     assert sorted(p.split("date=")[-1] for p in glob.glob(f"{out}/stream=0/date=*")) \
         == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+
+def test_stateful_running_increase_agrees_with_batch(spark, tmp_path):
+    """applyInPandasWithState custom operator: streaming reset-corrected
+    running increase carries state across micro-batches and matches the
+    batch window-based oracle."""
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.streaming.stateful import (
+        batch_running_increase,
+        stream_running_increase,
+    )
+    rows = [({"__name__": "c", "job": "a"}, t * 1000, v)
+            for t, v in enumerate([0, 5, 9, 2, 4, 1, 8])]  # resets at 2 and 1
+    rows += [({"__name__": "c", "job": "b"}, t * 1000, float(t))
+             for t in range(5)]
+    df = make_samples(spark, rows)
+    in_path, out, ckpt = (str(tmp_path / "in"), str(tmp_path / "out"),
+                          str(tmp_path / "ckpt"))
+    # two separate drops → two stream runs sharing the checkpointed state
+    df.filter(df.ts < 3000).write.parquet(in_path)
+    q = stream_running_increase(spark, in_path, out, ckpt)
+    assert q.awaitTermination(120)
+    df.filter(df.ts >= 3000).write.mode("append").parquet(in_path)
+    q = stream_running_increase(spark, in_path, out, ckpt)
+    assert q.awaitTermination(120)
+    got = {(r["sig"], r["ts"]): r["cum_increase"]
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["sig"], r["ts"]): r["cum_increase"]
+            for r in batch_running_increase(df).collect()}
+    assert got == want
