@@ -150,3 +150,39 @@ def test_stateful_running_increase_agrees_with_batch(spark, tmp_path):
     want = {(r["sig"], r["ts"]): r["cum_increase"]
             for r in batch_running_increase(df).collect()}
     assert got == want
+
+
+def test_query_over_converted_layout(spark, sf_dir, tmp_path):
+    """E2E: the PromQL engine over the converted partitioned table returns
+    the same results as over raw samples, and the plan prunes date
+    partitions for the query window (reference serve-over-converted path).
+    Converts into its own directory — the shared `converted` fixture is
+    mutated by the retention test."""
+    import io
+    from contextlib import redirect_stdout
+
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    out = str(tmp_path / "table")
+    raw = samples_from_events(spark, sf_dir)
+    convert_samples(raw, out, max_records_per_file=100_000)
+    conv = spark.read.parquet(out)  # keeps the date/stream partition columns
+    t_eval = 1704412800000  # 2024-01-05
+    lb = 2 * 86400_000
+    e_raw = PromQLEngine(raw, lookback_ms=lb, deterministic=True)
+    e_conv = PromQLEngine(conv, lookback_ms=lb, deterministic=True)
+    q = "sum by (shard) (click)"
+    rows_raw = sorted((dict(r["labels"])["shard"], r["value"])
+                      for r in e_raw.query_instant(q, t_eval).df.collect())
+    rows_conv = sorted((dict(r["labels"])["shard"], r["value"])
+                       for r in e_conv.query_instant(q, t_eval).df.collect())
+    assert rows_raw == rows_conv and rows_conv
+    # partition pruning: the window (t-2d, t] covers Jan 3-5 — the compiler
+    # derives date-partition predicates, so Catalyst prunes the other days
+    df = e_conv.query_instant(q, t_eval).df
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "2024-01-03" in pf[0] and "2024-01-05" in pf[0], plan

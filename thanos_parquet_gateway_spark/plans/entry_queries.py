@@ -1443,8 +1443,11 @@ GROUP BY 1, 2
 """)
 def events_hopping_window(spark, sf_dir):
     """Hopping window (7d window, 1d hop): explode window starts map-side —
-    the batch analogue of sliding-window streaming aggregation."""
+    the batch analogue of sliding-window streaming aggregation.  The input
+    is repartitioned first: the testdata parquet is a single row group, and
+    the 7× explode + partial agg would otherwise run in one task."""
     e = load_table(spark, sf_dir, "events")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     w = e.select(
         "event_type", "value",
         F.explode(F.expr(

@@ -213,6 +213,16 @@ class Compiler:
         # in (wmin, wmax]
         lo, hi = wmin - vs.offset_ms, wmax - vs.offset_ms
         df = df.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+        if "date" in df.columns:
+            # converted layout (convert/convert.py): derive partition-column
+            # predicates from the window so Catalyst prunes day partitions
+            # (the reference's block time-intersect, db/db.go:249-258)
+            import datetime as _dt
+            lo_d = _dt.datetime.fromtimestamp(max(lo, 0) / 1000,
+                                              _dt.timezone.utc).strftime("%Y-%m-%d")
+            hi_d = _dt.datetime.fromtimestamp(max(hi, 0) / 1000,
+                                              _dt.timezone.utc).strftime("%Y-%m-%d")
+            df = df.filter((F.col("date") >= lo_d) & (F.col("date") <= hi_d))
         if self.ext_labels:
             ext = F.create_map(*[F.lit(x) for kv in self.ext_labels.items()
                                  for x in kv])
