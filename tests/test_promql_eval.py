@@ -405,3 +405,73 @@ def test_native_histograms(spark):
     # quantile over the merged histogram
     r = vec(eng.query_instant("histogram_quantile(0.5, sum(h))", 0))
     assert r[frozenset()] == 1.0
+
+
+def test_nan_inf_aggregation_corpus(spark):
+    """FIXTURES.md F-corpus 3 (db/db_test.go:413-432): aggregation semantics
+    over NaN/±Inf values — sum/avg propagate NaN and Inf-Inf=NaN; min/max
+    skip NaN unless the whole group is NaN."""
+    inf, nan = float("inf"), float("nan")
+    rows = [({"__name__": "data", "test": t, "point": p}, 0, v)
+            for t, pts in {
+                "ten": [("a", 2.0), ("b", 8.0)],
+                "pos_inf": [("a", inf), ("b", 3.0)],
+                "inf_inf": [("a", inf), ("b", -inf)],
+                "nan": [("a", nan), ("b", 5.0)],
+            }.items() for p, v in pts]
+    eng = eng_for(spark, rows)
+
+    s = vec(eng.query_instant("sum by (test) (data)", 0))
+    assert s[frozenset({("test", "ten")})] == 10.0
+    assert s[frozenset({("test", "pos_inf")})] == inf
+    assert math.isnan(s[frozenset({("test", "inf_inf")})])
+    assert math.isnan(s[frozenset({("test", "nan")})])
+
+    mn = vec(eng.query_instant("min by (test) (data)", 0))
+    assert mn[frozenset({("test", "ten")})] == 2.0
+    assert mn[frozenset({("test", "pos_inf")})] == 3.0
+    assert mn[frozenset({("test", "inf_inf")})] == -inf
+    assert mn[frozenset({("test", "nan")})] == 5.0  # NaN skipped
+
+    mx = vec(eng.query_instant("max by (test) (data)", 0))
+    assert mx[frozenset({("test", "nan")})] == 5.0
+    assert mx[frozenset({("test", "inf_inf")})] == inf
+
+    av = vec(eng.query_instant("avg by (test) (data)", 0))
+    assert av[frozenset({("test", "ten")})] == 5.0
+    assert math.isnan(av[frozenset({("test", "nan")})])
+
+    # all-NaN group: min/max fall back to NaN
+    rows2 = [({"__name__": "m", "g": "x", "p": "a"}, 0, nan),
+             ({"__name__": "m", "g": "x", "p": "b"}, 0, nan)]
+    r2 = vec(eng_for(spark, rows2).query_instant("min(m)", 0))
+    assert math.isnan(r2[frozenset()])
+
+
+def test_nan_inf_production_mode_agrees(spark):
+    """Production mode (native partial aggregation) must agree with the
+    deterministic fold mode on the NaN/Inf corpus (same semantics, different
+    execution strategy)."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    inf, nan = float("inf"), float("nan")
+    rows = [({"__name__": "data", "test": t, "point": p}, 0, v)
+            for t, pts in {
+                "ten": [("a", 2.0), ("b", 8.0)],
+                "pos_inf": [("a", inf), ("b", 3.0)],
+                "inf_inf": [("a", inf), ("b", -inf)],
+                "nan": [("a", nan), ("b", 5.0)],
+            }.items() for p, v in pts]
+    det = eng_for(spark, rows)
+    prod = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                        deterministic=False)
+    for q in ("sum by (test) (data)", "min by (test) (data)",
+              "max by (test) (data)", "avg by (test) (data)",
+              "count by (test) (data)", "stddev by (test) (data)"):
+        a = vec(det.query_instant(q, 0))
+        b = vec(prod.query_instant(q, 0))
+        assert set(a) == set(b), q
+        for k in a:
+            if math.isnan(a[k]):
+                assert math.isnan(b[k]), (q, k)
+            else:
+                assert a[k] == pytest.approx(b[k], rel=1e-12), (q, k)
