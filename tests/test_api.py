@@ -70,3 +70,22 @@ def test_metadata_endpoints(server):
     series = _get(server,
                   "/api/v1/series?match[]=m{job=%22a%22}&start=0&end=100")["data"]
     assert series == [{"__name__": "m", "job": "a"}]
+
+
+def test_row_quota_admission(spark, sf_dir):
+    """A25 quota analogue: a query materializing more rows than the quota is
+    rejected; within-quota queries pass (reference limits/limit.go:66-93)."""
+    import pytest as _pytest
+
+    from thanos_parquet_gateway_spark.api.http import QueryAPI, QuotaExceeded
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    api = QueryAPI(eng, row_quota=3)
+    t = 1704412800000
+    with _pytest.raises(QuotaExceeded):
+        api.query("click", t)           # one row per active series > 3
+    out = api.query("sum(click)", t)    # aggregates to one row
+    assert len(out["result"]) == 1

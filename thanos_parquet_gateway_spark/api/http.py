@@ -41,12 +41,34 @@ def _parse_time(s: str | None, default_ms: int) -> int:
                    .timestamp() * 1000)
 
 
-class QueryAPI:
-    """Transport-independent request handlers (unit-testable without HTTP)."""
+class QuotaExceeded(RuntimeError):
+    """Per-query result quota hit (reference internal/limits/limit.go:66-93:
+    Quota.Reserve on select rows; surfaced as a 422-style error)."""
 
-    def __init__(self, engine: PromQLEngine, max_concurrent: int = 100):
+
+class QueryAPI:
+    """Transport-independent request handlers (unit-testable without HTTP).
+
+    ``row_quota`` bounds the rows a single query may materialize to the
+    driver — the admission-control analogue of the reference's row/byte
+    quotas.  Enforced with limit(quota+1) so the check costs no extra job
+    and the executors stop early instead of shipping an oversized result.
+    """
+
+    def __init__(self, engine: PromQLEngine, max_concurrent: int = 100,
+                 row_quota: int = 0):
         self.engine = engine
         self.sem = threading.Semaphore(max_concurrent)
+        self.row_quota = row_quota
+
+    def _collect(self, df):
+        if self.row_quota:
+            rows = df.limit(self.row_quota + 1).collect()
+            if len(rows) > self.row_quota:
+                raise QuotaExceeded(
+                    f"query would return more than {self.row_quota} rows")
+            return rows
+        return df.collect()
 
     def query(self, q: str, t_ms: int) -> dict:
         with self.sem:
@@ -55,7 +77,7 @@ class QueryAPI:
                 row = res.df.collect()[0]
                 return {"resultType": "scalar",
                         "result": [t_ms / 1000.0, _fmt_val(row["value"])]}
-            rows = res.df.collect()
+            rows = self._collect(res.df)
             return {"resultType": "vector", "result": [
                 {"metric": dict(r["labels"]),
                  "value": [r["t"] / 1000.0, _fmt_val(r["value"])]}
@@ -65,7 +87,7 @@ class QueryAPI:
                     step_ms: int) -> dict:
         with self.sem:
             res = self.engine.query_range(q, start_ms, end_ms, step_ms)
-            rows = res.df.collect()
+            rows = self._collect(res.df)
             if res.result_type == "scalar":
                 return {"resultType": "matrix", "result": [{
                     "metric": {},
