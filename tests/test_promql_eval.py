@@ -302,6 +302,39 @@ def test_replica_dedup(spark):
     assert r == {frozenset({("__name__", "m"), ("job", "a")}): 5.0}
 
 
+def test_replica_dedup_disagreeing_replicas(spark):
+    """Replicas disagreeing at the same ts: winner replica (lowest key) wins
+    — never a value blend (reference db/shard.go:252-268 keeps one series)."""
+    rows = [({"__name__": "m", "job": "a", "replica": "r1"}, 0, 3.0),
+            ({"__name__": "m", "job": "a", "replica": "r2"}, 0, 9.0),
+            # r2-only timestamp still contributes (penalty-dedup fill-in)
+            ({"__name__": "m", "job": "a", "replica": "r2"}, 1000, 7.0)]
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True, replica_labels=["replica"])
+    assert vec(eng.query_instant("m", 0)) == {
+        frozenset({("__name__", "m"), ("job", "a")}): 3.0}
+    assert vec(eng.query_instant("m", 1000)) == {
+        frozenset({("__name__", "m"), ("job", "a")}): 7.0}
+
+
+def test_replica_dedup_preserves_histograms(spark):
+    """Native-histogram samples must survive replica dedup (the hist column
+    rides through the winner-row pick)."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    inf = float("inf")
+    rows = [
+        ({"__name__": "h", "job": "a", "replica": "r1"}, 0, 4, 10.0,
+         [(1, 2), (inf, 2)]),
+        ({"__name__": "h", "job": "a", "replica": "r2"}, 0, 6, 12.0,
+         [(1, 3), (inf, 3)]),
+    ]
+    eng = PromQLEngine(_hist_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True, replica_labels=["replica"])
+    r = vec(eng.query_instant("histogram_count(h)", 0))
+    assert r == {frozenset({("job", "a")}): 4.0}  # r1 wins, not blended
+
+
 def test_external_labels_decoration_and_elision(spark):
     """External-label overlay + matcher consumption (A17;
     search/search.go:356-376)."""

@@ -994,20 +994,49 @@ def sim_near_dup(spark, sf_dir):
 
 @q("multimodal_meta_stats", """
 SELECT 'raw' AS codec, count(*) AS n_items,
-       sum(octet_length(encode(text))) AS total_bytes,
-       max(octet_length(encode(text))) AS max_bytes
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
 FROM documents
 """)
 def multimodal_meta_stats(spark, sf_dir):
-    """Metadata-only multimodal aggregate (payload column pruned at scan)."""
+    """Metadata-only multimodal aggregate (payload column pruned at scan).
+
+    Oracle note: sum(INTEGER) in DuckDB is HUGEINT, which pandas renders as
+    float64 — CAST to BIGINT so both sides hash as int64.
+    """
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return media_metadata_stats(media)
 
 
-@q("multimodal_features")  # mapInPandas plumbing — rows-only check (no SQL oracle)
+# The 'raw' feature vector is deterministic byte statistics, so it IS
+# SQL-expressible: the test documents are pure ASCII (octet_length==length),
+# hence per-char code points equal UTF-8 byte values.
+@q("multimodal_features", """
+WITH b AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+           list_transform(string_split(text, ''), x -> ascii(x)) AS bytes
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       nb AS n_bytes,
+       CAST(list_aggregate(bytes, 'sum') % 2147483648 AS BIGINT) AS checksum,
+       CAST(bytes[1] AS BIGINT) AS first_byte,
+       CAST(bytes[-1] AS BIGINT) AS last_byte,
+       CAST(list_aggregate(bytes, 'sum') % 997 AS BIGINT) AS byte_mod
+FROM b
+""")
 def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction, fully oracle-checked:
+    the deterministic 'raw' codec features are recomputed in SQL by the
+    oracle from the same document bytes."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media).select("media_id", "n_bytes", "checksum")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", "checksum",
+        F.element_at("feature", 2).cast("long").alias("first_byte"),
+        F.element_at("feature", 3).cast("long").alias("last_byte"),
+        F.element_at("feature", 4).cast("long").alias("byte_mod"))
 
 
 # ----------------------------------------------------- conversion layer
@@ -1481,14 +1510,18 @@ def promql_ext_labels(spark, sf_dir):
 @q("promql_replica_dedup", f"""
 WITH raw AS (
     SELECT event_type AS name,
+           CAST(user_id % 2 AS VARCHAR) AS replica,
            CAST((user_id // 2) % 8 AS VARCHAR) AS shard,
            CAST(user_id // 2 AS VARCHAR) AS "user",
            epoch_ms(ts) AS ts, value
     FROM events
 ),
 dedup AS (
-    SELECT name, shard, "user", ts, max(value) AS value
-    FROM raw GROUP BY name, shard, "user", ts
+    SELECT name, shard, "user", ts, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY name, shard, "user", ts
+                                     ORDER BY replica ASC, value DESC) AS drn
+        FROM raw
+    ) WHERE drn = 1
 ),
 last AS (
     SELECT shard, "user", ts, value,
@@ -1503,9 +1536,10 @@ SELECT shard,
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_replica_dedup(spark, sf_dir):
-    """Replica-label drop + hash dedup (A18/A19): HA replicas collapse to one
-    series, overlapping samples deduplicated by (series, ts) keeping the max
-    value (reference db/db.go:124-128, db/shard.go:252-268)."""
+    """Replica-label drop + winner-replica dedup (A18/A19): HA replicas
+    collapse to one series; at each (series, ts) the lowest replica key wins
+    deterministically — replicas are never value-blended (reference
+    db/db.go:124-128, db/shard.go:252-268)."""
     e = load_table(spark, sf_dir, "events")
     labels = F.map_from_arrays(
         F.array(F.lit("__name__"), F.lit("replica"), F.lit("shard"),

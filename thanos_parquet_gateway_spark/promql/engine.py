@@ -21,7 +21,12 @@ from thanos_parquet_gateway_spark.promql.values import (
     RangeVector,
     ScalarV,
 )
-from thanos_parquet_gateway_spark.schema import canonical_sig, drop_labels, label
+from thanos_parquet_gateway_spark.schema import (
+    canonical_sig,
+    drop_labels,
+    label,
+    series_hash,
+)
 
 
 @dataclass
@@ -44,14 +49,38 @@ class PromQLEngine:
         if "__name__" not in samples.columns:
             samples = samples.withColumn("__name__", label("labels", "__name__"))
         if replica_labels:
-            samples = (
-                samples.withColumn("labels", drop_labels("labels", replica_labels))
-                .withColumn("__sig", canonical_sig("labels"))
-                .groupBy("__sig", "ts")
-                .agg(F.max("value").alias("value"),
-                     F.first("labels").alias("labels"),
-                     F.first("__name__").alias("__name__"))
-                .drop("__sig"))
+            # Winner-replica dedup (reference db/shard.go:252-268 keeps ONE
+            # series per post-drop labelset; Thanos penalty dedup never mixes
+            # replicas at a timestamp).  Deterministic pick per (sig, ts):
+            # lowest replica key wins, ties broken by highest value.  The
+            # whole row rides along via min_by, so `hist` (native histograms)
+            # and any extra columns survive; `date` stays a grouping key so
+            # time filters still push through to partition pruning.
+            rep = F.concat_ws("\x1f",
+                              *[label("labels", r) for r in replica_labels])
+            samples = (samples
+                       .withColumn("__rep", rep)
+                       .withColumn("labels",
+                                   drop_labels("labels", replica_labels)))
+            if "series_hash" in samples.columns:
+                samples = samples.withColumn("series_hash",
+                                             series_hash("labels"))
+            keys = ["__sig", "ts"] + (["date"] if "date" in samples.columns
+                                      else [])
+            payload = [c for c in samples.columns
+                       if c not in ("ts", "date", "__rep")]
+            # NULL value = staleness marker; map it to -inf so a real sample
+            # from the winning replica is preferred over its stale marker.
+            order_key = F.struct(
+                F.col("__rep").alias("r"),
+                (-F.coalesce(F.col("value"),
+                             F.lit(float("-inf")))).alias("v"))
+            samples = (samples
+                       .withColumn("__sig", canonical_sig("labels"))
+                       .groupBy(*keys)
+                       .agg(F.min_by(F.struct(*payload), order_key)
+                            .alias("__row"))
+                       .select(*[k for k in keys if k != "__sig"], "__row.*"))
         self.samples = samples
         self.lookback_ms = lookback_ms
         self.deterministic = deterministic
