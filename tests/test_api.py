@@ -89,3 +89,68 @@ def test_row_quota_admission(spark, sf_dir):
         api.query("click", t)           # one row per active series > 3
     out = api.query("sum(click)", t)    # aggregates to one row
     assert len(out["result"]) == 1
+
+
+def test_byte_quota_admission(spark, sf_dir):
+    """Byte-quota analogue of the reference's chunk-bytes Quota.Reserve:
+    admission against the optimized plan's estimated input size."""
+    import pytest as _pytest
+
+    from thanos_parquet_gateway_spark.api.http import QueryAPI, QuotaExceeded
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    t = 1704412800000
+    api = QueryAPI(eng, byte_quota=1)      # nothing fits in one byte
+    with _pytest.raises(QuotaExceeded):
+        api.query("sum(click)", t)
+    api = QueryAPI(eng, byte_quota=1 << 40)  # everything fits in a TiB
+    assert len(api.query("sum(click)", t)["result"]) == 1
+
+
+def test_truncation_warning_on_series(server):
+    """A32: a limit that truncates /series carries a warning in the response
+    (reference internal/warnings/warnings.go:9, db/db.go:339-347)."""
+    out = _get(server, "/api/v1/series?match[]=m&start=0&end=100&limit=1")
+    assert len(out["data"]) == 1
+    assert out["warnings"] == ["results truncated due to limit"]
+    # no truncation → no warnings key
+    out = _get(server, "/api/v1/series?match[]=m&start=0&end=100&limit=5")
+    assert len(out["data"]) == 2
+    assert "warnings" not in out
+    out = _get(server, "/api/v1/labels?start=0&end=100&limit=1")
+    assert out["data"] == ["__name__"]
+    assert out["warnings"] == ["results truncated due to limit"]
+
+
+def test_query_stats(server):
+    """Per-query samples-scanned stats (reference api/grpc/thanos.go:561-566):
+    scan row counts from the executed plan's metrics."""
+    out = _get(server, "/api/v1/query?query=sum(m)&time=40")
+    st = out["data"]["stats"]["samples"]
+    assert st["totalQueried"] >= 10   # all 10 samples scanned
+    assert st["peakSamples"] >= 10
+
+
+def test_http_quota_error_type(spark):
+    """Quota rejections surface as HTTP 400 resource_exhausted, matching the
+    reference's error mapping (api/http/query.go:188,216)."""
+    import urllib.error
+
+    from thanos_parquet_gateway_spark.api import PromHTTPServer
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    rows = [({"__name__": "m", "job": str(i)}, 0, float(i)) for i in range(5)]
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True)
+    srv = PromHTTPServer(eng, port=0, row_quota=2)
+    srv.serve_background()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv, "/api/v1/query?query=m&time=0")
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert body["errorType"] == "resource_exhausted"
+    finally:
+        srv.shutdown()

@@ -92,6 +92,29 @@ def test_group_left_include(spark):
                  frozenset({("pod", "p2"), ("node", ""), ("role", "db")}): 20.0}
 
 
+def test_vector_matching_duplicate_groups_error(spark):
+    """Prometheus errors on non-unique match groups instead of joining
+    per-pair: dup on the 'one' side → 'found duplicate series'; many-to-one
+    without group_left → explicit-matching error."""
+    rows = (counter("req", {"pod": "p1", "job": "x"}, 0, 10 * S, [10]) +
+            counter("req", {"pod": "p1", "job": "y"}, 0, 10 * S, [20]) +
+            [({"__name__": "info", "pod": "p1"}, 0, 1.0)])
+    eng = eng_for(spark, rows)
+    # rhs unique, lhs dup, one-to-one → many-to-one must be explicit
+    with pytest.raises(Exception, match="group_left"):
+        eng.query_instant("req * on(pod) info", 5 * S).df.collect()
+    # explicit group_left → fine
+    r = vec(eng.query_instant("req * on(pod) group_left info", 5 * S))
+    assert len(r) == 2
+    # dup on the 'one' (rhs) side under group_left → duplicate-series error
+    rows2 = (counter("req", {"pod": "p1", "job": "x"}, 0, 10 * S, [10]) +
+             [({"__name__": "info", "pod": "p1", "v": "1"}, 0, 1.0),
+              ({"__name__": "info", "pod": "p1", "v": "2"}, 0, 2.0)])
+    eng2 = eng_for(spark, rows2)
+    with pytest.raises(Exception, match="duplicate series"):
+        eng2.query_instant("req * on(pod) group_left info", 5 * S).df.collect()
+
+
 def test_set_ops(spark):
     eng = eng_for(spark, BASIC)
     r = vec(eng.query_instant("m and n", 40 * S))
@@ -116,6 +139,19 @@ def test_rate_extrapolation_exact(spark):
     assert r == {frozenset({("job", "x")}): 1.0}
     r = vec(eng.query_instant("increase(c[50s])", 50 * S))
     assert r == {frozenset({("job", "x")}): 50.0}
+
+
+def test_rate_clamp_order_matches_prometheus(spark):
+    """Prometheus clamps durationToStart to avgDur/2 BEFORE comparing against
+    durationToZero.  Counter 1..11 at 50..60s, rate[60s] at t=60s: raw
+    durStart=50s >= threshold(1.1s) → clamped to avgDur/2=0.5s; durToZero =
+    10*(1/10) = 1.0s is NOT < 0.5s, so it must not re-raise the clamp.
+    increase = 10 * (10 + 0.5 + 0) / 10 = 10.5 (clamp-after ordering would
+    give 11.0)."""
+    rows = counter("c", {"job": "x"}, 50 * S, S, list(range(1, 12)))
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant("increase(c[60s])", 60 * S))
+    assert r[frozenset({("job", "x")})] == pytest.approx(10.5, rel=1e-12)
 
 
 def test_rate_counter_reset(spark):

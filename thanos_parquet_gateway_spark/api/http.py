@@ -8,6 +8,16 @@ Driver-side control plane only: parses params, delegates to PromQLEngine
 (executors do the work), serializes {status, data:{resultType, result}}.
 Concurrency guardrails (reference internal/limits/limit.go:27-64) map to a
 semaphore here + Spark fair-scheduler pools underneath.
+
+Resource quotas (reference internal/limits/limit.go:66-93):
+- row quota: limit(q+1) admission on the result DataFrame — executors stop
+  early instead of shipping an oversized result;
+- byte quota: admission against the Catalyst-optimized plan's estimated
+  input size (post partition-pruning file bytes) — the Spark analogue of
+  reserving chunk bytes before materialization.
+Truncation warnings (reference internal/warnings/warnings.go:9-13) ride in
+the top-level ``warnings`` array; per-query samples-scanned stats (reference
+api/grpc/thanos.go:561-566) come from the executed plan's scan metrics.
 """
 
 from __future__ import annotations
@@ -20,6 +30,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from thanos_parquet_gateway_spark.promql.engine import PromQLEngine
+
+# Reference internal/warnings/warnings.go:9
+WARN_TRUNCATED = "results truncated due to limit"
 
 
 def _fmt_val(v: float) -> str:
@@ -42,33 +55,102 @@ def _parse_time(s: str | None, default_ms: int) -> int:
 
 
 class QuotaExceeded(RuntimeError):
-    """Per-query result quota hit (reference internal/limits/limit.go:66-93:
-    Quota.Reserve on select rows; surfaced as a 422-style error)."""
+    """Per-query resource quota hit (reference internal/limits/limit.go:66-93:
+    Quota.Reserve; surfaced with errorType=resource_exhausted like the
+    reference's HTTP layer, api/http/query.go:188,216)."""
+
+
+def plan_input_bytes(df) -> int:
+    """Catalyst-estimated input size of the optimized plan — for file scans
+    this is the pruned file bytes, the admission analogue of the reference's
+    chunk-bytes quota (internal/limits/limit.go:66-93 wired at db/db.go)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return 0
+
+
+def _walk_leaves(node, out):
+    """Collect physical-plan leaves, descending through AQE wrappers
+    (AdaptiveSparkPlanExec / *QueryStageExec / ReusedExchangeExec), which
+    collectLeaves() treats as opaque."""
+    cls = node.getClass().getSimpleName()
+    if cls.startswith("AdaptiveSparkPlan"):
+        _walk_leaves(node.executedPlan(), out)
+        return
+    if "QueryStage" in cls:
+        _walk_leaves(node.plan(), out)
+        return
+    if cls.startswith("ReusedExchange"):
+        _walk_leaves(node.child(), out)
+        return
+    ch = node.children()
+    if ch.size() == 0:
+        out.append(node)
+        return
+    for i in range(ch.size()):
+        _walk_leaves(ch.apply(i), out)
+
+
+def scan_stats(df) -> dict:
+    """Per-query scan statistics from the *executed* plan's leaf metrics
+    (call after an action): total rows produced by all scans and the largest
+    single scan — the analogue of the reference's samples total/peak stats
+    (api/grpc/thanos.go:561-566)."""
+    try:
+        leaves: list = []
+        _walk_leaves(df._jdf.queryExecution().executedPlan(), leaves)
+        total = peak = 0
+        for leaf in leaves:
+            m = leaf.metrics()
+            if m.contains("numOutputRows"):
+                v = int(m.apply("numOutputRows").value())
+                total += v
+                peak = max(peak, v)
+        return {"totalQueried": total, "peakSamples": peak}
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return {"totalQueried": 0, "peakSamples": 0}
 
 
 class QueryAPI:
     """Transport-independent request handlers (unit-testable without HTTP).
 
     ``row_quota`` bounds the rows a single query may materialize to the
-    driver — the admission-control analogue of the reference's row/byte
-    quotas.  Enforced with limit(quota+1) so the check costs no extra job
-    and the executors stop early instead of shipping an oversized result.
+    driver; ``byte_quota`` bounds the estimated input bytes a query may scan.
+    Both reject with QuotaExceeded before shipping oversized work, mirroring
+    the reference's Quota.Reserve admission.
     """
 
     def __init__(self, engine: PromQLEngine, max_concurrent: int = 100,
-                 row_quota: int = 0):
+                 row_quota: int = 0, byte_quota: int = 0):
         self.engine = engine
         self.sem = threading.Semaphore(max_concurrent)
         self.row_quota = row_quota
+        self.byte_quota = byte_quota
+
+    def _admit(self, df):
+        if self.byte_quota:
+            est = plan_input_bytes(df)
+            if est > self.byte_quota:
+                raise QuotaExceeded(
+                    f"resource exhausted (query would scan ~{est} bytes, "
+                    f"quota {self.byte_quota})")
 
     def _collect(self, df):
+        """Collect under the row quota.  Returns (rows, executed_df): scan
+        metrics must be read from the DataFrame that actually ran — under a
+        quota that is the limit(q+1) plan, not the original."""
+        self._admit(df)
         if self.row_quota:
-            rows = df.limit(self.row_quota + 1).collect()
+            limited = df.limit(self.row_quota + 1)
+            rows = limited.collect()
             if len(rows) > self.row_quota:
                 raise QuotaExceeded(
-                    f"query would return more than {self.row_quota} rows")
-            return rows
-        return df.collect()
+                    f"resource exhausted (query would return more than "
+                    f"{self.row_quota} rows)")
+            return rows, limited
+        return df.collect(), df
 
     def query(self, q: str, t_ms: int) -> dict:
         with self.sem:
@@ -76,23 +158,28 @@ class QueryAPI:
             if res.result_type == "scalar":
                 row = res.df.collect()[0]
                 return {"resultType": "scalar",
-                        "result": [t_ms / 1000.0, _fmt_val(row["value"])]}
-            rows = self._collect(res.df)
-            return {"resultType": "vector", "result": [
-                {"metric": dict(r["labels"]),
-                 "value": [r["t"] / 1000.0, _fmt_val(r["value"])]}
-                for r in rows]}
+                        "result": [t_ms / 1000.0, _fmt_val(row["value"])],
+                        "stats": {"samples": scan_stats(res.df)}}
+            rows, ran = self._collect(res.df)
+            return {"resultType": "vector",
+                    "result": [
+                        {"metric": dict(r["labels"]),
+                         "value": [r["t"] / 1000.0, _fmt_val(r["value"])]}
+                        for r in rows],
+                    "stats": {"samples": scan_stats(ran)}}
 
     def query_range(self, q: str, start_ms: int, end_ms: int,
                     step_ms: int) -> dict:
         with self.sem:
             res = self.engine.query_range(q, start_ms, end_ms, step_ms)
-            rows = self._collect(res.df)
+            rows, ran = self._collect(res.df)
+            stats = {"samples": scan_stats(ran)}
             if res.result_type == "scalar":
                 return {"resultType": "matrix", "result": [{
                     "metric": {},
                     "values": [[r["t"] / 1000.0, _fmt_val(r["value"])]
-                               for r in sorted(rows, key=lambda r: r["t"])]}]}
+                               for r in sorted(rows, key=lambda r: r["t"])]}],
+                    "stats": stats}
             series: dict = {}
             for r in rows:
                 series.setdefault(r["sig"], {"metric": dict(r["labels"]),
@@ -102,29 +189,47 @@ class QueryAPI:
             for s in series.values():
                 s["values"].sort(key=lambda v: v[0])
             return {"resultType": "matrix",
-                    "result": [series[k] for k in sorted(series)]}
+                    "result": [series[k] for k in sorted(series)],
+                    "stats": stats}
+
+    # -- metadata endpoints: (data, warnings) pairs ----------------------
+    def _limited(self, df, limit: int):
+        """Collect limit+1 rows; report truncation as a warning instead of
+        silently clipping (reference search/materialize.go:53-58,
+        db/db.go:339-347)."""
+        self._admit(df)
+        if not limit:
+            return df.collect(), []
+        rows = df.limit(limit + 1).collect()
+        if len(rows) > limit:
+            return rows[:limit], [WARN_TRUNCATED]
+        return rows, []
 
     def series(self, match: list[str], start_ms: int, end_ms: int,
-               limit: int = 0) -> list[dict]:
-        rows = self.engine.series(match, start_ms, end_ms, limit).collect()
-        return [dict(r["labels"]) for r in rows]
+               limit: int = 0) -> tuple[list[dict], list[str]]:
+        rows, warns = self._limited(
+            self.engine.series(match, start_ms, end_ms), limit)
+        return [dict(r["labels"]) for r in rows], warns
 
     def labels(self, match: list[str] | None, start_ms: int, end_ms: int,
-               limit: int = 0) -> list[str]:
-        return [r["name"] for r in
-                self.engine.label_names(match, start_ms, end_ms, limit).collect()]
+               limit: int = 0) -> tuple[list[str], list[str]]:
+        rows, warns = self._limited(
+            self.engine.label_names(match, start_ms, end_ms), limit)
+        return [r["name"] for r in rows], warns
 
     def label_values(self, name: str, match: list[str] | None, start_ms: int,
-                     end_ms: int, limit: int = 0) -> list[str]:
-        return [r["value"] for r in
-                self.engine.label_values(name, match, start_ms, end_ms,
-                                         limit).collect()]
+                     end_ms: int, limit: int = 0) -> tuple[list[str], list[str]]:
+        rows, warns = self._limited(
+            self.engine.label_values(name, match, start_ms, end_ms), limit)
+        return [r["value"] for r in rows], warns
 
 
 class PromHTTPServer:
     def __init__(self, engine: PromQLEngine, port: int = 9090,
-                 max_concurrent: int = 100):
-        self.api = QueryAPI(engine, max_concurrent)
+                 max_concurrent: int = 100, row_quota: int = 0,
+                 byte_quota: int = 0):
+        self.api = QueryAPI(engine, max_concurrent, row_quota=row_quota,
+                            byte_quota=byte_quota)
         api = self.api
 
         class Handler(BaseHTTPRequestHandler):
@@ -139,6 +244,12 @@ class PromHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _ok(self, data, warnings=None):
+                payload = {"status": "success", "data": data}
+                if warnings:
+                    payload["warnings"] = warnings
+                self._send(payload)
+
             def do_GET(self):  # noqa: N802
                 self.do_POST()
 
@@ -152,36 +263,46 @@ class PromHTTPServer:
                     now = int(time.time() * 1000)
                     one = lambda k, d=None: qs.get(k, [d])[0]  # noqa: E731
                     if u.path == "/api/v1/query":
-                        data = api.query(one("query"), _parse_time(one("time"), now))
+                        self._ok(api.query(one("query"),
+                                           _parse_time(one("time"), now)))
                     elif u.path == "/api/v1/query_range":
                         step = one("step", "30")
-                        data = api.query_range(
+                        self._ok(api.query_range(
                             one("query"), _parse_time(one("start"), now),
                             _parse_time(one("end"), now),
-                            int(float(step) * 1000))
+                            int(float(step) * 1000)))
                     elif u.path == "/api/v1/series":
-                        data = api.series(qs.get("match[]", []),
-                                          _parse_time(one("start"), 0),
-                                          _parse_time(one("end"), now),
-                                          int(one("limit", "0")))
+                        data, warns = api.series(qs.get("match[]", []),
+                                                 _parse_time(one("start"), 0),
+                                                 _parse_time(one("end"), now),
+                                                 int(one("limit", "0")))
+                        self._ok(data, warns)
                     elif u.path == "/api/v1/labels":
-                        data = api.labels(qs.get("match[]") or None,
-                                          _parse_time(one("start"), 0),
-                                          _parse_time(one("end"), now),
-                                          int(one("limit", "0")))
+                        data, warns = api.labels(qs.get("match[]") or None,
+                                                 _parse_time(one("start"), 0),
+                                                 _parse_time(one("end"), now),
+                                                 int(one("limit", "0")))
+                        self._ok(data, warns)
                     elif u.path.startswith("/api/v1/label/") and \
                             u.path.endswith("/values"):
                         name = u.path[len("/api/v1/label/"):-len("/values")]
-                        data = api.label_values(name, qs.get("match[]") or None,
-                                                _parse_time(one("start"), 0),
-                                                _parse_time(one("end"), now),
-                                                int(one("limit", "0")))
+                        data, warns = api.label_values(
+                            name, qs.get("match[]") or None,
+                            _parse_time(one("start"), 0),
+                            _parse_time(one("end"), now),
+                            int(one("limit", "0")))
+                        self._ok(data, warns)
                     else:
                         self._send({"status": "error",
                                     "errorType": "bad_data",
                                     "error": "unknown endpoint"}, 404)
                         return
-                    self._send({"status": "success", "data": data})
+                except QuotaExceeded as e:
+                    # reference maps resource-exhausted to HTTP 400 with
+                    # errorType=resource_exhausted (api/http/query.go:188,216)
+                    self._send({"status": "error",
+                                "errorType": "resource_exhausted",
+                                "error": str(e)}, 400)
                 except Exception as e:  # noqa: BLE001
                     self._send({"status": "error", "errorType": "execution",
                                 "error": str(e)}, 422)

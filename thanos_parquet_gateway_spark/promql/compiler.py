@@ -573,12 +573,39 @@ class Compiler:
     def _vector_vector_impl(self, be, l, r, swap_values: bool) -> InstantVector:
         op, vm = be.op, be.matching
         msig = self._match_sig(vm)
+        from pyspark.sql import Window as W
+        mw = W.partitionBy("t", "msig")
+        # Match-group uniqueness (Prometheus errors instead of joining
+        # per-pair): the 'one' side (rhs here; group_right was swapped) must
+        # be unique per (t, match-labels); in one-to-one the lhs must be too.
+        # Counted with a window over the join key — the join shuffles on the
+        # same key, so Catalyst reuses the exchange; raise_error fires only
+        # on offending rows (`when` short-circuits).
         ldf = l.df.withColumn("msig", msig)
+        if vm.card == "one-to-one":
+            ldf = ldf.withColumn("__lcnt", F.count("*").over(mw))
+        else:
+            ldf = ldf.withColumn("__lcnt", F.lit(1))
+        side = "left" if swap_values else "right"
         rdf = (r.df.withColumn("msig", msig)
-               .select("t", "msig", F.col("value").alias("__rv"),
+               .withColumn("__rcnt", F.count("*").over(mw))
+               .select("t", "msig", "__rcnt", F.col("value").alias("__rv"),
                        F.col("labels").alias("__rlabels")))
         j = ldf.join(rdf, ["t", "msig"])
-        lv, rv = F.col("value"), F.col("__rv")
+        dup = (F.col("__rcnt") > 1) | (F.col("__lcnt") > 1)
+        guard = F.when(
+            F.col("__rcnt") > 1,
+            F.raise_error(F.concat(
+                F.lit("found duplicate series for the match group "),
+                F.to_json("__rlabels"),
+                F.lit(f" on the {side} hand-side of the operation")))
+        ).when(
+            F.col("__lcnt") > 1,
+            F.raise_error(F.lit(
+                "multiple matches for labels: many-to-one matching must be "
+                "explicit (group_left/group_right)")))
+        lv = F.when(dup, guard).otherwise(F.col("value"))
+        rv = F.when(dup, guard).otherwise(F.col("__rv"))
         if swap_values:
             lv, rv = rv, lv
         if op in A.COMPARISON_OPS:

@@ -139,13 +139,18 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     dur_end = (F.col("t") - last_t).cast(D) / 1000.0
     sampled = (last_t - first_t).cast(D) / 1000.0
     avg_dur = sampled / (n - 1)
+    threshold = avg_dur * 1.1
+    # Prometheus extrapolatedRate order: clamp durationToStart to avgDur/2
+    # FIRST, then compare durationToZero against the clamped value — the two
+    # diverge when durationToZero lies between avgDur/2 and the raw
+    # durationToStart.
+    dur_start = F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
     if counter:
         dur_to_zero = F.when(delta > 0, sampled * (first_v / delta)).otherwise(dur_start)
         dur_start = F.when((delta > 0) & (first_v >= 0) & (dur_to_zero < dur_start),
                            dur_to_zero).otherwise(dur_start)
-    threshold = avg_dur * 1.1
     extrap = (sampled
-              + F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
+              + dur_start
               + F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end))
     factor = extrap / sampled
     val = delta * factor / rng_s if is_rate else delta * factor

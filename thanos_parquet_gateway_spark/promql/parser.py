@@ -206,8 +206,12 @@ class Parser:
         t = self.peek()
         if t.kind == "OP" and t.text in ("+", "-"):
             self.next()
-            expr = self.parse_unary()
-            # unary binds tighter than binops but looser than postfix
+            # Prometheus gives unary ops MUL-level precedence
+            # ('unary_op expr %prec MUL'): only '^' (prec 6) binds tighter,
+            # so '-2^2' = -(2^2) = -4, while '-a*b' still negates just 'a'
+            # equivalently.  Parsing the operand at min_prec=6 lets the Pratt
+            # loop attach any '^' chain before the negation applies.
+            expr = self.parse_expr(6)
             if t.text == "-":
                 if isinstance(expr, NumberLiteral):
                     return NumberLiteral(-expr.value)
