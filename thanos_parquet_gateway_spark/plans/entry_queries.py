@@ -176,16 +176,20 @@ ex AS (
     FROM agg WHERE n >= 2
 ),
 ex2 AS (
+    -- Prometheus extrapolatedRate order: threshold-clamp durationToStart
+    -- FIRST, then compare durationToZero against the clamped value
     SELECT *, sampled / (CAST(n AS DOUBLE) - 1) AS avg_dur,
-           CASE WHEN delta > 0 AND first_v >= 0
-                     AND sampled * (first_v / delta) < dur_start
-                THEN sampled * (first_v / delta) ELSE dur_start END AS dur_start2
+           CASE WHEN dur_start >= (sampled / (CAST(n AS DOUBLE) - 1)) * 1.1
+                THEN (sampled / (CAST(n AS DOUBLE) - 1)) / 2
+                ELSE dur_start END AS dur_start_c
     FROM ex
 ),
 ex3 AS (
     SELECT t, "user", delta,
            (sampled
-            + CASE WHEN dur_start2 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_start2 END
+            + CASE WHEN delta > 0 AND first_v >= 0
+                        AND sampled * (first_v / delta) < dur_start_c
+                   THEN sampled * (first_v / delta) ELSE dur_start_c END
             + CASE WHEN dur_end >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_end END)
            / sampled AS factor
     FROM ex2
