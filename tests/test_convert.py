@@ -186,3 +186,54 @@ def test_query_over_converted_layout(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "2024-01-03" in pf[0] and "2024-01-05" in pf[0], plan
+
+
+def test_multistream_convert_prune_decorate(spark, sf_dir, tmp_path):
+    """Multi-stream mode end-to-end (reference locate/discover.go:125-305):
+    two streams with distinct external labels converted into one layout; a
+    matcher on a stream label prunes the other stream's partitions (explain
+    shows a stream PartitionFilter) and results carry the stream's labels."""
+    import io
+    from contextlib import redirect_stdout
+
+    from thanos_parquet_gateway_spark.convert import (
+        convert_streams,
+        read_stream_descriptors,
+    )
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    out = str(tmp_path / "ms")
+    raw = samples_from_events(spark, sf_dir)
+    user = F.element_at("labels", "user").cast("long")
+    ext = {"a": {"zone": "us-east", "prometheus": "prom-a"},
+           "b": {"zone": "eu-west", "prometheus": "prom-b"}}
+    convert_streams({"a": raw.filter(user % 2 == 0),
+                     "b": raw.filter(user % 2 == 1)}, out, ext_labels=ext,
+                    max_records_per_file=100_000)
+    streams = read_stream_descriptors(spark, out)
+    assert streams == ext
+    conv = spark.read.parquet(out)
+    lb = 2 * 86400_000
+    t = 1704412800000  # 2024-01-05
+    eng = PromQLEngine(conv, lookback_ms=lb, deterministic=True,
+                       streams=streams)
+    res = eng.query_instant('sum by (zone) (click{zone="us-east"})', t)
+    rows = res.df.collect()
+    assert len(rows) == 1 and dict(rows[0]["labels"]) == {"zone": "us-east"}
+    # same number from a single-stream engine over just the even users
+    single = PromQLEngine(raw.filter(user % 2 == 0), lookback_ms=lb,
+                          deterministic=True)
+    want = single.query_instant("sum(click)", t).df.collect()
+    assert rows[0]["value"] == pytest.approx(want[0]["value"], rel=1e-12)
+    # the elided matcher must surface as a partition filter on `stream`
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.df.explain(True)
+    pf = [ln for ln in buf.getvalue().splitlines() if "PartitionFilters" in ln]
+    assert pf and any("stream" in ln and "a" in ln for ln in pf), buf.getvalue()
+    # metadata APIs see decorated labels: values of an ext label = per-stream
+    zones = [r["value"]
+             for r in eng.label_values("zone", None, 0, t, 0).collect()]
+    assert zones == ["eu-west", "us-east"]
+    names = [r["name"] for r in eng.label_names(None, 0, t, 0).collect()]
+    assert {"zone", "prometheus"} <= set(names)

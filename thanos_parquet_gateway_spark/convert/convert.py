@@ -86,3 +86,56 @@ def write_manifest(manifest: DataFrame, out_path: str) -> None:
 
 def read_manifest(spark, out_path: str) -> DataFrame:
     return spark.read.parquet(f"{out_path}/_manifest")
+
+
+# ------------------------------------------------------------- multi-stream
+def convert_streams(raws: dict[str, DataFrame], out_path: str, *,
+                    ext_labels: dict[str, dict[str, str]],
+                    max_records_per_file: int = 6_000_000,
+                    dedup: bool = True) -> DataFrame:
+    """Convert several streams (distinct external-label sets) into ONE
+    partitioned layout + a stream-descriptor sidecar.
+
+    The reference keeps one bucket prefix per ExternalLabelsHash with a
+    stream descriptor file beside the blocks (locate/discover.go:125-305,
+    schema/block.go:37-76).  Spark-first equivalent: union the streams with
+    their ``stream`` partition value and run the SAME single conversion job —
+    `partitionBy("stream", "date")` gives the per-stream prefixes, and the
+    descriptor sidecar is a tiny parquet of (stream, labels).
+    """
+    prepared = [prepare_samples(df, stream=s) for s, df in sorted(raws.items())]
+    df = prepared[0]
+    for d in prepared[1:]:
+        df = df.unionByName(d, allowMissingColumns=True)
+    if dedup:
+        df = df.dropDuplicates(["stream", "series_hash", "ts"])
+    (df.repartitionByRange("stream", "date", "__name__", "series_hash")
+       .sortWithinPartitions("stream", "date", *SORT_COLS)
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .option("parquet.bloom.filter.enabled#__name__", "true")
+       .option("parquet.bloom.filter.enabled#series_hash", "true")
+       .partitionBy("stream", "date")
+       .parquet(out_path))
+    write_stream_descriptors(df.sparkSession, out_path, ext_labels)
+    manifest = (df.groupBy("stream", "date")
+                .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
+                     F.count("*").alias("n_samples"),
+                     F.approx_count_distinct("series_hash").alias("n_series_approx")))
+    return manifest
+
+
+def write_stream_descriptors(spark, out_path: str,
+                             ext_labels: dict[str, dict[str, str]]) -> None:
+    """Stream-descriptor sidecar (reference schema/block.go:37-76): one row
+    per stream, (stream, labels map)."""
+    rows = [(s, ls) for s, ls in sorted(ext_labels.items())]
+    (spark.createDataFrame(rows, "stream string, labels map<string,string>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{out_path}/_streams"))
+
+
+def read_stream_descriptors(spark, out_path: str) -> dict[str, dict[str, str]]:
+    """Discover streams from the sidecar (reference Discoverer.Discover,
+    locate/discover.go:125-305) — driver-side tiny read."""
+    rows = spark.read.parquet(f"{out_path}/_streams").collect()
+    return {r["stream"]: dict(r["labels"]) for r in rows}

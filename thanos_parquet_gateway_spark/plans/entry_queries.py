@@ -1845,6 +1845,43 @@ def promql_native_histogram(spark, sf_dir):
     return cnt.join(tot, ["user"]).join(q75, ["user"])
 
 
+@q("promql_multistream", f"""
+WITH raw AS (
+    SELECT event_type AS name,
+           CAST(user_id % 8 AS VARCHAR) AS shard,
+           CAST(user_id AS VARCHAR) AS "user",
+           epoch_ms(ts) AS ts, value
+    FROM events
+    WHERE user_id % 2 = 0
+),
+last AS (
+    SELECT shard, "user", ts, value,
+           row_number() OVER (PARTITION BY shard, "user"
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM raw WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT shard, 'zone-a' AS zone,
+       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
+                   (a, b) -> a + b) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_multistream(spark, sf_dir):
+    """Multi-stream engine: two streams with distinct external label sets;
+    the zone matcher elides to a predicate on the stream column (partition
+    pruning on converted layouts) and results are decorated with the owning
+    stream's labels (reference locate/discover.go:125-305,
+    search/search.go:356-376, schema/block.go:37-76)."""
+    s = samples_from_events(spark, sf_dir).withColumn(
+        "stream",
+        (F.element_at("labels", "user").cast("long") % 2).cast("string"))
+    eng = PromQLEngine(s, lookback_ms=LOOKBACK, deterministic=True,
+                       streams={"0": {"zone": "zone-a"},
+                                "1": {"zone": "zone-b"}})
+    r = eng.query_instant('sum by (shard, zone) (click{zone="zone-a"})', T)
+    return r.df.select(_lbl("shard").alias("shard"),
+                       _lbl("zone").alias("zone"), "value")
+
+
 # --------------------------------------------------------------- flagship
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: range-query the sf0.001 corpus."""

@@ -105,16 +105,55 @@ def _nan_to_null(c: Column) -> Column:
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
+def _matcher_matches(m: A.Matcher, v: str) -> bool:
+    """Driver-side matcher evaluation against a constant (external) label
+    value — the elision decision (reference search/search.go:356-376)."""
+    import re as _re
+    return {"=": v == m.value, "!=": v != m.value,
+            "=~": _re.fullmatch(m.value, v) is not None,
+            "!~": _re.fullmatch(m.value, v) is None}[m.op]
+
+
+def stream_decoration(streams: dict[str, dict[str, str]]) -> Column:
+    """labels → labels overlaid with the owning stream's external labels.
+    A driver-side CASE over the (tiny) stream set — stays in codegen, no
+    join (reference search/materialize.go:73-84 decoration)."""
+    keys = sorted({k for ls in streams.values() for k in ls})
+    keep = drop_labels("labels", keys)
+    empty = F.expr("map()").cast("map<string,string>")
+    overlay = empty
+    for s, ls in sorted(streams.items()):
+        ext = (F.create_map(*[F.lit(x) for kv in sorted(ls.items())
+                              for x in kv]) if ls else empty)
+        overlay = F.when(F.col("stream") == s, ext).otherwise(overlay)
+    return F.map_concat(keep, overlay)
+
+
 class PromQLCompileError(ValueError):
     pass
 
 
 class Compiler:
     def __init__(self, samples: DataFrame, params: EvalParams,
-                 ext_labels: dict[str, str] | None = None):
+                 ext_labels: dict[str, str] | None = None,
+                 streams: dict[str, dict[str, str]] | None = None):
+        """``ext_labels``: one external label set overlaid on everything
+        (reference OverrideExtLabels).  ``streams``: multi-stream mode —
+        maps the ``stream`` partition-column value to that stream's external
+        label set (reference locate/discover.go:125-305, schema/block.go:37-76);
+        matchers on stream labels compile to ``stream IN (...)`` so Catalyst
+        prunes whole stream partitions."""
         self.samples = samples
         self.p = params
         self.ext_labels = ext_labels or {}
+        self.streams = streams or {}
+        if self.streams and "stream" not in samples.columns:
+            raise PromQLCompileError(
+                "multi-stream mode requires a 'stream' column in samples")
+        # label names that are external in at least one stream: decided
+        # per-stream from the descriptor (missing ≡ ""), never from data
+        self._stream_keys = sorted({k for ls in self.streams.values()
+                                    for k in ls})
         self.spark = samples.sparkSession
         self.step = max(params.step_ms, 1)
 
@@ -170,12 +209,20 @@ class Compiler:
         search/search.go:356-376): None → always true, False literal →
         short-circuit empty."""
         if m.label in self.ext_labels:
-            v = self.ext_labels[m.label]
-            import re as _re
-            ok = {"=": v == m.value, "!=": v != m.value,
-                  "=~": _re.fullmatch(m.value, v) is not None,
-                  "!~": _re.fullmatch(m.value, v) is None}[m.op]
+            ok = _matcher_matches(m, self.ext_labels[m.label])
             return None if ok else F.lit(False)
+        if m.label in self._stream_keys:
+            # per-stream elision: the matcher is decided against each
+            # stream's descriptor value and becomes a predicate on the
+            # `stream` partition column → Catalyst partition pruning
+            # (reference search/search.go:356-376 per-stream matcher elision)
+            ok_streams = [s for s, ls in self.streams.items()
+                          if _matcher_matches(m, ls.get(m.label, ""))]
+            if len(ok_streams) == len(self.streams):
+                return None
+            if not ok_streams:
+                return F.lit(False)
+            return F.col("stream").isin(ok_streams)
         col = (F.col("__name__") if m.label == "__name__" else
                label("labels", m.label))
         if m.op == "=":
@@ -228,6 +275,8 @@ class Compiler:
                                  for x in kv])
             keep = drop_labels("labels", list(self.ext_labels))
             df = df.withColumn("labels", F.map_concat(keep, ext))
+        if self.streams:
+            df = df.withColumn("labels", stream_decoration(self.streams))
         ts_eff = F.col("ts") + F.lit(vs.offset_ms) if vs.offset_ms else F.col("ts")
         cols = [canonical_sig("labels").alias("sig"),
                 F.col("labels"), ts_eff.alias("ts"), F.col("value")]

@@ -41,11 +41,16 @@ class PromQLEngine:
                  deterministic: bool = False,
                  subquery_step_ms: int = 60_000,
                  replica_labels: list[str] | None = None,
-                 ext_labels: dict[str, str] | None = None):
+                 ext_labels: dict[str, str] | None = None,
+                 streams: dict[str, dict[str, str]] | None = None):
         """``samples``: long-format samples table (schema.py).  ``replica_labels``
         are dropped and the data deduplicated by (series, ts) — the Spark
         equivalent of the reference's replica-label drop + hash dedup
-        (reference db/db.go:124-128, db/shard.go:252-268)."""
+        (reference db/db.go:124-128, db/shard.go:252-268).  ``streams`` maps
+        the ``stream`` partition-column value to that stream's external label
+        set (multi-stream mode, reference locate/discover.go:125-305):
+        matchers on stream labels prune stream partitions, results are
+        decorated per stream."""
         if "__name__" not in samples.columns:
             samples = samples.withColumn("__name__", label("labels", "__name__"))
         if replica_labels:
@@ -86,6 +91,7 @@ class PromQLEngine:
         self.deterministic = deterministic
         self.subquery_step_ms = subquery_step_ms
         self.ext_labels = ext_labels
+        self.streams = streams
 
     # ------------------------------------------------------------- queries
     def _compile(self, q: str, start_ms: int, end_ms: int, step_ms: int):
@@ -93,7 +99,7 @@ class PromQLEngine:
         params = EvalParams(start_ms, end_ms, max(step_ms, 1),
                             self.lookback_ms, self.deterministic,
                             self.subquery_step_ms)
-        comp = Compiler(self.samples, params, self.ext_labels)
+        comp = Compiler(self.samples, params, self.ext_labels, self.streams)
         return comp, comp.compile(node)
 
     def query_range(self, q: str, start_ms: int, end_ms: int,
@@ -130,7 +136,7 @@ class PromQLEngine:
         (reference /series multi-matcher union, api/http/query.go:567-846)."""
         dfs = []
         params = EvalParams(start_ms, end_ms, 1, self.lookback_ms)
-        comp = Compiler(self.samples, params, self.ext_labels)
+        comp = Compiler(self.samples, params, self.ext_labels, self.streams)
         base = self.samples.filter(
             (F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
         for q in match or ["{__name__=~\".+\"}"]:
@@ -152,6 +158,19 @@ class PromQLEngine:
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if self.streams:
+            from thanos_parquet_gateway_spark.promql.compiler import (
+                stream_decoration,
+            )
+            out = out.withColumn("labels", stream_decoration(self.streams))
+        elif self.ext_labels:
+            from thanos_parquet_gateway_spark.schema import drop_labels
+            ext = F.create_map(*[F.lit(x) for kv in self.ext_labels.items()
+                                 for x in kv])
+            out = out.withColumn(
+                "labels",
+                F.map_concat(drop_labels("labels", list(self.ext_labels)),
+                             ext))
         return out
 
     def series(self, match: list[str], start_ms: int, end_ms: int,
