@@ -1,0 +1,111 @@
+"""Transport-independent QueryServer tests — the handler semantics of the
+reference's gRPC surface (reference api/grpc/thanos.go:169-523): Info
+advertisement, per-request ReplicaLabels, Series raw export, metadata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_samples
+
+S = 1000
+
+
+def _server(spark, rows, **kw):
+    from thanos_parquet_gateway_spark.api import QueryServer
+    return QueryServer(make_samples(spark, rows), deterministic=True, **kw)
+
+
+def test_info_advertises_streams(spark):
+    """Info: per-stream labelsets + time ranges (thanos.go:194-233)."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    rows = ([({"__name__": "m"}, 10 * S, 1.0, "a")] +
+            [({"__name__": "m"}, 50 * S, 2.0, "a")] +
+            [({"__name__": "m"}, 30 * S, 3.0, "b")])
+    df = make_samples(spark, [r[:3] for r in rows]).withColumn(
+        "stream", F.when(F.col("ts") == 30 * S, "b").otherwise("a"))
+    srv = QueryServer(df, streams={"a": {"zone": "us"}, "b": {"zone": "eu"}},
+                      lookback_ms=60 * S, deterministic=True)
+    info = srv.info()
+    assert info["componentType"] == "query"
+    assert info["store"]["minTime"] == 10 * S
+    assert info["store"]["maxTime"] == 50 * S
+    assert info["store"]["supportsWithoutReplicaLabels"] is True
+    by_zone = {i["labels"]["zone"]: i for i in info["store"]["tsdbInfos"]}
+    assert by_zone["us"] == {"minTime": 10 * S, "maxTime": 50 * S,
+                             "labels": {"zone": "us"}}
+    assert by_zone["eu"] == {"minTime": 30 * S, "maxTime": 30 * S,
+                             "labels": {"zone": "eu"}}
+    assert info["labelSets"] == [{"zone": "us"}, {"zone": "eu"}]
+
+
+def test_query_per_request_replica_labels(spark):
+    """ReplicaLabels arrive per request (thanos.go:235-296): the same server
+    answers with and without HA dedup."""
+    rows = [({"__name__": "m", "job": "x", "replica": "r1"}, 0, 10.0),
+            ({"__name__": "m", "job": "x", "replica": "r2"}, 0, 99.0)]
+    srv = _server(spark, rows, lookback_ms=60 * S)
+    plain = srv.query("sum(m)", 0)["result"]
+    assert plain[0]["value"][1] == "109"      # both replicas counted
+    dedup = srv.query("sum(m)", 0, replica_labels=["replica"])["result"]
+    assert dedup[0]["value"][1] == "10"       # winner replica (r1) only
+
+
+def test_series_raw_export(spark):
+    """Series bypasses the engine (thanos.go:376-459): raw samples in
+    [start, end], no lookback fill, sorted per series."""
+    rows = [({"__name__": "m", "job": "a"}, 10 * S, 1.0),
+            ({"__name__": "m", "job": "a"}, 20 * S, 2.0),
+            ({"__name__": "m", "job": "b"}, 15 * S, 5.0),
+            ({"__name__": "m", "job": "b"}, 99 * S, 7.0),   # outside window
+            ({"__name__": "n", "job": "a"}, 12 * S, 3.0)]   # other metric
+    srv = _server(spark, rows, lookback_ms=300 * S)
+    out, warns = srv.series(["m"], 0, 30 * S)
+    assert warns == []
+    got = {tuple(sorted(s["labels"].items())): s["samples"] for s in out}
+    assert got == {
+        (("__name__", "m"), ("job", "a")): [[10 * S, 1.0], [20 * S, 2.0]],
+        (("__name__", "m"), ("job", "b")): [[15 * S, 5.0]],
+    }
+    # skip_samples ≡ SkipChunks: labels only
+    out, _ = srv.series(["m"], 0, 30 * S, skip_samples=True)
+    assert all("samples" not in s for s in out) and len(out) == 2
+    # limit truncation carries the warning (thanos.go:413-418)
+    out, warns = srv.series(["m"], 0, 30 * S, limit=1)
+    assert len(out) == 1 and warns == ["results truncated due to limit"]
+
+
+def test_series_export_with_replica_drop(spark):
+    """Series honors WithoutReplicaLabels (thanos.go:377): one winner series
+    per post-drop labelset, samples never blended."""
+    rows = [({"__name__": "m", "job": "x", "rep": "r1"}, 10 * S, 1.0),
+            ({"__name__": "m", "job": "x", "rep": "r2"}, 10 * S, 99.0),
+            ({"__name__": "m", "job": "x", "rep": "r2"}, 20 * S, 88.0)]
+    srv = _server(spark, rows, lookback_ms=300 * S)
+    out, _ = srv.series(["m"], 0, 30 * S, replica_labels=["rep"])
+    assert len(out) == 1
+    assert out[0]["labels"] == {"__name__": "m", "job": "x"}
+    # t=10s: r1 wins (1.0); t=20s: only r2 has a sample (88.0)
+    assert out[0]["samples"] == [[10 * S, 1.0], [20 * S, 88.0]]
+
+
+def test_metadata_with_replica_drop(spark):
+    rows = [({"__name__": "m", "job": "x", "rep": "r1"}, 0, 1.0),
+            ({"__name__": "m", "job": "x", "rep": "r2"}, 0, 2.0)]
+    srv = _server(spark, rows, lookback_ms=60 * S)
+    names, _ = srv.label_names(None, 0, 10 * S,
+                               replica_labels=["rep"])
+    assert names == ["__name__", "job"]
+    vals, warns = srv.label_values("job", None, 0, 10 * S)
+    assert vals == ["x"] and warns == []
+
+
+def test_query_range_matches_http_api_shape(spark):
+    rows = [({"__name__": "m", "job": "a"}, i * 10 * S, float(i + 1))
+            for i in range(5)]
+    srv = _server(spark, rows, lookback_ms=300 * S)
+    out = srv.query_range("m", 0, 40 * S, 20 * S)
+    assert out["resultType"] == "matrix"
+    assert out["result"][0]["values"] == [[0.0, "1"], [20.0, "3"], [40.0, "5"]]
+    assert out["stats"]["samples"]["totalQueried"] >= 5

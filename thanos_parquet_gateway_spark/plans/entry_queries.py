@@ -1882,6 +1882,57 @@ def promql_multistream(spark, sf_dir):
                        _lbl("zone").alias("zone"), "value")
 
 
+@q("grpc_series_export", f"""
+WITH {_SAMPLES},
+w AS (
+    SELECT shard, "user", ts, value FROM samples
+    WHERE name = 'click' AND ts >= {R_START} AND ts <= {T}
+)
+SELECT shard, "user", CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(min(ts) AS BIGINT) AS mint, CAST(max(ts) AS BIGINT) AS maxt,
+       list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)),
+                   (a, b) -> a + b) AS value_sum
+FROM w GROUP BY shard, "user"
+""")
+def grpc_series_export(spark, sf_dir):
+    """Series raw export (reference api/grpc/thanos.go:376-459): selector →
+    per-series sample runs with NO PromQL engine — no lookback, no
+    staleness.  Checked via per-series run stats + an order-stable value
+    fold over the exported array."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    srv = QueryServer(samples_from_events(spark, sf_dir), deterministic=True)
+    df = srv.series_df(["click"], R_START, T)
+    return df.select(
+        _lbl("shard").alias("shard"), _lbl("user").alias("user"),
+        F.size("samples").cast("long").alias("n_samples"),
+        F.element_at("samples", 1)["ts"].alias("mint"),
+        F.element_at("samples", -1)["ts"].alias("maxt"),
+        F.aggregate("samples", F.lit(0.0),
+                    lambda acc, s: acc + s["value"]).alias("value_sum"))
+
+
+@q("grpc_info", """
+SELECT CAST(user_id % 2 AS VARCHAR) AS stream,
+       CASE WHEN user_id % 2 = 0 THEN 'zone-a' ELSE 'zone-b' END AS zone,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS mint,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS maxt
+FROM events GROUP BY 1, 2
+""")
+def grpc_info(spark, sf_dir):
+    """Info advertisement (reference api/grpc/thanos.go:169-233): per-stream
+    external labelset + served time range, from one partial agg over the
+    samples (footer-stats-cheap on a converted layout)."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    s = samples_from_events(spark, sf_dir).withColumn(
+        "stream",
+        (F.element_at("labels", "user").cast("long") % 2).cast("string"))
+    srv = QueryServer(s, streams={"0": {"zone": "zone-a"},
+                                  "1": {"zone": "zone-b"}})
+    return srv.info_df().select(
+        "stream", F.element_at("labels", "zone").alias("zone"),
+        "mint", "maxt")
+
+
 # --------------------------------------------------------------- flagship
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: range-query the sf0.001 corpus."""
