@@ -50,6 +50,58 @@ def test_lsh_finds_exact_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_embedding_near_dup_default_is_bucketed(spark, sf_dir):
+    """The default near-dup path must be the banded-LSH equi-join (no
+    cartesian product in the plan) and, on this corpus, still find exactly
+    the all-pairs result set (verified recall 1)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from thanos_parquet_gateway_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.embedding_near_dup_pairs(emb, threshold=0.35)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    # recall check at the loose test threshold needs 1-bit bands (the
+    # defaults target real ≥0.9 near-dup thresholds)
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_near_dup_pairs(
+               emb, threshold=0.35, bands=8, bits_per_band=1).collect()}
+    want = {(r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dup_pairs(
+                emb, threshold=0.35, all_pairs=True).collect()}
+    assert got == want and want
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """Degenerate-bucket guard: 10k identical boilerplate docs share every
+    band key — uncapped, that one bucket expands ~5·10⁷ pairs in a single
+    task.  With the cap, the bucket is dropped (reported via Observation,
+    never silently) while honest near-dup pairs elsewhere survive."""
+    from pyspark.sql import Observation
+
+    boiler = [(i, "all work and no play makes jack a dull boy indeed")
+              for i in range(10_000)]
+    honest = [(100_001, "one singular sensation every little step she takes"),
+              (100_002, "one singular sensation every little step she takes")]
+    df = spark.createDataFrame(boiler + honest, ["doc_id", "text"])
+    obs = Observation("lsh_skew")
+    pairs = dedup.lsh_candidate_pairs(df, max_bucket=100, observation=obs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (100_001, 100_002) in got
+    assert len(got) == 1                      # boilerplate bucket dropped
+    assert obs.get["dropped_buckets"] >= 1    # ...and the drop is reported
+    assert obs.get["max_bucket_size"] == 10_000
+    # cap high enough → nothing dropped, all pairs intact (default path)
+    small = spark.createDataFrame(boiler[:5] + honest, ["doc_id", "text"])
+    all_pairs = dedup.lsh_candidate_pairs(small).collect()
+    assert len(all_pairs) == 10 + 1           # C(5,2) boiler + 1 honest
+
+
 def test_jaccard_bounds_and_exactness(spark):
     rows = [(1, "a b c d"), (2, "a b c e")]  # 2-shingles: {ab,bc,cd} {ab,bc,ce}
     df = spark.createDataFrame(rows, ["doc_id", "text"])

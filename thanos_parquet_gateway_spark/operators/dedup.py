@@ -37,14 +37,20 @@ def shingles(words_col, n: int = 3) -> "F.Column":
 
 
 def shingle_rows(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+                 id_col: str = "doc_id", shingle_n: int = 3,
+                 parallelism: int | None = None) -> DataFrame:
     """Distinct word n-gram shingles as rows (doc_id, shingle) — the corpus
     hot path.  Codegen-only plan: posexplode words → lead() window → concat →
     dropDuplicates (map-side partial dedup).  The explicit repartition spreads
     work when the source has few input splits; the window reuses that same
-    doc_id partitioning, so it adds only an in-partition sort."""
+    doc_id partitioning, so it adds only an in-partition sort.
+
+    ``parallelism`` defaults to cluster cores — right for a CPU-bound stage
+    locally; on a large cluster pass a count scaled to input size
+    (~bytes / 128MB) instead so the stage isn't pinned to core count."""
     from pyspark.sql import Window
-    d = docs.repartition(_hash_parallelism(docs), F.col(id_col))
+    d = docs.repartition(parallelism or _hash_parallelism(docs),
+                         F.col(id_col))
     words = d.select(F.col(id_col).alias("doc_id"),
                      F.posexplode(normalized_words(F.col(text_col)))
                      .alias("pos", "w"))
@@ -100,7 +106,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
-                        bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                        bands: int = 4, shingle_n: int = 3,
+                        max_bucket: int | None = 1000,
+                        observation=None) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of num_hashes/bands
     rows; docs sharing any band bucket become candidate pairs (a < b).
     Returns (doc_a, doc_b) distinct.
@@ -108,7 +116,16 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     Plan shape: ONE hashing pass (no self-join — a self-join would hash the
     corpus twice), then a single shuffle grouping docs per (band, band_key)
     bucket; pairs expand inside buckets, whose size is bounded by near-dup
-    cluster size, not corpus size."""
+    cluster size, not corpus size.
+
+    ``max_bucket`` is the degenerate-bucket guard: a skewed key (boilerplate
+    or empty docs) would otherwise put 10⁵⁺ ids in one bucket and expand
+    O(|bucket|²) pairs in a single task.  Buckets above the cap are dropped
+    — candidates lost there are (by construction) near-identical docs better
+    handled by exact dedup on content hash.  The drop is never silent: pass a
+    ``pyspark.sql.Observation`` to get ``dropped_buckets`` /
+    ``max_bucket_size`` metrics piggybacked on the consuming action (no
+    extra job)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     band_keys = (sig
@@ -121,6 +138,15 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     buckets = (band_keys.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
                .filter(F.size("ids") > 1))
+    if observation is not None and max_bucket:
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(F.sum((F.size("ids") > max_bucket).cast("long")),
+                       F.lit(0)).alias("dropped_buckets"),
+            F.coalesce(F.max(F.size("ids")), F.lit(0))
+             .alias("max_bucket_size"))
+    if max_bucket:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = buckets.select(F.explode(F.flatten(F.transform(
         F.col("ids"),
         lambda a, i: F.transform(
