@@ -105,6 +105,20 @@ def _nan_to_null(c: Column) -> Column:
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
+def hgroup(df: DataFrame, sig_col: str, *aggs,
+           extra_keys: tuple = ("t",)) -> DataFrame:
+    """groupBy keyed on xxhash64 of a canonical-sig string, carrying the
+    string itself via first() — the reference's hash-column shuffle trick
+    (convert/tsdb.go:132, schema/schema.go:27): the exchange sorts and
+    compares an 8-byte long instead of a long JSON string; the string moves
+    once per group per map partition (partial-agg payload), not once per
+    row."""
+    h = F.xxhash64(sig_col).alias("__kh")
+    return (df.groupBy(*extra_keys, h)
+            .agg(F.first(sig_col).alias(sig_col), *aggs)
+            .drop("__kh"))
+
+
 def _matcher_matches(m: A.Matcher, v: str) -> bool:
     """Driver-side matcher evaluation against a constant (external) label
     value — the elision decision (reference search/search.go:356-376)."""
@@ -305,20 +319,21 @@ class Compiler:
             F.col("sv.value").isNotNull()
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms) + vs.offset_ms * 0  # offset applied in base
-            at_df = (base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at))
-                     .groupBy("sig")
-                     .agg(F.max(F.struct(*pair_cols)).alias("sv"),
-                          F.first("labels").alias("labels"))
-                     .filter(alive))
+            at_df = hgroup(
+                base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at)),
+                "sig",
+                F.max(F.struct(*pair_cols)).alias("sv"),
+                F.first("labels").alias("labels"),
+                extra_keys=()).filter(alive)
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
                            F.col("sv.ts").alias("sample_ts"),
                            F.col("sv.value").alias("value"), *sel_extra))
             return InstantVector(out)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
-        out = (exploded.groupBy("t", "sig")
-               .agg(F.max(F.struct(*pair_cols)).alias("sv"),
-                    F.first("labels").alias("labels"))
+        out = (hgroup(exploded, "sig",
+                      F.max(F.struct(*pair_cols)).alias("sv"),
+                      F.first("labels").alias("labels"))
                .filter(alive)
                .select("t", "sig", "labels",
                        F.col("sv.ts").alias("sample_ts"),
@@ -414,7 +429,7 @@ class Compiler:
                 order = [F.isnan("value").asc(), F.col("value").desc(), F.col("sig").asc()]
             else:
                 order = [F.isnan("value").asc(), F.col("value").asc(), F.col("sig").asc()]
-            w = Window.partitionBy("t", "gsig").orderBy(*order)
+            w = Window.partitionBy("t", F.xxhash64("gsig")).orderBy(*order)
             out = (df.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") <= k)
                    .select("t", "sig", "labels",
@@ -426,11 +441,11 @@ class Compiler:
             nl = F.map_concat(
                 F.map_filter(F.col("glabels"), lambda k, _v: k != F.lit(param)),
                 F.create_map(F.lit(param), vstr))
-            out = (df.withColumn("labels", nl)
-                   .withColumn("sig", canonical_sig(F.col("labels")))
-                   .groupBy("t", "sig")
-                   .agg(F.first("labels").alias("labels"),
-                        F.count("*").cast("double").alias("value"))
+            out = (hgroup(df.withColumn("labels", nl)
+                          .withColumn("sig", canonical_sig(F.col("labels"))),
+                          "sig",
+                          F.first("labels").alias("labels"),
+                          F.count("*").cast("double").alias("value"))
                    .select("t", "sig", "labels",
                            F.lit(None).cast("long").alias("sample_ts"), "value"))
             return InstantVector(out)
@@ -438,20 +453,22 @@ class Compiler:
         if "hist" in df.columns and agg.op == "sum":
             # native-histogram sum: le-aligned bucket merge (histograms.py)
             from thanos_parquet_gateway_spark.promql import histograms as H
-            hdf = df.filter(F.col("hist").isNotNull())
-            totals = (hdf.groupBy("t", "gsig")
-                      .agg(F.sum(F.col("hist.count")).alias("__c"),
+            hdf = (df.filter(F.col("hist").isNotNull())
+                   .withColumn("__gh", F.xxhash64("gsig")))
+            totals = (hdf.groupBy("t", "__gh")
+                      .agg(F.first("gsig").alias("gsig"),
+                           F.sum(F.col("hist.count")).alias("__c"),
                            F.sum(F.col("hist.sum")).alias("__s"),
                            F.first("glabels").alias("labels")))
-            buckets = (hdf.select("t", "gsig",
+            buckets = (hdf.select("t", "__gh",
                                   F.explode(F.col("hist.buckets")).alias("b"))
-                       .groupBy("t", "gsig", F.col("b.le").alias("__le"))
+                       .groupBy("t", "__gh", F.col("b.le").alias("__le"))
                        .agg(F.sum(F.col("b.count")).alias("__bc"))
-                       .groupBy("t", "gsig")
+                       .groupBy("t", "__gh")
                        .agg(F.array_sort(F.collect_list(
                            F.struct(F.col("__le").alias("le"),
                                     F.col("__bc").alias("count")))).alias("__bk")))
-            out = (totals.join(buckets, ["t", "gsig"])
+            out = (totals.join(buckets, ["t", "__gh"])
                    .select("t", F.col("gsig").alias("sig"), "labels",
                            F.lit(None).cast("long").alias("sample_ts"),
                            F.lit(float("nan")).alias("value"),
@@ -460,9 +477,9 @@ class Compiler:
             return InstantVector(out)
 
         if self.p.deterministic:
-            g = (df.groupBy("t", "gsig")
-                 .agg(folds.sorted_pairs(F.col("sig"), F.col("value")).alias("arr"),
-                      F.first("glabels").alias("labels")))
+            g = hgroup(df, "gsig",
+                       folds.sorted_pairs(F.col("sig"), F.col("value")).alias("arr"),
+                       F.first("glabels").alias("labels"))
             arr = F.col("arr")
             vals = folds.values_of(arr)
             non_nan = F.filter(vals, lambda v: ~F.isnan(v))
@@ -495,8 +512,9 @@ class Compiler:
             "quantile": F.percentile(F.col("value"), F.lit(float(param))
                                      if param is not None else F.lit(0.5)),
         }
-        out = (df.groupBy("t", "gsig")
-               .agg(exprs[agg.op].alias("value"), F.first("glabels").alias("labels"))
+        out = (hgroup(df, "gsig",
+                      exprs[agg.op].alias("value"),
+                      F.first("glabels").alias("labels"))
                .select("t", F.col("gsig").alias("sig"), "labels",
                        F.lit(None).cast("long").alias("sample_ts"),
                        F.col("value").cast("double").alias("value")))
@@ -621,26 +639,28 @@ class Compiler:
 
     def _vector_vector_impl(self, be, l, r, swap_values: bool) -> InstantVector:
         op, vm = be.op, be.matching
-        msig = self._match_sig(vm)
+        # join/window key = xxhash64 of the match-labels sig: 8-byte shuffle
+        # key instead of a JSON string (reference convert/tsdb.go:132)
+        mh = F.xxhash64(self._match_sig(vm))
         from pyspark.sql import Window as W
-        mw = W.partitionBy("t", "msig")
+        mw = W.partitionBy("t", "__mh")
         # Match-group uniqueness (Prometheus errors instead of joining
         # per-pair): the 'one' side (rhs here; group_right was swapped) must
         # be unique per (t, match-labels); in one-to-one the lhs must be too.
         # Counted with a window over the join key — the join shuffles on the
         # same key, so Catalyst reuses the exchange; raise_error fires only
         # on offending rows (`when` short-circuits).
-        ldf = l.df.withColumn("msig", msig)
+        ldf = l.df.withColumn("__mh", mh)
         if vm.card == "one-to-one":
             ldf = ldf.withColumn("__lcnt", F.count("*").over(mw))
         else:
             ldf = ldf.withColumn("__lcnt", F.lit(1))
         side = "left" if swap_values else "right"
-        rdf = (r.df.withColumn("msig", msig)
+        rdf = (r.df.withColumn("__mh", mh)
                .withColumn("__rcnt", F.count("*").over(mw))
-               .select("t", "msig", "__rcnt", F.col("value").alias("__rv"),
+               .select("t", "__mh", "__rcnt", F.col("value").alias("__rv"),
                        F.col("labels").alias("__rlabels")))
-        j = ldf.join(rdf, ["t", "msig"])
+        j = ldf.join(rdf, ["t", "__mh"])
         dup = (F.col("__rcnt") > 1) | (F.col("__lcnt") > 1)
         guard = F.when(
             F.col("__rcnt") > 1,
@@ -692,17 +712,17 @@ class Compiler:
 
     def _set_op(self, op: str, l: InstantVector, r: InstantVector,
                 vm: A.VectorMatching) -> InstantVector:
-        msig = self._match_sig(vm)
-        ldf = l.df.withColumn("msig", msig)
-        rkeys = r.df.withColumn("msig", msig).select("t", "msig").distinct()
+        mh = F.xxhash64(self._match_sig(vm))
+        ldf = l.df.withColumn("__mh", mh)
+        rkeys = r.df.withColumn("__mh", mh).select("t", "__mh").distinct()
         if op == "and":
-            out = ldf.join(rkeys, ["t", "msig"], "left_semi")
+            out = ldf.join(rkeys, ["t", "__mh"], "left_semi")
         elif op == "unless":
-            out = ldf.join(rkeys, ["t", "msig"], "left_anti")
+            out = ldf.join(rkeys, ["t", "__mh"], "left_anti")
         else:  # or — all lhs series + rhs series whose match-sig absent in lhs
-            lkeys = ldf.select("t", "msig").distinct()
-            radd = (r.df.withColumn("msig", msig)
-                    .join(lkeys, ["t", "msig"], "left_anti"))
+            lkeys = ldf.select("t", "__mh").distinct()
+            radd = (r.df.withColumn("__mh", mh)
+                    .join(lkeys, ["t", "__mh"], "left_anti"))
             out = ldf.unionByName(radd)
         return InstantVector(out.select("t", "sig", "labels", "sample_ts", "value"))
 

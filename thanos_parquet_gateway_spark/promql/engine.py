@@ -80,8 +80,10 @@ class PromQLEngine:
                 F.col("__rep").alias("r"),
                 (-F.coalesce(F.col("value"),
                              F.lit(float("-inf")))).alias("v"))
+            # 8-byte dedup key (xxhash64 of the canonical sig) — the
+            # reference dedups by the same 64-bit hash (convert/tsdb.go:132)
             samples = (samples
-                       .withColumn("__sig", canonical_sig("labels"))
+                       .withColumn("__sig", series_hash("labels"))
                        .groupBy(*keys)
                        .agg(F.min_by(F.struct(*payload), order_key)
                             .alias("__row"))

@@ -66,10 +66,11 @@ def _scalar_lit(c: Compiler, call: A.Call, idx: int) -> float:
 # ---------------------------------------------------------------- over_time
 def _collect_window(rv: RangeVector):
     """(t, sig) → sorted array of (ts, value) + labels (arrays bounded by
-    samples-per-window)."""
-    return (rv.df.groupBy("t", "sig")
-            .agg(folds.sorted_pairs(F.col("ts"), F.col("value")).alias("arr"),
-                 F.first("labels").alias("labels")))
+    samples-per-window).  Keyed on xxhash64(sig) — see compiler.hgroup."""
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+    return hgroup(rv.df, "sig",
+                  folds.sorted_pairs(F.col("ts"), F.col("value")).alias("arr"),
+                  F.first("labels").alias("labels"))
 
 
 _OVER_TIME = {
@@ -276,9 +277,10 @@ def _histogram_quantile(c: Compiler, call: A.Call) -> InstantVector:
     df = df.filter(F.col("__le").isNotNull())
     df = (df.withColumn("labels", drop_labels("labels", ["le", "__name__"]))
           .withColumn("sig", canonical_sig(F.col("labels"))))
-    g = (df.groupBy("t", "sig")
-         .agg(folds.sorted_pairs(F.col("__le"), F.col("value")).alias("arr"),
-              F.first("labels").alias("labels")))
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+    g = hgroup(df, "sig",
+               folds.sorted_pairs(F.col("__le"), F.col("value")).alias("arr"),
+               F.first("labels").alias("labels"))
     arr = F.col("arr")
     les = F.transform(arr, lambda x: x["o"])
     # running-max monotonicity fix-up
