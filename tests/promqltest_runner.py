@@ -1,0 +1,202 @@
+"""Runner for the Prometheus promqltest ``.test`` format (the upstream
+acceptance-corpus format the reference runs wholesale via
+promqltest.RunBuiltinTestsWithStorage, reference db/db_test.go:53-71).
+
+Supported subset (what our corpus slice uses):
+- ``load <interval>`` blocks with series notation: literal values, ``_``
+  (missing), ``stale`` (staleness marker), ``NaN``/``Inf``/``-Inf``, and
+  expanding notation ``a+bxN`` / ``a-bxN`` / ``axN`` (N additional samples).
+- ``eval instant at <time> <expr>`` with expected ``metric{labels} value``
+  lines (empty expected set = empty result).
+- ``eval_fail instant at <time> <expr>`` expecting an evaluation error.
+
+Comparison is the upstream ``almost equal``: |a-b| ≤ 1e-6·|a+b| or both NaN.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+_DUR = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000,
+        "w": 7 * 86_400_000, "y": 365 * 86_400_000}
+
+
+def parse_duration_ms(s: str) -> int:
+    total, pos = 0, 0
+    for m in re.finditer(r"(\d+)(ms|[smhdwy])", s):
+        if m.start() != pos:
+            raise ValueError(f"bad duration {s!r}")
+        total += int(m.group(1)) * _DUR[m.group(2)]
+        pos = m.end()
+    if pos != len(s):
+        raise ValueError(f"bad duration {s!r}")
+    return total
+
+
+def _num(tok: str) -> float:
+    t = tok.lower()
+    if t == "nan":
+        return float("nan")
+    if t in ("inf", "+inf"):
+        return float("inf")
+    if t == "-inf":
+        return float("-inf")
+    return float(tok)
+
+
+def expand_values(tokens: list[str]) -> list[float | None | str]:
+    """Series value notation → one slot per interval step.
+    ``None`` = no sample (``_``), ``"stale"`` = staleness marker."""
+    out: list = []
+    for tok in tokens:
+        if tok == "_":
+            out.append(None)
+            continue
+        if tok == "stale":
+            out.append("stale")
+            continue
+        m = re.fullmatch(r"(-?[0-9.]+(?:e-?\d+)?|NaN|Inf|\+Inf|-Inf)"
+                         r"(?:([+-])([0-9.]+(?:e-?\d+)?))?x(\d+)", tok)
+        if m:
+            start = _num(m.group(1))
+            delta = _num(m.group(3)) if m.group(3) else 0.0
+            if m.group(2) == "-":
+                delta = -delta
+            n = int(m.group(4))
+            out.extend(start + i * delta for i in range(n + 1))
+            continue
+        out.append(_num(tok))
+    return out
+
+
+_SERIES_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)?(\{[^}]*\})?\s*(.*)$")
+_LABEL_RE = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
+
+
+def parse_series_id(spec: str) -> tuple[dict, str]:
+    """``metric{l="v", ...}`` → (labels dict incl __name__, rest-of-line)."""
+    m = _SERIES_RE.match(spec.strip())
+    name, lbl, rest = m.group(1), m.group(2), m.group(3)
+    labels: dict[str, str] = {}
+    if name:
+        labels["__name__"] = name
+    if lbl:
+        for lm in _LABEL_RE.finditer(lbl):
+            labels[lm.group(1)] = lm.group(2).replace('\\"', '"') \
+                                             .replace("\\\\", "\\")
+    return labels, rest
+
+
+@dataclass
+class EvalCase:
+    time_ms: int
+    expr: str
+    expected: list[tuple[dict, float]]
+    expect_fail: bool = False
+    line: int = 0
+
+
+@dataclass
+class TestScript:
+    samples: list[tuple[dict, int, float | None]] = field(default_factory=list)
+    evals: list[EvalCase] = field(default_factory=list)
+
+
+def parse_test(text: str) -> TestScript:
+    ts = TestScript()
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line or line.startswith("#"):
+            i += 1
+            continue
+        if line.startswith("clear"):
+            ts.samples = []
+            i += 1
+            continue
+        if line.startswith("load"):
+            interval = parse_duration_ms(line.split()[1])
+            i += 1
+            while i < len(lines) and (lines[i].startswith(" ") or
+                                      lines[i].startswith("\t")):
+                sline = lines[i].strip()
+                if sline and not sline.startswith("#"):
+                    labels, rest = parse_series_id(sline)
+                    for step, v in enumerate(expand_values(rest.split())):
+                        if v is None:
+                            continue
+                        val = None if v == "stale" else float(v)
+                        ts.samples.append((labels, step * interval, val))
+                i += 1
+            continue
+        m = re.match(r"(eval_fail|eval)\s+instant\s+at\s+(\S+)\s+(.*)$", line)
+        if m:
+            case = EvalCase(time_ms=parse_duration_ms(m.group(2)),
+                            expr=m.group(3), expected=[],
+                            expect_fail=m.group(1) == "eval_fail",
+                            line=i + 1)
+            i += 1
+            while i < len(lines) and (lines[i].startswith(" ") or
+                                      lines[i].startswith("\t")):
+                eline = lines[i].strip()
+                if eline and not eline.startswith("#"):
+                    labels, rest = parse_series_id(eline)
+                    case.expected.append((labels, _num(rest.split()[0])))
+                i += 1
+            ts.evals.append(case)
+            continue
+        raise ValueError(f"unparsed promqltest line {i + 1}: {line!r}")
+    return ts
+
+
+def almost_equal(a: float, b: float, eps: float = 1e-6) -> bool:
+    if math.isnan(a) and math.isnan(b):
+        return True
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    if a == b:
+        return True
+    return abs(a - b) <= eps * (abs(a) + abs(b))
+
+
+def run_script(spark, script: TestScript, make_samples, engine_cls,
+               lookback_ms: int = 300_000) -> list[str]:
+    """Execute every eval; returns a list of failure descriptions (empty =
+    pass).  One engine per script — plans are lazy, construction is free."""
+    failures: list[str] = []
+    eng = engine_cls(make_samples(spark, script.samples),
+                     lookback_ms=lookback_ms, deterministic=True)
+    for case in script.evals:
+        try:
+            res = eng.query_instant(case.expr, case.time_ms)
+            if res.result_type == "scalar":
+                rows = res.df.collect()
+                got = {frozenset(): rows[0]["value"]}
+            else:
+                got = {frozenset(dict(r["labels"]).items()): r["value"]
+                       for r in res.df.collect()}
+        except Exception as e:  # noqa: BLE001
+            if case.expect_fail:
+                continue
+            failures.append(f"line {case.line}: {case.expr!r} raised "
+                            f"{type(e).__name__}: {e}")
+            continue
+        if case.expect_fail:
+            failures.append(f"line {case.line}: {case.expr!r} expected to "
+                            f"fail, returned {len(got)} rows")
+            continue
+        want = {frozenset(labels.items()): v for labels, v in case.expected}
+        if set(got) != set(want):
+            failures.append(
+                f"line {case.line}: {case.expr!r} labelsets differ:\n"
+                f"  got : {sorted(map(sorted, got))}\n"
+                f"  want: {sorted(map(sorted, want))}")
+            continue
+        for k in want:
+            if not almost_equal(got[k], want[k]):
+                failures.append(f"line {case.line}: {case.expr!r} "
+                                f"{dict(k)}: got {got[k]}, want {want[k]}")
+    return failures

@@ -1,0 +1,27 @@
+"""Run the promqltest-format corpus slice (tests/promqltest/*.test) — the
+reference's correctness bar is the full upstream corpus run through this
+exact format (reference db/db_test.go:53-71)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from tests.conftest import make_samples
+from tests.promqltest_runner import parse_test, run_script
+
+_DIR = os.path.join(os.path.dirname(__file__), "promqltest")
+_FILES = sorted(glob.glob(os.path.join(_DIR, "*.test")))
+
+
+@pytest.mark.parametrize("path", _FILES, ids=[os.path.basename(p) for p in _FILES])
+def test_promqltest_corpus(spark, path):
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    with open(path) as f:
+        script = parse_test(f.read())
+    assert script.evals, f"no eval cases parsed from {path}"
+    failures = run_script(spark, script, make_samples, PromQLEngine)
+    assert not failures, f"{len(failures)} failures:\n" + "\n".join(failures)

@@ -351,13 +351,14 @@ last AS (
                               ORDER BY ts DESC, value DESC) AS rn
     FROM samples WHERE ts > {T - LOOKBACK} AND ts <= {T}
 )
-SELECT CAST(floor(value + 0.5) AS VARCHAR) AS bucket,
+SELECT CAST(CAST(floor(value + 0.5) AS BIGINT) AS VARCHAR) AS bucket,
        CAST(count(*) AS DOUBLE) AS value
 FROM last WHERE rn = 1 GROUP BY 1
 """)
 def promql_count_values(spark, sf_dir):
     """count_values + round() (db_test.go:561-594, :595-615); PromQL round
-    is floor(v/to + 0.5)*to — the oracle mirrors that exactly."""
+    is floor(v/to + 0.5)*to — the oracle mirrors that exactly, including
+    Prometheus' FormatFloat('f', -1) integral rendering ("46", not "46.0")."""
     r = _engine(spark, sf_dir).query_instant(
         'count_values("bucket", round({__name__=~".+"}))', T)
     return r.df.select(_lbl("bucket").alias("bucket"), "value")

@@ -437,7 +437,16 @@ class Compiler:
             return InstantVector(out)
 
         if agg.op == "count_values":
-            vstr = F.col("value").cast("string")
+            # Prometheus formats the value label with FormatFloat('f', -1):
+            # integral doubles render without a fraction ("100", not "100.0")
+            # and infinities as +Inf/-Inf
+            v = F.col("value")
+            vstr = (F.when(F.isnan(v), F.lit("NaN"))
+                    .when(v == float("inf"), F.lit("+Inf"))
+                    .when(v == float("-inf"), F.lit("-Inf"))
+                    .when(v.cast("long").cast("double") == v,
+                          v.cast("long").cast("string"))
+                    .otherwise(v.cast("string")))
             nl = F.map_concat(
                 F.map_filter(F.col("glabels"), lambda k, _v: k != F.lit(param)),
                 F.create_map(F.lit(param), vstr))
