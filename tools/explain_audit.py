@@ -71,7 +71,8 @@ def main():
     results.append(check("promql range rate", p2, [
         ("name filter pushed", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
         ("time-window filter before explode", r"div 1000000\) > \d+"),
-        ("window agg shuffles on (t, sig)", r"hashpartitioning\(t#\d+L?, sig"),
+        ("window agg shuffles on (t, xxhash64(sig)) — 8-byte long key",
+         r"hashpartitioning\(t#\d+L?, (?:__kh|_groupingexpression)#\d+L"),
     ]))
     if "CartesianProduct" in p2:
         print("  [MISS] cartesian grid join present")
