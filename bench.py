@@ -69,13 +69,14 @@ def main():
     # warm the JVM/scan path once so timings measure the engine, not startup
     drain(load_table(spark, sf_dir, "lineitem").limit(1))
 
-    # two passes per query, report the min: steady-state engine throughput,
+    # three passes per query, report the min: steady-state engine throughput,
     # excluding one-time codegen/JIT compilation (the reference's Go
-    # benchmarks likewise measure warm iterations via testing.B)
+    # benchmarks likewise measure warm iterations via testing.B); the third
+    # pass stabilizes queries whose codegen only finishes during pass two
     times, cold = {}, {}
     for name, fn in benches.items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn()
             runs.append(time.perf_counter() - t0)

@@ -84,31 +84,41 @@ def _hash_parallelism(docs: DataFrame) -> int:
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
-                       shingle_n: int = 3) -> DataFrame:
-    """MinHash signature per doc: h_i(doc) = min over shingles of
-    md5(i || '|' || shingle) (string min ≡ min over a uniform hash family).
-    Returns (doc_id, seed, minhash).
+                       shingle_n: int = 3,
+                       hash_family: str = "xxhash") -> DataFrame:
+    """MinHash signature per doc: h_i(doc) = min over shingles of a seeded
+    uniform hash.  Returns (doc_id, seed, minhash).
+
+    Two hash families, same structure (both valid min-wise families):
+    - ``xxhash`` (default, the 100 TB path): xxhash64(seed, shingle) — long
+      min, no per-shingle string allocation, stays in whole-stage codegen;
+    - ``md5`` (oracle mode): md5 hex strings, bit-replicable by an
+      independent DuckDB oracle (used by the correctness entries).
 
     Hashing runs on exploded rows, NOT inside array lambdas: higher-order
-    functions fall out of whole-stage codegen, making per-element md5 ~10×
-    slower.  groupBy's map-side partial min keeps the shuffle at
+    functions fall out of whole-stage codegen, making per-element hashing
+    ~10× slower.  groupBy's map-side partial min keeps the shuffle at
     num_hashes rows per doc regardless of doc length."""
     exploded = shingle_rows(docs, text_col, id_col, shingle_n)
     seeds = exploded.select(
         "doc_id", "shingle",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"))
+    if hash_family == "md5":
+        h = F.md5(F.concat(F.col("seed").cast("string"),
+                           F.lit("|"), F.col("shingle")))
+    else:
+        h = F.xxhash64("seed", "shingle")
     return (seeds
             .groupBy("doc_id", "seed")
-            .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
-                                      F.lit("|"), F.col("shingle"))))
-                 .alias("minhash")))
+            .agg(F.min(h).alias("minhash")))
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", num_hashes: int = 8,
                         bands: int = 4, shingle_n: int = 3,
                         max_bucket: int | None = 1000,
-                        observation=None) -> DataFrame:
+                        observation=None,
+                        hash_family: str = "xxhash") -> DataFrame:
     """LSH banding: split the signature into `bands` bands of num_hashes/bands
     rows; docs sharing any band bucket become candidate pairs (a < b).
     Returns (doc_a, doc_b) distinct.
@@ -127,14 +137,20 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     ``max_bucket_size`` metrics piggybacked on the consuming action (no
     extra job)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    band_keys = (sig
-                 .withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-                 .groupBy("doc_id", "band")
-                 .agg(F.md5(F.concat_ws(",", F.array_sort(
-                     F.collect_list(F.concat(F.col("seed").cast("string"),
-                                             F.lit(":"), F.col("minhash"))))))
-                      .alias("band_key")))
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
+                             hash_family)
+    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    if hash_family == "md5":
+        bkey = F.md5(F.concat_ws(",", F.array_sort(
+            F.collect_list(F.concat(F.col("seed").cast("string"),
+                                    F.lit(":"), F.col("minhash"))))))
+    else:
+        # band key = xxhash64 of the seed-ordered minhash vector — long
+        # key, no string assembly
+        bkey = F.xxhash64(F.array_sort(
+            F.collect_list(F.struct("seed", "minhash"))))
+    band_keys = (banded.groupBy("doc_id", "band")
+                 .agg(bkey.alias("band_key")))
     buckets = (band_keys.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
                .filter(F.size("ids") > 1))

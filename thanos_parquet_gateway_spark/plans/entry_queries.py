@@ -746,8 +746,11 @@ SELECT doc_id, seed,
 FROM seeded GROUP BY doc_id, seed
 """)
 def dedup_minhash(spark, sf_dir):
-    """MinHash signatures (word-3-gram shingles, 8 hash seeds)."""
-    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    """MinHash signatures (word-3-gram shingles, 8 hash seeds); md5 hash
+    family = the oracle-replicable mode (xxhash64 longs are the 100 TB
+    default, operators/dedup.py)."""
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"),
+                                    hash_family="md5")
 
 
 @q("dedup_lsh_pairs", f"""
@@ -772,8 +775,9 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """)
 def dedup_lsh_pairs(spark, sf_dir):
-    """LSH banding candidate pairs (4 bands × 2 rows)."""
-    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    """LSH banding candidate pairs (4 bands × 2 rows); md5 = oracle mode."""
+    return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"),
+                                     hash_family="md5")
 
 
 @q("dedup_jaccard", f"""
