@@ -188,6 +188,47 @@ def test_query_over_converted_layout(spark, sf_dir, tmp_path):
     assert pf and "2024-01-03" in pf[0] and "2024-01-05" in pf[0], plan
 
 
+def test_cli_convert_incremental_and_retention(spark, sf_dir, tmp_path):
+    """CLI surface (cli.py ≙ reference cmd/convert.go + retention): first
+    run converts the planned days, a later run over a grown source adds only
+    the new days (dynamic partition overwrite), results match a direct
+    engine over raw, and retention mark+sweep drops everything expired."""
+    from thanos_parquet_gateway_spark.cli import main
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    src = str(tmp_path / "raw")
+    dst = str(tmp_path / "conv")
+    raw = samples_from_events(spark, sf_dir)
+    jan10 = 1704844800000
+    raw.filter(F.col("ts") < jan10).write.parquet(src)
+    assert main(["convert", "--src", src, "--dst", dst]) == 0
+    days1 = {p.split("date=")[-1] for p in glob.glob(f"{dst}/stream=0/date=*")}
+    assert days1 and max(days1) <= "2024-01-09"
+    # grow the source; the planner anti-join schedules only the new days
+    raw.filter(F.col("ts") >= jan10).write.mode("append").parquet(src)
+    assert main(["convert", "--src", src, "--dst", dst]) == 0
+    days2 = {p.split("date=")[-1] for p in glob.glob(f"{dst}/stream=0/date=*")}
+    # Jan 30 is the still-accumulating partial newest day — the planner
+    # skips it (reference convert/plan.go:58-74)
+    assert days1 < days2 and max(days2) == "2024-01-29"
+    # converted table answers like the raw engine
+    t = 1704412800000
+    lb = 2 * 86400_000
+    q = "sum by (shard) (click)"
+    want = sorted((dict(r["labels"])["shard"], r["value"]) for r in
+                  PromQLEngine(raw, lookback_ms=lb, deterministic=True)
+                  .query_instant(q, t).df.collect())
+    got = sorted((dict(r["labels"])["shard"], r["value"]) for r in
+                 PromQLEngine(spark.read.parquet(dst), lookback_ms=lb,
+                              deterministic=True)
+                 .query_instant(q, t).df.collect())
+    assert got == want
+    # retention: everything is long past any 2024 retention window
+    assert main(["retention", "--path", dst, "--days", "30", "--apply",
+                 "--consistency-delay-ms", "0"]) == 0
+    assert glob.glob(f"{dst}/stream=0/date=*") == []
+
+
 def test_multistream_convert_prune_decorate(spark, sf_dir, tmp_path):
     """Multi-stream mode end-to-end (reference locate/discover.go:125-305):
     two streams with distinct external labels converted into one layout; a

@@ -1,0 +1,191 @@
+"""Command-line entry points — the analogue of the reference's cobra CLI
+(reference cmd/cmd.go, cmd/serve.go:60-140, cmd/convert.go:80-111).
+
+    python -m thanos_parquet_gateway_spark serve   --path DIR [--port N] ...
+    python -m thanos_parquet_gateway_spark convert --src DIR --dst DIR ...
+    python -m thanos_parquet_gateway_spark retention --path DIR --days N
+
+The reference's object-store/tracing/concurrency knobs collapse into Spark
+configuration (connector + scheduler); what remains is the query/limit
+surface (lookback, quotas, replica/external labels — cmd/serve.go:101-111)
+and the conversion policy (grace period, max plan days, retention —
+cmd/convert.go:82-101), re-expressed one-to-one where they still mean
+something on Spark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_label_map(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs:
+        k, _, v = p.partition("=")
+        if not _:
+            raise SystemExit(f"bad label {p!r}; want name=value")
+        out[k] = v
+    return out
+
+
+def cmd_serve(args) -> int:
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.api import PromHTTPServer
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    spark = get_spark("serve")
+    samples = spark.read.parquet(args.path)
+    streams = None
+    try:
+        from thanos_parquet_gateway_spark.convert import read_stream_descriptors
+        streams = read_stream_descriptors(spark, args.path)
+    except Exception:  # noqa: BLE001 — flat layouts have no sidecar
+        streams = None
+    eng = PromQLEngine(samples,
+                       lookback_ms=args.lookback_ms,
+                       replica_labels=args.replica_label or None,
+                       ext_labels=_parse_label_map(args.external_label or [])
+                       or None,
+                       streams=streams)
+    srv = PromHTTPServer(eng, port=args.port,
+                         max_concurrent=args.max_concurrent,
+                         row_quota=args.max_row_count,
+                         byte_quota=args.max_chunk_bytes)
+    print(f"serving {args.path} on :{srv.port} "
+          f"(streams={sorted(streams) if streams else None})")
+    srv.server.serve_forever()
+    return 0
+
+
+def cmd_convert(args) -> int:
+    import time
+
+    from pyspark.sql import functions as F
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.convert import (
+        convert_samples,
+        read_manifest,
+        write_manifest,
+    )
+    from thanos_parquet_gateway_spark.convert.planner import plan_days, source_days
+
+    spark = get_spark("convert")
+    raw = spark.read.parquet(args.src)
+    try:
+        existing = read_manifest(spark, args.dst)
+    except Exception:  # noqa: BLE001 — first conversion, no manifest yet
+        existing = None
+    plan = plan_days(source_days(raw), existing, max_days=args.max_plan_days)
+    days = [r["date"] for r in plan.collect()]
+    if args.grace_period_ms:
+        # reference convert.grace-period: skip days younger than the cutoff
+        cutoff = time.strftime(
+            "%Y-%m-%d",
+            time.gmtime((time.time() * 1000 - args.grace_period_ms) / 1000))
+        days = [d for d in days if d <= cutoff]
+    print(f"planned days: {sorted(days)}")
+    if not days:
+        return 0
+    date_col = F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
+    manifest = convert_samples(
+        raw.filter(date_col.isin(days)), args.dst,
+        max_records_per_file=args.rowgroup_size * args.rowgroup_count)
+    # manifest covers the whole table, not just this run (dynamic partition
+    # overwrite leaves other days in place) — recompute from footer stats
+    conv = spark.read.parquet(args.dst)
+    full = (conv.groupBy("stream", "date")
+            .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
+                 F.count("*").alias("n_samples"),
+                 F.approx_count_distinct("series_hash")
+                 .alias("n_series_approx")))
+    write_manifest(full, args.dst)
+    for r in manifest.orderBy("stream", "date").collect():
+        print(json.dumps({"stream": r["stream"], "date": r["date"],
+                          "mint": r["mint"], "maxt": r["maxt"],
+                          "n_samples": r["n_samples"]}))
+    return 0
+
+
+def cmd_retention(args) -> int:
+    import time
+
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.convert import (
+        apply_retention,
+        mark_for_deletion,
+        read_manifest,
+        write_manifest,
+    )
+
+    spark = get_spark("retention")
+    now_ms = int(time.time() * 1000)
+    manifest = read_manifest(spark, args.path)
+    marked = mark_for_deletion(manifest, args.days, now_ms).cache()
+    n = marked.filter("deleted_at IS NOT NULL").count()
+    print(f"marked partitions: {n}")
+    write_manifest(marked, args.path)
+    if args.apply:
+        deleted = apply_retention(marked, args.path, now_ms=now_ms,
+                                  consistency_delay_ms=args.consistency_delay_ms)
+        print(f"deleted: {deleted}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="thanos_parquet_gateway_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("serve", help="serve the Prometheus HTTP API over a "
+                       "converted samples table (reference cmd/serve.go)")
+    s.add_argument("--path", required=True, help="samples parquet root")
+    s.add_argument("--port", type=int, default=9090)
+    s.add_argument("--lookback-ms", type=int, default=300_000,
+                   help="query.lookback (reference cmd/serve.go:102)")
+    s.add_argument("--max-concurrent", type=int, default=100,
+                   help="query.limits concurrency semaphore")
+    s.add_argument("--max-row-count", type=int, default=0,
+                   help="query.limits.select.max-row-count (0 = unlimited)")
+    s.add_argument("--max-chunk-bytes", type=int, default=0,
+                   help="query.limits.select.max-chunk-bytes (0 = unlimited)")
+    s.add_argument("--replica-label", action="append",
+                   help="replica label to drop+dedup (repeatable)")
+    s.add_argument("--external-label", action="append",
+                   help="name=value external label (repeatable; "
+                   "reference query.external-label)")
+    s.set_defaults(fn=cmd_serve)
+
+    c = sub.add_parser("convert", help="convert raw samples parquet into the "
+                       "stream/date-partitioned layout (reference cmd/convert.go)")
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    c.add_argument("--grace-period-ms", type=int, default=0,
+                   help="don't convert days younger than this "
+                   "(reference convert.grace-period)")
+    c.add_argument("--max-plan-days", type=int, default=0,
+                   help="soft limit of days per run (convert.max-plan-days)")
+    c.add_argument("--rowgroup-size", type=int, default=1_000_000,
+                   help="rows per rowgroup (convert.rowgroup.size)")
+    c.add_argument("--rowgroup-count", type=int, default=6,
+                   help="rowgroups per file (convert.rowgroup.count)")
+    c.set_defaults(fn=cmd_convert)
+
+    r = sub.add_parser("retention", help="two-phase retention mark/sweep "
+                       "(reference convert.retention-days)")
+    r.add_argument("--path", required=True)
+    r.add_argument("--days", type=int, required=True)
+    r.add_argument("--apply", action="store_true",
+                   help="sweep marked days (default: mark only)")
+    r.add_argument("--consistency-delay-ms", type=int,
+                   default=12 * 3600 * 1000,
+                   help="wait this long after marking before the sweep "
+                   "(reference locate/deletion.go 12h delay)")
+    r.set_defaults(fn=cmd_retention)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

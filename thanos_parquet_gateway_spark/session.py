@@ -35,6 +35,10 @@ def get_spark(app_name: str = "thanos_parquet_gateway_spark",
         # duplicate keys; PromQL semantics = last write wins
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # overwrite only the partitions present in the written data — makes
+        # day-incremental conversion (cli.py convert) safe against the
+        # stream/date-partitioned table
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
