@@ -143,8 +143,14 @@ def parse_test(text: str) -> TestScript:
                                       lines[i].startswith("\t")):
                 eline = lines[i].strip()
                 if eline and not eline.startswith("#"):
-                    labels, rest = parse_series_id(eline)
-                    case.expected.append((labels, _num(rest.split()[0])))
+                    # Bare numeric line = scalar expectation (upstream allows
+                    # "eval ... <scalar expr>" followed by just the value).
+                    if re.fullmatch(r"-?(?:[0-9.]+(?:e-?\d+)?|NaN|Inf|\+Inf)",
+                                    eline, re.IGNORECASE):
+                        case.expected.append(({}, _num(eline)))
+                    else:
+                        labels, rest = parse_series_id(eline)
+                        case.expected.append((labels, _num(rest.split()[0])))
                 i += 1
             ts.evals.append(case)
             continue

@@ -569,6 +569,9 @@ class Compiler:
         if l_vec or r_vec:
             return self._vector_scalar(be, l, r)
         # scalar (df) ⊗ scalar
+        if op in A.COMPARISON_OPS and not be.bool_modifier:
+            raise PromQLCompileError(
+                "comparisons between scalars must use BOOL modifier")
         ldf = l.df if isinstance(l, ScalarV) else self._const_scalar_df(l)
         rdf = r.df if isinstance(r, ScalarV) else self._const_scalar_df(r)
         j = ldf.alias("l").join(rdf.alias("r"), "t")
@@ -581,6 +584,9 @@ class Compiler:
 
     def _const_binop(self, op, l: float, r: float, bool_mod: bool):
         if op in A.COMPARISON_OPS:
+            if not bool_mod:
+                raise PromQLCompileError(
+                    "comparisons between scalars must use BOOL modifier")
             res = {"==": l == r, "!=": l != r, ">": l > r, "<": l < r,
                    ">=": l >= r, "<=": l <= r}[op]
             if math.isnan(l) or math.isnan(r):
