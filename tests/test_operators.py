@@ -150,6 +150,26 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     assert all(vid == qid for qid, vid in rank1.items())
 
 
+def test_ivf_topk_probed_cells_and_self_rank1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    top = similarity.ivf_topk(emb, q, k=3, nlist=4, nprobe=2).collect()
+    # the query's own cell is always probed first → self still rank 1
+    rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in top
+             if r["rank"] == 1}
+    assert all(vid == qid for qid, (vid, _) in rank1.items())
+    assert all(abs(cs - 1.0) < 1e-9 for _, cs in rank1.values())
+    # nprobe = nlist degenerates to exact brute force
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["vec_id"]
+            for r in similarity.ivf_topk(emb, q, k=3, nlist=4,
+                                         nprobe=4).collect()}
+    assert full == exact
+
+
 def test_language_and_quality_and_tokens(spark):
     rows = [(1, "the cat and the dog went to the house of a friend"),
             (2, "der hund und die katze ist nicht zu hause mit der maus"),

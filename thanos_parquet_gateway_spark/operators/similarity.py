@@ -109,6 +109,80 @@ def rademacher_signature(vec: Column, n_bits: int, seed: int = 0) -> Column:
     return F.concat(*bits)
 
 
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             nlist: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+             hash_family: str = "xxhash") -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into ``nlist``
+    inverted cells around deterministic seed centroids, probe the ``nprobe``
+    nearest cells per query, exact-cosine rescore inside the probed cells.
+
+    The scale shape (vs brute force / LSH):
+    - centroids = the ``nlist`` corpus vectors ranked first by a hash of
+      their id — a deterministic O(1)-state sample needing no k-means pass
+      (one Lloyd refinement can be layered on later; seeds keep the whole
+      index build a single narrow scan + one tiny broadcast).
+    - cell assignment is a broadcast nested-loop against ``nlist`` rows
+      (row multiplication nlist×, reduced back to 1× by the argmin window)
+      — no shuffle of the corpus.
+    - search touches ~``nprobe/nlist`` of the corpus per query via an
+      equi-join on ``cell`` — the inverted-file effect.
+
+    ``hash_family``: ``xxhash`` (64-bit JVM hash, default) or ``md5``
+    (hex-string ranking an independent SQL oracle can replicate —
+    same dual-family pattern as operators/dedup.py).
+    Returns (query_id, rank, vec_id, cos_sim); ties break by vec_id.
+    """
+    from pyspark.sql import Window
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    rank_key = (F.md5(F.col("vec_id").cast("string")) if hash_family == "md5"
+                else F.xxhash64(F.col("vec_id")).cast("string"))
+    # orderBy().limit() plans as TakeOrderedAndProject — a distributed
+    # top-nlist, NOT a single-partition global sort; the window that numbers
+    # the cells only ever sees nlist rows.
+    seeds = e.withColumn("__hk", rank_key).orderBy("__hk", "vec_id") \
+             .limit(nlist)
+    seed_w = Window.orderBy(F.col("__hk").asc(), F.col("vec_id").asc())
+    cents = (seeds.withColumn("cell", F.row_number().over(seed_w))
+             .select("cell", F.col("v").alias("cvec")))
+    # One row holding all centroids → broadcast nested-loop attaches the
+    # array to every corpus/query row, and cell assignment becomes a pure
+    # map-side argmax over nlist array elements: zero shuffle.
+    cents_arr = cents.agg(
+        F.collect_list(F.struct("cell", "cvec")).alias("__cents"))
+
+    def _probe(df, vcol, n):
+        """Attach the n best cells (by centroid cosine, ties to the lower
+        cell id) as an exploded ``cell`` column — all map-side."""
+        j = df.crossJoin(F.broadcast(cents_arr))
+        scored = F.transform(
+            "__cents",
+            lambda c: F.struct(cosine(F.col(vcol), c["cvec"]).alias("cs"),
+                               (-c["cell"]).alias("neg"),
+                               c["cell"].alias("cell")))
+        best = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return (j.select("*", F.explode(best).alias("__b"))
+                .withColumn("cell", F.col("__b.cell"))
+                .drop("__cents", "__b"))
+
+    e_cells = _probe(e, "v", 1)
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+    q_probes = _probe(q, "qv", nprobe)
+
+    j = e_cells.join(F.broadcast(q_probes), "cell")
+    scored = j.select("query_id", "vec_id",
+                      cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "cos_sim"))
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              planes: list[list[float]] | None = None,
                              id_col: str = "vec_id",

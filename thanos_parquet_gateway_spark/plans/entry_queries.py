@@ -999,6 +999,63 @@ def sim_near_dup(spark, sf_dir):
         emb, threshold=0.35, bands=8, bits_per_band=1, seed=0)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between ``a.embedding``-style refs — same sequential
+    fold order as operators/similarity.cosine, so values match bit-for-bit."""
+    def _n(x):
+        return (f"sqrt(list_reduce(list_prepend(0.0, list_transform({x}, "
+                f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (p, q) -> p + q))")
+    d = (f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+         f"pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))), (p, q) -> p + q)")
+    return f"{d} / ({_n(a)} * {_n(b)})"
+
+
+@q("sim_ivf_topk", f"""
+WITH seeds AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS cell
+    FROM embeddings
+    QUALIFY cell <= 8
+),
+easg AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s)
+    WHERE r = 1
+),
+qasg AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s WHERE e.vec_id < 3)
+    WHERE r <= 2
+),
+cand AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           {_cos_sql('e.embedding', 'q.embedding')} AS cos_sim
+    FROM easg e JOIN qasg q USING (cell)
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM cand)
+WHERE rank <= 5
+""")
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: nlist=8 hash-seeded inverted cells, nprobe=2, exact
+    rescoring inside probed cells.  md5 hash family so the DuckDB oracle
+    replicates centroid seeding exactly (operators/similarity.ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vectors(spark, sf_dir), k=5,
+                               nlist=8, nprobe=2, hash_family="md5")
+
+
 @q("multimodal_meta_stats", """
 SELECT 'raw' AS codec, count(*) AS n_items,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
