@@ -69,17 +69,25 @@ def main():
     # warm the JVM/scan path once so timings measure the engine, not startup
     drain(load_table(spark, sf_dir, "lineitem").limit(1))
 
-    # three passes per query, report the min: steady-state engine throughput,
-    # excluding one-time codegen/JIT compilation (the reference's Go
-    # benchmarks likewise measure warm iterations via testing.B); the third
-    # pass stabilizes queries whose codegen only finishes during pass two
+    # Adaptive passes per query, report the min: steady-state engine
+    # throughput, excluding tiered-JIT warmup of the generated code (the
+    # reference's Go benchmarks likewise run until stable via testing.B).
+    # Codegen-heavy plans need ~4 invocations before C2 compiles the hot
+    # loops, so a fixed 3 passes can sample the warmup tail: keep running
+    # while the best time is still improving >15%, min 3 / max 7 passes.
     times, cold = {}, {}
     for name, fn in benches.items():
         runs = []
-        for _ in range(3):
+        for i in range(7):
             t0 = time.perf_counter()
             fn()
             runs.append(time.perf_counter() - t0)
+            # converged = the latest pass CONFIRMS the best time (within
+            # ±15%); a pass still improving >15% keeps going, and a GC/JIT
+            # spike far above the best doesn't end the loop early
+            if i >= 2 and (0.85 * min(runs[:-1]) <= runs[-1]
+                           <= 1.15 * min(runs[:-1])):
+                break
         cold[name] = round(runs[0], 3)
         times[name] = round(min(runs), 3)
 
