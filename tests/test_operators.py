@@ -209,6 +209,35 @@ def test_multimodal_pipeline(docs):
     assert n == truth
 
 
+def test_multimodal_resize_pad_and_truncate(spark):
+    from thanos_parquet_gateway_spark.operators.multimodal import resize_media
+    rows = [(1, "x" * 300), (2, "ab"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["media_id"]: r for r in
+           resize_media(documents_as_media(df), 16, 16).collect()}
+    assert bytes(out[1]["payload"]) == b"x" * 256          # truncated
+    assert bytes(out[2]["payload"]) == b"ab" + b"\x00" * 254  # zero-padded
+    assert bytes(out[3]["payload"]) == b"\x00" * 256       # empty → all pad
+    assert all(r["meta"]["width"] == 16 and r["meta"]["n_bytes"] == 256
+               for r in out.values())
+
+
+def test_multimodal_frame_sampling(spark):
+    from thanos_parquet_gateway_spark.operators.multimodal import sample_frames
+    rows = [(1, "a" * 64 + "b" * 64 + "c" * 64 + "d" * 64 + "e" * 10),
+            (2, "short"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    frames = sample_frames(documents_as_media(df), frame_bytes=64,
+                           every=4).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames}
+    # doc 1 has 5 frames (0..4); every=4 keeps idx 0 and 4
+    assert got[(1, 0)] == b"a" * 64
+    assert got[(1, 4)] == b"e" * 10
+    assert (1, 1) not in got and (1, 2) not in got
+    assert got[(2, 0)] == b"short"  # single partial frame
+    assert not any(mid == 3 for mid, _ in got)  # empty payload → no frames
+
+
 def test_multimodal_unknown_codec_raises(spark):
     from thanos_parquet_gateway_spark.operators.multimodal import _decode_payload
     with pytest.raises(NotImplementedError):

@@ -123,6 +123,83 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def resize_media(media: DataFrame, width: int, height: int,
+                 batch_size: int = 256) -> DataFrame:
+    """Resize plumbing: same media schema out, payload re-encoded to the
+    target dimensions, meta updated.  The 'raw' codec resize is a
+    deterministic fake — truncate / zero-pad to width*height bytes — so the
+    full batch path (binary in, binary out, meta rewrite) is testable and
+    oracle-checkable; real image codecs plug into ``_decode_payload``'s slot
+    and raise NotImplementedError until a library is available.
+
+    Vectorized: one contiguous uint8 buffer per Arrow batch, sliced per row
+    with numpy — no per-byte Python."""
+    import numpy as np
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = list(pdf["meta"])
+            for m in metas:
+                c = m["codec"] if m is not None else "raw"
+                if c != "raw":
+                    _decode_payload(b"", c)
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                if len(b) >= target:
+                    out.append(b[:target])
+                else:
+                    out.append(b + b"\x00" * (target - len(b)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "payload": out,
+                "meta": [{"codec": (m["codec"] if m else "raw"),
+                          "width": width, "height": height,
+                          "n_bytes": target} for m in metas],
+            })
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every: int = 4) -> DataFrame:
+    """Frame-sampling plumbing (video → sparse frames): emit every
+    ``every``-th fixed-size frame of the payload as its own row — the
+    one-row-in / many-rows-out mapInPandas shape a real video pipeline needs
+    (output batches are NOT aligned with input rows).  The 'raw' codec
+    "video" is the byte stream chunked into ``frame_bytes`` frames
+    (deterministic, oracle-checkable); container formats (mp4/webm) plug in
+    where the chunker is and raise NotImplementedError until a demuxer is
+    available."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                c = m["codec"] if m is not None else "raw"
+                if c != "raw":
+                    _decode_payload(b"", c)
+                b = bytes(p) if p is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must not read the payload column (verify
     with .explain(): ReadSchema excludes `payload`)."""

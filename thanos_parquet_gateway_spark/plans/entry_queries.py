@@ -20,6 +20,8 @@ from thanos_parquet_gateway_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
     media_metadata_stats,
+    resize_media,
+    sample_frames,
 )
 from thanos_parquet_gateway_spark.promql.engine import PromQLEngine
 from thanos_parquet_gateway_spark.sources.tables import load_table, samples_from_events
@@ -1101,6 +1103,53 @@ def multimodal_features(spark, sf_dir):
         F.element_at("feature", 2).cast("long").alias("first_byte"),
         F.element_at("feature", 3).cast("long").alias("last_byte"),
         F.element_at("feature", 4).cast("long").alias("byte_mod"))
+
+
+@q("multimodal_resize", """
+SELECT doc_id AS media_id,
+       16 AS width, 16 AS height, CAST(256 AS BIGINT) AS n_bytes,
+       md5(substring(text, 1, 256) ||
+           repeat(chr(0), greatest(0, 256 - length(text)))) AS payload_md5
+FROM documents
+""")
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing over binary payloads (deterministic 'raw' fake:
+    truncate/zero-pad to 16x16 bytes).  The oracle recomputes the padded
+    bytes in SQL (ASCII corpus: VARCHAR md5 == payload-bytes md5) so the
+    mapInPandas batch path is value-checked, not just row-counted."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, 16, 16)
+    return out.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"))
+
+
+@q("multimodal_frames", """
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, CAST(ceil(length(text) / 64.0) AS INT) - 1)) AS idx
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(idx AS INTEGER) AS frame_idx,
+       CAST(length(substring(text, idx * 64 + 1, 64)) AS BIGINT) AS frame_bytes,
+       md5(substring(text, idx * 64 + 1, 64)) AS frame_md5
+FROM f WHERE idx % 4 = 0
+""")
+def multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: every 4th 64-byte frame of each payload as
+    its own row (one-in/many-out mapInPandas batch shape).  Oracle rebuilds
+    the same frames via substring arithmetic on the ASCII corpus."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=64, every=4)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"))
 
 
 # ----------------------------------------------------- conversion layer
