@@ -209,6 +209,43 @@ def test_multimodal_pipeline(docs):
     assert n == truth
 
 
+def test_hash_sampling_deterministic_and_calibrated(spark, sf_dir):
+    from thanos_parquet_gateway_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    for fam in ("xxhash", "md5"):
+        s1 = sampling.hash_sample(docs, 0.25, seed=7, hash_family=fam)
+        ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+        ids2 = {r["doc_id"] for r in sampling.hash_sample(
+            docs, 0.25, seed=7, hash_family=fam).select("doc_id").collect()}
+        assert ids1 == ids2  # reproducible
+        assert 0.15 * n <= len(ids1) <= 0.35 * n  # calibrated-ish
+        # a larger rate with the same seed is a superset (nested samples)
+        ids_half = {r["doc_id"] for r in sampling.hash_sample(
+            docs, 0.5, seed=7, hash_family=fam).select("doc_id").collect()}
+        assert ids1 <= ids_half
+    # edge rates
+    assert sampling.hash_sample(docs, 0.0).count() == 0
+    assert sampling.hash_sample(docs, 1.0).count() == n
+
+
+def test_stratified_and_fixed_k_sampling(spark, sf_dir):
+    from thanos_parquet_gateway_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    strat = sampling.stratified_sample(docs, "lang", {"en": 0.0},
+                                       default_rate=1.0)
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert "en" not in langs  # stratum fully dropped
+    non_en = docs.filter(F.col("lang") != "en").count()
+    assert strat.count() == non_en  # everything else kept
+    k = sampling.hash_topk_sample(docs, 37)
+    assert k.count() == 37
+    # same seed → same 37 rows
+    a = {r["doc_id"] for r in k.collect()}
+    b = {r["doc_id"] for r in sampling.hash_topk_sample(docs, 37).collect()}
+    assert a == b
+
+
 def test_multimodal_resize_pad_and_truncate(spark):
     from thanos_parquet_gateway_spark.operators.multimodal import resize_media
     rows = [(1, "x" * 300), (2, "ab"), (3, "")]

@@ -1,0 +1,94 @@
+"""Deterministic sampling operators for training-data curation
+(SURVEY.md §7.1 M8 companion: the selection step between dedup/quality
+filtering and training).
+
+All sampling is hash-based, never ``rand()``: a sample defined by
+``hash(key) < threshold`` is reproducible across runs/retries/clusters,
+stable under repartitioning, and — because the hash rides on a per-row key —
+embarrassingly parallel with zero coordination.  ``rand()``-based sampling
+breaks all of that (non-deterministic re-execution under task retry).
+
+Two hash families, same structure (same dual-family pattern as
+operators/dedup.py):
+- ``xxhash`` (default, the 100 TB path): xxhash64 long, whole-stage codegen,
+  no string allocation;
+- ``md5`` (oracle mode): lowercase-hex md5 compared against a 32-digit hex
+  threshold string — lexicographic compare on lowercase hex equals numeric
+  compare, and an independent SQL engine (DuckDB) reproduces it
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MD5_SPACE = 16 ** 32
+_LONG_SPACE = float(1 << 63)
+
+
+def md5_threshold(rate: float) -> str:
+    """32-digit lowercase-hex threshold t such that
+    P[md5_hex < t] == rate (exactly, up to 1/16^32)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * _MD5_SPACE), _MD5_SPACE - 1), "032x")
+
+
+def _hash_col(key: Column, seed: int, hash_family: str) -> Column:
+    if hash_family == "md5":
+        return F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.xxhash64(F.lit(seed), key)
+
+
+def _keep(key: Column, rate: float, seed: int, hash_family: str) -> Column:
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    if hash_family == "md5":
+        return _hash_col(key, seed, "md5") < F.lit(md5_threshold(rate))
+    # shift to non-negative so the threshold arithmetic is exact
+    h = F.shiftrightunsigned(_hash_col(key, seed, "xxhash"), 1)
+    return h < F.lit(int(rate * _LONG_SPACE))
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                seed: int = 0, hash_family: str = "xxhash") -> DataFrame:
+    """Bernoulli sample at ``rate``: keep rows whose keyed hash falls under
+    the rate threshold.  Pure map-side filter — no shuffle, no state; at any
+    scale the plan is scan → filter."""
+    return df.filter(_keep(F.col(key_col), rate, seed, hash_family))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
+                      default_rate: float = 1.0, key_col: str = "doc_id",
+                      seed: int = 0, hash_family: str = "xxhash") -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. downsample dominant languages,
+    keep the tail): ``rates`` maps stratum value → keep rate; anything else
+    keeps ``default_rate``.  Still a single map-side filter — the rate choice
+    is a CASE on the stratum column, not a join."""
+    cond = None
+    for value, rate in sorted(rates.items()):
+        k = _keep(F.col(key_col), rate, seed, hash_family)
+        branch = (F.col(strata_col) == value) & k
+        cond = branch if cond is None else cond | branch
+    others = ~F.col(strata_col).isin(*rates.keys()) if rates else F.lit(True)
+    cond = (cond | (others & _keep(F.col(key_col), default_rate, seed,
+                                   hash_family))
+            if cond is not None
+            else _keep(F.col(key_col), default_rate, seed, hash_family))
+    return df.filter(cond)
+
+
+def hash_topk_sample(df: DataFrame, k: int, key_col: str = "doc_id",
+                     seed: int = 0, hash_family: str = "xxhash") -> DataFrame:
+    """Exactly-k uniform sample without replacement: rank every row by its
+    keyed hash and keep the k smallest.  Plans as TakeOrderedAndProject — a
+    distributed top-k (per-partition heads, tiny driver merge), NOT a global
+    sort; this is the scale-safe way to get a fixed-size sample."""
+    h = _hash_col(F.col(key_col), seed, hash_family)
+    return (df.withColumn("__h", h)
+            .orderBy("__h", key_col)
+            .limit(k)
+            .drop("__h"))

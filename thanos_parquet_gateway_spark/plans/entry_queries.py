@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from thanos_parquet_gateway_spark.operators import dedup, similarity, text
+from thanos_parquet_gateway_spark.operators import (
+    dedup,
+    sampling,
+    similarity,
+    text,
+)
 from thanos_parquet_gateway_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
@@ -1150,6 +1155,55 @@ def multimodal_frames(spark, sf_dir):
         "media_id", "frame_idx",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
         F.md5("frame").alias("frame_md5"))
+
+
+# hash-based sampling: md5('seed:'||key) compared to a 32-hex-digit
+# threshold — lexicographic lowercase-hex compare == numeric compare, so
+# DuckDB reproduces the sample membership exactly (operators/sampling.py)
+@q("sample_bernoulli", """
+SELECT doc_id, lang, source FROM documents
+WHERE md5('0:' || CAST(doc_id AS VARCHAR))
+      < '40000000000000000000000000000000'
+""")
+def sample_bernoulli(spark, sf_dir):
+    """Deterministic 25% Bernoulli sample by keyed hash (never rand():
+    reproducible under task retry, stable across repartitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.25, seed=0, hash_family="md5") \
+        .select("doc_id", "lang", "source")
+
+
+@q("sample_stratified", """
+SELECT doc_id, lang FROM documents
+WHERE CASE
+    WHEN lang = 'de' THEN md5('0:' || CAST(doc_id AS VARCHAR))
+                          < '80000000000000000000000000000000'
+    WHEN lang = 'en' THEN md5('0:' || CAST(doc_id AS VARCHAR))
+                          < '20000000000000000000000000000000'
+    ELSE TRUE END
+""")
+def sample_stratified(spark, sf_dir):
+    """Per-language keep rates (downsample the dominant language, keep the
+    tail): en 12.5%, de 50%, everything else kept — one map-side CASE
+    filter, no join, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", {"en": 0.125, "de": 0.5}, default_rate=1.0,
+        seed=0, hash_family="md5").select("doc_id", "lang")
+
+
+@q("sample_fixed_k", """
+SELECT doc_id, lang FROM documents
+ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 100
+""")
+def sample_fixed_k(spark, sf_dir):
+    """Exactly-100 uniform sample without replacement: rank by keyed hash,
+    keep the smallest (TakeOrderedAndProject — distributed top-k, no global
+    sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_topk_sample(docs, 100, seed=0, hash_family="md5") \
+        .select("doc_id", "lang")
 
 
 # ----------------------------------------------------- conversion layer
