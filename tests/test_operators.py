@@ -186,6 +186,27 @@ def test_language_and_quality_and_tokens(spark):
     assert tc[1]["bpe_tokens"] == 12  # pure letter runs
 
 
+def test_chunk_documents_windows(spark):
+    # 25 words, chunk=10, overlap=4 → stride 6: starts 0,6,12,18 cover to 25
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame([(1, " ".join(words)), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    out = text.chunk_documents(df, chunk_words=10, overlap=4)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk"] == " ".join(words[0:10])
+    assert rows[(1, 1)]["chunk"] == " ".join(words[6:16])   # 4-word overlap
+    assert rows[(1, 3)]["chunk"] == " ".join(words[18:25])  # partial tail
+    assert rows[(1, 3)]["n_words"] == 7
+    assert max(i for d, i in rows if d == 1) == 3
+    assert rows[(2, 0)]["chunk"] == "a b" and rows[(2, 0)]["n_words"] == 2
+    # coverage: every word appears in some chunk
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r["chunk"].split())
+    assert covered == set(words)
+
+
 def test_fingerprint_deterministic_and_sensitive(spark):
     rows = [(1, "a b c"), (2, "a b c"), (3, "a c b")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -87,6 +87,46 @@ def token_counts(docs: DataFrame, text_col: str = "text",
          .alias("bpe_tokens"))
 
 
+def chunk_documents(docs: DataFrame, chunk_words: int = 100,
+                    overlap: int = 20, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_tail: int = 1) -> DataFrame:
+    """Split documents into overlapping fixed-size word windows — the
+    sequence-chunking step of a training pipeline (context-window packing,
+    embedding-corpus prep).  Chunk i covers words [i*stride, i*stride +
+    chunk_words) with stride = chunk_words - overlap; the final partial
+    chunk is kept when it has ≥ ``min_tail`` NEW words beyond the previous
+    chunk's coverage.
+
+    Pure narrow plan: split → sequence → transform → posexplode, all
+    JVM-side per row, no shuffle at any scale.  Returns
+    (doc_id, chunk_idx, n_words, chunk)."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be smaller than chunk_words")
+    stride = chunk_words - overlap
+    words = normalized_words(F.col(text_col))
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(0, n - chunk_words) / stride), with the
+    # tail chunk dropped again if it adds < min_tail new words
+    n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
+        1 + F.ceil((n - chunk_words) / F.lit(float(stride))).cast("int"))
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    keep = F.filter(
+        starts,
+        lambda s: (s == 0) | (n - s - overlap >= F.lit(min_tail)))
+    chunks = F.transform(
+        keep, lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.least(n - s, F.lit(chunk_words)).cast("long").alias("n_words"),
+            F.array_join(F.slice(words, s + 1, chunk_words), " ")
+            .alias("chunk")))
+    ex = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(chunks).alias("c"))
+    return ex.select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"),
+                     F.col("c.n_words").alias("n_words"),
+                     F.col("c.chunk").alias("chunk"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", base: int = 31) -> DataFrame:
     """Rolling polynomial hash over word tokens mod 2^31-1; word hash =

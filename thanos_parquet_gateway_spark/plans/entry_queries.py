@@ -1157,6 +1157,40 @@ def multimodal_frames(spark, sf_dir):
         F.md5("frame").alias("frame_md5"))
 
 
+@q("text_chunks", """
+WITH w AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        ' ') AS words
+    FROM documents
+),
+c AS (
+    SELECT doc_id, words, len(words) AS n,
+           CASE WHEN len(words) <= 40 THEN 1
+                ELSE 1 + CAST(ceil((len(words) - 40) / 30.0) AS INT) END
+               AS n_chunks
+    FROM w
+),
+e AS (
+    SELECT doc_id, words, n,
+           unnest(generate_series(0, n_chunks - 1)) AS i
+    FROM c
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(least(n - i * 30, 40) AS BIGINT) AS n_words,
+       array_to_string(words[i * 30 + 1 : i * 30 + 40], ' ') AS chunk
+FROM e
+WHERE i = 0 OR n - i * 30 - 10 >= 1
+""")
+def text_chunks(spark, sf_dir):
+    """Overlapping fixed-size word-window chunking (40-word chunks, 10-word
+    overlap) — the context-window packing step of a training pipeline.
+    Narrow plan: split → sequence → slice → posexplode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_words=40, overlap=10)
+
+
 # hash-based sampling: md5('seed:'||key) compared to a 32-hex-digit
 # threshold — lexicographic lowercase-hex compare == numeric compare, so
 # DuckDB reproduces the sample membership exactly (operators/sampling.py)
