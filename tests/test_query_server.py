@@ -109,3 +109,36 @@ def test_query_range_matches_http_api_shape(spark):
     assert out["resultType"] == "matrix"
     assert out["result"][0]["values"] == [[0.0, "1"], [20.0, "3"], [40.0, "5"]]
     assert out["stats"]["samples"]["totalQueried"] >= 5
+
+
+def _vec(result):
+    return {tuple(sorted(r["labels"].items())): r["value"]
+            for r in result.df.collect()}
+
+
+def test_heterogeneous_stream_labels(spark):
+    """A label external in stream A but a DATA label in stream B: the matcher
+    is consumed against A's descriptor but must still filter B's rows by
+    their data label (reference search/search.go:356-376 matchExternalLabels
+    is per-block), and decoration must not strip B's real data label."""
+    from thanos_parquet_gateway_spark.promql.engine import PromQLEngine
+    rows = [({"__name__": "m", "job": "ja"}, 10 * S, 1.0),
+            ({"__name__": "m", "job": "jb", "zone": "x"}, 10 * S, 2.0),
+            ({"__name__": "m", "job": "jb", "zone": "y"}, 10 * S, 4.0)]
+    df = make_samples(spark, rows).withColumn(
+        "stream", F.when(F.col("value") == 1.0, "a").otherwise("b"))
+    eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
+                       streams={"a": {"zone": "x"}, "b": {}})
+    got = _vec(eng.query_instant('m{zone="x"}', 20 * S))
+    assert got == {
+        (("__name__", "m"), ("job", "ja"), ("zone", "x")): 1.0,  # by descriptor
+        (("__name__", "m"), ("job", "jb"), ("zone", "x")): 2.0,  # by data
+    }
+    # negative matcher: A fails the descriptor; B keeps only zone=y
+    got = _vec(eng.query_instant('m{zone!="x"}', 20 * S))
+    assert got == {(("__name__", "m"), ("job", "jb"), ("zone", "y")): 4.0}
+    # unmatched: no rows at all
+    assert _vec(eng.query_instant('m{zone="zz"}', 20 * S)) == {}
+    # decoration keeps B's data zone when no matcher touches it
+    got = _vec(eng.query_instant("m", 20 * S))
+    assert got[(("__name__", "m"), ("job", "jb"), ("zone", "y"))] == 4.0

@@ -131,16 +131,23 @@ def _matcher_matches(m: A.Matcher, v: str) -> bool:
 def stream_decoration(streams: dict[str, dict[str, str]]) -> Column:
     """labels → labels overlaid with the owning stream's external labels.
     A driver-side CASE over the (tiny) stream set — stays in codegen, no
-    join (reference search/materialize.go:73-84 decoration)."""
-    keys = sorted({k for ls in streams.values() for k in ls})
-    keep = drop_labels("labels", keys)
-    empty = F.expr("map()").cast("map<string,string>")
-    overlay = empty
+    join (reference search/materialize.go:73-84 decoration).
+
+    Per-stream: only a stream's OWN external-label names shadow its data
+    labels.  A label that is external in stream A but a real data label in
+    stream B must survive untouched on B's rows (reference
+    schema/block.go:37-76 — decoration is per-block from that block's
+    stream descriptor, never global)."""
+    out = F.col("labels")
     for s, ls in sorted(streams.items()):
-        ext = (F.create_map(*[F.lit(x) for kv in sorted(ls.items())
-                              for x in kv]) if ls else empty)
-        overlay = F.when(F.col("stream") == s, ext).otherwise(overlay)
-    return F.map_concat(keep, overlay)
+        if ls:
+            ext = F.create_map(*[F.lit(x) for kv in sorted(ls.items())
+                                 for x in kv])
+            dec = F.map_concat(drop_labels("labels", sorted(ls)), ext)
+        else:
+            dec = F.col("labels")
+        out = F.when(F.col("stream") == s, dec).otherwise(out)
+    return out
 
 
 class PromQLCompileError(ValueError):
@@ -226,17 +233,32 @@ class Compiler:
             ok = _matcher_matches(m, self.ext_labels[m.label])
             return None if ok else F.lit(False)
         if m.label in self._stream_keys:
-            # per-stream elision: the matcher is decided against each
-            # stream's descriptor value and becomes a predicate on the
-            # `stream` partition column → Catalyst partition pruning
-            # (reference search/search.go:356-376 per-stream matcher elision)
-            ok_streams = [s for s, ls in self.streams.items()
-                          if _matcher_matches(m, ls.get(m.label, ""))]
-            if len(ok_streams) == len(self.streams):
-                return None
-            if not ok_streams:
-                return F.lit(False)
-            return F.col("stream").isin(ok_streams)
+            # per-stream elision: the matcher is consumed against a stream's
+            # descriptor ONLY for streams whose own descriptor carries the
+            # label (reference search/search.go:356-376 matchExternalLabels —
+            # per-block, from that block's stream).  Streams lacking it fall
+            # through to the ordinary data-label predicate: a label external
+            # in stream A may be a real data label in stream B.
+            ext_ok = [s for s, ls in self.streams.items()
+                      if m.label in ls and _matcher_matches(m, ls[m.label])]
+            ext_no = [s for s, ls in self.streams.items()
+                      if m.label in ls and not _matcher_matches(m, ls[m.label])]
+            data_streams = [s for s, ls in self.streams.items()
+                            if m.label not in ls]
+            if not data_streams:
+                if not ext_no:
+                    return None
+                if not ext_ok:
+                    return F.lit(False)
+                return F.col("stream").isin(ext_ok)
+            cond = F.col("stream").isin(data_streams) & self._data_cond(m)
+            if ext_ok:
+                cond = F.col("stream").isin(ext_ok) | cond
+            return cond
+        return self._data_cond(m)
+
+    def _data_cond(self, m: A.Matcher) -> Column:
+        """Matcher as a data-label predicate (missing ≡ '')."""
         col = (F.col("__name__") if m.label == "__name__" else
                label("labels", m.label))
         if m.op == "=":
