@@ -259,6 +259,14 @@ def test_stratified_and_fixed_k_sampling(spark, sf_dir):
     assert "en" not in langs  # stratum fully dropped
     non_en = docs.filter(F.col("lang") != "en").count()
     assert strat.count() == non_en  # everything else kept
+    # NULL stratum: never equals any configured value, so it must fall in
+    # the 'others' branch (default_rate), not be silently dropped by the
+    # three-valued NULL from isin
+    nulls = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "fr"), (4, None)], ["doc_id", "lang"])
+    kept = {r["doc_id"] for r in sampling.stratified_sample(
+        nulls, "lang", {"en": 0.0}, default_rate=1.0).collect()}
+    assert kept == {2, 3, 4}
     k = sampling.hash_topk_sample(docs, 37)
     assert k.count() == 37
     # same seed → same 37 rows

@@ -115,6 +115,33 @@ def test_vector_matching_duplicate_groups_error(spark):
         eng2.query_instant("req * on(pod) group_left info", 5 * S).df.collect()
 
 
+def test_duplicate_one_side_without_partner_errors(spark):
+    """Prometheus raises while building its rightSigs map, BEFORE matching —
+    a duplicate 'one'-side match group errors even when it has no partner on
+    the other side (the guard lives on the pre-join rows)."""
+    rows = (counter("req", {"pod": "p1"}, 0, 10 * S, [10]) +
+            [({"__name__": "info", "pod": "p2", "v": "1"}, 0, 1.0),
+             ({"__name__": "info", "pod": "p2", "v": "2"}, 0, 2.0)])
+    eng = eng_for(spark, rows)
+    with pytest.raises(Exception, match="duplicate series"):
+        eng.query_instant("req * on(pod) group_left info", 5 * S).df.collect()
+
+
+def test_count_values_fixed_notation(spark):
+    """count_values label formatting follows Go FormatFloat('f', -1, 64):
+    fixed notation (never scientific), shortest-roundtrip digits, integral
+    without fraction, -0.0 as '-0'."""
+    vals = [3.0, 0.5, 1e-7, 123456789.25, 1e20, -0.0, float("inf"), 0.00015]
+    rows = [({"__name__": "cv", "i": str(i)}, 0, v)
+            for i, v in enumerate(vals)]
+    eng = eng_for(spark, rows)
+    r = vec(eng.query_instant('count_values("v", cv)', 5 * S))
+    got = {dict(k)["v"] for k in r}
+    assert got == {"3", "0.5", "0.0000001", "123456789.25",
+                   "100000000000000000000", "-0", "+Inf", "0.00015"}
+    assert all(v == 1.0 for v in r.values())
+
+
 def test_set_ops(spark):
     eng = eng_for(spark, BASIC)
     r = vec(eng.query_instant("m and n", 40 * S))

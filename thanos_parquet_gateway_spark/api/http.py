@@ -61,12 +61,19 @@ class QuotaExceeded(RuntimeError):
 
 
 def plan_input_bytes(df) -> int:
-    """Catalyst-estimated input size of the optimized plan — for file scans
-    this is the pruned file bytes, the admission analogue of the reference's
-    chunk-bytes quota (internal/limits/limit.go:66-93 wired at db/db.go)."""
+    """Catalyst-estimated *input* size of the optimized plan: the sum of
+    sizeInBytes over the plan's leaf relations (for file scans, the pruned
+    file bytes) — the admission analogue of the reference's chunk-bytes
+    quota (internal/limits/limit.go:66-93 wired at db/db.go).  Summing
+    leaves (not the root) matters: the root estimate is the *output* size,
+    which collapses after aggregates (quota would never fire on huge scans)
+    and multiplies after joins (spurious rejections)."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats()
-                   .sizeInBytes())
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            total += int(leaves.apply(i).stats().sizeInBytes())
+        return total
     except Exception:  # noqa: BLE001 — stats are advisory
         return 0
 

@@ -67,13 +67,17 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: dict[str, float],
     """Per-stratum Bernoulli rates (e.g. downsample dominant languages,
     keep the tail): ``rates`` maps stratum value → keep rate; anything else
     keeps ``default_rate``.  Still a single map-side filter — the rate choice
-    is a CASE on the stratum column, not a join."""
+    is a CASE on the stratum column, not a join.  A NULL stratum never
+    equals any configured value (SQL three-valued logic), so it falls in the
+    ``others`` branch and keeps ``default_rate`` — the ``isin`` NULL is
+    coalesced to true rather than silently rejecting the row."""
     cond = None
     for value, rate in sorted(rates.items()):
         k = _keep(F.col(key_col), rate, seed, hash_family)
         branch = (F.col(strata_col) == value) & k
         cond = branch if cond is None else cond | branch
-    others = ~F.col(strata_col).isin(*rates.keys()) if rates else F.lit(True)
+    others = (F.coalesce(~F.col(strata_col).isin(*rates.keys()), F.lit(True))
+              if rates else F.lit(True))
     cond = (cond | (others & _keep(F.col(key_col), default_rate, seed,
                                    hash_family))
             if cond is not None

@@ -459,15 +459,50 @@ class Compiler:
             return InstantVector(out)
 
         if agg.op == "count_values":
-            # Prometheus formats the value label with FormatFloat('f', -1):
-            # integral doubles render without a fraction ("100", not "100.0")
-            # and infinities as +Inf/-Inf
+            # Prometheus formats the value label with FormatFloat('f', -1, 64):
+            # shortest-roundtrip digits in FIXED notation (never scientific),
+            # integral doubles without a fraction ("100", not "100.0"),
+            # infinities as +Inf/-Inf, and -0.0 as "-0".  Spark's double→string
+            # is Java Double.toString (scientific outside [1e-3, 1e7)), so
+            # fixed notation is produced via decimal casts — Spark converts
+            # double→decimal through BigDecimal.valueOf (shortest-roundtrip
+            # digits), and decimal→string is always plain notation:
+            #   - integral |v| < 2^63        → long cast (codegen fast path)
+            #   - integral |v| < 1e38        → decimal(38,0)
+            #   - non-integral |v| ≥ 1       → decimal(38,17), zeros trimmed
+            #     (non-integral doubles are < 2^53, ≤ 17 sig digits)
+            #   - non-integral |v| ≥ 1e-20   → decimal(38,37), zeros trimmed
+            # Outside those ranges (|v| ≥ 1e38 or 0 < |v| < 1e-20) the label
+            # falls back to Java scientific notation — a documented
+            # divergence at the extremes no real metric value reaches.
+            # try_cast everywhere: ANSI mode turns overflow into NULL, and
+            # the isNotNull guards route to the next branch.
             v = F.col("value")
+            lng = v.try_cast("long")
+            big = v.try_cast("decimal(38,0)")
+            frac_ge1 = v.try_cast("decimal(38,17)")
+            frac_lt1 = v.try_cast("decimal(38,37)")
+
+            def _trim(c):
+                return F.regexp_replace(
+                    F.regexp_replace(c.cast("string"), "0+$", ""),
+                    "\\.$", "")
+
             vstr = (F.when(F.isnan(v), F.lit("NaN"))
                     .when(v == float("inf"), F.lit("+Inf"))
                     .when(v == float("-inf"), F.lit("-Inf"))
-                    .when(v.cast("long").cast("double") == v,
-                          v.cast("long").cast("string"))
+                    .when(v == 0.0,
+                          # negative zero via Java's toString ("-0.0");
+                          # 1/v would be an ANSI divide-by-zero error
+                          F.when(v.cast("string").startswith("-"),
+                                 F.lit("-0")).otherwise(F.lit("0")))
+                    .when(lng.cast("double") == v, lng.cast("string"))
+                    .when(big.isNotNull() & (big.cast("double") == v),
+                          big.cast("string"))
+                    .when((F.abs(v) >= 1.0) & frac_ge1.isNotNull(),
+                          _trim(frac_ge1))
+                    .when((F.abs(v) >= 1e-20) & frac_lt1.isNotNull(),
+                          _trim(frac_lt1))
                     .otherwise(v.cast("string")))
             nl = F.map_concat(
                 F.map_filter(F.col("glabels"), lambda k, _v: k != F.lit(param)),
@@ -693,25 +728,37 @@ class Compiler:
         else:
             ldf = ldf.withColumn("__lcnt", F.lit(1))
         side = "left" if swap_values else "right"
-        rdf = (r.df.withColumn("__mh", mh)
-               .withColumn("__rcnt", F.count("*").over(mw))
-               .select("t", "__mh", "__rcnt", F.col("value").alias("__rv"),
-                       F.col("labels").alias("__rlabels")))
-        j = ldf.join(rdf, ["t", "__mh"])
-        dup = (F.col("__rcnt") > 1) | (F.col("__lcnt") > 1)
-        guard = F.when(
-            F.col("__rcnt") > 1,
+        # The 'one'-side guard is applied to the PRE-join rows: Prometheus
+        # raises while building its rightSigs map, before matching, so a
+        # duplicate 'one'-side series errors even when its match group has no
+        # partner on the other side.  The guard is folded into the JOIN KEY —
+        # a plain payload column would be lazily skipped by whole-stage
+        # codegen for non-matching rows, but the key must be evaluated for
+        # every rhs row to probe/build the hash table, matched or not.
+        rw = W.partitionBy("t", "__mh_raw")
+        rguard = F.when(
+            F.count("*").over(rw) > 1,
             F.raise_error(F.concat(
                 F.lit("found duplicate series for the match group "),
-                F.to_json("__rlabels"),
+                F.to_json("labels"),
                 F.lit(f" on the {side} hand-side of the operation")))
-        ).when(
-            F.col("__lcnt") > 1,
+        ).otherwise(F.col("__mh_raw"))
+        rdf = (r.df.withColumn("__mh_raw", mh)
+               .select("t", rguard.alias("__mh"),
+                       F.col("value").alias("__rv"),
+                       F.col("labels").alias("__rlabels")))
+        j = ldf.join(rdf, ["t", "__mh"])
+        # The many-side (lhs) one-to-one guard stays POST-join: Prometheus
+        # only detects the left duplicate when inserting into matchedSigs,
+        # i.e. after the left series found a right partner.
+        dup = F.col("__lcnt") > 1
+        guard = F.when(
+            dup,
             F.raise_error(F.lit(
                 "multiple matches for labels: many-to-one matching must be "
                 "explicit (group_left/group_right)")))
         lv = F.when(dup, guard).otherwise(F.col("value"))
-        rv = F.when(dup, guard).otherwise(F.col("__rv"))
+        rv = F.col("__rv")
         if swap_values:
             lv, rv = rv, lv
         if op in A.COMPARISON_OPS:
