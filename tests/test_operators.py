@@ -102,6 +102,35 @@ def test_lsh_hot_bucket_cap(spark):
     assert len(all_pairs) == 10 + 1           # C(5,2) boiler + 1 honest
 
 
+def test_lsh_wide_path_matches_md5_row_path(spark, sf_dir):
+    """The wide xxhash fast path (one groupBy(doc_id), min-agg per seed,
+    band keys from aggregated columns) must produce the SAME candidate pairs
+    as the md5 row formulation — per-seed minhash ranks agree between the
+    two min-wise families only in expectation, so compare bucket structure
+    per family via identical pair sets on a corpus with planted dups."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    wide = {(r["doc_a"], r["doc_b"]) for r in
+            dedup.lsh_candidate_pairs(docs, hash_family="xxhash").collect()}
+    # row formulation of the same xxhash family, reconstructed inline:
+    # explode seeds → min per (doc, seed) → band key over sorted vector
+    from pyspark.sql import functions as FF
+    sig = dedup.minhash_signatures(docs, hash_family="xxhash")
+    banded = sig.withColumn("band", (FF.col("seed") / 2).cast("int"))
+    bkey = FF.xxhash64(FF.array_sort(
+        FF.collect_list(FF.struct("seed", "minhash"))))
+    bk = banded.groupBy("doc_id", "band").agg(bkey.alias("band_key"))
+    buckets = (bk.groupBy("band", "band_key")
+               .agg(FF.array_sort(FF.collect_list("doc_id")).alias("ids"))
+               .filter(FF.size("ids") > 1))
+    row_pairs = set()
+    for r in buckets.collect():
+        ids = r["ids"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                row_pairs.add((ids[i], ids[j]))
+    assert wide == row_pairs
+
+
 def test_jaccard_bounds_and_exactness(spark):
     rows = [(1, "a b c d"), (2, "a b c e")]  # 2-shingles: {ab,bc,cd} {ab,bc,ce}
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -137,20 +137,36 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     ``max_bucket_size`` metrics piggybacked on the consuming action (no
     extra job)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n,
-                             hash_family)
-    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    if hash_family == "md5":
+    if hash_family == "xxhash":
+        # Wide fast path: ONE groupBy(doc_id) with num_hashes min-aggregates
+        # replaces the seed-explode (×num_hashes rows) → groupBy(doc_id,seed)
+        # → groupBy(doc_id,band) chain of the row formulation — one shuffle
+        # and two codegen stages fewer, and the aggregation hash map sees one
+        # row per doc instead of num_hashes.  Band keys hash the seed-ordered
+        # minhash columns directly; the bucket equivalence classes are
+        # identical to the row path (same per-seed minhashes, keys differ
+        # only in representation) — asserted by test_lsh_wide_path_matches.
+        sh = shingle_rows(docs, text_col, id_col, shingle_n)
+        mins = sh.groupBy("doc_id").agg(*[
+            F.min(F.xxhash64(F.lit(s), "shingle")).alias(f"h{s}")
+            for s in range(num_hashes)])
+        band_keys = mins.select("doc_id", F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + i}")
+                             for i in range(rows_per_band)]).alias("band_key"))
+            for b in range(bands)])).alias("bk")
+        ).select("doc_id", "bk.band", "bk.band_key")
+    else:
+        sig = minhash_signatures(docs, text_col, id_col, num_hashes,
+                                 shingle_n, hash_family)
+        banded = sig.withColumn("band",
+                                (F.col("seed") / rows_per_band).cast("int"))
         bkey = F.md5(F.concat_ws(",", F.array_sort(
             F.collect_list(F.concat(F.col("seed").cast("string"),
                                     F.lit(":"), F.col("minhash"))))))
-    else:
-        # band key = xxhash64 of the seed-ordered minhash vector — long
-        # key, no string assembly
-        bkey = F.xxhash64(F.array_sort(
-            F.collect_list(F.struct("seed", "minhash"))))
-    band_keys = (banded.groupBy("doc_id", "band")
-                 .agg(bkey.alias("band_key")))
+        band_keys = (banded.groupBy("doc_id", "band")
+                     .agg(bkey.alias("band_key")))
     buckets = (band_keys.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
                .filter(F.size("ids") > 1))
