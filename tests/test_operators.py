@@ -131,6 +131,35 @@ def test_lsh_wide_path_matches_md5_row_path(spark, sf_dir):
     assert wide == row_pairs
 
 
+def test_lsh_wide_path_remainder_band(spark, sf_dir):
+    """Non-divisible parameters (num_hashes=10, bands=4): the leftover seeds
+    8-9 form a partial band in the row formulation (seed//rows_per_band == 4);
+    the wide path must emit the same extra band, not drop the seeds."""
+    import pytest
+    from pyspark.sql import functions as FF
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    wide = {(r["doc_a"], r["doc_b"]) for r in
+            dedup.lsh_candidate_pairs(docs, num_hashes=10, bands=4,
+                                      hash_family="xxhash").collect()}
+    sig = dedup.minhash_signatures(docs, num_hashes=10, hash_family="xxhash")
+    banded = sig.withColumn("band", (FF.col("seed") / 2).cast("int"))
+    bkey = FF.xxhash64(FF.array_sort(
+        FF.collect_list(FF.struct("seed", "minhash"))))
+    bk = banded.groupBy("doc_id", "band").agg(bkey.alias("band_key"))
+    buckets = (bk.groupBy("band", "band_key")
+               .agg(FF.array_sort(FF.collect_list("doc_id")).alias("ids"))
+               .filter(FF.size("ids") > 1))
+    row_pairs = set()
+    for r in buckets.collect():
+        ids = r["ids"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                row_pairs.add((ids[i], ids[j]))
+    assert wide == row_pairs
+    with pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(docs, num_hashes=4, bands=8)
+
+
 def test_jaccard_bounds_and_exactness(spark):
     rows = [(1, "a b c d"), (2, "a b c e")]  # 2-shingles: {ab,bc,cd} {ab,bc,ce}
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -142,3 +142,39 @@ def test_heterogeneous_stream_labels(spark):
     # decoration keeps B's data zone when no matcher touches it
     got = _vec(eng.query_instant("m", 20 * S))
     assert got[(("__name__", "m"), ("job", "jb"), ("zone", "y"))] == 4.0
+
+
+def test_unconfigured_stream_value_falls_through(spark):
+    """A stream value absent from the streams dict: its rows must be matched
+    by the DATA label (missing descriptor == no external labels, the same
+    fallthrough stream_decoration applies) — not silently excluded (round-3
+    advice, compiler.py mixed-stream branch)."""
+    from thanos_parquet_gateway_spark.promql.engine import PromQLEngine
+    rows = [({"__name__": "m", "job": "ja"}, 10 * S, 1.0),            # stream a
+            ({"__name__": "m", "job": "jc", "zone": "eu"}, 10 * S, 2.0),  # c
+            ({"__name__": "m", "job": "jx", "zone": "eu"}, 10 * S, 3.0)]  # b!
+    df = make_samples(spark, rows).withColumn(
+        "stream", F.when(F.col("value") == 1.0, "a")
+                   .when(F.col("value") == 2.0, "c").otherwise("b"))
+    # mixed branch (stream c configured without the label): "b" is not in the
+    # dict at all and must fall through to the data predicate
+    eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
+                       streams={"a": {"zone": "us"}, "c": {}})
+    got = _vec(eng.query_instant('m{zone="eu"}', 20 * S))
+    assert got == {
+        (("__name__", "m"), ("job", "jc"), ("zone", "eu")): 2.0,
+        (("__name__", "m"), ("job", "jx"), ("zone", "eu")): 3.0,
+    }
+    # all-carrying branch: with complete_streams=False the unconfigured
+    # stream keeps its data label instead of being elided away with the rest
+    eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
+                       streams={"a": {"zone": "us"}},
+                       complete_streams=False)
+    got = _vec(eng.query_instant('m{zone="eu"}', 20 * S))
+    assert (("__name__", "m"), ("job", "jx"), ("zone", "eu")) in got
+    # default complete_streams=True keeps the pure-IN elision: domain is
+    # asserted to be covered, so "b" rows are excluded with the non-matching
+    # configured stream
+    eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
+                       streams={"a": {"zone": "us"}})
+    assert _vec(eng.query_instant('m{zone="eu"}', 20 * S)) == {}

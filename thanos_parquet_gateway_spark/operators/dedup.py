@@ -137,6 +137,16 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     ``max_bucket_size`` metrics piggybacked on the consuming action (no
     extra job)."""
     rows_per_band = num_hashes // bands
+    if rows_per_band == 0:
+        raise ValueError(f"bands={bands} exceeds num_hashes={num_hashes}")
+    # When bands does not divide num_hashes, the leftover seeds form one
+    # extra partial band — index == bands, exactly the row formulation's
+    # (seed // rows_per_band) grouping — so both paths see identical bucket
+    # equivalence classes for any (num_hashes, bands).
+    band_seeds = [list(range(b * rows_per_band, (b + 1) * rows_per_band))
+                  for b in range(bands)]
+    if num_hashes % bands:
+        band_seeds.append(list(range(bands * rows_per_band, num_hashes)))
     if hash_family == "xxhash":
         # Wide fast path: ONE groupBy(doc_id) with num_hashes min-aggregates
         # replaces the seed-explode (×num_hashes rows) → groupBy(doc_id,seed)
@@ -153,9 +163,9 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         band_keys = mins.select("doc_id", F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows_per_band + i}")
-                             for i in range(rows_per_band)]).alias("band_key"))
-            for b in range(bands)])).alias("bk")
+                F.xxhash64(*[F.col(f"h{s}") for s in seeds])
+                 .alias("band_key"))
+            for b, seeds in enumerate(band_seeds)])).alias("bk")
         ).select("doc_id", "bk.band", "bk.band_key")
     else:
         sig = minhash_signatures(docs, text_col, id_col, num_hashes,

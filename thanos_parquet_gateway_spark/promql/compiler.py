@@ -157,17 +157,24 @@ class PromQLCompileError(ValueError):
 class Compiler:
     def __init__(self, samples: DataFrame, params: EvalParams,
                  ext_labels: dict[str, str] | None = None,
-                 streams: dict[str, dict[str, str]] | None = None):
+                 streams: dict[str, dict[str, str]] | None = None,
+                 complete_streams: bool = True):
         """``ext_labels``: one external label set overlaid on everything
         (reference OverrideExtLabels).  ``streams``: multi-stream mode —
         maps the ``stream`` partition-column value to that stream's external
         label set (reference locate/discover.go:125-305, schema/block.go:37-76);
         matchers on stream labels compile to ``stream IN (...)`` so Catalyst
-        prunes whole stream partitions."""
+        prunes whole stream partitions.  ``complete_streams``: the streams
+        dict covers the stream column's whole domain (always true for
+        convert-time sidecars, which are written from the actual streams);
+        pass False for a hand-built partial dict so stream values missing
+        from it fall through to data-label matching instead of being elided
+        with the rest (costs the pure-IN partition-prune shortcut)."""
         self.samples = samples
         self.p = params
         self.ext_labels = ext_labels or {}
         self.streams = streams or {}
+        self.complete_streams = complete_streams
         if self.streams and "stream" not in samples.columns:
             raise PromQLCompileError(
                 "multi-stream mode requires a 'stream' column in samples")
@@ -243,15 +250,25 @@ class Compiler:
                       if m.label in ls and _matcher_matches(m, ls[m.label])]
             ext_no = [s for s, ls in self.streams.items()
                       if m.label in ls and not _matcher_matches(m, ls[m.label])]
-            data_streams = [s for s, ls in self.streams.items()
-                            if m.label not in ls]
-            if not data_streams:
+            carrying = ext_ok + ext_no
+            data_streams = [s for s in self.streams if s not in set(carrying)]
+            if self.complete_streams and not data_streams:
+                # descriptor set == stream domain (the convert-time sidecar
+                # contract): pure stream predicates, so Catalyst partition-
+                # prunes whole streams and an all-match matcher elides away
                 if not ext_no:
                     return None
                 if not ext_ok:
                     return F.lit(False)
                 return F.col("stream").isin(ext_ok)
-            cond = F.col("stream").isin(data_streams) & self._data_cond(m)
+            # Mixed / open-domain: any stream NOT carrying the label —
+            # configured without it, or absent from the dict entirely
+            # (missing descriptor ≡ no external labels, the same fallthrough
+            # stream_decoration applies) — keeps the data-label predicate.
+            # coalesce: a NULL stream value is "not carrying", not excluded.
+            not_carrying = ~F.coalesce(F.col("stream").isin(carrying),
+                                       F.lit(False))
+            cond = not_carrying & self._data_cond(m)
             if ext_ok:
                 cond = F.col("stream").isin(ext_ok) | cond
             return cond

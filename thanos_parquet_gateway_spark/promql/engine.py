@@ -42,7 +42,8 @@ class PromQLEngine:
                  subquery_step_ms: int = 60_000,
                  replica_labels: list[str] | None = None,
                  ext_labels: dict[str, str] | None = None,
-                 streams: dict[str, dict[str, str]] | None = None):
+                 streams: dict[str, dict[str, str]] | None = None,
+                 complete_streams: bool = True):
         """``samples``: long-format samples table (schema.py).  ``replica_labels``
         are dropped and the data deduplicated by (series, ts) — the Spark
         equivalent of the reference's replica-label drop + hash dedup
@@ -94,6 +95,7 @@ class PromQLEngine:
         self.subquery_step_ms = subquery_step_ms
         self.ext_labels = ext_labels
         self.streams = streams
+        self.complete_streams = complete_streams
 
     # ------------------------------------------------------------- queries
     def _compile(self, q: str, start_ms: int, end_ms: int, step_ms: int):
@@ -101,7 +103,8 @@ class PromQLEngine:
         params = EvalParams(start_ms, end_ms, max(step_ms, 1),
                             self.lookback_ms, self.deterministic,
                             self.subquery_step_ms)
-        comp = Compiler(self.samples, params, self.ext_labels, self.streams)
+        comp = Compiler(self.samples, params, self.ext_labels, self.streams,
+                        self.complete_streams)
         return comp, comp.compile(node)
 
     def query_range(self, q: str, start_ms: int, end_ms: int,
@@ -138,7 +141,8 @@ class PromQLEngine:
         (reference /series multi-matcher union, api/http/query.go:567-846)."""
         dfs = []
         params = EvalParams(start_ms, end_ms, 1, self.lookback_ms)
-        comp = Compiler(self.samples, params, self.ext_labels, self.streams)
+        comp = Compiler(self.samples, params, self.ext_labels, self.streams,
+                        self.complete_streams)
         base = self.samples.filter(
             (F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
         for q in match or ["{__name__=~\".+\"}"]:

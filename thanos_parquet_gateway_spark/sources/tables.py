@@ -34,6 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts_ms", F.expr("ts div 1000000")) \
                    .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
+            if ts_field == "timestamp_ntz":
+                # parquet timestamp[us] without isAdjustedToUTC reads as
+                # TIMESTAMP_NTZ; values are UTC wall-clock.  Session tz is
+                # pinned to UTC (session.py), so the cast reinterprets the
+                # same instant — matching DuckDB's epoch_ms() on this file.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df = df.withColumn("ts_ms", F.unix_millis("ts"))
     return df
 
