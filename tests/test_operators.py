@@ -158,6 +158,12 @@ def test_lsh_wide_path_remainder_band(spark, sf_dir):
     assert wide == row_pairs
     with pytest.raises(ValueError):
         dedup.lsh_candidate_pairs(docs, num_hashes=4, bands=8)
+    with pytest.raises(ValueError):  # bands=0 would divide by zero
+        dedup.lsh_candidate_pairs(docs, num_hashes=4, bands=0)
+    with pytest.raises(ValueError):  # negative bands bypassed the old guard
+        dedup.lsh_candidate_pairs(docs, num_hashes=4, bands=-2)
+    with pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(docs, num_hashes=0, bands=1)
 
 
 def test_jaccard_bounds_and_exactness(spark):

@@ -157,14 +157,23 @@ def test_unconfigured_stream_value_falls_through(spark):
         "stream", F.when(F.col("value") == 1.0, "a")
                    .when(F.col("value") == 2.0, "c").otherwise("b"))
     # mixed branch (stream c configured without the label): "b" is not in the
-    # dict at all and must fall through to the data predicate
+    # dict at all and must fall through to the data predicate when the
+    # streams dict is declared open (complete_streams=False)
     eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
-                       streams={"a": {"zone": "us"}, "c": {}})
+                       streams={"a": {"zone": "us"}, "c": {}},
+                       complete_streams=False)
     got = _vec(eng.query_instant('m{zone="eu"}', 20 * S))
     assert got == {
         (("__name__", "m"), ("job", "jc"), ("zone", "eu")): 2.0,
         (("__name__", "m"), ("job", "jx"), ("zone", "eu")): 3.0,
     }
+    # under the completeness assertion the SAME dict shape excludes the
+    # unconfigured value — consistent with the pure-IN branch below (round-4
+    # advice: treatment must depend on the flag, not on dict shape)
+    eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
+                       streams={"a": {"zone": "us"}, "c": {}})
+    got = _vec(eng.query_instant('m{zone="eu"}', 20 * S))
+    assert got == {(("__name__", "m"), ("job", "jc"), ("zone", "eu")): 2.0}
     # all-carrying branch: with complete_streams=False the unconfigured
     # stream keeps its data label instead of being elided away with the rest
     eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,

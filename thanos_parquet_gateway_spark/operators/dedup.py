@@ -136,6 +136,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     ``pyspark.sql.Observation`` to get ``dropped_buckets`` /
     ``max_bucket_size`` metrics piggybacked on the consuming action (no
     extra job)."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     rows_per_band = num_hashes // bands
     if rows_per_band == 0:
         raise ValueError(f"bands={bands} exceeds num_hashes={num_hashes}")

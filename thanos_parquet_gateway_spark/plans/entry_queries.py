@@ -2178,6 +2178,15 @@ def _last_green_rounds() -> dict[str, int]:
             if (isinstance(row, dict) and row.get("rows_match")
                     and row.get("schema_match") and row.get("hash_match")):
                 last[name] = max(last.get(name, 0), rnd)
+    if not last:
+        # Installed outside the repo (or artifacts missing): the mechanical
+        # ordering silently degrading to registration order would defeat the
+        # oldest-green rotation, so say so loudly.
+        import warnings
+        warnings.warn(
+            "no CORRECTNESS_r*.json artifacts found under %s; driver-window "
+            "order falls back to registration order" % root,
+            RuntimeWarning, stacklevel=2)
     return last
 
 

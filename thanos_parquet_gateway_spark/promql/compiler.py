@@ -261,13 +261,21 @@ class Compiler:
                 if not ext_ok:
                     return F.lit(False)
                 return F.col("stream").isin(ext_ok)
-            # Mixed / open-domain: any stream NOT carrying the label —
-            # configured without it, or absent from the dict entirely
-            # (missing descriptor ≡ no external labels, the same fallthrough
-            # stream_decoration applies) — keeps the data-label predicate.
+            # Mixed: streams configured WITHOUT the label keep the data-label
+            # predicate.  Under complete_streams the descriptor set IS the
+            # stream domain, so an unconfigured stream value is excluded here
+            # exactly as in the pure-IN branch above (isin(data_streams));
+            # open-domain, any stream not carrying the label — configured
+            # without it, or absent from the dict entirely (missing
+            # descriptor ≡ no external labels, the same fallthrough
+            # stream_decoration applies) — falls through.
             # coalesce: a NULL stream value is "not carrying", not excluded.
-            not_carrying = ~F.coalesce(F.col("stream").isin(carrying),
-                                       F.lit(False))
+            if self.complete_streams:
+                not_carrying = F.coalesce(F.col("stream").isin(data_streams),
+                                          F.lit(False))
+            else:
+                not_carrying = ~F.coalesce(F.col("stream").isin(carrying),
+                                           F.lit(False))
             cond = not_carrying & self._data_cond(m)
             if ext_ok:
                 cond = F.col("stream").isin(ext_ok) | cond
