@@ -69,6 +69,25 @@ def test_manifest_bounds(converted, spark):
     assert 1704153600000 <= jan2["mint"] <= jan2["maxt"] < 1704240000000
 
 
+def test_manifest_single_pass(converted, spark, sf_dir):
+    """The manifest must aggregate the WRITTEN table, not re-scan the raw
+    input (round-4 verdict: the old df re-aggregation doubled conversion
+    input I/O at scale).  Its plan reads only the compacted output, column-
+    pruned to (ts, series_hash)."""
+    import io
+    from contextlib import redirect_stdout
+
+    out, manifest, raw = converted
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        manifest.explain("formatted")
+    plan = buf.getvalue()
+    assert "events.parquet" not in plan  # no second pass over the raw source
+    assert out.split("/")[-1] in plan    # scans the written table
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "labels" not in rs[0] and "value" not in rs[0], plan
+
+
 def test_planner_anti_join(converted, spark):
     out, manifest, raw = converted
     src = source_days(raw)

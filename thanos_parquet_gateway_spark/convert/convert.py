@@ -34,6 +34,10 @@ SORT_COLS = ["__name__", "series_hash", "ts"]
 def prepare_samples(raw: DataFrame, stream: str = "0") -> DataFrame:
     """Derive the physical columns: series_hash, date partition, stream."""
     df = raw
+    if "__ts_raw" in df.columns:
+        # raw-scan pushdown helper (sources/tables.py); the converted layout
+        # gets pruning from the date partition + ms-typed ts stats instead
+        df = df.drop("__ts_raw")
     if "__name__" not in df.columns:
         df = df.withColumn("__name__",
                            F.coalesce(F.element_at("labels", "__name__"), F.lit("")))
@@ -72,11 +76,25 @@ def convert_samples(raw: DataFrame, out_path: str, *,
        .option("parquet.bloom.filter.enabled#series_hash", "true")
        .partitionBy("stream", "date")
        .parquet(out_path))
-    manifest = (df.groupBy("stream", "date")
-                .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
-                     F.count("*").alias("n_samples"),
-                     F.approx_count_distinct("series_hash").alias("n_series_approx")))
-    return manifest
+    return _manifest_from_written(raw.sparkSession, out_path)
+
+
+def _manifest_from_written(spark, out_path: str) -> DataFrame:
+    """Per-(stream, date) manifest aggregated from the WRITTEN table, not
+    from the input plan: re-aggregating the input would make a second full
+    pass over the raw source (and re-run the dedup shuffle) — at 100 TB that
+    doubles conversion input I/O.  The read-back scans only (ts, series_hash)
+    of the compacted output, with stream/date coming from directory names
+    (partition pruning metadata, no data read for them)."""
+    written = spark.read.parquet(out_path)
+    # partition-column type inference may read stream/date back as int/date;
+    # the manifest contract is strings, matching the pre-write derivation
+    return (written.groupBy(
+                F.col("stream").cast("string").alias("stream"),
+                F.date_format("date", "yyyy-MM-dd").alias("date"))
+            .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
+                 F.count("*").alias("n_samples"),
+                 F.approx_count_distinct("series_hash").alias("n_series_approx")))
 
 
 def write_manifest(manifest: DataFrame, out_path: str) -> None:
@@ -118,11 +136,7 @@ def convert_streams(raws: dict[str, DataFrame], out_path: str, *,
        .partitionBy("stream", "date")
        .parquet(out_path))
     write_stream_descriptors(df.sparkSession, out_path, ext_labels)
-    manifest = (df.groupBy("stream", "date")
-                .agg(F.min("ts").alias("mint"), F.max("ts").alias("maxt"),
-                     F.count("*").alias("n_samples"),
-                     F.approx_count_distinct("series_hash").alias("n_series_approx")))
-    return manifest
+    return _manifest_from_written(df.sparkSession, out_path)
 
 
 def write_stream_descriptors(spark, out_path: str,

@@ -1794,7 +1794,8 @@ def promql_staleness(spark, sf_dir):
                                F.col("user_id").cast("string"))).alias("labels"),
                    F.lit(T - 3_600_000).cast("long").alias("ts"),
                    stale_marker().alias("value")))
-    samples = samples_from_events(spark, sf_dir).unionByName(markers)
+    samples = samples_from_events(spark, sf_dir).unionByName(
+        markers, allowMissingColumns=True)  # markers carry no __ts_raw
     eng = PromQLEngine(samples, lookback_ms=LOOKBACK, deterministic=True)
     r = eng.query_instant("click", T)
     return r.df.select(_lbl("user").alias("user"), _lbl("shard").alias("shard"),

@@ -321,6 +321,34 @@ class Compiler:
         # in (wmin, wmax]
         lo, hi = wmin - vs.offset_ms, wmax - vs.offset_ms
         df = df.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+        if "__ts_raw" in df.columns:
+            # The ms `ts` above is an expression over the raw parquet column
+            # (unix_millis / div 1000000), so that filter cannot reach parquet
+            # stats.  Re-state a conservative superset of the window as
+            # LITERALS on the raw column — pushable, so row groups / pages
+            # outside (lo, hi] are skipped at the scan (the reference's
+            # chunk-range pruning, search/materialize.go:319-329).  The exact
+            # ms filter above still decides row membership.
+            raw_t = dict(df.dtypes)["__ts_raw"]
+            if raw_t == "bigint":  # nanosAsLong read: ms = ns div 1e6
+                in_win = ((F.col("__ts_raw") > lo * 1_000_000)
+                          & (F.col("__ts_raw") < (hi + 1) * 1_000_000))
+            elif raw_t in ("timestamp", "timestamp_ntz"):
+                # ms > lo  ⇒  instant > lo ms;  ms <= hi  ⇒  instant < hi+1 ms.
+                # Literal casts constant-fold (session tz pinned UTC), leaving
+                # the bare column comparison the parquet reader can push.
+                lo_lit = F.timestamp_micros(F.lit(lo * 1000)).cast(raw_t)
+                hi_lit = F.timestamp_micros(F.lit((hi + 1) * 1000)).cast(raw_t)
+                in_win = ((F.col("__ts_raw") > lo_lit)
+                          & (F.col("__ts_raw") < hi_lit))
+            else:
+                in_win = None
+            if in_win is not None:
+                # NULL-tolerant: rows unioned in without a raw ts (synthetic
+                # frames, stale markers) must pass — Or(IsNull, range) is
+                # still a parquet-convertible filter, so stats skipping holds
+                # for row groups without nulls.
+                df = df.filter(F.col("__ts_raw").isNull() | in_win)
         if "date" in df.columns:
             # converted layout (convert/convert.py): derive partition-column
             # predicates from the window so Catalyst prunes day partitions
@@ -389,18 +417,26 @@ class Compiler:
 
     def _matrix_selector(self, ms: A.MatrixSelector) -> RangeVector:
         vs = ms.selector
-        # stale markers never enter range windows (Prometheus skips them)
-        base = self._selector_base(vs, ms.range_ms).filter(
-            F.col("value").isNotNull())
+        # stale markers never enter range windows (Prometheus skips them);
+        # native-histogram samples (value NaN, hist set) pass through so the
+        # rate family can do bucket-wise extrapolation (reference
+        # float-histogram path, db/db_test.go:344-351)
+        base = self._selector_base(vs, ms.range_ms)
+        hist_cols = ["hist"] if "hist" in base.columns else []
+        alive = F.col("value").isNotNull()
+        if hist_cols:
+            alive = alive | F.col("hist").isNotNull()
+        base = base.filter(alive)
         rng = ms.range_ms
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms)
             win = (base.filter((F.col("ts") > at - rng) & (F.col("ts") <= at)))
             out = (win.crossJoin(F.broadcast(self.grid_df()))
-                   .select("t", "sig", "labels", "ts", "value"))
+                   .select("t", "sig", "labels", "ts", "value", *hist_cols))
             return RangeVector(out, rng)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), rng)))
-        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value"), rng)
+        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value",
+                                           *hist_cols), rng)
 
     def _subquery(self, sq: A.Subquery) -> RangeVector:
         """x[range:step] — inner expr evaluated on its own epoch-aligned grid,

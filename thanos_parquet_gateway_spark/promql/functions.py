@@ -125,7 +125,12 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
                   is_rate: bool) -> InstantVector:
     """Prometheus extrapolatedRate: reset-corrected delta extrapolated to the
     window boundaries (threshold 1.1× avg sample spacing, half-interval credit
-    beyond; counters also clamp extrapolation-to-zero)."""
+    beyond; counters also clamp extrapolation-to-zero).  Windows of native-
+    histogram samples take the bucket-wise path (_extrapolated_hist); mixed
+    float/histogram windows are dropped (Prometheus skips them with a
+    warning)."""
+    if "hist" in rv.df.columns:
+        return _extrapolated_hist(c, rv, counter, is_rate)
     g = _collect_window(rv).filter(F.size("arr") >= 2)
     arr = F.col("arr")
     n = F.size(arr).cast(D)
@@ -158,6 +163,86 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     out = g.select("t", "sig", "labels",
                    F.lit(None).cast("long").alias("sample_ts"),
                    val.alias("value"))
+    return _iv(_drop_name(out))
+
+
+def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
+                       is_rate: bool) -> InstantVector:
+    """Rate family over a range vector that carries native-histogram samples
+    (reference serves rate(native_histogram[..]) through promql-engine —
+    float-histogram test db/db_test.go:344-351).
+
+    One window aggregation collects the float samples and the histogram
+    samples into separate sorted arrays; per (t, series) the window is then
+    all-float (existing scalar math), all-histogram (bucket-wise delta +
+    reset merge + the SAME boundary extrapolation, no counter-to-zero clamp
+    — Prometheus gates that clamp on float samples), or mixed (dropped, as
+    Prometheus does with a warning)."""
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+
+    g = hgroup(
+        rv.df, "sig",
+        F.array_sort(F.collect_list(
+            F.when(F.col("hist").isNull(),
+                   F.struct(F.col("ts").alias("o"),
+                            F.col("value").alias("v"))))).alias("arr"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("hist").isNotNull(),
+                   F.struct(F.col("ts").alias("o"),
+                            F.col("hist").alias("h"))))).alias("harr"),
+        F.first("labels").alias("labels"))
+    is_float = (F.size("arr") >= 2) & (F.size("harr") == 0)
+    is_hist = (F.size("harr") >= 2) & (F.size("arr") == 0)
+    g = g.filter(is_float | is_hist)
+    rng_s = F.lit(rv.range_ms / 1000.0)
+
+    def extrap_factor(parr, with_zero_clamp, delta, first_v):
+        first_t, last_t = F.element_at(parr, 1)["o"], F.element_at(parr, -1)["o"]
+        n = F.size(parr).cast(D)
+        dur_start = (first_t - (F.col("t") - F.lit(rv.range_ms))).cast(D) / 1000.0
+        dur_end = (F.col("t") - last_t).cast(D) / 1000.0
+        sampled = (last_t - first_t).cast(D) / 1000.0
+        avg_dur = sampled / (n - 1)
+        threshold = avg_dur * 1.1
+        dur_start = F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
+        if with_zero_clamp:
+            dur_to_zero = F.when(delta > 0, sampled * (first_v / delta)) \
+                           .otherwise(dur_start)
+            dur_start = F.when((delta > 0) & (first_v >= 0)
+                               & (dur_to_zero < dur_start),
+                               dur_to_zero).otherwise(dur_start)
+        extrap = (sampled + dur_start
+                  + F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end))
+        return extrap / sampled
+
+    # float path (identical math to _extrapolated)
+    arr = F.col("arr")
+    fdelta_raw = (F.element_at(arr, -1)["v"] - F.element_at(arr, 1)["v"])
+    fdelta = (fdelta_raw + _reset_correction(arr)) if counter else fdelta_raw
+    g = g.withColumn("__delta", F.when(is_float, fdelta))
+    ffactor = extrap_factor(arr, counter, F.col("__delta"),
+                            F.element_at(arr, 1)["v"])
+    fval = (F.col("__delta") * ffactor / rng_s if is_rate
+            else F.col("__delta") * ffactor)
+
+    # histogram path: delta = last - first (+ pre-reset histograms merged
+    # back in for counters), then the same window-boundary factor
+    harr = F.col("harr")
+    first_h, last_h = F.element_at(harr, 1)["h"], F.element_at(harr, -1)["h"]
+    hdelta = H.sub_two(last_h, first_h)
+    if counter:
+        hdelta = H.merge_two(hdelta, H.hist_reset_correction(harr))
+    g = g.withColumn("__hdelta", F.when(is_hist, hdelta))
+    hfactor = extrap_factor(harr, False, None, None)
+    hscale = hfactor / rng_s if is_rate else hfactor
+    hval = H.scale_hist(F.col("__hdelta"), hscale)
+
+    out = g.select(
+        "t", "sig", "labels",
+        F.lit(None).cast("long").alias("sample_ts"),
+        F.when(is_float, fval).otherwise(NAN()).alias("value"),
+        F.when(is_hist, hval).otherwise(H.null_hist()).alias("hist"))
     return _iv(_drop_name(out))
 
 

@@ -160,3 +160,62 @@ def merge_two(a: Column, b: Column) -> Column:
         F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
                     lambda acc, e: acc + e["count"]).alias("count")))
     return make_hist(a["count"] + b["count"], a["sum"] + b["sum"], merged)
+
+
+# ------------------------------------------------- counter-histogram algebra
+# (rate/increase/delta over native-histogram samples — the reference serves
+# rate(native_histogram[5m]) through promql-engine, db/db_test.go:344-351)
+def zero_hist() -> Column:
+    return make_hist(F.lit(0.0), F.lit(0.0),
+                     F.array().cast("array<struct<le:double,count:double>>"))
+
+
+def sub_two(a: Column, b: Column) -> Column:
+    """a - b bucket-wise (le-aligned union; counts subtract)."""
+    neg = F.transform(b["buckets"], lambda e: F.struct(
+        e["le"].alias("le"), (-e["count"]).alias("count")))
+    both = F.concat(a["buckets"], neg)
+    les = F.array_sort(F.array_distinct(F.transform(both, lambda e: e["le"])))
+    merged = F.transform(les, lambda le: F.struct(
+        le.alias("le"),
+        F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
+                    lambda acc, e: acc + e["count"]).alias("count")))
+    return make_hist(a["count"] - b["count"], a["sum"] - b["sum"], merged)
+
+
+def scale_hist(h: Column, s: Column) -> Column:
+    """Scalar-scale every component (extrapolation factor / per-second)."""
+    return make_hist(h["count"] * s, h["sum"] * s,
+                     F.transform(h["buckets"], lambda e: F.struct(
+                         e["le"].alias("le"), (e["count"] * s).alias("count"))))
+
+
+def detect_reset(prev: Column, cur: Column) -> Column:
+    """Counter-reset heuristic between consecutive counter histograms
+    (Prometheus FloatHistogram.DetectReset): total count drop, or any
+    individual bucket count drop (counter buckets are monotone; a missing
+    bucket in cur counts as 0)."""
+    bucket_drop = F.exists(
+        prev["buckets"],
+        lambda pb: F.coalesce(
+            F.try_element_at(
+                F.filter(cur["buckets"], lambda cb: cb["le"] == pb["le"]),
+                F.lit(1))["count"],
+            F.lit(0.0)) < pb["count"])
+    return (cur["count"] < prev["count"]) | bucket_drop
+
+
+def hist_reset_correction(harr: Column) -> Column:
+    """Sum (bucket-wise merge) of pre-reset histograms over a sorted window
+    array of struct(o, h) — the histogram analogue of the float rate's
+    reset correction."""
+    acc0 = F.struct(F.lit(None).cast(HIST_TYPE).alias("prev"),
+                    zero_hist().alias("corr"))
+    acc = F.aggregate(
+        harr, acc0,
+        lambda a, x: F.struct(
+            x["h"].alias("prev"),
+            F.when(a["prev"].isNotNull() & detect_reset(a["prev"], x["h"]),
+                   merge_two(a["corr"], a["prev"]))
+             .otherwise(a["corr"]).alias("corr")))
+    return acc["corr"]

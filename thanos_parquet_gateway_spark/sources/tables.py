@@ -25,7 +25,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) read as long ns (see session.py); normalize
-        # to micros TimestampType + keep epoch-ms for the samples model
+        # to micros TimestampType + keep epoch-ms for the samples model.
+        # __ts_raw keeps the UNtouched parquet column: every normalized form
+        # is an expression over it, which Spark cannot push to parquet stats;
+        # time-window predicates re-stated as literals on __ts_raw reach the
+        # scan (row-group/page skipping — the reference's chunk-range pruning,
+        # search/materialize.go:319-329).
+        df = df.withColumn("__ts_raw", F.col("ts"))
         ts_field = dict(df.dtypes)["ts"]
         if ts_field == "bigint":
             # integer div: ns ≈ 1.7e18 exceeds double's exact range, so
@@ -65,6 +71,7 @@ def samples_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.alias("labels"),
         F.col("ts_ms").alias("ts"),
         F.col("value").alias("value"),
+        F.col("__ts_raw"),
     )
 
 

@@ -55,14 +55,21 @@ def main():
                        lookback_ms=EQ.LOOKBACK, deterministic=False)
     results = []
 
-    # 1. instant selector: name/matcher filters must push to the events scan;
-    # the ts window is a row-level filter here (the raw column is nanos — on
-    # the converted ms layout the same predicate prunes partitions/pages)
+    # The exact ms-window filter is an expression over the raw ts column —
+    # `ts div 1000000` on the nanosAsLong read, `unix_millis(cast(ts))` on
+    # the TIMESTAMP_NTZ read — and shows up as a row-level Filter; the
+    # conservative literal restatement on __ts_raw is what reaches
+    # PushedFilters (compiler._selector_base).
+    TS_ROW_FILTER = r"(?:div 1000000\) > \d+|unix_millis\()"
+    TS_PUSHED = r"PushedFilters: \[[^\]]*GreaterThan\(ts,"
+
+    # 1. instant selector: name/matcher filters must push to the events scan
     q1 = eng.query_instant('click{user=~"1.*", shard!="3"}', EQ.T).df
     results.append(check("promql instant selector", plan_of(q1), [
         ("name equality pushed to scan",
          r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
-        ("ts window filtered at scan stage", r"div 1000000\) > \d+"),
+        ("ts window filtered at scan stage", TS_ROW_FILTER),
+        ("ts window pushed to parquet stats", TS_PUSHED),
     ]))
 
     # 2. range rate: grid explode must be map-side (no join against a grid)
@@ -70,7 +77,8 @@ def main():
     p2 = plan_of(q2)
     results.append(check("promql range rate", p2, [
         ("name filter pushed", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
-        ("time-window filter before explode", r"div 1000000\) > \d+"),
+        ("time-window filter before explode", TS_ROW_FILTER),
+        ("ts window pushed to parquet stats", TS_PUSHED),
         ("window agg shuffles on (t, xxhash64(sig)) — 8-byte long key",
          r"hashpartitioning\(t#\d+L?, (?:__kh|_groupingexpression)#\d+L"),
     ]))
