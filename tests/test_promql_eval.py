@@ -503,6 +503,72 @@ def test_native_histograms(spark):
     assert r[frozenset()] == 1.0
 
 
+def test_native_histogram_rate(spark):
+    """rate/increase/delta over native-histogram samples: bucket-wise delta
+    + boundary extrapolation (reference float-histogram rate served through
+    promql-engine, db/db_test.go:344-351).  No counter-to-zero clamp for
+    histograms (Prometheus gates that on float samples)."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    inf = float("inf")
+    # cumulative counter histogram every 10s: count 2,4,6,8; sum 2x;
+    # buckets grow monotonically
+    rows = [({"__name__": "h", "job": "a"}, i * 10 * S, 2 * (i + 1),
+             4.0 * (i + 1), [(1, i + 1), (inf, i + 1)])
+            for i in range(4)]
+    eng = PromQLEngine(_hist_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True)
+    # window (0, 40] at t=40: samples at ts 10,20,30 (ts=0 excluded) with
+    # counts 4,6,8.  delta: count 8-4=4, sum 16-8=8, bucket le=1: 4-2=2.
+    # extrapolation: sampled=20s n=3 avg=10 thresh=11; durStart=10<11 keep;
+    # durEnd=10<11 keep; extrap=40 → factor=2; rate = delta*2/40
+    r = eng.query_instant("rate(h[40s])", 40 * S).df.collect()
+    assert len(r) == 1
+    h = r[0]["hist"]
+    assert h["count"] == pytest.approx(4 * 2 / 40)
+    assert h["sum"] == pytest.approx(8 * 2 / 40)
+    assert dict((b["le"], b["count"]) for b in h["buckets"])[1.0] == \
+        pytest.approx(2 * 2 / 40)
+    # increase = rate * range_s
+    r = eng.query_instant("increase(h[40s])", 40 * S).df.collect()
+    assert r[0]["hist"]["count"] == pytest.approx(4 * 2)
+    # counter reset mid-window: sample 3 drops below sample 2 → correction
+    # adds the pre-reset histogram (count 6, le1 bucket 3)
+    rows_reset = [
+        ({"__name__": "h", "job": "a"}, 10 * S, 2, 4.0, [(1, 1), (inf, 1)]),
+        ({"__name__": "h", "job": "a"}, 20 * S, 6, 12.0, [(1, 3), (inf, 3)]),
+        ({"__name__": "h", "job": "a"}, 30 * S, 1, 2.0, [(1, 1), (inf, 0)]),
+        ({"__name__": "h", "job": "a"}, 40 * S, 3, 6.0, [(1, 2), (inf, 1)]),
+    ]
+    eng = PromQLEngine(_hist_samples(spark, rows_reset), lookback_ms=300_000,
+                       deterministic=True)
+    r = eng.query_instant("increase(h[40s])", 40 * S).df.collect()
+    # samples at 10..40, counts 2,6,1,3: delta = (3-2) + 6 (pre-reset) = 7;
+    # sampled=30 n=4 avg=10 thresh=11; durStart=10<11; durEnd=0;
+    # extrap=40 → factor=4/3
+    assert r[0]["hist"]["count"] == pytest.approx(7 * 4 / 3)
+    # gauge delta: no reset correction → (3-2)*4/3
+    r = eng.query_instant("delta(h[40s])", 40 * S).df.collect()
+    assert r[0]["hist"]["count"] == pytest.approx(1 * 4 / 3)
+    # float series through the same plan shape: hist column NULL everywhere
+    both = _hist_samples(spark, rows).unionByName(
+        spark.createDataFrame(
+            [({"__name__": "f", "job": "a"}, i * 10 * S, float(i * 4), None)
+             for i in range(4)],
+            _hist_samples(spark, rows).schema))
+    eng = PromQLEngine(both, lookback_ms=300_000, deterministic=True)
+    out = eng.query_instant("rate({__name__=~'h|f'}[40s])", 40 * S).df.collect()
+    assert len(out) == 2  # one float row, one hist row
+    floats = [r for r in out if r["hist"] is None]
+    hists = [r for r in out if r["hist"] is not None]
+    assert len(floats) == 1 and len(hists) == 1
+    # float series: samples 4,8,12 at 10..30? no — values 0,4,8,12 at
+    # 0,10,20,30; window (0,40] → 4,8,12 at 10,20,30: delta=8, n=3,
+    # sampled=20, avg=10, durStart=10<11, durEnd=10<11 → extrap=40?
+    # durEnd = 40-30 = 10 < 11 → keep → extrap = 20+10+10 = 40, factor 2
+    # → rate = 8*2/40 = 0.4
+    assert floats[0]["value"] == pytest.approx(0.4)
+
+
 def test_nan_inf_aggregation_corpus(spark):
     """FIXTURES.md F-corpus 3 (db/db_test.go:413-432): aggregation semantics
     over NaN/±Inf values — sum/avg propagate NaN and Inf-Inf=NaN; min/max

@@ -2043,6 +2043,102 @@ def promql_native_histogram(spark, sf_dir):
     return cnt.join(tot, ["user"]).join(q75, ["user"])
 
 
+_JAN1 = 1704067200000  # 2024-01-01T00:00:00Z
+_NR_T = _JAN1 + 4 * DAY  # 2024-01-05 — native-rate eval time
+_NR_DAYS = [_JAN1 + d * DAY for d in (1, 2, 3, 4)]  # Jan 2..Jan 5 samples
+
+
+@q("promql_native_rate", f"""
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS "user", value, epoch_ms(ts) AS ts_ms
+    FROM events
+    WHERE event_type = 'click' AND value > 0 AND epoch_ms(ts) <= {_NR_T}
+),
+users AS (SELECT DISTINCT "user" FROM ev),
+days AS (SELECT * FROM (VALUES ({_NR_DAYS[0]}), ({_NR_DAYS[1]}),
+                               ({_NR_DAYS[2]}), ({_NR_DAYS[3]})) AS t(sts)),
+grid AS (SELECT u."user", d.sts FROM users u CROSS JOIN days d),
+stats AS (
+    SELECT g."user", g.sts,
+           CAST(count(e.value) AS DOUBLE) AS cnt,
+           CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,2))),
+                         0) AS DOUBLE) AS total,
+           CAST(count(CASE WHEN e.value > 5 AND e.value <= 10 THEN 1 END)
+                AS DOUBLE) AS b10
+    FROM grid g LEFT JOIN ev e ON e."user" = g."user" AND e.ts_ms <= g.sts
+    GROUP BY g."user", g.sts
+),
+fl AS (
+    SELECT "user",
+           max(CASE WHEN sts = {_NR_DAYS[0]} THEN cnt END) AS cnt2,
+           max(CASE WHEN sts = {_NR_T} THEN cnt END) AS cnt5,
+           max(CASE WHEN sts = {_NR_DAYS[0]} THEN total END) AS tot2,
+           max(CASE WHEN sts = {_NR_T} THEN total END) AS tot5,
+           max(CASE WHEN sts = {_NR_DAYS[0]} THEN b10 END) AS b102,
+           max(CASE WHEN sts = {_NR_T} THEN b10 END) AS b105
+    FROM stats GROUP BY "user"
+)
+SELECT "user",
+       (cnt5 - cnt2) * ((345600.0/259200.0)/345600.0) AS rate_cnt,
+       (tot5 - tot2) * ((345600.0/259200.0)/345600.0) AS rate_sum,
+       (b105 - b102) * ((345600.0/259200.0)/345600.0) AS rate_b10
+FROM fl
+""")
+def promql_native_rate(spark, sf_dir):
+    """rate() over native-histogram samples: per-user cumulative counter
+    histograms sampled daily Jan 2-5, rate(lat_hist[4d]) at Jan 5 —
+    bucket-wise delta + window-boundary extrapolation (reference serves
+    rate over float histograms through promql-engine, db/db_test.go:344-351;
+    functions._extrapolated_hist).  Every user carries samples at all four
+    days, so the extrapolation factor is the constant (4d/3d); the oracle
+    restates the same bucket arithmetic in SQL."""
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter((F.col("event_type") == "click") & (F.col("value") > 0) &
+                  (F.col("ts_ms") <= _NR_T)) \
+         .select(F.col("user_id"), F.col("value"), F.col("ts_ms"))
+    days = spark.createDataFrame([(t,) for t in _NR_DAYS], "sts long")
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    j = grid.join(ev.withColumnRenamed("user_id", "uid"),
+                  (F.col("uid") == F.col("user_id")) &
+                  (F.col("ts_ms") <= F.col("sts")), "left")
+    cnt_if = lambda c: F.count(F.when(c, 1)).cast("double")  # noqa: E731
+    stats = j.groupBy("user_id", "sts").agg(
+        F.count("value").cast("double").alias("cnt"),
+        F.coalesce(F.sum(F.col("value").cast(_DEC)),
+                   F.lit(0).cast(_DEC)).cast("double").alias("total"),
+        cnt_if(F.col("value") <= 5).alias("b5"),
+        cnt_if((F.col("value") > 5) & (F.col("value") <= 10)).alias("b10"),
+        cnt_if((F.col("value") > 10) & (F.col("value") <= 20)).alias("b20"),
+        cnt_if((F.col("value") > 20) & (F.col("value") <= 40)).alias("b40"),
+        cnt_if(F.col("value") > 40).alias("binf"))
+    buckets = F.array(*[
+        F.struct(F.lit(le).alias("le"), F.col(c).alias("count"))
+        for le, c in [(5.0, "b5"), (10.0, "b10"), (20.0, "b20"),
+                      (40.0, "b40"), (float("inf"), "binf")]])
+    samples = stats.select(
+        F.lit("lat_hist").alias("__name__"),
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("user")),
+            F.array(F.lit("lat_hist"),
+                    F.col("user_id").cast("string"))).alias("labels"),
+        F.col("sts").alias("ts"),
+        F.lit(float("nan")).alias("value"),
+        H.make_hist(F.col("cnt"), F.col("total"), buckets).alias("hist"))
+    eng = PromQLEngine(samples, lookback_ms=60_000, deterministic=True)
+    r = eng.query_instant("rate(lat_hist[4d])", _NR_T)
+    b10 = F.coalesce(
+        F.try_element_at(F.filter(F.col("hist")["buckets"],
+                                  lambda b: b["le"] == 10.0),
+                         F.lit(1))["count"],
+        F.lit(0.0))
+    return r.df.select(_lbl("user").alias("user"),
+                       F.col("hist")["count"].alias("rate_cnt"),
+                       F.col("hist")["sum"].alias("rate_sum"),
+                       b10.alias("rate_b10"))
+
+
 @q("promql_multistream", f"""
 WITH raw AS (
     SELECT event_type AS name,

@@ -42,7 +42,9 @@ def _drop_name(df):
 
 
 def _iv(df) -> InstantVector:
-    return InstantVector(df.select("t", "sig", "labels", "sample_ts", "value"))
+    extra = ["hist"] if "hist" in df.columns else []
+    return InstantVector(df.select("t", "sig", "labels", "sample_ts", "value",
+                                   *extra))
 
 
 def _range_arg(c: Compiler, call: A.Call, idx: int = 0) -> RangeVector:
