@@ -8,6 +8,9 @@ Supported subset (what our corpus slice uses):
   expanding notation ``a+bxN`` / ``a-bxN`` / ``axN`` (N additional samples).
 - ``eval instant at <time> <expr>`` with expected ``metric{labels} value``
   lines (empty expected set = empty result).
+- ``eval range from <start> to <end> step <step> <expr>`` with expected
+  ``metric{labels} v1 v2 ...`` lines — one value slot per step (expanding
+  notation allowed, ``_`` = no point at that step).
 - ``eval_fail instant at <time> <expr>`` expecting an evaluation error.
 
 Comparison is the upstream ``almost equal``: |a-b| ≤ 1e-6·|a+b| or both NaN.
@@ -24,6 +27,8 @@ _DUR = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000,
 
 
 def parse_duration_ms(s: str) -> int:
+    if s == "0":  # upstream allows a bare zero (e.g. "from 0")
+        return 0
     total, pos = 0, 0
     for m in re.finditer(r"(\d+)(ms|[smhdwy])", s):
         if m.start() != pos:
@@ -96,12 +101,22 @@ class EvalCase:
     expected: list[tuple[dict, float]]
     expect_fail: bool = False
     line: int = 0
+    # range evals: (start_ms, end_ms, step_ms); expected holds
+    # (labels, [v_or_None per step]) instead of (labels, value)
+    range_ms: tuple[int, int, int] | None = None
 
 
 @dataclass
 class TestScript:
     samples: list[tuple[dict, int, float | None]] = field(default_factory=list)
     evals: list[EvalCase] = field(default_factory=list)
+    # ``clear`` starts a new independent section (fresh storage + evals);
+    # sections collects the closed ones, (samples, evals) each.  The
+    # trailing open section lives in samples/evals.
+    sections: list[tuple[list, list]] = field(default_factory=list)
+
+    def all_sections(self) -> list[tuple[list, list]]:
+        return [*self.sections, (self.samples, self.evals)]
 
 
 def parse_test(text: str) -> TestScript:
@@ -114,7 +129,8 @@ def parse_test(text: str) -> TestScript:
             i += 1
             continue
         if line.startswith("clear"):
-            ts.samples = []
+            ts.sections.append((ts.samples, ts.evals))
+            ts.samples, ts.evals = [], []
             i += 1
             continue
         if line.startswith("load"):
@@ -154,6 +170,26 @@ def parse_test(text: str) -> TestScript:
                 i += 1
             ts.evals.append(case)
             continue
+        m = re.match(r"(eval_fail|eval)\s+range\s+from\s+(\S+)\s+to\s+(\S+)"
+                     r"\s+step\s+(\S+)\s+(.*)$", line)
+        if m:
+            rng = (parse_duration_ms(m.group(2)), parse_duration_ms(m.group(3)),
+                   parse_duration_ms(m.group(4)))
+            case = EvalCase(time_ms=rng[0], expr=m.group(5), expected=[],
+                            expect_fail=m.group(1) == "eval_fail",
+                            line=i + 1, range_ms=rng)
+            i += 1
+            while i < len(lines) and (lines[i].startswith(" ") or
+                                      lines[i].startswith("\t")):
+                eline = lines[i].strip()
+                if eline and not eline.startswith("#"):
+                    labels, rest = parse_series_id(eline)
+                    vals = [None if v is None or v == "stale" else float(v)
+                            for v in expand_values(rest.split())]
+                    case.expected.append((labels, vals))
+                i += 1
+            ts.evals.append(case)
+            continue
         raise ValueError(f"unparsed promqltest line {i + 1}: {line!r}")
     return ts
 
@@ -171,11 +207,26 @@ def almost_equal(a: float, b: float, eps: float = 1e-6) -> bool:
 def run_script(spark, script: TestScript, make_samples, engine_cls,
                lookback_ms: int = 300_000) -> list[str]:
     """Execute every eval; returns a list of failure descriptions (empty =
-    pass).  One engine per script — plans are lazy, construction is free."""
+    pass).  One engine per ``clear``-delimited section — plans are lazy,
+    construction is free."""
     failures: list[str] = []
-    eng = engine_cls(make_samples(spark, script.samples),
+    for samples, evals in script.all_sections():
+        if not evals:
+            continue
+        failures.extend(_run_section(spark, samples, evals, make_samples,
+                                     engine_cls, lookback_ms))
+    return failures
+
+
+def _run_section(spark, samples, evals, make_samples, engine_cls,
+                 lookback_ms: int) -> list[str]:
+    failures: list[str] = []
+    eng = engine_cls(make_samples(spark, samples),
                      lookback_ms=lookback_ms, deterministic=True)
-    for case in script.evals:
+    for case in evals:
+        if case.range_ms is not None:
+            failures.extend(_run_range_case(eng, case))
+            continue
         try:
             res = eng.query_instant(case.expr, case.time_ms)
             if res.result_type == "scalar":
@@ -205,4 +256,42 @@ def run_script(spark, script: TestScript, make_samples, engine_cls,
             if not almost_equal(got[k], want[k]):
                 failures.append(f"line {case.line}: {case.expr!r} "
                                 f"{dict(k)}: got {got[k]}, want {want[k]}")
+    return failures
+
+
+def _run_range_case(eng, case: EvalCase) -> list[str]:
+    start, end, step = case.range_ms
+    try:
+        res = eng.query_range(case.expr, start, end, step)
+        rows = res.df.collect()
+    except Exception as e:  # noqa: BLE001
+        if case.expect_fail:
+            return []
+        return [f"line {case.line}: {case.expr!r} raised "
+                f"{type(e).__name__}: {e}"]
+    if case.expect_fail:
+        return [f"line {case.line}: {case.expr!r} expected to fail, "
+                f"returned {len(rows)} rows"]
+    got: dict[frozenset, dict[int, float]] = {}
+    for r in rows:
+        got.setdefault(frozenset(dict(r["labels"]).items()), {})[r["t"]] = \
+            r["value"]
+    want = {frozenset(labels.items()):
+            {start + i * step: v for i, v in enumerate(vals) if v is not None}
+            for labels, vals in case.expected}
+    failures = []
+    if set(got) != set(want):
+        return [f"line {case.line}: {case.expr!r} labelsets differ:\n"
+                f"  got : {sorted(map(sorted, got))}\n"
+                f"  want: {sorted(map(sorted, want))}"]
+    for k, points in want.items():
+        if set(got[k]) != set(points):
+            failures.append(
+                f"line {case.line}: {case.expr!r} {dict(k)}: step times "
+                f"differ: got {sorted(got[k])}, want {sorted(points)}")
+            continue
+        for t, v in points.items():
+            if not almost_equal(got[k][t], v):
+                failures.append(f"line {case.line}: {case.expr!r} {dict(k)} "
+                                f"@{t}: got {got[k][t]}, want {v}")
     return failures
