@@ -48,9 +48,21 @@ def INF() -> Column:
 def NEG_INF() -> Column:
     return F.lit(float("-inf"))
 
+def _ieee_log(fn):
+    """Spark's log functions return NULL for arguments <= 0; PromQL (Go
+    math.Log) needs -Inf at 0 and NaN below it."""
+    def wrap(c):
+        return (F.when(F.isnan(c), c)
+                 .when(c > 0, fn(c))
+                 .when(c == 0, F.lit(float("-inf")))
+                 .otherwise(F.lit(float("nan"))))
+    return wrap
+
+
 _MATH_FUNCS = {
     "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
-    "sqrt": F.sqrt, "ln": F.log, "log2": F.log2, "log10": F.log10,
+    "sqrt": F.sqrt, "ln": _ieee_log(F.log), "log2": _ieee_log(F.log2),
+    "log10": _ieee_log(F.log10),
     "acos": F.acos, "asin": F.asin, "atan": F.atan, "cos": F.cos,
     "sin": F.sin, "tan": F.tan, "cosh": F.cosh, "sinh": F.sinh,
     "tanh": F.tanh, "acosh": F.acosh, "asinh": F.asinh, "atanh": F.atanh,

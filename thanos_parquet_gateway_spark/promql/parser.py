@@ -380,6 +380,10 @@ class Parser:
             self.expect("OP", "}")
         if name is None and not matchers:
             raise PromQLSyntaxError("empty selector")
+        if name is not None and any(m.label == "__name__" for m in matchers):
+            # upstream parser: "metric name must not be set twice"
+            raise PromQLSyntaxError(
+                f"metric name must not be set twice: {name!r} and __name__")
         return VectorSelector(name, matchers)
 
 
