@@ -1,0 +1,319 @@
+"""Randomized DIFFERENTIAL fuzzing against an independent oracle — the
+analogue of the reference's promqlsmith differential fuzz
+(db/db_test.go:1129-1205, parquet result must equal TSDB result).
+
+A seeded generator draws random queries from template families; every
+template emits BOTH the PromQL string and an independently-written DuckDB
+SQL equivalent over the same corpus.  The Spark engine result must match
+the DuckDB result (1e-9 relative).  Unlike the metamorphic suite
+(test_fuzz_metamorphic.py), a systematic engine-wide bias cannot pass here:
+the expectation comes from a different query engine.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from tests.conftest import make_samples
+
+S = 1000
+LOOKBACK = 300_000
+
+METRICS = ("m0", "m1", "m2")
+JOBS = ("a", "b")
+INSTS = ("1", "2", "3")
+
+# (promql matcher fragment, sql predicate) — all series carry both labels,
+# so missing-label rules don't come into play here
+MATCHERS = [
+    ("", "TRUE"),
+    ('job="a"', "job = 'a'"),
+    ('job!="b"', "job <> 'b'"),
+    ('inst=~"[12]"', "regexp_full_match(inst, '[12]')"),
+    ('inst!~"3"', "NOT regexp_full_match(inst, '3')"),
+    ('job="a", inst!="2"', "job = 'a' AND inst <> '2'"),
+]
+
+AGGS = [  # (promql op, sql aggregate over column v)
+    ("sum", "sum(v)"),
+    ("min", "min(v)"),
+    ("max", "max(v)"),
+    ("avg", "avg(v)"),
+    ("count", "CAST(count(*) AS DOUBLE)"),
+    ("stddev", "stddev_pop(v)"),
+    ("stdvar", "var_pop(v)"),
+]
+
+OVER_TIME = [  # (promql fn, sql aggregate over (ts, value) window rows)
+    ("sum_over_time", "sum(value)"),
+    ("avg_over_time", "avg(value)"),
+    ("min_over_time", "min(value)"),
+    ("max_over_time", "max(value)"),
+    ("count_over_time", "CAST(count(*) AS DOUBLE)"),
+    ("last_over_time", "arg_max(value, ts)"),
+    ("stddev_over_time", "stddev_pop(value)"),
+    ("stdvar_over_time", "var_pop(value)"),
+]
+
+WINDOWS = [30, 50, 100, 120]  # seconds
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Seeded random corpus: 3 metrics x 2 jobs x 3 insts, 20 samples each
+    at 10s spacing, counter-ish with resets, NaN-free."""
+    rng = random.Random(20240813)
+    rows = []
+    for metric in METRICS:
+        for job in JOBS:
+            for inst in INSTS:
+                v = 0.0
+                for i in range(20):
+                    if rng.random() < 0.08:
+                        v = rng.uniform(0, 100)
+                    else:
+                        v += rng.uniform(0.001, 5)
+                    rows.append(({"__name__": metric, "job": job,
+                                  "inst": inst}, i * 10 * S, round(v, 6)))
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=LOOKBACK,
+                       deterministic=True)
+
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        [(lbl["__name__"], lbl["job"], lbl["inst"], ts, v)
+         for lbl, ts, v in rows],
+        columns=["name", "job", "inst", "ts", "value"])
+    con.register("samples", pdf)
+    return eng, con
+
+
+def _sel_sql(metric: str, pred: str, t: int) -> str:
+    """Instant vector with 5m lookback: latest sample per series in
+    (t-lb, t]."""
+    return f"""
+    SELECT job, inst, arg_max(value, ts) AS v
+    FROM samples
+    WHERE name = '{metric}' AND {pred}
+      AND ts > {t - LOOKBACK} AND ts <= {t}
+    GROUP BY job, inst"""
+
+
+def _win_sql(metric: str, pred: str, t: int, w_s: int) -> str:
+    """All samples per series in the range window (t-w, t]."""
+    return f"""
+    SELECT job, inst, ts, value
+    FROM samples
+    WHERE name = '{metric}' AND {pred}
+      AND ts > {t - w_s * 1000} AND ts <= {t}"""
+
+
+def _rate_sql(metric: str, pred: str, t: int, w_s: int, kind: str) -> str:
+    """extrapolatedRate in SQL: reset-corrected delta + Prometheus boundary
+    extrapolation (functions.py _extrapolated; reference semantics from
+    Prometheus extrapolatedRate)."""
+    counter = kind in ("rate", "increase")
+    corr = ("sum(CASE WHEN value < pv THEN pv ELSE 0 END)" if counter
+            else "0")
+    zero_clamp = """
+        CASE WHEN delta > 0 AND first_v >= 0
+                  AND sampled * first_v / delta < dur_start1
+             THEN sampled * first_v / delta ELSE dur_start1 END""" if counter \
+        else "dur_start1"
+    per_s = f" / {w_s}.0" if kind == "rate" else ""
+    return f"""
+    WITH w AS (
+        SELECT job, inst, ts, value,
+               lag(value) OVER (PARTITION BY job, inst ORDER BY ts) AS pv
+        FROM ({_win_sql(metric, pred, t, w_s)})
+    ),
+    agg AS (
+        SELECT job, inst,
+               arg_min(value, ts) AS first_v,
+               arg_max(value, ts) - arg_min(value, ts) + {corr} AS delta,
+               (min(ts) - {t - w_s * 1000}) / 1000.0 AS dur_start,
+               ({t} - max(ts)) / 1000.0 AS dur_end,
+               (max(ts) - min(ts)) / 1000.0 AS sampled,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM w GROUP BY job, inst HAVING count(*) >= 2
+    ),
+    ex AS (
+        SELECT job, inst, delta, sampled, dur_end, first_v,
+               sampled / (n - 1) * 1.1 AS thresh,
+               sampled / (n - 1) / 2 AS half,
+               CASE WHEN dur_start >= sampled / (n - 1) * 1.1
+                    THEN sampled / (n - 1) / 2 ELSE dur_start END AS dur_start1
+        FROM agg
+    )
+    SELECT job, inst,
+           delta * ((sampled + ({zero_clamp})
+                     + CASE WHEN dur_end >= thresh THEN half ELSE dur_end END)
+                    / sampled){per_s} AS v
+    FROM ex"""
+
+
+def _shape_selector(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sql = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    return sel, f"SELECT job, inst, v FROM ({_sel_sql(metric, sql, t)})"
+
+
+def _shape_agg(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    op, sqlagg = rng.choice(AGGS)
+    grouping = rng.choice([None, "job", "inst"])
+    base = _sel_sql(metric, sqlp, t)
+    if grouping:
+        return (f"{op} by ({grouping}) ({sel})",
+                f"SELECT {grouping}, {sqlagg} AS v FROM ({base}) "
+                f"GROUP BY {grouping}")
+    return f"{op}({sel})", f"SELECT {sqlagg} AS v FROM ({base})"
+
+
+def _shape_quantile(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    q = round(rng.uniform(0.05, 0.95), 2)
+    base = _sel_sql(metric, sqlp, t)
+    return (f"quantile({q}, {sel})",
+            f"SELECT quantile_cont(v, {q}) AS v FROM ({base})")
+
+
+def _shape_arith(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    c = round(rng.uniform(0.5, 3), 3)
+    d = round(rng.uniform(-10, 10), 3)
+    base = _sel_sql(metric, sqlp, t)
+    return (f"{sel} * {c} + {d}",
+            f"SELECT job, inst, v * {c} + {d} AS v FROM ({base})")
+
+
+def _shape_cmp_filter(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    thr = round(rng.uniform(5, 80), 2)
+    op, sop = rng.choice([(">", ">"), ("<", "<"), (">=", ">="), ("<=", "<=")])
+    base = _sel_sql(metric, sqlp, t)
+    return (f"{sel} {op} {thr}",
+            f"SELECT job, inst, v FROM ({base}) WHERE v {sop} {thr}")
+
+
+def _shape_over_time(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlagg = rng.choice(OVER_TIME)
+    w = rng.choice(WINDOWS)
+    base = _win_sql(metric, sqlp, t, w)
+    return (f"{fn}({sel}[{w}s])",
+            f"SELECT job, inst, {sqlagg} AS v FROM ({base}) "
+            f"GROUP BY job, inst")
+
+
+def _shape_rate(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    kind = rng.choice(["rate", "increase", "delta"])
+    w = rng.choice(WINDOWS)
+    return (f"{kind}({sel}[{w}s])",
+            _rate_sql(metric, sqlp, t, w, kind))
+
+
+def _shape_agg_rate(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    w = rng.choice(WINDOWS)
+    op, sqlagg = rng.choice(AGGS[:5])  # sum..count over rate
+    return (f"{op}(rate({sel}[{w}s]))",
+            f"SELECT {sqlagg} AS v FROM "
+            f"({_rate_sql(metric, sqlp, t, w, 'rate')})")
+
+
+def _shape_binop(rng, t):
+    metric = rng.choice(METRICS)
+    pm1, sql1 = rng.choice(MATCHERS)
+    pm2, sql2 = rng.choice(MATCHERS)
+    s1 = f"{metric}{{{pm1}}}" if pm1 else metric
+    s2 = f"{metric}{{{pm2}}}" if pm2 else metric
+    op, sop = rng.choice([("+", "+"), ("-", "-"), ("*", "*")])
+    return (f"{s1} {op} {s2}",
+            f"SELECT l.job, l.inst, l.v {sop} r.v AS v "
+            f"FROM ({_sel_sql(metric, sql1, t)}) l "
+            f"JOIN ({_sel_sql(metric, sql2, t)}) r "
+            f"USING (job, inst)")
+
+
+SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
+          _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
+          _shape_binop]
+
+N_QUERIES = 240
+
+
+def _norm(rows, label_cols):
+    out = {}
+    for r in rows:
+        key = frozenset((c, str(r[c])) for c in label_cols)
+        out[key] = r["v"]
+    return out
+
+
+def _spark_result(eng, promql, t):
+    res = eng.query_instant(promql, t)
+    if res.result_type == "scalar":
+        rows = res.df.collect()
+        return {frozenset(): rows[0]["value"]}
+    out = {}
+    for r in res.df.collect():
+        lbls = {k: v for k, v in dict(r["labels"]).items() if k != "__name__"}
+        out[frozenset(lbls.items())] = r["value"]
+    return out
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1e-30)
+
+
+def test_differential_fuzz(corpus):
+    eng, con = corpus
+    rng = random.Random(515151)
+    failures = []
+    for i in range(N_QUERIES):
+        shape = rng.choice(SHAPES)
+        t = rng.randrange(50, 196) * S
+        promql, sql = shape(rng, t)
+        duck = con.execute(sql).fetchdf()
+        label_cols = [c for c in duck.columns if c != "v"]
+        want = _norm(duck.to_dict("records"), label_cols)
+        got = _spark_result(eng, promql, t)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} @{t}: labelsets differ\n"
+                            f"  got : {sorted(map(sorted, got))}\n"
+                            f"  want: {sorted(map(sorted, want))}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} @{t} {dict(k)}: "
+                                f"got {got[k]}, want {want[k]}")
+    assert not failures, (f"{len(failures)}/{N_QUERIES} divergences:\n"
+                          + "\n".join(failures[:25]))
