@@ -561,6 +561,15 @@ def test_native_histogram_rate(spark):
     floats = [r for r in out if r["hist"] is None]
     hists = [r for r in out if r["hist"] is not None]
     assert len(floats) == 1 and len(hists) == 1
+    # irate over histograms: last two samples, bucket-wise; dt=10s,
+    # counts 6->8 -> (8-6)/10 = 0.2
+    r = eng.query_instant("irate(h[40s])", 40 * S).df.collect()
+    hr = [x for x in r if x["hist"] is not None]
+    assert len(hr) == 1 and hr[0]["hist"]["count"] == pytest.approx(0.2)
+    # idelta: plain last-prev
+    r = eng.query_instant("idelta(h[40s])", 40 * S).df.collect()
+    hr = [x for x in r if x["hist"] is not None]
+    assert hr[0]["hist"]["count"] == pytest.approx(2.0)
     # float series: samples 4,8,12 at 10..30? no — values 0,4,8,12 at
     # 0,10,20,30; window (0,40] → 4,8,12 at 10,20,30: delta=8, n=3,
     # sampled=20, avg=10, durStart=10<11, durEnd=10<11 → extrap=40?

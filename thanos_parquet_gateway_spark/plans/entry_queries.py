@@ -2249,8 +2249,9 @@ def flagship(spark: SparkSession) -> DataFrame:
 # whatever the official gate has vouched for least recently, so every query
 # cycles through a driver row and a regression anywhere surfaces within
 # ceil(N/50) rounds.  No per-round editing; adding a CORRECTNESS artifact is
-# the only thing that changes the order.  tools/diffcheck.py additionally
-# checks ALL entries every round (committed as DIFFCHECK_ALL_r*.json).
+# the only thing that changes the order.  tools/diffcheck.py --out
+# additionally checks ALL entries every round; the artifact is committed
+# as DIFFCHECK_ALL_r*.json (first: round 5).
 #
 def _last_green_rounds() -> dict[str, int]:
     """Round number of each query's most recent fully-green driver row

@@ -249,7 +249,11 @@ def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
 
 
 def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
-    """irate/idelta from the last two samples of the window."""
+    """irate/idelta from the last two samples of the window.  Histogram
+    windows take the bucket-wise analogue (reset -> the last histogram
+    stands alone, mirroring the float counter rule)."""
+    if "hist" in rv.df.columns:
+        return _instant_pair_hist(c, rv, kind)
     g = _collect_window(rv).filter(F.size("arr") >= 2)
     arr = F.col("arr")
     last_t, prev_t = F.element_at(arr, -1)["o"], F.element_at(arr, -2)["o"]
@@ -262,6 +266,51 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
         val = last_v - prev_v
     out = g.select("t", "sig", "labels",
                    F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
+    return _iv(_drop_name(out))
+
+
+def _instant_pair_hist(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+
+    g = hgroup(
+        rv.df, "sig",
+        F.array_sort(F.collect_list(
+            F.when(F.col("hist").isNull(),
+                   F.struct(F.col("ts").alias("o"),
+                            F.col("value").alias("v"))))).alias("arr"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("hist").isNotNull(),
+                   F.struct(F.col("ts").alias("o"),
+                            F.col("hist").alias("h"))))).alias("harr"),
+        F.first("labels").alias("labels"))
+    is_float = (F.size("arr") >= 2) & (F.size("harr") == 0)
+    is_hist = (F.size("harr") >= 2) & (F.size("arr") == 0)
+    g = g.filter(is_float | is_hist)
+
+    arr = F.col("arr")
+    last_t, prev_t = F.element_at(arr, -1)["o"], F.element_at(arr, -2)["o"]
+    last_v, prev_v = F.element_at(arr, -1)["v"], F.element_at(arr, -2)["v"]
+    fdt = (last_t - prev_t).cast(D) / 1000.0
+    if kind == "irate":
+        fval = F.when(last_v >= prev_v, last_v - prev_v).otherwise(last_v) / fdt
+    else:
+        fval = last_v - prev_v
+
+    harr = F.col("harr")
+    lh, ph = F.element_at(harr, -1)["h"], F.element_at(harr, -2)["h"]
+    hdt = (F.element_at(harr, -1)["o"] - F.element_at(harr, -2)["o"]) \
+        .cast(D) / 1000.0
+    if kind == "irate":
+        dh = F.when(H.detect_reset(ph, lh), lh).otherwise(H.sub_two(lh, ph))
+        hval = H.scale_hist(dh, F.lit(1.0) / hdt)
+    else:
+        hval = H.sub_two(lh, ph)
+    out = g.select(
+        "t", "sig", "labels",
+        F.lit(None).cast("long").alias("sample_ts"),
+        F.when(is_float, fval).otherwise(NAN()).alias("value"),
+        F.when(is_hist, hval).otherwise(H.null_hist()).alias("hist"))
     return _iv(_drop_name(out))
 
 
