@@ -294,6 +294,152 @@ def _close(a, b):
     return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1e-30)
 
 
+# ----------------------------------------------------------- range queries
+def _grid_sql(start: int, end: int, step: int) -> str:
+    return (f"SELECT unnest(generate_series({start}, {end}, {step})) AS t")
+
+
+def _rsel_sql(metric, pred, start, end, step) -> str:
+    """Per-step instant vector with lookback."""
+    return f"""
+    SELECT g.t, s.job, s.inst, arg_max(s.value, s.ts) AS v
+    FROM ({_grid_sql(start, end, step)}) g
+    JOIN samples s ON s.ts > g.t - {LOOKBACK} AND s.ts <= g.t
+    WHERE s.name = '{metric}' AND {pred}
+    GROUP BY g.t, s.job, s.inst"""
+
+
+def _rwin_sql(metric, pred, start, end, step, w_s) -> str:
+    return f"""
+    SELECT g.t, s.job, s.inst, s.ts, s.value
+    FROM ({_grid_sql(start, end, step)}) g
+    JOIN samples s ON s.ts > g.t - {w_s * 1000} AND s.ts <= g.t
+    WHERE s.name = '{metric}' AND {pred}"""
+
+
+def _rshape_selector(rng, start, end, step):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    return sel, f"SELECT t, job, inst, v FROM ({_rsel_sql(metric, sqlp, start, end, step)})"
+
+
+def _rshape_agg(rng, start, end, step):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    op, sqlagg = rng.choice(AGGS)
+    grouping = rng.choice(["job", "inst"])
+    base = _rsel_sql(metric, sqlp, start, end, step)
+    return (f"{op} by ({grouping}) ({sel})",
+            f"SELECT t, {grouping}, {sqlagg} AS v FROM ({base}) "
+            f"GROUP BY t, {grouping}")
+
+
+def _rshape_over_time(rng, start, end, step):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlagg = rng.choice(OVER_TIME)
+    w = rng.choice(WINDOWS)
+    base = _rwin_sql(metric, sqlp, start, end, step, w)
+    return (f"{fn}({sel}[{w}s])",
+            f"SELECT t, job, inst, {sqlagg} AS v FROM ({base}) "
+            f"GROUP BY t, job, inst")
+
+
+def _rshape_rate(rng, start, end, step):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    kind = rng.choice(["rate", "increase", "delta"])
+    w = rng.choice(WINDOWS)
+    counter = kind in ("rate", "increase")
+    corr = ("sum(CASE WHEN value < pv THEN pv ELSE 0 END)" if counter
+            else "0")
+    zero_clamp = """
+        CASE WHEN delta > 0 AND first_v >= 0
+                  AND sampled * first_v / delta < dur_start1
+             THEN sampled * first_v / delta ELSE dur_start1 END""" if counter \
+        else "dur_start1"
+    per_s = f" / {w}.0" if kind == "rate" else ""
+    sql = f"""
+    WITH w AS (
+        SELECT t, job, inst, ts, value,
+               lag(value) OVER (PARTITION BY t, job, inst ORDER BY ts) AS pv
+        FROM ({_rwin_sql(metric, sqlp, start, end, step, w)})
+    ),
+    agg AS (
+        SELECT t, job, inst,
+               arg_min(value, ts) AS first_v,
+               arg_max(value, ts) - arg_min(value, ts) + {corr} AS delta,
+               (min(ts) - (t - {w * 1000})) / 1000.0 AS dur_start,
+               (t - max(ts)) / 1000.0 AS dur_end,
+               (max(ts) - min(ts)) / 1000.0 AS sampled,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM w GROUP BY t, job, inst HAVING count(*) >= 2
+    ),
+    ex AS (
+        SELECT t, job, inst, delta, sampled, dur_end, first_v,
+               sampled / (n - 1) * 1.1 AS thresh,
+               sampled / (n - 1) / 2 AS half,
+               CASE WHEN dur_start >= sampled / (n - 1) * 1.1
+                    THEN sampled / (n - 1) / 2 ELSE dur_start END AS dur_start1
+        FROM ex0_placeholder
+    )
+    SELECT t, job, inst,
+           delta * ((sampled + ({zero_clamp})
+                     + CASE WHEN dur_end >= thresh THEN half ELSE dur_end END)
+                    / sampled){per_s} AS v
+    FROM ex"""
+    sql = sql.replace("FROM ex0_placeholder", "FROM agg")
+    return f"{kind}({sel}[{w}s])", sql
+
+
+RSHAPES = [_rshape_selector, _rshape_agg, _rshape_over_time, _rshape_rate]
+N_RANGE_QUERIES = 60
+
+
+def _spark_range_result(eng, promql, start, end, step):
+    res = eng.query_range(promql, start, end, step)
+    out = {}
+    for r in res.df.collect():
+        lbls = {k: v for k, v in dict(r["labels"]).items() if k != "__name__"}
+        out[(frozenset(lbls.items()), r["t"])] = r["value"]
+    return out
+
+
+def test_differential_fuzz_range(corpus):
+    """Range-query differential: per-step results must match a DuckDB grid
+    evaluation (grid CTE x lookback/window joins)."""
+    eng, con = corpus
+    rng = random.Random(717171)
+    failures = []
+    for i in range(N_RANGE_QUERIES):
+        shape = rng.choice(RSHAPES)
+        start = rng.randrange(50, 120) * S
+        step = rng.choice([10, 20]) * S
+        end = start + 4 * step
+        promql, sql = shape(rng, start, end, step)
+        duck = con.execute(sql).fetchdf()
+        label_cols = [c for c in duck.columns if c not in ("v", "t")]
+        want = {}
+        for r in duck.to_dict("records"):
+            key = frozenset((c, str(r[c])) for c in label_cols)
+            want[(key, r["t"])] = r["v"]
+        got = _spark_range_result(eng, promql, start, end, step)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} [{start},{end},{step}]: keys "
+                            f"differ: got {len(got)}, want {len(want)}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} {k}: got {got[k]}, "
+                                f"want {want[k]}")
+    assert not failures, (f"{len(failures)}/{N_RANGE_QUERIES} divergences:\n"
+                          + "\n".join(failures[:25]))
+
+
 def test_differential_fuzz(corpus):
     eng, con = corpus
     rng = random.Random(515151)
