@@ -26,14 +26,32 @@ def sf_dir():
 
 
 def make_samples(spark, rows):
-    """rows: list of (labels: dict, ts_ms: int, value: float|None) → samples
-    df.  value=None is the staleness marker (schema.py)."""
+    """rows: list of (labels: dict, ts_ms: int, value) → samples df.
+    value=None is the staleness marker (schema.py); a dict
+    {"hist": (count, sum, [(le, c), ...])} is a native-histogram sample
+    (value NaN + hist struct, histograms.py) — the hist column is only
+    added when at least one row carries one."""
     from pyspark.sql import types as T
-    schema = T.StructType([
+    has_hist = any(isinstance(v, dict) for _, _, v in rows)
+    fields = [
         T.StructField("labels", T.MapType(T.StringType(), T.StringType()), False),
         T.StructField("ts", T.LongType(), False),
         T.StructField("value", T.DoubleType(), True),
-    ])
+    ]
+    if not has_hist:
+        return spark.createDataFrame(
+            [(labels, ts, None if v is None else float(v))
+             for labels, ts, v in rows],
+            T.StructType(fields))
+    from thanos_parquet_gateway_spark.promql.histograms import HIST_TYPE
+    data = []
+    for labels, ts, v in rows:
+        if isinstance(v, dict):
+            c, s, bks = v["hist"]
+            data.append((labels, ts, float("nan"),
+                         (float(c), float(s),
+                          [(float(le), float(bc)) for le, bc in bks])))
+        else:
+            data.append((labels, ts, None if v is None else float(v), None))
     return spark.createDataFrame(
-        [(labels, ts, None if v is None else float(v)) for labels, ts, v in rows],
-        schema)
+        data, T.StructType(fields + [T.StructField("hist", HIST_TYPE, True)]))

@@ -51,9 +51,45 @@ def _num(tok: str) -> float:
     return float(tok)
 
 
-def expand_values(tokens: list[str]) -> list[float | None | str]:
+_HIST_RE = re.compile(r"\{\{([^}]*)\}\}(?:x(\d+))?")
+
+
+def _parse_hist(body: str) -> dict:
+    """Native-histogram literal (upstream promqltest notation subset):
+    ``{{schema:0 count:C sum:S buckets:[a b c] offset:O z_bucket:Z}}`` →
+    our explicit-bound model (histograms.py): bucket at 0-based position p
+    has index i = offset+p, le = base^i, base = 2^(2^-schema); the zero
+    bucket maps to le=0.  A trailing +Inf bucket (le=inf, count 0) is
+    appended if absent so quantile algebra has its cap."""
+    h = {"schema": 0, "count": None, "sum": 0.0, "offset": 0,
+         "z_bucket": 0.0, "buckets": []}
+    for m in re.finditer(r"(\w+):(\[[^\]]*\]|\S+)", body):
+        k, v = m.group(1), m.group(2)
+        if k == "buckets":
+            h["buckets"] = [float(x) for x in v.strip("[]").split()]
+        elif k in ("schema", "offset"):
+            h[k] = int(v)
+        elif k in ("count", "sum", "z_bucket"):
+            h[k] = float(v)
+        else:
+            raise ValueError(f"unsupported histogram field {k!r}")
+    base = 2.0 ** (2.0 ** -h["schema"])
+    bks = []
+    if h["z_bucket"]:
+        bks.append((0.0, h["z_bucket"]))
+    for p, c in enumerate(h["buckets"]):
+        bks.append((base ** (h["offset"] + p), float(c)))
+    if not bks or bks[-1][0] != float("inf"):
+        bks.append((float("inf"), 0.0))
+    count = h["count"] if h["count"] is not None else \
+        sum(c for _, c in bks)
+    return {"hist": (count, h["sum"], bks)}
+
+
+def expand_values(tokens: list[str]) -> list[float | None | str | dict]:
     """Series value notation → one slot per interval step.
-    ``None`` = no sample (``_``), ``"stale"`` = staleness marker."""
+    ``None`` = no sample (``_``), ``"stale"`` = staleness marker, dict =
+    native-histogram sample."""
     out: list = []
     for tok in tokens:
         if tok == "_":
@@ -61,6 +97,11 @@ def expand_values(tokens: list[str]) -> list[float | None | str]:
             continue
         if tok == "stale":
             out.append("stale")
+            continue
+        hm = _HIST_RE.fullmatch(tok)
+        if hm:
+            h = _parse_hist(hm.group(1))
+            out.extend([h] * (int(hm.group(2) or 0) + 1))
             continue
         m = re.fullmatch(r"(-?[0-9.]+(?:e-?\d+)?|NaN|Inf|\+Inf|-Inf)"
                          r"(?:([+-])([0-9.]+(?:e-?\d+)?))?x(\d+)", tok)
@@ -74,6 +115,11 @@ def expand_values(tokens: list[str]) -> list[float | None | str]:
             continue
         out.append(_num(tok))
     return out
+
+
+def _tokenize_values(s: str) -> list[str]:
+    """Whitespace split keeping ``{{...}}`` histogram literals whole."""
+    return re.findall(r"\{\{[^}]*\}\}(?:x\d+)?|\S+", s)
 
 
 _SERIES_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)?(\{[^}]*\})?\s*(.*)$")
@@ -141,10 +187,12 @@ def parse_test(text: str) -> TestScript:
                 sline = lines[i].strip()
                 if sline and not sline.startswith("#"):
                     labels, rest = parse_series_id(sline)
-                    for step, v in enumerate(expand_values(rest.split())):
+                    for step, v in enumerate(expand_values(
+                            _tokenize_values(rest))):
                         if v is None:
                             continue
-                        val = None if v == "stale" else float(v)
+                        val = (None if v == "stale"
+                               else v if isinstance(v, dict) else float(v))
                         ts.samples.append((labels, step * interval, val))
                 i += 1
             continue

@@ -505,7 +505,13 @@ class Compiler:
                 .withColumn("gsig", canonical_sig(F.col("glabels"))))
 
     def _aggregation(self, agg: A.Aggregation):
-        iv = self.compile_vector(agg.expr)
+        iv = self.compile(agg.expr)
+        if not isinstance(iv, InstantVector):
+            # upstream type check: "expected type instant vector in
+            # aggregation expression, got scalar"
+            raise PromQLCompileError(
+                f"{agg.op} expects an instant vector, got "
+                f"{type(iv).__name__}")
         param = None
         if agg.param is not None:
             p = self.compile(agg.param)

@@ -571,13 +571,16 @@ def dispatch(c: Compiler, call: A.Call):
             return _iv(_drop_name(df))
         return _histogram_quantile(c, call)
 
-    if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+    if fn in ("histogram_count", "histogram_sum", "histogram_avg",
+              "histogram_stddev", "histogram_stdvar"):
         from thanos_parquet_gateway_spark.promql import histograms as H
         iv = _vector_arg(c, call, 0)
         if "hist" not in iv.df.columns:
             raise PromQLCompileError(f"{fn} requires native-histogram samples")
         val = {"histogram_count": H.hist_count, "histogram_sum": H.hist_sum,
-               "histogram_avg": H.hist_avg}[fn](F.col("hist"))
+               "histogram_avg": H.hist_avg,
+               "histogram_stddev": H.hist_stddev,
+               "histogram_stdvar": H.hist_stdvar}[fn](F.col("hist"))
         df = (iv.df.filter(F.col("hist").isNotNull())
               .withColumn("value", val).drop("hist"))
         return _iv(_drop_name(df))

@@ -162,6 +162,40 @@ def merge_two(a: Column, b: Column) -> Column:
     return make_hist(a["count"] + b["count"], a["sum"] + b["sum"], merged)
 
 
+def hist_stdvar(hist: Column) -> Column:
+    """histogram_stdvar: estimated population variance of the observations.
+    Every observation in a bucket is assumed to sit at the bucket's
+    representative value.  Our model stores explicit bounds (NHCB-style),
+    so the representative is the arithmetic midpoint of (lower, upper] —
+    the custom-buckets convention — with the anchors the quantile algebra
+    already uses (hist_quantile): first positive bucket's lower edge is 0,
+    a le<=0 bucket represents le itself, and the +Inf bucket falls back to
+    its lower edge."""
+    bks = hist["buckets"]
+    les = F.transform(bks, lambda e: e["le"])
+    mean = hist["sum"] / hist["count"]
+    inf = F.lit(float("inf"))
+
+    def mid(i):
+        le = F.element_at(les, i)
+        lower = F.when(i == 1, F.when(le <= 0, le).otherwise(F.lit(0.0))) \
+                 .otherwise(F.element_at(les, F.greatest(i - 1, F.lit(1))))
+        return (F.when(le <= 0, le)
+                 .when(le == inf, lower)
+                 .otherwise((lower + le) / 2))
+
+    var = F.aggregate(
+        F.sequence(F.lit(1), F.size(bks)), F.lit(0.0),
+        lambda acc, i: acc + F.element_at(bks, i)["count"]
+        * (mid(i) - mean) * (mid(i) - mean))
+    return F.when(hist["count"] == 0, F.lit(float("nan"))) \
+            .otherwise(var / hist["count"])
+
+
+def hist_stddev(hist: Column) -> Column:
+    return F.sqrt(hist_stdvar(hist))
+
+
 # ------------------------------------------------- counter-histogram algebra
 # (rate/increase/delta over native-histogram samples — the reference serves
 # rate(native_histogram[5m]) through promql-engine, db/db_test.go:344-351)
