@@ -88,6 +88,50 @@ def test_manifest_single_pass(converted, spark, sf_dir):
     assert rs and "labels" not in rs[0] and "value" not in rs[0], plan
 
 
+def test_label_stats_sidecar(converted, spark):
+    """Dictionary-shortcut parity (reference search/search.go:153-201 reads
+    LabelValues from parquet dictionaries; SURVEY.md §7.3): convert writes a
+    _label_stats sidecar, the engine's unconstrained metadata fast path
+    answers from it — same results as the scan path, no samples scan in the
+    plan — and time bounds still prune by date."""
+    import io
+    from contextlib import redirect_stdout
+
+    from thanos_parquet_gateway_spark.convert.convert import read_label_stats
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    out, manifest, raw = converted
+    stats = read_label_stats(spark, out)
+    assert set(stats.columns) == {"stream", "date", "label", "value"}
+    conv = spark.read.parquet(out)
+    t0, t1 = 1704153600000, 1704412800000  # Jan 2 .. Jan 5
+    fast = PromQLEngine(conv, label_stats=stats)
+    slow = PromQLEngine(conv)
+    for name in ("shard", "__name__"):
+        got = [r["value"] for r in
+               fast.label_values(name, None, t0, t1).collect()]
+        want = [r["value"] for r in
+                slow.label_values(name, None, t0, t1).collect()]
+        assert got == want and got
+    got = [r["name"] for r in fast.label_names(None, t0, t1).collect()]
+    want = [r["name"] for r in slow.label_names(None, t0, t1).collect()]
+    assert got == want == ["__name__", "shard", "user"]
+    # the fast plan reads the sidecar, not the samples
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fast.label_values("shard", None, t0, t1).explain("formatted")
+    plan = buf.getvalue()
+    assert "_label_stats" in plan
+    assert "labels" not in [ln for ln in plan.splitlines()
+                            if "ReadSchema" in ln][0]
+    # matchers fall back to the filtered scan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fast.label_values("shard", ['click{user="7"}'], t0, t1) \
+            .explain("formatted")
+    assert "_label_stats" not in buf.getvalue()
+
+
 def test_planner_anti_join(converted, spark):
     out, manifest, raw = converted
     src = source_days(raw)

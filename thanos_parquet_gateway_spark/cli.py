@@ -37,18 +37,29 @@ def cmd_serve(args) -> int:
 
     spark = get_spark("serve")
     samples = spark.read.parquet(args.path)
-    streams = None
+    streams = label_stats = None
     try:
         from thanos_parquet_gateway_spark.convert import read_stream_descriptors
         streams = read_stream_descriptors(spark, args.path)
     except Exception:  # noqa: BLE001 — flat layouts have no sidecar
         streams = None
+    if not args.replica_label:
+        # the sidecar carries raw labels; with replica dropping the served
+        # label set differs, so fall back to the scan path
+        try:
+            from thanos_parquet_gateway_spark.convert.convert import (
+                read_label_stats,
+            )
+            label_stats = read_label_stats(spark, args.path)
+        except Exception:  # noqa: BLE001 — pre-sidecar layouts
+            label_stats = None
     eng = PromQLEngine(samples,
                        lookback_ms=args.lookback_ms,
                        replica_labels=args.replica_label or None,
                        ext_labels=_parse_label_map(args.external_label or [])
                        or None,
-                       streams=streams)
+                       streams=streams,
+                       label_stats=label_stats)
     srv = PromHTTPServer(eng, port=args.port,
                          max_concurrent=args.max_concurrent,
                          row_quota=args.max_row_count,

@@ -76,6 +76,7 @@ def convert_samples(raw: DataFrame, out_path: str, *,
        .option("parquet.bloom.filter.enabled#series_hash", "true")
        .partitionBy("stream", "date")
        .parquet(out_path))
+    write_label_stats(raw.sparkSession, out_path)
     return _manifest_from_written(raw.sparkSession, out_path)
 
 
@@ -136,7 +137,28 @@ def convert_streams(raws: dict[str, DataFrame], out_path: str, *,
        .partitionBy("stream", "date")
        .parquet(out_path))
     write_stream_descriptors(df.sparkSession, out_path, ext_labels)
+    write_label_stats(df.sparkSession, out_path)
     return _manifest_from_written(df.sparkSession, out_path)
+
+
+def write_label_stats(spark, out_path: str) -> None:
+    """Label-stats sidecar: distinct (stream, date, label, value) of the
+    written table — the Spark analogue of the reference's dictionary-
+    shortcut LabelValues (search/search.go:153-201 reads values straight
+    from parquet column dictionaries; SURVEY.md §7.3 maintains the same
+    shortcut as a convert-time stats table).  /labels and /label/:name/
+    values then touch only this sidecar, never the samples, and the date
+    column keeps time-range pruning."""
+    written = spark.read.parquet(out_path)
+    (written.select(F.col("stream").cast("string").alias("stream"),
+                    F.date_format("date", "yyyy-MM-dd").alias("date"),
+                    F.explode("labels").alias("label", "value"))
+     .distinct()
+     .write.mode("overwrite").parquet(f"{out_path}/_label_stats"))
+
+
+def read_label_stats(spark, out_path: str) -> DataFrame:
+    return spark.read.parquet(f"{out_path}/_label_stats")
 
 
 def write_stream_descriptors(spark, out_path: str,

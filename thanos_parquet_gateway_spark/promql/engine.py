@@ -43,7 +43,8 @@ class PromQLEngine:
                  replica_labels: list[str] | None = None,
                  ext_labels: dict[str, str] | None = None,
                  streams: dict[str, dict[str, str]] | None = None,
-                 complete_streams: bool = True):
+                 complete_streams: bool = True,
+                 label_stats: DataFrame | None = None):
         """``samples``: long-format samples table (schema.py).  ``replica_labels``
         are dropped and the data deduplicated by (series, ts) — the Spark
         equivalent of the reference's replica-label drop + hash dedup
@@ -96,6 +97,10 @@ class PromQLEngine:
         self.ext_labels = ext_labels
         self.streams = streams
         self.complete_streams = complete_streams
+        # convert-time sidecar (convert.write_label_stats): the reference's
+        # dictionary-shortcut LabelValues analogue — unconstrained metadata
+        # queries read it instead of scanning samples
+        self.label_stats = label_stats
 
     # ------------------------------------------------------------- queries
     def _compile(self, q: str, start_ms: int, end_ms: int, step_ms: int):
@@ -187,10 +192,36 @@ class PromQLEngine:
                .orderBy("sig"))
         return out.limit(limit) if limit else out
 
+    def _stats_fast_path(self, match) -> DataFrame | None:
+        """The sidecar answers only unconstrained metadata queries (the
+        reference's dictionary shortcut is likewise matcher-free,
+        search/search.go:153-201); matchers, stream decoration, and
+        external labels fall back to the filtered scan."""
+        if match or self.streams or self.ext_labels or \
+                self.label_stats is None:
+            return None
+        return self.label_stats
+
+    def _stats_in_range(self, start_ms: int, end_ms: int) -> DataFrame:
+        import datetime as _dt
+
+        def day(ms):
+            return _dt.datetime.fromtimestamp(
+                max(ms, 0) / 1000, _dt.timezone.utc).strftime("%Y-%m-%d")
+
+        return self.label_stats.filter(
+            (F.col("date") >= day(start_ms)) & (F.col("date") <= day(end_ms)))
+
     def label_names(self, match: list[str] | None, start_ms: int, end_ms: int,
                     limit: int = 0) -> DataFrame:
         """Reference: schema-level when unconstrained, filtered scan otherwise
-        (search/search.go:294-345)."""
+        (search/search.go:294-345).  With a converted table's label-stats
+        sidecar the unconstrained case never touches the samples."""
+        if self._stats_fast_path(match) is not None:
+            out = (self._stats_in_range(start_ms, end_ms)
+                   .select(F.col("label").alias("name"))
+                   .distinct().orderBy("name"))
+            return out.limit(limit) if limit else out
         out = (self._matched(match or [], start_ms, end_ms)
                .select(F.explode(F.map_keys("labels")).alias("name"))
                .distinct().orderBy("name"))
@@ -199,8 +230,15 @@ class PromQLEngine:
     def label_values(self, name: str, match: list[str] | None,
                      start_ms: int, end_ms: int, limit: int = 0) -> DataFrame:
         """Reference: dictionary shortcut without matchers, filtered distinct
-        with matchers (search/search.go:153-262) — Parquet dictionary/stats
-        make the unconstrained distinct cheap in Spark too."""
+        with matchers (search/search.go:153-262).  The sidecar (when the
+        engine was built from a converted table) IS the dictionary: distinct
+        (label, value) per stream/day, no samples scan."""
+        if self._stats_fast_path(match) is not None:
+            out = (self._stats_in_range(start_ms, end_ms)
+                   .filter(F.col("label") == name)
+                   .select("value").filter(F.col("value") != "")
+                   .distinct().orderBy("value"))
+            return out.limit(limit) if limit else out
         out = (self._matched(match or [], start_ms, end_ms)
                .select(label("labels", name).alias("value"))
                .filter(F.col("value") != "")
