@@ -185,6 +185,48 @@ def test_streaming_convert_agrees_with_batch(spark, tmp_path):
         == ["2024-01-01", "2024-01-02", "2024-01-03"]
 
 
+def test_streaming_sessionize_agrees_with_batch(spark, sf_dir, tmp_path):
+    """Native session_window streaming sessionization drains (availableNow)
+    to the same per-session rows as the batch window-lag oracle."""
+    from thanos_parquet_gateway_spark.sources.tables import load_table
+    from thanos_parquet_gateway_spark.streaming import (
+        batch_equivalent_sessions,
+        stream_sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    in_path = str(tmp_path / "in")
+    (events.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                   "user_id", "event_type", "value")
+     .write.parquet(in_path))
+    out = str(tmp_path / "out")
+    q = stream_sessionize(spark, in_path, out, str(tmp_path / "ckpt"),
+                          watermark="0 seconds")
+    q.awaitTermination(180)
+    # append-mode session windows hold the still-open tail sessions in
+    # state until the watermark passes them; a far-future sentinel event
+    # in a second availableNow drain flushes every real session
+    sentinel_user = -1
+    (events.limit(1)
+     .select(F.lit(0).cast("long").alias("event_id"),
+             F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
+             F.lit(sentinel_user).cast("long").alias("user_id"),
+             F.lit("flush").alias("event_type"),
+             F.lit(0.0).alias("value"))
+     .write.mode("append").parquet(in_path))
+    q = stream_sessionize(spark, in_path, out, str(tmp_path / "ckpt"),
+                          watermark="0 seconds")
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .filter(F.col("user_id") != sentinel_user)
+                     .select("user_id", "session_start", "n_events")
+                     .collect()))
+    want = sorted(map(tuple, batch_equivalent_sessions(events)
+                      .select("user_id", "session_start", "n_events")
+                      .collect()))
+    assert got == want and got
+
+
 def test_stateful_running_increase_agrees_with_batch(spark, tmp_path):
     """applyInPandasWithState custom operator: streaming reset-corrected
     running increase carries state across micro-batches and matches the

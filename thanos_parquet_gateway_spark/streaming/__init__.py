@@ -3,3 +3,7 @@ from thanos_parquet_gateway_spark.streaming.convert_stream import (  # noqa: F40
     stream_convert,
     stream_rollup,
 )
+from thanos_parquet_gateway_spark.streaming.sessions import (  # noqa: F401
+    batch_equivalent_sessions,
+    stream_sessionize,
+)
