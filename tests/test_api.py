@@ -110,6 +110,30 @@ def test_byte_quota_admission(spark, sf_dir):
     assert len(api.query("sum(click)", t)["result"]) == 1
 
 
+def test_duplicate_labelset_rejected(spark, sf_dir):
+    """Prometheus execution error parity: an instant vector with two samples
+    sharing one labelset (label_replace collapsing distinct series) is an
+    error, not a silent duplicate."""
+    import pytest as _pytest
+
+    from thanos_parquet_gateway_spark.api.http import QueryAPI
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    api = QueryAPI(eng)
+    t = 1704412800000
+    with _pytest.raises(ValueError, match="same labelset"):
+        # wipe the distinguishing labels: every click series collapses
+        api.query('label_replace(label_replace(sum by (user, shard) (click),'
+                  ' "user", "", "user", ".*"), "shard", "", "shard", ".*")',
+                  t)
+    # the same shape with distinct labels still serializes fine
+    out = api.query("sum by (shard) (click)", t)
+    assert len(out["result"]) > 1
+
+
 def test_truncation_warning_on_series(server):
     """A32: a limit that truncates /series carries a warning in the response
     (reference internal/warnings/warnings.go:9, db/db.go:339-347)."""

@@ -168,6 +168,17 @@ class QueryAPI:
                         "result": [t_ms / 1000.0, _fmt_val(row["value"])],
                         "stats": {"samples": scan_stats(res.df)}}
             rows, ran = self._collect(res.df)
+            # Prometheus execution error: an instant vector must not contain
+            # two samples with the same labelset (can arise from
+            # label_replace/label_join collapsing labels).  Checked here on
+            # the collected result — no extra job.
+            seen: set = set()
+            for r in rows:
+                key = frozenset(dict(r["labels"]).items())
+                if key in seen:
+                    raise ValueError(
+                        "vector cannot contain metrics with the same labelset")
+                seen.add(key)
             return {"resultType": "vector",
                     "result": [
                         {"metric": dict(r["labels"]),
