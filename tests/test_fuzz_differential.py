@@ -257,9 +257,55 @@ def _shape_binop(rng, t):
             f"USING (job, inst)")
 
 
+def _shape_setop(rng, t):
+    m1, m2 = rng.choice(METRICS), rng.choice(METRICS)
+    pm1, sql1 = rng.choice(MATCHERS)
+    pm2, sql2 = rng.choice(MATCHERS)
+    s1 = f"{m1}{{{pm1}}}" if pm1 else m1
+    s2 = f"{m2}{{{pm2}}}" if pm2 else m2
+    op = rng.choice(["and", "unless"])
+    # default matching includes __name__, so cross-metric set ops need
+    # on(job, inst); PromQL keeps the LEFT row's labels/value
+    exists = "EXISTS" if op == "and" else "NOT EXISTS"
+    promql = f"{s1} {op} on(job, inst) {s2}"
+    sql = (f"SELECT l.job, l.inst, l.v FROM ({_sel_sql(m1, sql1, t)}) l "
+           f"WHERE {exists} (SELECT 1 FROM ({_sel_sql(m2, sql2, t)}) r "
+           f"WHERE r.job = l.job AND r.inst = l.inst)")
+    return promql, sql
+
+
+def _shape_or(rng, t):
+    m = rng.choice(METRICS)
+    pm1, sql1 = rng.choice(MATCHERS)
+    pm2, sql2 = rng.choice(MATCHERS)
+    s1 = f"{m}{{{pm1}}}" if pm1 else m
+    s2 = f"{m}{{{pm2}}}" if pm2 else m
+    # same metric on both sides: full-labelset identity reduces to (job,inst)
+    promql = f"{s1} or {s2}"
+    sql = (f"WITH l AS ({_sel_sql(m, sql1, t)}), r AS ({_sel_sql(m, sql2, t)}) "
+           f"SELECT job, inst, v FROM l UNION ALL "
+           f"SELECT job, inst, v FROM r WHERE NOT EXISTS "
+           f"(SELECT 1 FROM l WHERE l.job = r.job AND l.inst = r.inst)")
+    return promql, sql
+
+
+def _shape_vcmp(rng, t):
+    m = rng.choice(METRICS)
+    pm1, sql1 = rng.choice(MATCHERS)
+    pm2, sql2 = rng.choice(MATCHERS)
+    s1 = f"{m}{{{pm1}}}" if pm1 else m
+    s2 = f"{m}{{{pm2}}}" if pm2 else m
+    op, sop = rng.choice([(">", ">"), ("<", "<"), (">=", ">="), ("<=", "<=")])
+    promql = f"{s1} {op} ignoring() {s2} * 0.9"
+    sql = (f"SELECT l.job, l.inst, l.v FROM ({_sel_sql(m, sql1, t)}) l "
+           f"JOIN ({_sel_sql(m, sql2, t)}) r USING (job, inst) "
+           f"WHERE l.v {sop} r.v * 0.9")
+    return promql, sql
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
-          _shape_binop]
+          _shape_binop, _shape_setop, _shape_or, _shape_vcmp]
 
 N_QUERIES = 240
 
