@@ -321,9 +321,13 @@ def _run_range_case(eng, case: EvalCase) -> list[str]:
         return [f"line {case.line}: {case.expr!r} expected to fail, "
                 f"returned {len(rows)} rows"]
     got: dict[frozenset, dict[int, float]] = {}
-    for r in rows:
-        got.setdefault(frozenset(dict(r["labels"]).items()), {})[r["t"]] = \
-            r["value"]
+    if getattr(res, "result_type", None) == "scalar":
+        for r in rows:
+            got.setdefault(frozenset(), {})[r["t"]] = r["value"]
+    else:
+        for r in rows:
+            got.setdefault(frozenset(dict(r["labels"]).items()),
+                           {})[r["t"]] = r["value"]
     want = {frozenset(labels.items()):
             {start + i * step: v for i, v in enumerate(vals) if v is not None}
             for labels, vals in case.expected}
