@@ -333,34 +333,18 @@ class Compiler:
         # in (wmin, wmax]
         lo, hi = wmin - vs.offset_ms, wmax - vs.offset_ms
         df = df.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
-        if "__ts_raw" in df.columns:
-            # The ms `ts` above is an expression over the raw parquet column
-            # (unix_millis / div 1000000), so that filter cannot reach parquet
-            # stats.  Re-state a conservative superset of the window as
-            # LITERALS on the raw column — pushable, so row groups / pages
-            # outside (lo, hi] are skipped at the scan (the reference's
-            # chunk-range pruning, search/materialize.go:319-329).  The exact
-            # ms filter above still decides row membership.
-            raw_t = dict(df.dtypes)["__ts_raw"]
-            if raw_t == "bigint":  # nanosAsLong read: ms = ns div 1e6
-                in_win = ((F.col("__ts_raw") > lo * 1_000_000)
-                          & (F.col("__ts_raw") < (hi + 1) * 1_000_000))
-            elif raw_t in ("timestamp", "timestamp_ntz"):
-                # ms > lo  ⇒  instant > lo ms;  ms <= hi  ⇒  instant < hi+1 ms.
-                # Literal casts constant-fold (session tz pinned UTC), leaving
-                # the bare column comparison the parquet reader can push.
-                lo_lit = F.timestamp_micros(F.lit(lo * 1000)).cast(raw_t)
-                hi_lit = F.timestamp_micros(F.lit((hi + 1) * 1000)).cast(raw_t)
-                in_win = ((F.col("__ts_raw") > lo_lit)
-                          & (F.col("__ts_raw") < hi_lit))
-            else:
-                in_win = None
-            if in_win is not None:
-                # NULL-tolerant: rows unioned in without a raw ts (synthetic
-                # frames, stale markers) must pass — Or(IsNull, range) is
-                # still a parquet-convertible filter, so stats skipping holds
-                # for row groups without nulls.
-                df = df.filter(F.col("__ts_raw").isNull() | in_win)
+        # The ms `ts` above is an expression over the raw parquet column
+        # (unix_millis / div 1000000), so that filter cannot reach parquet
+        # stats.  Re-state the window (lo, hi] ≡ [lo+1, hi] as literal
+        # bounds on the raw column — pushable, so row groups / pages outside
+        # the window are skipped at the scan (the reference's chunk-range
+        # pruning, search/materialize.go:319-329).
+        from thanos_parquet_gateway_spark.sources.tables import (
+            pushable_ts_window,
+        )
+        raw_win = pushable_ts_window(df, lo + 1, hi)
+        if raw_win is not None:
+            df = df.filter(raw_win)
         if "date" in df.columns:
             # converted layout (convert/convert.py): derive partition-column
             # predicates from the window so Catalyst prunes day partitions

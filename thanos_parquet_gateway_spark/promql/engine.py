@@ -150,6 +150,12 @@ class PromQLEngine:
                         self.complete_streams)
         base = self.samples.filter(
             (F.col("ts") >= start_ms) & (F.col("ts") <= end_ms))
+        from thanos_parquet_gateway_spark.sources.tables import (
+            pushable_ts_window,
+        )
+        raw_win = pushable_ts_window(base, start_ms, end_ms)
+        if raw_win is not None:  # raw-layout stats pruning for /series etc.
+            base = base.filter(raw_win)
         for q in match or ["{__name__=~\".+\"}"]:
             node = P.parse(q)
             sel = node

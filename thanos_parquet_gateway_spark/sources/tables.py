@@ -75,6 +75,30 @@ def samples_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pushable_ts_window(df: DataFrame, min_ms: int, max_ms: int):
+    """Predicate on the carried-through raw parquet column ``__ts_raw``
+    equivalent to the derived epoch-ms ``ts`` lying in [min_ms, max_ms] —
+    exact, not a superset: ms = floor(instant), so ``ms >= m ⇔ instant >=
+    m`` and ``ms <= M ⇔ instant < M+1`` (same for the nanosAsLong integer
+    div).  Unlike the expression-based ms filter this comparison is a bare
+    column vs literal, so the parquet reader pushes it to row-group/page
+    stats.  NULL-tolerant (unioned synthetic rows pass).  Returns None when
+    the frame carries no raw column."""
+    if "__ts_raw" not in df.columns:
+        return None
+    raw_t = dict(df.dtypes)["__ts_raw"]
+    if raw_t == "bigint":  # nanosAsLong read
+        in_win = ((F.col("__ts_raw") >= min_ms * 1_000_000)
+                  & (F.col("__ts_raw") < (max_ms + 1) * 1_000_000))
+    elif raw_t in ("timestamp", "timestamp_ntz"):
+        lo = F.timestamp_micros(F.lit(min_ms * 1000)).cast(raw_t)
+        hi = F.timestamp_micros(F.lit((max_ms + 1) * 1000)).cast(raw_t)
+        in_win = (F.col("__ts_raw") >= lo) & (F.col("__ts_raw") < hi)
+    else:
+        return None
+    return F.col("__ts_raw").isNull() | in_win
+
+
 # DuckDB-side equivalent of samples_from_events for oracle SQL (keys sorted:
 # __name__ < shard < user — must match canonical_sig ordering).
 SAMPLES_ORACLE_CTE = """

@@ -61,7 +61,7 @@ def main():
     # conservative literal restatement on __ts_raw is what reaches
     # PushedFilters (compiler._selector_base).
     TS_ROW_FILTER = r"(?:div 1000000\) > \d+|unix_millis\()"
-    TS_PUSHED = r"PushedFilters: \[[^\]]*GreaterThan\(ts,"
+    TS_PUSHED = r"PushedFilters: \[[^\]]*GreaterThan(?:OrEqual)?\(ts,"
 
     # 1. instant selector: name/matcher filters must push to the events scan
     q1 = eng.query_instant('click{user=~"1.*", shard!="3"}', EQ.T).df
@@ -85,6 +85,14 @@ def main():
     if "CartesianProduct" in p2:
         print("  [MISS] cartesian grid join present")
         results.append(False)
+
+    # 2b. metadata scan (/series): raw-layout ts bounds must reach parquet
+    # stats there too (engine._matched pushable_ts_window)
+    q2b = eng.series(["click"], EQ.R_START, EQ.T)
+    results.append(check("series metadata scan", plan_of(q2b), [
+        ("name filter pushed", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
+        ("ts bounds pushed to parquet stats", TS_PUSHED),
+    ]))
 
     # 3. tpch q3: dimension joins must broadcast
     q3 = EQ.QUERIES["tpch_q3_shipping"](spark, sf_dir)
