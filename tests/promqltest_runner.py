@@ -147,6 +147,7 @@ class EvalCase:
     expected: list[tuple[dict, float]]
     expect_fail: bool = False
     line: int = 0
+    ordered: bool = False
     # range evals: (start_ms, end_ms, step_ms); expected holds
     # (labels, [v_or_None per step]) instead of (labels, value)
     range_ms: tuple[int, int, int] | None = None
@@ -196,12 +197,13 @@ def parse_test(text: str) -> TestScript:
                         ts.samples.append((labels, step * interval, val))
                 i += 1
             continue
-        m = re.match(r"(eval_fail|eval)\s+instant\s+at\s+(\S+)\s+(.*)$", line)
+        m = re.match(r"(eval_fail|eval)\s+(ordered\s+)?instant\s+at\s+"
+                     r"(\S+)\s+(.*)$", line)
         if m:
-            case = EvalCase(time_ms=parse_duration_ms(m.group(2)),
-                            expr=m.group(3), expected=[],
+            case = EvalCase(time_ms=parse_duration_ms(m.group(3)),
+                            expr=m.group(4), expected=[],
                             expect_fail=m.group(1) == "eval_fail",
-                            line=i + 1)
+                            line=i + 1, ordered=bool(m.group(2)))
             i += 1
             while i < len(lines) and (lines[i].startswith(" ") or
                                       lines[i].startswith("\t")):
@@ -280,9 +282,11 @@ def _run_section(spark, samples, evals, make_samples, engine_cls,
             if res.result_type == "scalar":
                 rows = res.df.collect()
                 got = {frozenset(): rows[0]["value"]}
+                got_seq = list(got.items())
             else:
-                got = {frozenset(dict(r["labels"]).items()): r["value"]
-                       for r in res.df.collect()}
+                got_seq = [(frozenset(dict(r["labels"]).items()), r["value"])
+                           for r in res.df.collect()]
+                got = dict(got_seq)
         except Exception as e:  # noqa: BLE001
             if case.expect_fail:
                 continue
@@ -304,6 +308,15 @@ def _run_section(spark, samples, evals, make_samples, engine_cls,
             if not almost_equal(got[k], want[k]):
                 failures.append(f"line {case.line}: {case.expr!r} "
                                 f"{dict(k)}: got {got[k]}, want {want[k]}")
+        if case.ordered:
+            want_order = [frozenset(labels.items())
+                          for labels, _ in case.expected]
+            got_order = [k for k, _ in got_seq]
+            if got_order != want_order:
+                failures.append(
+                    f"line {case.line}: {case.expr!r} ordering differs:\n"
+                    f"  got : {[sorted(k) for k in got_order]}\n"
+                    f"  want: {[sorted(k) for k in want_order]}")
     return failures
 
 
