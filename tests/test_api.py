@@ -132,6 +132,15 @@ def test_duplicate_labelset_rejected(spark, sf_dir):
     # the same shape with distinct labels still serializes fine
     out = api.query("sum by (shard) (click)", t)
     assert len(out["result"]) > 1
+    # range serialization applies the same guard per (series, step)
+    with _pytest.raises(ValueError, match="same labelset"):
+        api.query_range(
+            'label_replace(label_replace(sum by (user, shard) (click),'
+            ' "user", "", "user", ".*"), "shard", "", "shard", ".*")',
+            t - 86400_000, t, 86400_000)
+    out = api.query_range("sum by (shard) (click)", t - 86400_000, t,
+                          86400_000)
+    assert len(out["result"]) > 1
 
 
 def test_truncation_warning_on_series(server):

@@ -303,9 +303,37 @@ def _shape_vcmp(rng, t):
     return promql, sql
 
 
+def _shape_subquery(rng, t):
+    """fn(sel[W:S]): inner instant evaluations at absolute multiples of S
+    inside (t-W, t], each with full lookback — the oracle materializes the
+    point grid and replays the per-point lookback in SQL."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlagg = rng.choice(OVER_TIME[:6])  # sum..count + last
+    w_s = rng.choice([60, 100])
+    s_s = rng.choice([10, 30])
+    s_ms = s_s * 1000
+    p_start = -((-(t - w_s * 1000 + 1)) // s_ms) * s_ms  # ceil to multiple
+    p_end = (t // s_ms) * s_ms
+    sqlagg = sqlagg.replace("(value)", "(v)").replace("(value, ts)", "(v, p)")
+    sql = f"""
+    WITH pts AS (SELECT unnest(generate_series({p_start}, {p_end}, {s_ms})) AS p),
+    ev AS (
+        SELECT pts.p, s.job, s.inst, arg_max(s.value, s.ts) AS v
+        FROM pts JOIN samples s
+          ON s.ts > pts.p - {LOOKBACK} AND s.ts <= pts.p
+        WHERE s.name = '{metric}' AND {sqlp}
+        GROUP BY pts.p, s.job, s.inst
+    )
+    SELECT job, inst, {sqlagg} AS v FROM ev GROUP BY job, inst"""
+    return f"{fn}({sel}[{w_s}s:{s_s}s])", sql
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
-          _shape_binop, _shape_setop, _shape_or, _shape_vcmp]
+          _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
+          _shape_subquery]
 
 N_QUERIES = 240
 

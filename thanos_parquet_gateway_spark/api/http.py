@@ -199,7 +199,14 @@ class QueryAPI:
                                for r in sorted(rows, key=lambda r: r["t"])]}],
                     "stats": stats}
             series: dict = {}
+            seen_points: set = set()
             for r in rows:
+                # two rows on one (series, step) = duplicate labelsets
+                # (Prometheus execution error, as in the vector case)
+                if (r["sig"], r["t"]) in seen_points:
+                    raise ValueError(
+                        "vector cannot contain metrics with the same labelset")
+                seen_points.add((r["sig"], r["t"]))
                 series.setdefault(r["sig"], {"metric": dict(r["labels"]),
                                              "values": []})
                 series[r["sig"]]["values"].append(
