@@ -55,6 +55,17 @@ def fold_stddev_pop(arr: Column) -> Column:
     return F.sqrt(fold_var_pop(arr))
 
 
+def fold_mad(arr: Column) -> Column:
+    """Median absolute deviation: median(|v - median(v)|) with the PromQL
+    quantile interpolation at q=0.5 for both medians (upstream
+    funcMadOverTime, promql/functions.go)."""
+    med = fold_quantile(arr, F.lit(0.5))
+    dev = F.transform(
+        arr, lambda x: F.struct(x["o"].alias("o"),
+                                F.abs(x["v"] - med).alias("v")))
+    return fold_quantile(dev, F.lit(0.5))
+
+
 def fold_quantile(arr: Column, q: Column) -> Column:
     """PromQL quantile: linear interpolation on sorted values
     (matches Prometheus quantile(); q<0 → -Inf, q>1 → +Inf)."""

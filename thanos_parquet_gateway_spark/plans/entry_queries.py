@@ -350,6 +350,77 @@ def promql_quantile_by(spark, sf_dir):
     return r.df.select(_lbl("shard").alias("shard"), "value")
 
 
+@q("promql_limitk", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT shard, CAST(LEAST(2, count(*)) AS DOUBLE) AS value
+FROM last WHERE rn = 1 GROUP BY shard
+""")
+def promql_limitk(spark, sf_dir):
+    """limitk sampling aggregator (experimental; upstream testdata
+    limit.test): selection is unspecified upstream, so the checkable
+    contract is the per-group cardinality cap."""
+    r = _engine(spark, sf_dir).query_instant(
+        "count by (shard) (limitk by (shard) (2, click))", T)
+    return r.df.select(_lbl("shard").alias("shard"), "value")
+
+
+@q("promql_limit_ratio", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT CAST(count(*) AS DOUBLE) AS value FROM last WHERE rn = 1
+""")
+def promql_limit_ratio(spark, sf_dir):
+    """limit_ratio partition property (upstream limit.test): r and r-1
+    select exact complements, so their union is the full vector."""
+    r = _engine(spark, sf_dir).query_instant(
+        "count(limit_ratio(0.7, click) or limit_ratio(-0.3, click))", T)
+    return r.df.select("value")
+
+
+@q("promql_mad_over_time", f"""
+WITH events_ms AS (
+    SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user",
+           CAST(e.value AS DOUBLE) AS value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'view' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+arrs AS (
+    SELECT t, "user", list(value ORDER BY value) AS vals, count(*) AS n
+    FROM win GROUP BY t, "user"
+),
+-- PromQL quantile(0.5): lo + (hi - lo) * frac on the sorted list; the
+-- same IEEE expression shape as folds.fold_quantile so values are
+-- bit-exact
+med AS (
+    SELECT t, "user", vals, n,
+           vals[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+           + (vals[CAST(ceil(0.5 * (n - 1)) AS INT) + 1]
+              - vals[CAST(floor(0.5 * (n - 1)) AS INT) + 1])
+             * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS med
+    FROM arrs
+),
+dev AS (
+    SELECT t, "user", n,
+           list_sort(list_transform(vals, v -> abs(v - med))) AS dvals
+    FROM med
+)
+SELECT t, "user",
+       dvals[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+       + (dvals[CAST(ceil(0.5 * (n - 1)) AS INT) + 1]
+          - dvals[CAST(floor(0.5 * (n - 1)) AS INT) + 1])
+         * (0.5 * (n - 1) - floor(0.5 * (n - 1))) AS value
+FROM dev
+""")
+def promql_mad_over_time(spark, sf_dir):
+    """mad_over_time: median absolute deviation over the window
+    (experimental; upstream functions.test)."""
+    r = _engine(spark, sf_dir).query_range("mad_over_time(view[2d])",
+                                           R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
 @q("promql_count_values", f"""
 WITH {_SAMPLES},
 last AS (

@@ -106,7 +106,8 @@ ARITHMETIC_OPS = {"+", "-", "*", "/", "%", "^", "atan2"}
 
 AGGREGATION_OPS = {
     "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
-    "topk", "bottomk", "quantile", "count_values",
+    "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio",
 }
 # aggregations whose first argument is a parameter
-PARAM_AGGREGATIONS = {"topk", "bottomk", "quantile", "count_values"}
+PARAM_AGGREGATIONS = {"topk", "bottomk", "quantile", "count_values",
+                      "limitk", "limit_ratio"}

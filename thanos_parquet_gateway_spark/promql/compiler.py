@@ -521,6 +521,37 @@ class Compiler:
                            F.lit(None).cast("long").alias("sample_ts"), "value"))
             return InstantVector(out)
 
+        if agg.op == "limitk":
+            # Experimental sampling aggregator: up to k series per group,
+            # selection unspecified upstream (funcs.go AggrFunc limitk) —
+            # deterministic here by sig order so runs are reproducible.
+            from pyspark.sql import Window
+            k = int(param)
+            if k < 1:
+                return InstantVector(iv.df.filter(F.lit(False)).select(
+                    "t", "sig", "labels", "sample_ts", "value"))
+            w = (Window.partitionBy("t", F.xxhash64("gsig"))
+                 .orderBy(F.col("sig").asc()))
+            out = (df.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= k)
+                   .select("t", "sig", "labels", "sample_ts", "value"))
+            return InstantVector(out)
+
+        if agg.op == "limit_ratio":
+            # hash(series) mapped to [0,1); r ≥ 0 keeps u < r, r < 0 keeps
+            # the complement u ≥ 1+r — limit_ratio(r, v) and
+            # limit_ratio(r-1, v) partition v exactly, like upstream's
+            # ratiosampler (promql/engine.go AddRatioSample).  |r| > 1 clamps.
+            if math.isnan(float(param)):
+                raise PromQLCompileError("limit_ratio: ratio value is NaN")
+            r = max(-1.0, min(1.0, float(param)))
+            u = (F.xxhash64(F.col("sig")).cast("double")
+                 / F.lit(float(2 ** 64)) + F.lit(0.5))
+            keep = (u < F.lit(r)) if r >= 0 else (u >= F.lit(1.0 + r))
+            out = df.filter(keep).select("t", "sig", "labels",
+                                         "sample_ts", "value")
+            return InstantVector(out)
+
         if agg.op == "count_values":
             # Prometheus formats the value label with FormatFloat('f', -1, 64):
             # shortest-roundtrip digits in FIXED notation (never scientific),

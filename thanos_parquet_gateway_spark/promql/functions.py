@@ -88,6 +88,7 @@ _OVER_TIME = {
     "stddev_over_time": lambda arr: folds.fold_stddev_pop(arr),
     "stdvar_over_time": lambda arr: folds.fold_var_pop(arr),
     "present_over_time": lambda arr: F.lit(1.0),
+    "mad_over_time": lambda arr: folds.fold_mad(arr),
 }
 
 
@@ -672,5 +673,21 @@ def dispatch(c: Compiler, call: A.Call):
         iv = _vector_arg(c, call)
         order = (F.col("value").desc() if fn == "sort_desc" else F.col("value").asc())
         return InstantVector(iv.df.orderBy("t", order, F.col("sig")))
+
+    if fn in ("sort_by_label", "sort_by_label_desc"):
+        # Lexicographic (byte-wise) per-label compare, missing label ≡ "",
+        # full labelset as final tiebreak — Prometheus 3.x semantics
+        # (funcSortByLabel; 3.0 dropped the 2.x natural-sort behavior).
+        iv = _vector_arg(c, call)
+        desc = fn.endswith("_desc")
+        keys = []
+        for a in call.args[1:]:
+            s = c.compile(a)
+            if not isinstance(s, StringV):
+                raise PromQLCompileError(f"{fn} label arguments must be strings")
+            col = F.coalesce(F.element_at(F.col("labels"), s.value), F.lit(""))
+            keys.append(col.desc() if desc else col.asc())
+        keys.append(F.col("sig").desc() if desc else F.col("sig").asc())
+        return InstantVector(iv.df.orderBy("t", *keys))
 
     raise PromQLCompileError(f"unsupported function {fn}")
