@@ -11,6 +11,8 @@ higher-order functions: JVM-side, deterministic, bounded by samples-per-window
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -119,8 +121,12 @@ def _reset_correction(arr: Column) -> Column:
         arr, acc0,
         lambda a, x: F.struct(
             x["v"].alias("prev"),
-            (a["corr"] + F.coalesce(F.when(x["v"] < a["prev"], a["prev"]),
-                                    F.lit(0.0))).alias("corr")))
+            (a["corr"] + F.coalesce(
+                # NaN mask: Spark orders NaN above all doubles, so
+                # x < NaN would fire; Go's comparison is always false
+                F.when(~F.isnan(x["v"]) & ~F.isnan(a["prev"])
+                       & (x["v"] < a["prev"]), a["prev"]),
+                F.lit(0.0))).alias("corr")))
     return acc["corr"]
 
 
@@ -349,7 +355,11 @@ def _counts_fold(arr: Column, mode: str) -> Column:
 
     def merge(a, x):
         if mode == "resets":
-            hit = F.when(x["v"] < a["prev"], 1.0)
+            # Spark orders NaN above every double (so 5 < NaN is TRUE here),
+            # but Go/IEEE comparisons with NaN are always false — mask NaN on
+            # either side so NaN transitions never count as resets.
+            hit = F.when(~F.isnan(x["v"]) & ~F.isnan(a["prev"])
+                         & (x["v"] < a["prev"]), 1.0)
         else:
             both_nan = F.isnan(x["v"]) & F.isnan(a["prev"])
             hit = F.when((x["v"] != a["prev"]) | F.isnan(x["v"]) | F.isnan(a["prev"]),
@@ -619,12 +629,20 @@ def dispatch(c: Compiler, call: A.Call):
         v = F.col("value")
         if fn == "clamp":
             mn, mx = _scalar_lit(c, call, 1), _scalar_lit(c, call, 2)
-            val = F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
-            val = F.when(F.lit(mn) > F.lit(mx), NAN()).otherwise(val)
+            if mx < mn:  # upstream funcClamp: empty vector (false for NaN)
+                return InstantVector(iv.df.filter(F.lit(False)))
+            if math.isnan(mn) or math.isnan(mx):
+                val = NAN()  # Go math.Min/Max propagate NaN bounds
+            else:
+                val = F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
         elif fn == "clamp_min":
-            val = F.greatest(v, F.lit(_scalar_lit(c, call, 1)))
+            b = _scalar_lit(c, call, 1)
+            val = NAN() if math.isnan(b) else F.greatest(v, F.lit(b))
         else:
-            val = F.least(v, F.lit(_scalar_lit(c, call, 1)))
+            b = _scalar_lit(c, call, 1)
+            # Spark least() picks the non-NaN side (NaN sorts greatest);
+            # Go math.Min propagates NaN — constant-fold the divergence.
+            val = NAN() if math.isnan(b) else F.least(v, F.lit(b))
         df = iv.df.withColumn("value", F.when(F.isnan(v), v).otherwise(val))
         return _iv(_drop_name(df))
 
