@@ -68,8 +68,18 @@ def fold_mad(arr: Column) -> Column:
 
 def fold_quantile(arr: Column, q: Column) -> Column:
     """PromQL quantile: linear interpolation on sorted values
-    (matches Prometheus quantile(); q<0 → -Inf, q>1 → +Inf)."""
-    vals = F.array_sort(values_of(arr))
+    (matches Prometheus quantile(); q<0 → -Inf, q>1 → +Inf).
+
+    NaN sorts FIRST, matching vectorByValueHeap.Less (Go promql/value.go:
+    IsNaN(i) → Less) — Spark's default array_sort would put NaN last."""
+    vals = F.array_sort(
+        values_of(arr),
+        lambda l, r: (F.when(F.isnan(l) & F.isnan(r), 0)
+                      .when(F.isnan(l), -1)
+                      .when(F.isnan(r), 1)
+                      .when(l < r, -1)
+                      .when(l > r, 1)
+                      .otherwise(0)))
     n = F.size(vals)
     rank = q * (n - F.lit(1)).cast(D)
     lo = F.floor(rank).cast("int")
