@@ -330,10 +330,52 @@ def _shape_subquery(rng, t):
     return f"{fn}({sel}[{w_s}s:{s_s}s])", sql
 
 
+def _shape_qot(rng, t):
+    """quantile_over_time / mad_over_time — interpolated rank statistics
+    (DuckDB quantile_cont/median use the same linear interpolation)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    w = rng.choice(WINDOWS)
+    base = _win_sql(metric, sqlp, t, w)
+    if rng.random() < 0.5:
+        q = round(rng.uniform(0.05, 0.95), 2)
+        return (f"quantile_over_time({q}, {sel}[{w}s])",
+                f"SELECT job, inst, quantile_cont(value, {q}) AS v "
+                f"FROM ({base}) GROUP BY job, inst")
+    return (f"mad_over_time({sel}[{w}s])",
+            f"""SELECT w.job, w.inst, median(abs(w.value - m.med)) AS v
+                FROM ({base}) w
+                JOIN (SELECT job, inst, median(value) AS med
+                      FROM ({base}) GROUP BY job, inst) m
+                  ON w.job = m.job AND w.inst = m.inst
+                GROUP BY w.job, w.inst""")
+
+
+def _shape_limit(rng, t):
+    """limitk / limit_ratio: per-group cardinality cap and the exact
+    r / r-1 complement-partition property (selection itself is
+    unspecified upstream, so those are the checkable contracts)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    base = _sel_sql(metric, sqlp, t)
+    if rng.random() < 0.5:
+        k = rng.randrange(1, 8)
+        g = rng.choice(["job", "inst"])
+        return (f"count by ({g}) (limitk by ({g}) ({k}, {sel}))",
+                f"SELECT {g}, CAST(LEAST({k}, count(*)) AS DOUBLE) AS v "
+                f"FROM ({base}) GROUP BY {g}")
+    r = round(rng.uniform(0.1, 0.9), 2)
+    return (f"count(limit_ratio({r}, {sel}) "
+            f"or limit_ratio({round(r - 1, 2)}, {sel}))",
+            f"SELECT CAST(count(*) AS DOUBLE) AS v FROM ({base})")
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
-          _shape_subquery]
+          _shape_subquery, _shape_qot, _shape_limit]
 
 N_QUERIES = 240
 
