@@ -400,3 +400,56 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     w = {(r["window_start"], r["sig"]): (r["n_samples"], r["sum_value"])
          for r in want.collect()}
     assert g == w
+
+
+def test_bm25_scoring_and_ranking(spark):
+    # 3-doc corpus, query {cat}: df(cat)=2, N=3, dl = 3,3,2, avgdl = 8/3
+    docs_df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat dog bird"), (3, "dog bird!")],
+        ["doc_id", "text"])
+    out = text.bm25_score(docs_df, ["cat"], top_k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert set(got) == {1, 2}  # doc 3 never matches
+    import math
+    idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3)))
+    assert abs(got[1] - s(2, 3)) < 1e-12
+    assert abs(got[2] - s(1, 3)) < 1e-12
+    assert got[1] > got[2]  # higher tf wins at equal dl
+    # multi-term query sums per-term contributions in sorted term order
+    out2 = {r["doc_id"]: r["score"]
+            for r in text.bm25_score(docs_df, ["cat", "bird"]).collect()}
+    assert set(out2) == {1, 2, 3}
+    idf_b = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    assert abs(out2[3] - idf_b * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / (8 / 3)))) < 1e-12
+
+
+def test_bm25_plan_has_no_wide_shuffle(spark):
+    # the only exchanges should be the 1-row stats agg + broadcast + top-k;
+    # the corpus side must not hash-repartition
+    docs_df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                    ["doc_id", "text"])
+    plan = text.bm25_score(docs_df, ["b"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_top_terms(spark):
+    # doc 1: apple x3, banana x1; doc 2: banana x2.  df(apple)=1, df(banana)=2
+    docs_df = spark.createDataFrame(
+        [(1, "apple apple apple banana"), (2, "banana banana")],
+        ["doc_id", "text"])
+    out = text.tfidf_top_terms(docs_df, top_n=2).collect()
+    import math
+    rows = {(r["doc_id"], r["term"]): (r["tf"], r["score"]) for r in out}
+    assert rows[(1, "apple")][0] == 3
+    assert abs(rows[(1, "apple")][1] - 3 * math.log(2 / 1)) < 1e-12
+    # banana appears in every doc → idf = ln(1) = 0
+    assert rows[(1, "banana")][1] == 0.0
+    assert rows[(2, "banana")][1] == 0.0
+    # short tokens are dropped by min_term_len
+    df2 = spark.createDataFrame([(1, "ab xyz xyz")], ["doc_id", "text"])
+    out2 = text.tfidf_top_terms(df2, top_n=5).collect()
+    assert {r["term"] for r in out2} == {"xyz"}

@@ -138,3 +138,103 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     fp = F.aggregate(word_hashes, F.lit(0).cast("long"),
                      lambda acc, h: (acc * base + h) % MERSENNE)
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def search_tokens(text_col: Column) -> Column:
+    """Lowercased alphanumeric tokens (split on any non-[a-z0-9] run) for
+    retrieval scoring — unlike normalized_words this strips punctuation so
+    'world!' and 'world' agree."""
+    return F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"),
+                    lambda w: w != "")
+
+
+def bm25_score(docs: DataFrame, query_terms: list[str], *,
+               k1: float = 1.2, b: float = 0.75, top_k: int = 10,
+               round_to: int | None = None,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Okapi BM25 top-k with the Lucene idf: ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape (100 TB): per-term tf is an array-filter count per row (no
+    explode, no shuffle); corpus stats (N, Σdl, per-term df) reduce in ONE
+    map-side-partial aggregation to a single broadcast row; every stat is
+    an integer count so the double sums are exact and order-independent.
+    The score sums ≤|query| contributions in sorted term order (fixed
+    float order), and top-k lowers to TakeOrderedAndProject — the only
+    shuffles are the 1-row stats agg and the k-row result.
+    Returns (doc_id, score), score > 0 (docs matching no term drop).
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_score: query_terms must be non-empty")
+    toks = search_tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    base = base.withColumn("__dl", F.size("__toks").cast("double"))
+    def _tf_count(term: str) -> Column:
+        return F.size(F.filter(F.col("__toks"),
+                               lambda w: w == F.lit(term))).cast("double")
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(f"__tf{i}", _tf_count(t))
+    stats = base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+          for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl") / F.col("__n")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}")
+        idf = F.log(F.lit(1.0) + (F.col("__n") - F.col(f"__df{i}") + 0.5)
+                    / (F.col(f"__df{i}") + 0.5))
+        contribs.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
+    score = contribs[0]
+    for c in contribs[1:]:  # fixed sorted-term order: deterministic floats
+        score = score + c
+    matched = None
+    for i in range(len(terms)):
+        hit = F.col(f"__tf{i}") > 0
+        matched = hit if matched is None else (matched | hit)
+    if round_to is not None:
+        # rank on the rounded score: transcendental ops (ln) differ by an
+        # ulp across engines, and an ulp at the top-k boundary would make
+        # independent oracles pick different rows
+        score = F.round(score, round_to)
+    return (scored.filter(matched)
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(top_k))
+
+
+def tfidf_top_terms(docs: DataFrame, *, top_n: int = 3,
+                    round_to: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_term_len: int = 3) -> DataFrame:
+    """Top-n terms per document by tf·idf (idf = ln(N/df), df = docs
+    containing the term).
+
+    Scale shape: explode → (doc, term) count (shuffle bounded by token
+    count), df by a vocab-bounded term aggregation, broadcast-size N from
+    a 1-row agg, per-doc top-n via window row_number.  Integer tf/df and a
+    single ln keep scores bit-reproducible.  Ties break by term ascending.
+    Returns (doc_id, term, tf, score).
+    """
+    from pyspark.sql import Window
+    toks = search_tokens(F.col(text_col))
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("term"))
+          .filter(F.length("term") >= min_term_len))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    score = F.col("tf").cast("double") * F.log(F.col("n") / F.col("df"))
+    if round_to is not None:
+        score = F.round(score, round_to)  # see bm25_score: cross-engine ulp
+    scored = (tf.join(df_, "term").crossJoin(F.broadcast(n))
+              .withColumn("score", score))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("score").desc(), F.col("term").asc()))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_n)
+            .select("doc_id", "term", "tf", "score"))

@@ -1016,6 +1016,77 @@ def text_language(spark, sf_dir):
     return text.detect_language(load_table(spark, sf_dir, "documents"))
 
 
+_BM25_TERMS = ("merge", "shuffle", "spark")
+_BM25_SQL_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+                  "w -> w <> '')")
+
+
+@q("text_bm25", f"""
+WITH toks AS (
+    SELECT doc_id, {_BM25_SQL_TOKS} AS w FROM documents
+),
+base AS (
+    SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+           {', '.join(f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+                      for i, t in enumerate(_BM25_TERMS))}
+    FROM toks
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS sumdl,
+           {', '.join(f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+                      for i in range(len(_BM25_TERMS)))}
+    FROM base
+)
+-- round(…, 6) on both engines: ln() differs by an ulp between the JVM
+-- and libm, and ranking must agree at the top-k boundary
+SELECT doc_id,
+       round({' + '.join(
+           f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2 "
+           f"/ (tf{i} + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))"
+           for i in range(len(_BM25_TERMS)))}, 6) AS score
+FROM base, stats
+WHERE {' OR '.join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 (Lucene idf).  Per-term tf without explode, corpus
+    stats in one broadcast row, TakeOrderedAndProject top-k — the retrieval
+    scoring shape for a 100 TB corpus."""
+    return text.bm25_score(load_table(spark, sf_dir, "documents"),
+                           list(_BM25_TERMS), top_k=10, round_to=6)
+
+
+@q("text_tfidf", """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              w -> w <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks
+    WHERE len(term) >= 3 GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+    -- round(…, 6): see text_bm25 (cross-engine ln ulp)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(CAST(tf.tf AS DOUBLE) * ln(n.n / df.df), 6) AS score,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY round(CAST(tf.tf AS DOUBLE) * ln(n.n / df.df), 6) DESC,
+                                       tf.term ASC) AS rn
+    FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, score FROM scored WHERE rn <= 3
+""")
+def text_tfidf(spark, sf_dir):
+    """Top-3 tf·idf terms per document (idf = ln(N/df))."""
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"),
+                                top_n=3, round_to=6)
+
+
 def _query_vectors(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return (emb.filter(F.col("vec_id") < 3)
