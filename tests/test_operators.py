@@ -453,3 +453,47 @@ def test_tfidf_top_terms(spark):
     df2 = spark.createDataFrame([(1, "ab xyz xyz")], ["doc_id", "text"])
     out2 = text.tfidf_top_terms(df2, top_n=5).collect()
     assert {r["term"] for r in out2} == {"xyz"}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Large-star/small-star CC vs a driver-side union-find oracle on a
+    graph mixing a long chain (forces multiple rounds), a clique, a
+    bridged pair of triangles, and a 2-node component."""
+    edges = (
+        # chain 1-2-3-...-12
+        [(i, i + 1) for i in range(1, 12)]
+        # clique on {100..104}
+        + [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+        # two triangles bridged
+        + [(200, 201), (201, 202), (202, 200),
+           (210, 211), (211, 212), (212, 210), (202, 210)]
+        # 2-node component, given reversed + duplicated
+        + [(301, 300), (300, 301)]
+    )
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.connected_components(df).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # each doc appears exactly once
+    assert dedup.connected_components(df).groupBy("doc_id").count() \
+        .filter(F.col("count") > 1).count() == 0
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(df).count() == 0

@@ -201,6 +201,86 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components over a candidate-pair edge list → dedup clusters.
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+    each round re-points edges at per-node minima, converging to a forest
+    of stars whose centers are the component minima in O(log² n) rounds
+    (2-3 in practice for near-dup clusters).  Per round: one groupBy(min)
+    + one equi-join — no collects, no per-node adjacency lists, so a
+    10⁹-node graph is just two shuffles per round.
+
+    Driver loop notes for scale: each round ends in localCheckpoint(eager)
+    to truncate lineage (otherwise the plan doubles per round), and
+    convergence is detected by an (edge-count, xxhash64-sum) fingerprint —
+    one tiny aggregate per round, no edge-set diff join.
+
+    Returns (doc_id, component) for every node in the edge list; component
+    is the minimum doc id of the cluster.  Isolated docs (no edges) are not
+    in the output — union them in as self-components if needed.
+    """
+    edges = (pairs
+             .select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
+                     F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .union(edges.select(F.col("v").alias("doc_id")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        j = nbrs.join(mins, "u")
+        if large:
+            # connect strictly-larger neighbors to the center's min
+            out = j.filter(F.col("v") > F.col("u")).select(
+                F.col("m").alias("u"), F.col("v"))
+        else:
+            # connect smaller-or-equal neighbors AND the center itself
+            out = (j.filter(F.col("v") <= F.col("u"))
+                   .select(F.col("m").alias("u"), F.col("v"))
+                   .union(j.select(F.col("m").alias("u"),
+                                   F.col("u").alias("v"))))
+        return (out.filter(F.col("u") != F.col("v"))
+                .select(F.least("u", "v").alias("u"),
+                        F.greatest("u", "v").alias("v"))
+                .distinct())
+
+    def _fingerprint(e: DataFrame):
+        # xor-fold, not sum: overflow-free under ANSI mode, and the edge
+        # set is distinct so xor cancellation can't hide a duplicate
+        row = e.agg(F.count("*").alias("n"),
+                    F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
+                    .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False)
+        edges = edges.localCheckpoint(eager=True)
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged: edges are stars (component_min, member)
+    members = edges.select(F.col("v").alias("doc_id"),
+                           F.col("u").alias("component"))
+    roots = edges.select(F.col("u").alias("doc_id"),
+                         F.col("u").alias("component")).distinct()
+    covered = members.union(roots)
+    leftovers = (nodes.join(covered, "doc_id", "left_anti")
+                 .select("doc_id", F.col("doc_id").alias("component")))
+    return covered.union(leftovers).distinct()
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.8,

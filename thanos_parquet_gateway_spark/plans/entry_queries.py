@@ -831,8 +831,7 @@ def dedup_minhash(spark, sf_dir):
                                     hash_family="md5")
 
 
-@q("dedup_lsh_pairs", f"""
-WITH {_SHINGLES},
+_LSH_PAIRS_SQL = f"""{_SHINGLES},
 exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 seeded AS (
     SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS seed FROM exploded
@@ -847,15 +846,48 @@ bands AS (
            md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), ','))
              AS band_key
     FROM sig GROUP BY doc_id, seed // 2
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id
+),
+lsh_pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+)"""
+
+@q("dedup_lsh_pairs", f"""
+WITH {_LSH_PAIRS_SQL}
+SELECT doc_a, doc_b FROM lsh_pairs
 """)
 def dedup_lsh_pairs(spark, sf_dir):
     """LSH banding candidate pairs (4 bands × 2 rows); md5 = oracle mode."""
     return dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"),
                                      hash_family="md5")
+
+
+@q("dedup_clusters", f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL},
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM lsh_pairs
+),
+cc_nodes AS (SELECT DISTINCT u FROM edges),
+reach(u, label) AS (
+    SELECT u, u AS label FROM cc_nodes
+    UNION
+    SELECT e.v AS u, r.label
+    FROM reach r JOIN edges e ON e.u = r.u
+    WHERE r.label < e.v
+)
+SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u
+""")
+def dedup_clusters(spark, sf_dir):
+    """Dedup clusters: connected components over the LSH candidate pairs
+    (large-star/small-star iteration, operators/dedup.py) vs a DuckDB
+    recursive-CTE min-label closure oracle.  At 100 TB this is the step
+    that turns pairwise near-dup evidence into keep/drop decisions."""
+    pairs = dedup.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"),
+                                      hash_family="md5")
+    return dedup.connected_components(pairs)
 
 
 @q("dedup_jaccard", f"""
