@@ -87,7 +87,10 @@ def fold_quantile(arr: Column, q: Column) -> Column:
     lo_v = F.element_at(vals, lo + 1)
     hi_v = F.element_at(vals, hi + 1)
     interp = lo_v + (hi_v - lo_v) * (rank - lo.cast(D))
-    return (F.when(q < 0, F.lit(float("-inf")))
+    # NaN φ first: Spark orders NaN above every double, so the q > 1 branch
+    # would otherwise claim it — upstream quantile() returns NaN for NaN φ
+    return (F.when(F.isnan(q), F.lit(float("nan")))
+             .when(q < 0, F.lit(float("-inf")))
              .when(q > 1, F.lit(float("inf")))
              .when(n == 0, F.lit(float("nan")))
              .otherwise(interp))

@@ -117,6 +117,19 @@ def _nan_to_null(c: Column) -> Column:
     return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
+def _quantile_agg_expr(q: float) -> Column:
+    """quantile aggregation on the fast path: Spark's percentile() rejects
+    φ outside [0,1], so mirror upstream quantile()'s guards (NaN φ → NaN,
+    φ<0 → -Inf, φ>1 → +Inf) before reaching for it."""
+    if math.isnan(q):
+        return F.first(NAN())
+    if q < 0:
+        return F.first(F.lit(float("-inf")))
+    if q > 1:
+        return F.first(F.lit(float("inf")))
+    return F.percentile(F.col("value"), F.lit(q))
+
+
 def hgroup(df: DataFrame, sig_col: str, *aggs,
            extra_keys: tuple = ("t",)) -> DataFrame:
     """groupBy keyed on xxhash64 of a canonical-sig string, carrying the
@@ -669,8 +682,8 @@ class Compiler:
             "max": F.coalesce(F.max(nanif), F.first(NAN())),
             "stddev": F.coalesce(F.stddev_pop("value"), F.first(NAN())),
             "stdvar": F.coalesce(F.var_pop("value"), F.first(NAN())),
-            "quantile": F.percentile(F.col("value"), F.lit(float(param))
-                                     if param is not None else F.lit(0.5)),
+            "quantile": _quantile_agg_expr(
+                float(param) if param is not None else 0.5),
         }
         out = (hgroup(df, "gsig",
                       exprs[agg.op].alias("value"),
