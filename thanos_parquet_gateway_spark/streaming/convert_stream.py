@@ -79,6 +79,42 @@ def stream_rollup(spark: SparkSession, in_path: str, out_path: str,
     return writer.start()
 
 
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("ts", T.LongType(), False),
+])
+
+
+def stream_dedup(spark: SparkSession, in_path: str, out_path: str,
+                 checkpoint: str, *, watermark: str = "1 hour",
+                 available_now: bool = True):
+    """Streaming exact dedup for a document-ingestion pipeline: emit the
+    first-seen document per content hash, suppressing re-arrivals within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — state for a
+    hash is dropped once the watermark passes it, so state size is bounded
+    by the dedup horizon, not the corpus; the batch analogue is
+    operators/dedup.exact_dedup, which dedups globally).
+
+    Scale shape: state store is keyed on the 32-hex md5 only; the text
+    column rides along to the sink but never enters state comparisons."""
+    raw = spark.readStream.schema(DOC_SCHEMA).parquet(in_path)
+    df = (raw
+          .withColumn("content_hash", F.md5("text"))
+          .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+          .withWatermark("event_time", watermark)
+          .dropDuplicatesWithinWatermark(["content_hash"])
+          .select("doc_id", "content_hash", "ts", "text"))
+    writer = (df.writeStream
+              .format("parquet")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def batch_equivalent_rollup(df: DataFrame, window_ms: int = 3_600_000) -> DataFrame:
     """The batch plan a streaming rollup must agree with (test oracle)."""
     return (df.withColumn("sig", canonical_sig("labels"))
