@@ -372,12 +372,90 @@ def _shape_limit(rng, t):
             f"SELECT CAST(count(*) AS DOUBLE) AS v FROM ({base})")
 
 
+MATH_FNS = [  # (promql fn, sql expr over column v) — domain-safe on v>0
+    ("abs", "abs(v)"),
+    ("ceil", "ceil(v)"),
+    ("floor", "floor(v)"),
+    ("sqrt", "sqrt(v)"),
+    ("ln", "ln(v)"),
+    ("log2", "log2(v)"),
+    ("log10", "log10(v)"),
+    ("sgn", "CAST(sign(v) AS DOUBLE)"),
+]
+
+
+def _shape_fns(rng, t):
+    """Math functions over an instant vector (corpus values are > 0, so
+    ln/log/sqrt stay in-domain)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlexpr = rng.choice(MATH_FNS)
+    base = _sel_sql(metric, sqlp, t)
+    return (f"{fn}({sel})",
+            f"SELECT job, inst, {sqlexpr} AS v FROM ({base})")
+
+
+def _shape_clamp(rng, t):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    lo = round(rng.uniform(0, 30), 2)
+    hi = round(lo + rng.uniform(0, 50), 2)
+    base = _sel_sql(metric, sqlp, t)
+    which = rng.randrange(3)
+    if which == 0:
+        return (f"clamp({sel}, {lo}, {hi})",
+                f"SELECT job, inst, least(greatest(v, {lo}), {hi}) AS v "
+                f"FROM ({base})")
+    if which == 1:
+        return (f"clamp_min({sel}, {lo})",
+                f"SELECT job, inst, greatest(v, {lo}) AS v FROM ({base})")
+    return (f"clamp_max({sel}, {hi})",
+            f"SELECT job, inst, least(v, {hi}) AS v FROM ({base})")
+
+
+def _shape_offset(rng, t):
+    """offset O on a selector / window fn ≡ the same query at t-O (and the
+    window oracle shifts its bounds by O)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    o_s = rng.choice([10, 30, 60])
+    te = t - o_s * 1000
+    if rng.random() < 0.5:
+        return (f"{sel} offset {o_s}s",
+                f"SELECT job, inst, v FROM ({_sel_sql(metric, sqlp, te)})")
+    fn, sqlagg = rng.choice(OVER_TIME)
+    w = rng.choice(WINDOWS)
+    base = _win_sql(metric, sqlp, te, w)
+    return (f"{fn}({sel}[{w}s] offset {o_s}s)",
+            f"SELECT job, inst, {sqlagg} AS v FROM ({base}) "
+            f"GROUP BY job, inst")
+
+
+def _shape_topk_sum(rng, t):
+    """sum(topk/bottomk(k, sel)): the sum of the selected values is
+    tie-break-independent, so it is a sound cross-engine expectation even
+    though the winning series on a tie is not."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    k = rng.randrange(1, 7)
+    op, order = rng.choice([("topk", "DESC"), ("bottomk", "ASC")])
+    base = _sel_sql(metric, sqlp, t)
+    return (f"sum({op}({k}, {sel}))",
+            f"SELECT sum(v) AS v FROM (SELECT v FROM ({base}) "
+            f"ORDER BY v {order} LIMIT {k})")
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
-          _shape_subquery, _shape_qot, _shape_limit]
+          _shape_subquery, _shape_qot, _shape_limit,
+          _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum]
 
-N_QUERIES = 240
+N_QUERIES = 300
 
 
 def _norm(rows, label_cols):
