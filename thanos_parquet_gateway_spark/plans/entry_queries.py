@@ -658,6 +658,124 @@ def tpch_q5_region_revenue(spark, sf_dir):
             .agg(F.sum(_revenue_dec()).cast("double").alias("revenue")))
 
 
+@q("tpch_q6_forecast", """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_forecast(spark, sf_dir):
+    """Pure pushdown filter + global aggregate — the canonical 'does the
+    scan skip row groups' query: every predicate lands in PushedFilters."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_shipdate") >= "1997-01-01") &
+                     (F.col("l_shipdate") < "1998-01-01") &
+                     (F.col("l_discount") >= 0.05) &
+                     (F.col("l_discount") <= 0.07) &
+                     (F.col("l_quantity") < 24))
+            .agg(F.sum(F.col("l_extendedprice").cast(_DEC)
+                       * F.col("l_discount").cast(_DEC))
+                 .cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@q("tpch_q10_returns", """
+SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       any_value(n.n_name) AS n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def tpch_q10_returns(spark, sf_dir):
+    """Returned-item ranking: fact-fact join keyed on orderkey, broadcast
+    customer/nation dims, top-n via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") &
+        (F.col("o_orderdate") < "1997-04-01"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey")
+            .agg(F.any_value("c_name").alias("c_name"),
+                 F.sum(_revenue_dec()).cast("double").alias("revenue"),
+                 F.any_value("n_name").alias("n_name"))
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@q("tpch_q14_promo", """
+SELECT CAST(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1::DECIMAL(18,2) - CAST(l.l_discount AS DECIMAL(18,2)))
+                ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
+     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+""")
+def tpch_q14_promo(spark, sf_dir):
+    """Promotion share: broadcast part join, conditional decimal sums."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") &
+        (F.col("l_shipdate") < "1997-10-01"))
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO",
+                         _revenue_dec()).otherwise(F.lit(0).cast(_DEC)))
+    return j.agg((F.lit(100.0) * promo.cast("double") /
+                  F.sum(_revenue_dec()).cast("double"))
+                 .alias("promo_revenue"))
+
+
+@q("tpch_q18_large_orders", """
+WITH big AS (
+    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 220::DECIMAL(18,2)
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def tpch_q18_large_orders(spark, sf_dir):
+    """Large-volume orders: HAVING on a fact-side aggregate feeding a join —
+    the aggregate shrinks the fact table before any join shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("q"))
+           .filter(F.col("q") > 220)
+           .select("l_orderkey", F.col("q").cast("double").alias("total_qty")))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                     .alias("o_orderdate_ms"),
+                    "total_qty"))
+
+
 @q("rel_distinct_agg", """
 SELECT o_orderpriority,
        count(*) AS n_orders,
