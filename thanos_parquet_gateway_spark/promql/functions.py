@@ -451,7 +451,12 @@ def _histogram_quantile(c: Compiler, call: A.Call) -> InstantVector:
     count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
         F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
     count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
-    interp = lower + (upper - lower) * (rank - count_lo) / (count_hi - count_lo)
+    # rank == count_lo == count_hi happens only for q=0 on an empty first
+    # bucket; Go computes 0/0 = NaN there (bucketQuantile's rank/count) —
+    # under Spark ANSI mode a literal division would throw instead
+    ratio = F.when(count_hi != count_lo,
+                   (rank - count_lo) / (count_hi - count_lo)).otherwise(NAN())
+    interp = lower + (upper - lower) * ratio
     val = (F.when(F.lit(q) < 0, NEG_INF())
             .when(F.lit(q) > 1, INF())
             .when(F.lit(float(q)) != F.lit(float(q)), NAN())
