@@ -463,7 +463,14 @@ class Compiler:
                                     p.lookback_ms, p.deterministic,
                                     p.subquery_step_ms),
                          self.ext_labels)
-        iv = inner.compile_vector(sq.expr)
+        inner_res = inner.compile(sq.expr)
+        if isinstance(inner_res, (float, ScalarV)):
+            # upstream parser: "subquery is only allowed on instant vector"
+            raise PromQLCompileError(
+                "subquery is only allowed on instant vector, got scalar")
+        if not isinstance(inner_res, InstantVector):
+            raise PromQLCompileError("expected instant vector in subquery")
+        iv = inner_res
         pts = iv.df.select("sig", "labels",
                            (F.col("t") + F.lit(sq.offset_ms)).alias("ts"),
                            "value")

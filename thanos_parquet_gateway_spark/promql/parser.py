@@ -168,7 +168,14 @@ class Parser:
             if self.peek().kind == "IDENT" and self.peek().text == "bool":
                 self.next()
                 bool_mod = True
+                if op not in ("==", "!=", ">", "<", ">=", "<="):
+                    raise PromQLSyntaxError(
+                        "bool modifier can only be used on comparison operators")
             matching = self._parse_matching()
+            if op in ("and", "or", "unless") and matching.card in (
+                    "many-to-one", "one-to-many"):
+                raise PromQLSyntaxError(
+                    "no grouping allowed for set operations")
             nxt_prec = _PREC[op] + (0 if op in _RIGHT_ASSOC else 1)
             rhs = self.parse_expr(nxt_prec)
             if op in ("and", "or", "unless") and not matching.explicit:
@@ -275,24 +282,22 @@ class Parser:
                 return expr
 
     def _apply_offset(self, expr: Node, off: int) -> None:
-        if isinstance(expr, VectorSelector):
-            expr.offset_ms = off
-        elif isinstance(expr, MatrixSelector):
-            expr.selector.offset_ms = off
-        elif isinstance(expr, Subquery):
-            expr.offset_ms = off
-        else:
+        tgt = expr.selector if isinstance(expr, MatrixSelector) else expr
+        if not isinstance(tgt, (VectorSelector, Subquery)):
             raise PromQLSyntaxError("offset only valid on selectors/subqueries")
+        if getattr(tgt, "_offset_set", False):
+            raise PromQLSyntaxError("offset may not be set multiple times")
+        tgt.offset_ms = off
+        tgt._offset_set = True
 
     def _apply_at(self, expr: Node, at_ms: int) -> None:
-        if isinstance(expr, VectorSelector):
-            expr.at_ms = at_ms
-        elif isinstance(expr, MatrixSelector):
-            expr.selector.at_ms = at_ms
-        elif isinstance(expr, Subquery):
-            expr.at_ms = at_ms
-        else:
+        tgt = expr.selector if isinstance(expr, MatrixSelector) else expr
+        if not isinstance(tgt, (VectorSelector, Subquery)):
             raise PromQLSyntaxError("@ only valid on selectors/subqueries")
+        if getattr(tgt, "_at_set", False):
+            raise PromQLSyntaxError("@ may not be set multiple times")
+        tgt.at_ms = at_ms
+        tgt._at_set = True
 
     def parse_primary(self) -> Node:
         t = self.next()
