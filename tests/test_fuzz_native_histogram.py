@@ -1,0 +1,180 @@
+"""Differential fuzz for native-histogram functions: random explicit-bound
+histograms evaluated by the engine (Spark array algebra, histograms.py) vs
+an independent Python oracle implementing the same documented semantics
+(reference serves these through promql-engine, db/db_test.go:344-351;
+bucket math follows Prometheus bucketQuantile / histogram_fraction applied
+to the explicit-bound NHCB-style model).
+
+The oracle is plain Python over (count, sum, [(le, c)]) tuples — any bug in
+the Spark higher-order-function implementation (indexing, cumulative fold,
+interpolation anchors) shows up as a divergence.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from tests.conftest import make_samples
+
+INF = float("inf")
+T0 = 100_000
+
+
+# ------------------------------------------------------------ Python oracle
+def _cumulative(buckets):
+    out, run = [], 0.0
+    for le, c in buckets:
+        run += c
+        out.append((le, run))
+    return out
+
+
+def o_quantile(q, count, buckets):
+    if q < 0:
+        return -INF
+    if q > 1:
+        return INF
+    cum = _cumulative(buckets)
+    b = len(cum)
+    if b < 1 or count == 0:
+        return float("nan")
+    rank = q * count
+    idx = next((i for i, (_, c) in enumerate(cum) if c >= rank), None)
+    if idx is None:
+        return float("nan")
+    if idx == b - 1:
+        return cum[-2][0] if b >= 2 else float("nan")
+    lower = (cum[0][0] if cum[0][0] <= 0 else 0.0) if idx == 0 \
+        else cum[idx - 1][0]
+    upper = cum[idx][0]
+    count_lo = 0.0 if idx == 0 else cum[idx - 1][1]
+    count_hi = cum[idx][1]
+    if count_hi == count_lo:
+        return float("nan")  # Go: 0/0 in the interpolation ratio
+    return lower + (upper - lower) * (rank - count_lo) / (count_hi - count_lo)
+
+
+def o_cum_at(count, buckets, x):
+    cum = _cumulative(buckets)
+    les = [le for le, _ in cum]
+    idx = next((i for i, le in enumerate(les) if le >= x), None)
+    if idx is None:
+        return count
+    if x <= 0.0:
+        return 0.0
+    lower = 0.0 if idx == 0 else les[idx - 1]
+    count_lo = 0.0 if idx == 0 else cum[idx - 1][1]
+    upper = les[idx]
+    count_hi = cum[idx][1]
+    frac = 0.0 if upper == lower else (x - lower) / (upper - lower)
+    frac = min(max(frac, 0.0), 1.0)
+    return count_lo + (count_hi - count_lo) * frac
+
+
+def o_fraction(lo, hi, count, buckets):
+    if count == 0:
+        return float("nan")
+    return (o_cum_at(count, buckets, hi) - o_cum_at(count, buckets, lo)) / count
+
+
+def o_stdvar(count, total, buckets):
+    if count == 0:
+        return float("nan")
+    mean = total / count
+    var = 0.0
+    les = [le for le, _ in buckets]
+    for i, (le, c) in enumerate(buckets):
+        lower = (le if le <= 0 else 0.0) if i == 0 else les[i - 1]
+        if le <= 0:
+            mid = le
+        elif le == INF:
+            mid = lower
+        else:
+            mid = (lower + le) / 2
+        var += c * (mid - mean) ** 2
+    return var / count
+
+
+# ------------------------------------------------------------ corpus
+BOUNDS = [0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0]
+
+
+def _gen(rng, n):
+    hists = {}
+    for i in range(n):
+        k = rng.randrange(2, 6)
+        les = sorted(rng.sample(BOUNDS, k))
+        if rng.random() < 0.25:
+            les = [rng.choice([-1.0, 0.0])] + les
+        counts = [float(rng.choice([0, 0, 1, 2, 5, 9])) for _ in les]
+        buckets = list(zip(les, counts))
+        buckets.append((INF, float(rng.choice([0, 0, 3]))))
+        count = sum(c for _, c in buckets)
+        total = round(rng.uniform(-5, 50), 3)
+        hists[f"j{i}"] = (count, total, buckets)
+    return hists
+
+
+@pytest.fixture(scope="module")
+def nh_corpus(spark):
+    rng = random.Random(424242)
+    hists = _gen(rng, 30)
+    rows = [({"__name__": "hm", "job": job}, T0, {"hist": h})
+            for job, h in hists.items()]
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True)
+    return eng, hists
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return False
+    if math.isnan(a) or math.isnan(b):
+        return math.isnan(a) and math.isnan(b)
+    if math.isinf(a) or math.isinf(b):
+        return a == b
+    return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1e-30)
+
+
+def _collect(eng, promql):
+    res = eng.query_instant(promql, T0 + 1000)
+    return {dict(r["labels"])["job"]: r["value"] for r in res.df.collect()}
+
+
+def test_native_histogram_differential(nh_corpus):
+    eng, hists = nh_corpus
+    rng = random.Random(131313)
+    failures = []
+
+    cases = [("histogram_count(hm)", lambda c, s, b: c),
+             ("histogram_sum(hm)", lambda c, s, b: s),
+             ("histogram_avg(hm)",
+              lambda c, s, b: s / c if c else
+              (float("nan") if s == 0 or math.isnan(s)
+               else math.copysign(INF, s))),
+             ("histogram_stdvar(hm)", o_stdvar),
+             ("histogram_stddev(hm)",
+              lambda c, s, b: math.sqrt(o_stdvar(c, s, b)))]
+    for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+        cases.append((f"histogram_quantile({q}, hm)",
+                      lambda c, s, b, q=q: o_quantile(q, c, b)))
+    for _ in range(6):
+        lo = round(rng.uniform(-1, 8), 2)
+        hi = round(lo + rng.uniform(0, 10), 2)
+        cases.append((f"histogram_fraction({lo}, {hi}, hm)",
+                      lambda c, s, b, lo=lo, hi=hi: o_fraction(lo, hi, c, b)))
+
+    for promql, oracle in cases:
+        got = _collect(eng, promql)
+        for job, (c, s, b) in hists.items():
+            want = oracle(c, s, b)
+            g = got.get(job)
+            if g is None or not _close(g, want):
+                failures.append(f"{promql} {job}: got {g}, want {want} "
+                                f"(hist count={c} sum={s} buckets={b})")
+    assert not failures, (f"{len(failures)} divergences:\n"
+                          + "\n".join(failures[:15]))

@@ -65,8 +65,20 @@ def hist_sum(hist: Column) -> Column:
     return hist["sum"]
 
 
+def _fdiv(l: Column, r: Column) -> Column:
+    """Go float division (0/0 → NaN, x/0 → ±Inf) — Spark ANSI mode would
+    raise on a zero divisor instead."""
+    nan = F.lit(float("nan"))
+    return (F.when(r == 0.0,
+                   F.when(F.isnan(l) | (l == 0.0), nan)
+                    .when(l > 0, F.lit(float("inf")))
+                    .otherwise(F.lit(float("-inf"))))
+             .otherwise(l / r))
+
+
 def hist_avg(hist: Column) -> Column:
-    return hist["sum"] / hist["count"]
+    # count == 0 → 0/0 = NaN (or ±Inf for a nonzero sum), like Go floats
+    return _fdiv(hist["sum"], hist["count"])
 
 
 def _cumulative(hist: Column) -> Column:
@@ -103,7 +115,10 @@ def hist_quantile(q: float, hist: Column) -> Column:
     count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
         F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
     count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
-    interp = lower + (upper - lower) * (rank - count_lo) / (count_hi - count_lo)
+    # q=0 landing on an empty first bucket gives 0/0 — NaN in Go, an ANSI
+    # error in Spark; route through Go float division
+    interp = lower + (upper - lower) * _fdiv(rank - count_lo,
+                                             count_hi - count_lo)
     nan = F.lit(float("nan"))
     return (F.when(F.lit(q) < 0, F.lit(float("-inf")))
              .when(F.lit(q) > 1, F.lit(float("inf")))
