@@ -124,8 +124,9 @@ def _close(a, b):
 def test_histogram_quantile_differential(hist_corpus):
     eng, hists = hist_corpus
     failures = []
-    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0):
-        res = eng.query_instant(f"histogram_quantile({q}, req_bucket)",
+    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0, float("nan")):
+        q_expr = "(0/0)" if math.isnan(q) else str(q)
+        res = eng.query_instant(f"histogram_quantile({q_expr}, req_bucket)",
                                 T0 + 1000)
         got = {dict(r["labels"])["job"]: r["value"]
                for r in res.df.collect()}

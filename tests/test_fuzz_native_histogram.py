@@ -33,6 +33,8 @@ def _cumulative(buckets):
 
 
 def o_quantile(q, count, buckets):
+    if math.isnan(q):
+        return float("nan")
     if q < 0:
         return -INF
     if q > 1:
@@ -162,6 +164,10 @@ def test_native_histogram_differential(nh_corpus):
     for q in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
         cases.append((f"histogram_quantile({q}, hm)",
                       lambda c, s, b, q=q: o_quantile(q, c, b)))
+    cases.append(("histogram_quantile((0/0), hm)",
+                  lambda c, s, b: float("nan")))
+    cases.append(("histogram_fraction((0/0), 1, hm)",
+                  lambda c, s, b: float("nan")))
     for _ in range(6):
         lo = round(rng.uniform(-1, 8), 2)
         hi = round(lo + rng.uniform(0, 10), 2)

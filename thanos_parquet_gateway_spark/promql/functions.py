@@ -411,13 +411,18 @@ def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
 
 
 # --------------------------------------------------------- histogram_quantile
-def _histogram_quantile(c: Compiler, call: A.Call) -> InstantVector:
+def _histogram_quantile_classic(q: float, df) -> "DataFrame":
     """Classic-bucket quantile: group bucket series by labels-minus-le, sort
     by le, enforce monotonicity, linearly interpolate (reference test evidence
-    db/db_test.go:344-351; upstream algorithm bucketQuantile)."""
-    q = _scalar_lit(c, call, 0)
-    iv = _vector_arg(c, call, 1)
-    df = iv.df.withColumn(
+    db/db_test.go:344-351; upstream algorithm bucketQuantile).  Takes the
+    instant-vector rows (float samples carrying le labels) and returns the
+    result rows."""
+    # Python-side NaN check: Spark's NaN ordering would route NaN phi into
+    # the q > 1 → +Inf branch below; upstream returns NaN per series
+    qnan = math.isnan(q)
+    if qnan:
+        q = 0.0  # placeholder — val short-circuits to NaN below
+    df = df.withColumn(
         "__le",
         F.when(F.element_at(F.col("labels"), "le").isin("+Inf", "Inf", "inf"), INF())
          .otherwise(F.element_at(F.col("labels"), "le").cast(D)))
@@ -457,16 +462,16 @@ def _histogram_quantile(c: Compiler, call: A.Call) -> InstantVector:
     ratio = F.when(count_hi != count_lo,
                    (rank - count_lo) / (count_hi - count_lo)).otherwise(NAN())
     interp = lower + (upper - lower) * ratio
-    val = (F.when(F.lit(q) < 0, NEG_INF())
+    val = (F.when(F.lit(qnan), NAN())
+            .when(F.lit(q) < 0, NEG_INF())
             .when(F.lit(q) > 1, INF())
-            .when(F.lit(float(q)) != F.lit(float(q)), NAN())
             .when(~has_inf | (b < 2) | (total == 0), NAN())
             .when(idx == b, F.element_at(les, -2))  # rank in the +Inf bucket
             .when((idx == 1) & (F.element_at(les, 1) <= 0), F.element_at(les, 1))
             .otherwise(interp))
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
-    return _iv(out)
+    return g.select("t", "sig", "labels",
+                    F.lit(None).cast("long").alias("sample_ts"),
+                    val.alias("value"))
 
 
 # ----------------------------------------------------------- label functions
@@ -578,14 +583,21 @@ def dispatch(c: Compiler, call: A.Call):
 
     if fn == "histogram_quantile":
         iv = _vector_arg(c, call, 1)
-        if "hist" in iv.df.columns:  # native histograms (histograms.py)
-            from thanos_parquet_gateway_spark.promql import histograms as H
-            q_ = _scalar_lit(c, call, 0)
-            df = (iv.df.filter(F.col("hist").isNotNull())
+        q_ = _scalar_lit(c, call, 0)
+        if "hist" not in iv.df.columns:
+            return _iv(_histogram_quantile_classic(q_, iv.df))
+        # mixed vector: native-histogram samples take the bucket-struct
+        # path; float samples carrying le labels take the classic path
+        # (upstream evaluates both populations side by side)
+        from thanos_parquet_gateway_spark.promql import histograms as H
+        native = (iv.df.filter(F.col("hist").isNotNull())
                   .withColumn("value", H.hist_quantile(q_, F.col("hist")))
                   .drop("hist"))
-            return _iv(_drop_name(df))
-        return _histogram_quantile(c, call)
+        native = _drop_name(native).select(
+            "t", "sig", "labels", "sample_ts", "value")
+        classic = _histogram_quantile_classic(
+            q_, iv.df.filter(F.col("hist").isNull()).drop("hist"))
+        return _iv(native.unionByName(classic))
 
     if fn in ("histogram_count", "histogram_sum", "histogram_avg",
               "histogram_stddev", "histogram_stdvar"):

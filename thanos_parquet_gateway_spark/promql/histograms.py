@@ -23,6 +23,8 @@ Prometheus' series model.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -97,6 +99,10 @@ def hist_quantile(q: float, hist: Column) -> Column:
     rank = q*count, linear-interpolate within [lower, upper) (Prometheus
     bucketQuantile applied to the explicit-bound representation; the +Inf
     bucket returns the highest finite bound)."""
+    if math.isnan(q):
+        # Spark orders NaN above every double, so the q > 1 branch below
+        # would claim it; upstream returns NaN for NaN phi
+        return F.lit(float("nan"))
     cum = _cumulative(hist)
     les = F.transform(cum, lambda x: x["le"])
     counts = F.transform(cum, lambda x: x["count"])
@@ -159,7 +165,10 @@ def _cum_at(hist: Column, x: Column) -> Column:
 
 def hist_fraction(lo: float, hi: float, hist: Column) -> Column:
     """histogram_fraction(lo, hi, h): estimated fraction of observations in
-    [lo, hi] via interpolated cumulative counts."""
+    [lo, hi] via interpolated cumulative counts.  NaN bounds → NaN
+    (upstream histogramFraction)."""
+    if math.isnan(lo) or math.isnan(hi):
+        return F.lit(float("nan"))
     total = hist["count"]
     frac = (_cum_at(hist, F.lit(float(hi))) - _cum_at(hist, F.lit(float(lo)))) / total
     return F.when(total == 0, F.lit(float("nan"))).otherwise(frac)
