@@ -1008,6 +1008,43 @@ def dedup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@q("dedup_keep_list", f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL},
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM lsh_pairs
+),
+cc_nodes AS (SELECT DISTINCT u FROM edges),
+reach(u, label) AS (
+    SELECT u, u AS label FROM cc_nodes
+    UNION
+    SELECT e.v AS u, r.label
+    FROM reach r JOIN edges e ON e.u = r.u
+    WHERE r.label < e.v
+),
+comp AS (SELECT u AS doc_id, min(label) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       (c.component IS NULL OR c.component = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""")
+def dedup_keep_list(spark, sf_dir):
+    """The pipeline's end product: every document mapped to its near-dup
+    cluster with a keep/drop decision (cluster representative = min doc id;
+    docs outside any candidate pair keep themselves).  Composes LSH
+    banding → connected components → left-join back to the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, hash_family="md5")
+    comp = dedup.connected_components(pairs)
+    return (docs.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component"),
+                    (F.col("component").isNull() |
+                     (F.col("component") == F.col("doc_id"))).alias("keep")))
+
+
 @q("dedup_jaccard", f"""
 WITH {_SHINGLES},
 exploded AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
