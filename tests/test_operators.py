@@ -527,3 +527,39 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     bh = {r["content_hash"] for r in batch.collect()}
     sh = {r["content_hash"] for r in got.collect()}
     assert bh == sh
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule flips `passes` on a doc violating exactly that rule."""
+    good = " ".join(["the quick brown fox jumps over and beside of lazy dogs"] * 6)
+    rows = [
+        (1, good, True),                       # clean: >50 words, stopwords
+        (2, "the of short", False),            # too few words
+        (3, " ".join(["### #"] * 40), False),  # symbol ratio + no alpha
+        (4, "\n".join(["- item the of and that"] * 12), False),  # bullets
+        (5, " ".join(["zz"] * 60), False),     # mean word len < 3, no stops
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    for i, _, want in rows:
+        assert got[i]["passes"] == want, (i, dict(got[i].asDict()))
+    assert got[1]["stop_hits"] >= 2
+    assert got[4]["bullet_line_frac"] >= 0.9
+
+
+def test_pii_scan_counts_and_order(spark):
+    """SSN redacts before the looser phone pattern; counts are per-class."""
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and b.c@d.org ssn 123-45-6789 tel 555 123 4567 "
+             "host 10.0.0.1 end"),
+         (2, "no pii here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.pii_scan(df).collect()}
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ipv4"]) == (2, 1, 1, 1)
+    assert r1["redacted"] == ("mail <EMAIL> and <EMAIL> ssn <SSN> tel <PHONE> "
+                              "host <IP> end")
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
+    assert r2["redacted"] == "no pii here"

@@ -140,6 +140,89 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(docs: DataFrame, *, min_words: int = 50,
+                   max_words: int = 100_000,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-rule document quality signals (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean word length in [3,10], symbol-to-word ratio
+    ≤ 0.1, <90% bullet lines, <30% ellipsis lines, ≥80% words with an
+    alphabetic character, ≥2 distinct required stop words.  Every signal is
+    an integer count or an exact ratio of integers — cross-engine
+    reproducible — and the whole computation is a narrow per-row JVM plan
+    (no shuffle at any scale).
+
+    Returns (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    bullet_line_frac, ellipsis_line_frac, stop_hits, passes).
+    """
+    t = F.col(text_col)
+    words = normalized_words(t)
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = nonspace.cast("double") / nw
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
+    symbol_ratio = symbols / nw
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = alpha_words.cast("double") / nw
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double") / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).cast("double") / n_lines
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(words, stop_arr))
+    passes = ((n_words >= min_words) & (n_words <= max_words) &
+              (mean_wl >= 3.0) & (mean_wl <= 10.0) &
+              (symbol_ratio <= 0.1) &
+              (bullet_frac < 0.9) & (ellipsis_frac < 0.3) &
+              (alpha_frac >= 0.8) & (stop_hits >= 2))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("passes"))
+
+
+# (name, pattern, replacement) in fixed application order; patterns restricted
+# to the Java∩RE2 regex subset so an independent engine reproduces them
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scan(docs: DataFrame, *, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction for training-data hygiene: per-document
+    match counts for each pattern class and a redacted text column with
+    matches replaced by typed placeholders (applied in fixed PII_PATTERNS
+    order, so overlapping classes — SSN before the looser phone pattern —
+    resolve deterministically).  regexp_count/regexp_replace are JVM
+    built-ins; the plan is narrow and shuffle-free at any scale.
+
+    Returns (doc_id, n_email, n_ssn, n_phone, n_ipv4, redacted).
+    """
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+              for name, pat, _ in PII_PATTERNS]
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(F.col(id_col).alias("doc_id"), *counts,
+                       red.alias("redacted"))
+
+
 def search_tokens(text_col: Column) -> Column:
     """Lowercased alphanumeric tokens (split on any non-[a-z0-9] run) for
     retrieval scoring — unlike normalized_words this strips punctuation so

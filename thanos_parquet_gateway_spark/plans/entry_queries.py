@@ -776,6 +776,254 @@ def tpch_q18_large_orders(spark, sf_dir):
                     "total_qty"))
 
 
+@q("tpch_q4_priority", """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority
+""")
+def tpch_q4_priority(spark, sf_dir):
+    """TPC-H Q4 analogue (the corpus has no commit/receipt dates, so 'late'
+    means shipped >30 days after order): EXISTS compiles to a left-semi join
+    whose equi-key (l_orderkey) carries the shuffle and whose date inequality
+    rides along as a join residual — no correlated per-row subquery."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") &
+        (F.col("o_orderdate") < "1997-10-01"))
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(l, (o.o_orderkey == l.l_orderkey) &
+                  (l.l_shipdate > F.col("o_orderdate") +
+                   F.expr("INTERVAL 30 DAYS")), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@q("tpch_q7_nation_volume", """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year, l.l_extendedprice, l.l_discount
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume by year.  The nation-pair disjunction
+    lands on broadcast dims, so the only shuffle is lineitem⋈orders on
+    orderkey; supplier/customer/nation all broadcast."""
+    n = load_table(spark, sf_dir, "nation")
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (load_table(spark, sf_dir, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1998-01-01"))
+    o = load_table(spark, sf_dir, "orders")
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (l.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue")))
+
+
+@q("tpch_q8_market_share", """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE 0::DECIMAL(18,2) END) AS DOUBLE)
+     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS mkt_share
+FROM (
+    SELECT year(o.o_orderdate) AS o_year, l.l_extendedprice, l.l_discount,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) nations
+GROUP BY o_year
+""")
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share inside a region.  Eight-table star —
+    every dim broadcasts; the part filter prunes lineitem EARLY (first join)
+    so the orderkey shuffle moves only STANDARD-part rows."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = (load_table(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (load_table(spark, sf_dir, "customer")
+         .join(F.broadcast(n.join(F.broadcast(r),
+                                  n.n_regionkey == r.r_regionkey)),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") &
+        (F.col("o_orderdate") < "1998-01-01"))
+    base = (l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+            .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    nat = F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                       _revenue_dec()).otherwise(F.lit(0).cast(_DEC)))
+    return (base.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg((nat.cast("double") / F.sum(_revenue_dec()).cast("double"))
+                 .alias("mkt_share")))
+
+
+@q("tpch_q13_order_dist", """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+""")
+def tpch_q13_order_dist(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution.  Outer join with a
+    residual predicate, then a re-aggregation on the derived count — the
+    second groupBy keys on a tiny domain, so AQE coalesces it to a few
+    partitions."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT").select("o_custkey", "o_orderkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@q("tpch_q15_top_supplier", """
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1::DECIMAL(18,2) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+""")
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: top revenue supplier.  The scalar-max subquery becomes an
+    unpartitioned window max over the already-aggregated (tiny) revenue
+    table — exact decimal compare, ties kept, no second scan of lineitem."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1997-04-01"))
+    rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_revenue_dec()).alias("total_rev")))
+    top = (rev.withColumn("mx", F.max("total_rev").over(W.partitionBy()))
+           .filter(F.col("total_rev") == F.col("mx")))
+    s = load_table(spark, sf_dir, "supplier")
+    return (s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
+            .select("s_suppkey", "s_name",
+                    F.col("total_rev").cast("double").alias("total_rev")))
+
+
+@q("tpch_q17_small_qty", """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey) pa
+  ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * cnt * 5 < sq
+""")
+def tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 analogue (no p_container column): small-quantity revenue.
+    The correlated `l_quantity < 0.2*avg(...)` is decorrelated into one
+    per-part aggregate joined back on partkey; the comparison is multiplied
+    out (qty*cnt*5 < sum) so both engines compare exact decimals, never a
+    float average."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pa = (l.groupBy(F.col("l_partkey").alias("pa_partkey"))
+          .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"),
+               F.count("*").alias("cnt")))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .join(pa, l.l_partkey == F.col("pa_partkey"))
+            .filter(F.col("l_quantity").cast(_DEC) * F.col("cnt") * 5 <
+                    F.col("sq"))
+            .agg((F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") /
+                  F.lit(7.0)).alias("avg_yearly")))
+
+
+@q("tpch_q19_disjunctive", """
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1::DECIMAL(18,2) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 analogue: disjunctive mixed-table predicate.  Catalyst
+    derives the implied single-table disjunctions (brand IN (...) on part,
+    quantity<=30 on lineitem) and pushes them into both scans; the cross-
+    table OR stays as the join residual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    def arm(brand, smax, qlo, qhi):
+        return ((F.col("p_brand") == brand) &
+                F.col("p_size").between(1, smax) &
+                (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+            .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) |
+                    arm("Brand#34", 15, 20, 30))
+            .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
 @q("rel_distinct_agg", """
 SELECT o_orderpriority,
        count(*) AS n_orders,
@@ -1201,6 +1449,91 @@ FROM unpivoted WHERE rk = 1
 def text_language(spark, sf_dir):
     """Stopword-vote language ID (heuristic n-gram detector)."""
     return text.detect_language(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_gopher_quality", r"""
+WITH base AS (
+    SELECT doc_id, text,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w,
+           string_split(text, chr(10)) AS lines,
+           length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           len(w) AS n_words,
+           CAST(nonspace AS DOUBLE) / greatest(len(w), 1) AS mean_word_len,
+           CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+             / greatest(len(w), 1) AS symbol_ratio,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / greatest(len(w), 1) AS alpha_word_frac,
+           CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+             / greatest(len(lines), 1) AS bullet_line_frac,
+           CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+             / greatest(len(lines), 1) AS ellipsis_line_frac,
+           len(list_intersect(w, ['the','be','to','of','and','that','have','with'])) AS stop_hits
+    FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+       bullet_line_frac, ellipsis_line_frac, stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS passes
+FROM sig
+""")
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality filter signals over the documents corpus."""
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+# deterministic pseudo-PII decoration so the scan/redaction path is
+# exercised with non-zero counts (the synthetic corpus itself carries none)
+_PII_DECOR_SQL = r"""
+decorated AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-6789'
+                        WHEN doc_id % 3 = 1 THEN ' call 555-123-4567'
+                        ELSE '' END AS text
+    FROM documents
+)"""
+
+
+@q("text_pii_scan", rf"""
+WITH {_PII_DECOR_SQL}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(text, '\b\d{{3}}[- ]\d{{3}}[- ]\d{{4}}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<SSN>', 'g'),
+           '\b\d{{3}}[- ]\d{{3}}[- ]\d{{4}}\b', '<PHONE>', 'g'),
+         '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g') AS redacted
+FROM decorated
+""")
+def text_pii_scan(spark, sf_dir):
+    """PII detect + redact over documents decorated with deterministic
+    pseudo-PII (emails, SSN-ish ids, phone numbers, IPv4)."""
+    d = load_table(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" id 123-45-6789"))
+             .when(F.col("doc_id") % 3 == 1, F.lit(" call 555-123-4567"))
+             .otherwise(F.lit(""))).alias("text"))
+    return text.pii_scan(decorated)
 
 
 _BM25_TERMS = ("merge", "shuffle", "spark")
