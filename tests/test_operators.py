@@ -563,3 +563,27 @@ def test_pii_scan_counts_and_order(spark):
     r2 = got[2]
     assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0, 0)
     assert r2["redacted"] == "no pii here"
+
+
+def test_pack_sequences_budget_and_uniqueness(spark, sf_dir):
+    """Packs respect the token budget (±1 doc overrun), docs are whole,
+    pack ids are shard-scoped, ordering within shard is by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 200
+    p = text.pack_sequences(docs, capacity_tokens=cap, n_shards=4)
+    rows = p.orderBy("shard", "doc_id").collect()
+    assert len(rows) == docs.count()
+    assert all(r["pack_id"] >> 32 == r["shard"] for r in rows)
+    # reconstruct per-shard greedy budget: floor(cum_before/cap) matches
+    from collections import defaultdict
+    cum = defaultdict(int)
+    for r in rows:
+        assert r["pack_id"] & 0xFFFFFFFF == cum[r["shard"]] // cap
+        cum[r["shard"]] += r["n_tokens"]
+    # budget guarantee: a pack overruns capacity only by its LAST doc —
+    # all docs before the last fit inside the cap window
+    by_pack = defaultdict(list)
+    for r in rows:
+        by_pack[r["pack_id"]].append(r["n_tokens"])
+    for pid, toks in by_pack.items():
+        assert sum(toks[:-1]) < cap, (pid, toks)

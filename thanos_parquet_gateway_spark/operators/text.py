@@ -140,6 +140,38 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
 
 
+def pack_sequences(docs: DataFrame, *, capacity_tokens: int = 2048,
+                   n_shards: int = 64, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Context-window packing: assign whole documents to token-budget packs
+    of ≈``capacity_tokens`` (documents are never split; a pack may overrun
+    by at most one document's tokens — the standard budget-shard
+    formulation of greedy packing).
+
+    Scale shape (100 TB): a GLOBAL ordered cumulative sum would funnel the
+    corpus through one partition, so packing is sharded — docs hash to
+    ``n_shards`` independent shards and the running token sum is a window
+    partitioned BY SHARD (parallel across executors, each shard's window
+    is a single sort+scan).  pack_id = shard·2³² + local pack ordinal is
+    globally unique.  Returns (doc_id, shard, n_tokens, pack_id).
+    """
+    if capacity_tokens < 1 or n_shards < 1:
+        raise ValueError("capacity_tokens and n_shards must be >= 1")
+    from pyspark.sql import Window
+    toks = F.size(normalized_words(F.col(text_col))).cast("long")
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
+                        .alias("shard"),
+                       toks.alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    pack_local = F.floor(cum_before / F.lit(capacity_tokens))
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        (F.col("shard") * F.lit(1 << 32) + pack_local).alias("pack_id"))
+
+
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

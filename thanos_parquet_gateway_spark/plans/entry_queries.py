@@ -1451,6 +1451,29 @@ def text_language(spark, sf_dir):
     return text.detect_language(load_table(spark, sf_dir, "documents"))
 
 
+@q("text_pack_sequences", r"""
+WITH base AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, shard, n_tokens,
+           COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+    FROM base
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(shard * 4294967296 + (cum_before // 256) AS BIGINT) AS pack_id
+FROM packed
+""")
+def text_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (256-token packs, 8 shards)."""
+    return text.pack_sequences(load_table(spark, sf_dir, "documents"),
+                               capacity_tokens=256, n_shards=8)
+
+
 @q("text_gopher_quality", r"""
 WITH base AS (
     SELECT doc_id, text,
