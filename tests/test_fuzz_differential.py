@@ -449,11 +449,69 @@ def _shape_topk_sum(rng, t):
             f"ORDER BY v {order} LIMIT {k})")
 
 
+def _shape_group_left(rng, t):
+    """Many-to-one matching: LHS keeps its full label set, RHS is a
+    per-inst aggregate (the classic share-of-total shape)."""
+    m1, m2 = rng.choice(METRICS), rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    s1 = f"{m1}{{{pm}}}" if pm else m1
+    op, sop = rng.choice([("/", "/"), ("-", "-"), ("+", "+")])
+    return (f"{s1} {op} on(inst) group_left sum by (inst) ({m2})",
+            f"SELECT l.job, l.inst, l.v {sop} r.v AS v "
+            f"FROM ({_sel_sql(m1, sqlp, t)}) l "
+            f"JOIN (SELECT inst, sum(v) AS v "
+            f"      FROM ({_sel_sql(m2, 'TRUE', t)}) GROUP BY inst) r "
+            f"USING (inst)")
+
+
+def _shape_irate(rng, t):
+    """irate/idelta over the last two samples of the window; irate applies
+    the single-step counter-reset rule (last < prev → use last)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    w = rng.choice(WINDOWS)
+    if rng.random() < 0.5:
+        fn, num = "irate", ("CASE WHEN a.value < b.value THEN a.value "
+                            "ELSE a.value - b.value END")
+        den = " / ((a.ts - b.ts) / 1000.0)"
+    else:
+        fn, num, den = "idelta", "a.value - b.value", ""
+    base = _win_sql(metric, sqlp, t, w)
+    return (f"{fn}({sel}[{w}s])", f"""
+    WITH ranked AS (
+        SELECT job, inst, ts, value,
+               row_number() OVER (PARTITION BY job, inst ORDER BY ts DESC) AS rn
+        FROM ({base})
+    )
+    SELECT a.job, a.inst, ({num}){den} AS v
+    FROM ranked a JOIN ranked b
+      ON a.job = b.job AND a.inst = b.inst AND a.rn = 1 AND b.rn = 2""")
+
+
+def _shape_label_ops(rng, t):
+    """label_replace / label_join feeding a by-aggregation on the minted
+    label — exercises the relabel → regroup pipeline."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    base = _sel_sql(metric, sqlp, t)
+    if rng.random() < 0.5:
+        return (f'sum by (grp) (label_replace({sel}, "grp", "g-$1", '
+                f'"job", "(.+)"))',
+                f"SELECT 'g-' || job AS grp, sum(v) AS v FROM ({base}) "
+                f"GROUP BY job")
+    return (f'sum by (ji) (label_join({sel}, "ji", "-", "job", "inst"))',
+            f"SELECT job || '-' || inst AS ji, sum(v) AS v FROM ({base}) "
+            f"GROUP BY job, inst")
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
           _shape_subquery, _shape_qot, _shape_limit,
-          _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum]
+          _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum,
+          _shape_group_left, _shape_irate, _shape_label_ops]
 
 N_QUERIES = 300
 
