@@ -587,3 +587,110 @@ def test_pack_sequences_budget_and_uniqueness(spark, sf_dir):
         by_pack[r["pack_id"]].append(r["n_tokens"])
     for pid, toks in by_pack.items():
         assert sum(toks[:-1]) < cap, (pid, toks)
+
+
+def test_repetition_signals_duplicate_lines(spark):
+    """Crafted multi-line docs: exact duplicate-line fractions and the
+    top-2-gram character mass (the synthetic corpus is single-line, so the
+    line-level paths only get exercised here)."""
+    rows = [
+        # 4 non-empty lines, 'dup line' appears 3× → dup_line_frac = (4-2)/4
+        # dup chars = 3*8 over total 3*8+5 = 29
+        (1, "dup line\ndup line\n\n  dup line \nother"),
+        # no duplicates at all
+        (2, "alpha\nbeta\ngamma"),
+        # single line, 'x y' 2-gram twice: words = x y x y z →
+        # grams: 'x y'×2, 'y x'×1, 'y z'×1 → top = 'x y' c=2 glen=2 → 4/5
+        (3, "x y x y z"),
+        # one word → no grams, one line, no dups
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(24 / 29)
+    assert not got[1]["passes"]
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    assert got[3]["top_2gram_char_frac"] == pytest.approx(4 / 5)
+    assert not got[3]["passes"]
+    assert got[4]["n_lines"] == 1
+    assert got[4]["top_2gram_char_frac"] == 0.0
+    assert got[4]["passes"]
+
+
+def test_decontaminate_overlap_and_edges(spark):
+    """Distinct-gram overlap counting, zero-gram docs, and the strict
+    threshold comparison."""
+    bench = spark.createDataFrame([(100, "the quick brown fox jumps")],
+                                  ["doc_id", "text"])
+    rows = [
+        # grams: 'the quick brown','quick brown fox','brown fox ran' → 2/3
+        (1, "the quick brown fox ran"),
+        # exact benchmark text → 3/3
+        (2, "the quick brown fox jumps"),
+        # no overlap
+        (3, "entirely different words here now"),
+        # too short for a 3-gram
+        (4, "two words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in text.decontaminate(df, bench, n=3, threshold=0.5).collect()}
+    assert (out[1]["n_grams"], out[1]["n_matched"]) == (3, 2)
+    assert out[1]["contaminated"]  # 2/3 > 0.5
+    assert (out[2]["n_grams"], out[2]["n_matched"]) == (3, 3)
+    assert out[2]["contaminated"]
+    assert (out[3]["n_grams"], out[3]["n_matched"]) == (3, 0)
+    assert not out[3]["contaminated"]
+    assert (out[4]["n_grams"], out[4]["n_matched"]) == (0, 0)
+    assert out[4]["overlap_frac"] == 0.0 and not out[4]["contaminated"]
+    with pytest.raises(ValueError):
+        text.decontaminate(df, bench, n=0)
+
+
+def test_semantic_dedup_keep_first_policy(spark):
+    """One cluster: near-identical vectors collapse to the lowest id; the
+    orthogonal vector survives.  k_clusters=1 makes cell assignment moot so
+    the test pins the keep rule itself."""
+    rows = [
+        (1, [1.0, 0.0]), (2, [1.0, 0.001]),   # dups of each other
+        (3, [0.0, 1.0]),                       # orthogonal → kept
+        (4, [0.999, 0.01]),                    # dup of 1 and 2 → dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["keep"]
+           for r in similarity.semantic_dedup(df, k_clusters=1,
+                                              threshold=0.99).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False}
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(df, k_clusters=0)
+
+
+def test_semantic_dedup_partitions_whole_corpus(spark, sf_dir):
+    """Every vector gets exactly one row and a valid cell; dropping is
+    monotone in threshold (lower threshold → fewer keeps)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    strict = similarity.semantic_dedup(emb, k_clusters=4, threshold=0.99)
+    loose = similarity.semantic_dedup(emb, k_clusters=4, threshold=0.35)
+    assert strict.count() == n and loose.count() == n
+    ks = strict.filter("keep").count()
+    kl = loose.filter("keep").count()
+    assert kl <= ks <= n
+    cells = {r["cell"] for r in strict.select("cell").distinct().collect()}
+    assert cells <= set(range(1, 5))
+
+
+def test_shingles_short_documents(spark):
+    """Documents shorter than the shingle width yield an empty shingle set
+    instead of a descending-sequence slice error."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, "x y z w")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id",
+        dedup.shingles(dedup.normalized_words(F.col("text"))).alias("sh"))
+        .collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["x y z", "y z w"]

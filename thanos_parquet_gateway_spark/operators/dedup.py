@@ -30,10 +30,13 @@ def shingles(words_col, n: int = 3) -> "F.Column":
     NOTE: array-lambda form; fine for per-pair refinement, but the corpus-wide
     hot path uses shingle_rows() instead — higher-order functions are
     interpreted (no whole-stage codegen) and scale poorly across task threads."""
-    k = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
-    return F.array_distinct(
+    k = F.size(words_col) - (n - 1)
+    # sequence(1, 0) steps DOWNWARD (yields [1, 0] → slice(…, 0) errors),
+    # so documents shorter than n words need an explicit empty branch
+    return F.when(k >= 1, F.array_distinct(
         F.transform(F.sequence(F.lit(1), k),
                     lambda i: F.array_join(F.slice(words_col, i, n), " ")))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_rows(docs: DataFrame, text_col: str = "text",

@@ -183,6 +183,69 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "vec_id", "cos_sim"))
 
 
+def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
+                   threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   hash_family: str = "xxhash") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    partition the corpus into ``k_clusters`` cells around deterministic
+    hash-seeded centroids (the same seeding as ``ivf_topk``), then inside
+    each cell drop every vector whose cosine to some LOWER-ID cell member
+    is ≥ ``threshold`` (the greedy keep-first exemplar rule, made
+    order-free: x is dropped iff ∃ y in x's cell with y.id < x.id and
+    cos(x, y) ≥ threshold — a single-pass, non-iterative policy an
+    independent SQL oracle replicates exactly).
+
+    Scale shape (100 TB): centroid selection is a distributed top-k
+    (TakeOrderedAndProject) collapsed to ONE broadcast row; cell assignment
+    is a map-side argmax against that row (zero corpus shuffle — see
+    ivf_topk); the pairwise pass is an equi-join on ``cell``, so the
+    quadratic term is bounded per cell (n/k average), never corpus².
+    Raise ``k_clusters`` proportionally with the corpus to hold cell sizes
+    constant.  ``hash_family='md5'`` gives a seeding a SQL oracle can
+    reproduce.
+
+    Returns one row per input vector: (vec_id, cell, keep).
+    """
+    from pyspark.sql import Window
+
+    if k_clusters < 1:
+        raise ValueError("semantic_dedup: k_clusters must be >= 1")
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    rank_key = (F.md5(F.col("vec_id").cast("string")) if hash_family == "md5"
+                else F.xxhash64(F.col("vec_id")).cast("string"))
+    seeds = (e.withColumn("__hk", rank_key).orderBy("__hk", "vec_id")
+             .limit(k_clusters))
+    seed_w = Window.orderBy(F.col("__hk").asc(), F.col("vec_id").asc())
+    cents_arr = (seeds.withColumn("cell", F.row_number().over(seed_w))
+                 .agg(F.collect_list(
+                     F.struct("cell", F.col("v").alias("cvec")))
+                     .alias("__cents")))
+    scored = F.transform(
+        "__cents",
+        lambda c: F.struct(cosine(F.col("v"), c["cvec"]).alias("cs"),
+                           (-c["cell"]).alias("neg"),
+                           c["cell"].alias("cell")))
+    assigned = (e.crossJoin(F.broadcast(cents_arr))
+                .withColumn("cell", F.element_at(
+                    F.reverse(F.array_sort(scored)), 1)["cell"])
+                .drop("__cents"))
+    a = assigned.select("cell", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"))
+    drops = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+             .select(F.col("id_b").alias("vec_id"))
+             .distinct()
+             .withColumn("__drop", F.lit(True)))
+    return (assigned.join(drops, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep")))
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              planes: list[list[float]] | None = None,
                              id_col: str = "vec_id",

@@ -255,6 +255,142 @@ def pii_scan(docs: DataFrame, *, text_col: str = "text",
                        red.alias("redacted"))
 
 
+def repetition_signals(docs: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_dup_line_frac: float = 0.30,
+                       max_dup_line_char_frac: float = 0.20,
+                       max_top_2gram_char_frac: float = 0.20) -> DataFrame:
+    """Within-document repetition signals (Gopher repetition rules, Rae et
+    al. 2021 §A1.1 "repetitious" filters, public): fraction of duplicate
+    lines, fraction of characters inside duplicate lines, and the fraction
+    of word characters covered by the single most frequent word 2-gram.
+
+    Definitions (fixed so an independent SQL oracle reproduces them):
+    - lines = trimmed non-empty '\\n' splits; a line is *duplicate* when its
+      exact text occurs more than once in the document, and every
+      occurrence counts toward the duplicate-character numerator.
+    - the top 2-gram is chosen by (occurrences DESC, gram ASC); its
+      character mass is occurrences × len(gram without the joining space),
+      over total word characters.
+    All signals are integer counts or ratios of integers, computed with
+    per-row array folds — a narrow, shuffle-free JVM plan at any scale
+    (no explode, no groupBy; document length bounds per-row work).
+
+    Returns (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, passes).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                     lambda l: l != "")
+    n_lines = F.size(lines)
+    dl = F.array_distinct(lines)
+    nl = F.greatest(n_lines, F.lit(1)).cast("double")
+    dup_line_frac = (n_lines - F.size(dl)).cast("double") / nl
+
+    def _line_count(d):
+        return F.size(F.filter(lines, lambda l: l == d))
+
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"),
+                             lambda a, l: a + F.length(l))
+    dup_chars = F.aggregate(
+        dl, F.lit(0).cast("long"),
+        lambda a, d: a + F.when(_line_count(d) > 1,
+                                (_line_count(d) * F.length(d)).cast("long"))
+                          .otherwise(F.lit(0).cast("long")))
+    dup_char_frac = (dup_chars.cast("double") /
+                     F.greatest(line_chars, F.lit(1)).cast("double"))
+
+    words = normalized_words(t)
+    n_words = F.size(words)
+    grams = F.when(
+        n_words >= 2,
+        F.transform(F.sequence(F.lit(0), n_words - 2),
+                    lambda i: F.concat(F.get(words, i), F.lit(" "),
+                                       F.get(words, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    dg = F.array_distinct(grams)
+
+    def _gram_count(g):
+        return F.size(F.filter(grams, lambda x: x == g))
+
+    # (-count, gram) sorts the most frequent gram first, ties to the
+    # lexicographically smallest gram — a total deterministic order
+    ranked = F.array_sort(F.transform(
+        dg, lambda g: F.struct((-_gram_count(g)).alias("negc"),
+                               g.alias("gram"))))
+    top = F.element_at(ranked, 1)
+    word_chars = F.aggregate(words, F.lit(0).cast("long"),
+                             lambda a, w: a + F.length(w))
+    top_chars = F.when(
+        F.size(dg) > 0,
+        ((-top["negc"]) *
+         F.length(F.regexp_replace(top["gram"], " ", ""))).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    top_frac = (top_chars.cast("double") /
+                F.greatest(word_chars, F.lit(1)).cast("double"))
+
+    passes = ((dup_line_frac <= max_dup_line_frac) &
+              (dup_char_frac <= max_dup_line_char_frac) &
+              (top_frac <= max_top_2gram_char_frac))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        top_frac.alias("top_2gram_char_frac"),
+        passes.alias("passes"))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, *, n: int = 13,
+                  threshold: float = 0.0, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination for training corpora (the n-gram overlap
+    scan of Brown et al. 2020 appendix C, public): mark a training document
+    contaminated when the fraction of its distinct word ``n``-grams that
+    also appear anywhere in the benchmark set exceeds ``threshold``
+    (strictly; threshold=0.0 flags any single colliding n-gram).
+
+    Scale shape (100 TB corpus vs a benchmark of at most a few hundred MB):
+    the benchmark side reduces to a DISTINCT n-gram set that is hash-joined
+    as the BROADCAST side, so the corpus is scanned once, exploded linearly
+    (≤ one row per word), and aggregated back per document with map-side
+    partial counts — no corpus shuffle keyed on gram text.  Grams join on
+    the exact string (not a hash), so matches are collision-free.
+
+    Returns (doc_id, n_grams, n_matched, overlap_frac, contaminated) for
+    every document (zero-gram documents report 0/0/0.0/false).
+    """
+    if n < 1:
+        raise ValueError("decontaminate: n must be >= 1")
+    def _distinct_grams(words):
+        # sequence(1, 0) steps DOWNWARD in Spark, so k < 1 needs an
+        # explicit empty-gram branch rather than relying on the bound
+        k = F.size(words) - (n - 1)
+        return F.when(k >= 1, F.array_distinct(
+            F.transform(F.sequence(F.lit(1), k),
+                        lambda i: F.array_join(F.slice(words, i, n), " ")))
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = _distinct_grams(normalized_words(F.col(text_col)))
+    bgrams = _distinct_grams(normalized_words(F.col(bench_text_col)))
+    bench_set = (benchmark.select(F.explode(bgrams).alias("gram"))
+                 .distinct())
+
+    ex = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode_outer(grams).alias("gram"))
+    joined = ex.join(F.broadcast(bench_set.withColumn("__hit", F.lit(1))),
+                     "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("gram").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_matched"))
+    frac = (F.col("n_matched").cast("double") /
+            F.greatest(F.col("n_grams"), F.lit(1)).cast("double"))
+    return agg.select(
+        "doc_id", "n_grams", "n_matched", frac.alias("overlap_frac"),
+        (frac > threshold).alias("contaminated"))
+
+
 def search_tokens(text_col: Column) -> Column:
     """Lowercased alphanumeric tokens (split on any non-[a-z0-9] run) for
     retrieval scoring — unlike normalized_words this strips punctuation so

@@ -1630,6 +1630,97 @@ def text_tfidf(spark, sf_dir):
                                 top_n=3, round_to=6)
 
 
+@q("text_repetition", r"""
+WITH lines AS (
+    SELECT doc_id, trim(l) AS line
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+    WHERE trim(l) <> ''
+),
+lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+       FROM lines GROUP BY 1, 2),
+ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+              count(*) AS n_distinct, sum(c * len) AS tot_chars,
+              sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+       FROM lc GROUP BY 1),
+words AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                   AS ws
+          FROM documents),
+grams AS (SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS gram
+    FROM words)),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+topg AS (SELECT doc_id, c, length(replace(gram, ' ', '')) AS glen,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, gram ASC) AS rn
+         FROM gc),
+wchars AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                      (a, b) -> a + b) AS wc
+           FROM words)
+SELECT d.doc_id,
+       COALESCE(ls.n_lines, 0) AS n_lines,
+       CAST(COALESCE(ls.n_lines, 0) - COALESCE(ls.n_distinct, 0) AS DOUBLE)
+         / greatest(COALESCE(ls.n_lines, 0), 1) AS dup_line_frac,
+       CAST(COALESCE(ls.dup_chars, 0) AS DOUBLE)
+         / greatest(COALESCE(ls.tot_chars, 0), 1) AS dup_line_char_frac,
+       CAST(COALESCE(t.c * t.glen, 0) AS DOUBLE)
+         / greatest(w.wc, 1) AS top_2gram_char_frac,
+       (CAST(COALESCE(ls.n_lines, 0) - COALESCE(ls.n_distinct, 0) AS DOUBLE)
+          / greatest(COALESCE(ls.n_lines, 0), 1) <= 0.30
+        AND CAST(COALESCE(ls.dup_chars, 0) AS DOUBLE)
+          / greatest(COALESCE(ls.tot_chars, 0), 1) <= 0.20
+        AND CAST(COALESCE(t.c * t.glen, 0) AS DOUBLE)
+          / greatest(w.wc, 1) <= 0.20) AS passes
+FROM documents d
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN (SELECT * FROM topg WHERE rn = 1) t USING (doc_id)
+JOIN wchars w USING (doc_id)
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher repetition filters: duplicate-line fractions and top-2-gram
+    character mass, per document (operators/text.repetition_signals)."""
+    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_decontaminate", r"""
+WITH words AS (SELECT doc_id, source,
+                      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                        AS ws
+               FROM documents),
+bgrams AS (SELECT DISTINCT gram FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                  i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gram
+    FROM words WHERE source = 'src0')),
+dg AS (SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                  i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gram
+    FROM words)),
+agg AS (SELECT d.doc_id,
+               count(g.gram) AS n_grams,
+               count(b.gram) AS n_matched
+        FROM documents d
+        LEFT JOIN dg g USING (doc_id)
+        LEFT JOIN bgrams b ON g.gram = b.gram
+        GROUP BY 1)
+SELECT doc_id, n_grams, n_matched,
+       CAST(n_matched AS DOUBLE) / greatest(n_grams, 1) AS overlap_frac,
+       CAST(n_matched AS DOUBLE) / greatest(n_grams, 1) > 0.1 AS contaminated
+FROM agg
+""")
+def text_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: distinct word 3-gram overlap of
+    every document against the src0 slice as the held-out benchmark
+    (operators/text.decontaminate; benchmark gram set broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    return text.decontaminate(docs, bench, n=3, threshold=0.1)
+
+
 def _query_vectors(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return (emb.filter(F.col("vec_id") < 3)
@@ -1746,6 +1837,41 @@ def sim_ivf_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, _query_vectors(spark, sf_dir), k=5,
                                nlist=8, nprobe=2, hash_family="md5")
+
+
+@q("sim_semantic_dedup", f"""
+WITH seeds AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS cell
+    FROM embeddings
+    QUALIFY cell <= 4
+),
+asg AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s)
+    WHERE r = 1
+),
+drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+)
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id
+""")
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: 4 hash-seeded clusters, drop any
+    vector cosine-≥0.35-similar to a lower-id cluster member (md5 hash
+    family so the oracle replicates seeding — operators/similarity
+    .semantic_dedup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, k_clusters=4, threshold=0.35,
+                                     hash_family="md5")
 
 
 @q("multimodal_meta_stats", """
