@@ -108,3 +108,32 @@ def test_number_literals():
 def test_trailing_garbage_rejected():
     with pytest.raises(PromQLSyntaxError):
         parse("sum(m))")
+
+
+def test_duration_expressions():
+    """Prometheus 3.x duration expressions: + - * / % over durations and
+    numbers in range/step positions, parse-time folded."""
+    assert parse("foo[1m+30s]").range_ms == 90_000
+    assert parse("foo[2*1m]").range_ms == 120_000
+    assert parse("foo[1h/2]").range_ms == 1_800_000
+    assert parse("foo[1h%7m]").range_ms == 240_000
+    assert parse("foo[(30s+30s)*3]").range_ms == 180_000
+    assert parse("foo[5m-(-5m)]").range_ms == 600_000
+    sq = parse("foo[3*10s:60s/6]")
+    assert sq.range_ms == 30_000 and sq.step_ms == 10_000
+
+
+def test_duration_expression_offsets_need_parens():
+    """'offset 5m + 10' must stay (foo offset 5m) + 10; compound offsets
+    are parenthesized."""
+    n = parse("foo offset 5m + 10")
+    assert n.op == "+" and n.lhs.offset_ms == 300_000
+    assert parse("foo offset (5m+10s)").offset_ms == 310_000
+    assert parse("foo offset -(1m)").offset_ms == -60_000
+
+
+def test_duration_expression_errors():
+    for bad in ["foo[1m-1m]", "foo[0s]", "foo[1m^2]", "foo[1m/0]",
+                "foo[1m%0]", "foo[5m:0s]"]:
+        with pytest.raises(PromQLSyntaxError):
+            parse(bad)

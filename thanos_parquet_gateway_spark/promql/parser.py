@@ -8,6 +8,7 @@ differential test corpus (reference db/db_test.go:313-1407).
 
 from __future__ import annotations
 
+import math
 import re
 
 from thanos_parquet_gateway_spark.promql.ast import (
@@ -226,26 +227,77 @@ class Parser:
             return expr
         return self.parse_postfix()
 
+    # -- duration expressions --------------------------------------------
+    # Public PromQL duration-expression feature (Prometheus 3.x,
+    # experimental `promql-duration-expr`): arithmetic + - * / % over
+    # duration and number literals in range/step positions (delimited by
+    # ']'/':') and in parenthesized offsets.  Evaluated at parse time in
+    # the seconds domain (numbers are seconds-valued scalars); '^' is
+    # rejected because exponentiation has no unit-consistent meaning.
+
+    def _parse_duration_expr(self, min_prec: int = 4) -> float:
+        lhs = self._parse_duration_unary()
+        while True:
+            t = self.peek()
+            op = (t.text if t.kind == "OP" and
+                  t.text in ("+", "-", "*", "/", "%") else None)
+            if op is None or _PREC[op] < min_prec:
+                return lhs
+            self.next()
+            rhs = self._parse_duration_expr(_PREC[op] + 1)
+            if op == "+":
+                lhs = lhs + rhs
+            elif op == "-":
+                lhs = lhs - rhs
+            elif op == "*":
+                lhs = lhs * rhs
+            elif op == "/":
+                if rhs == 0:
+                    raise PromQLSyntaxError("division by zero in duration")
+                lhs = lhs / rhs
+            else:
+                if rhs == 0:
+                    raise PromQLSyntaxError("modulo by zero in duration")
+                lhs = math.fmod(lhs, rhs)
+
+    def _parse_duration_unary(self) -> float:
+        t = self.peek()
+        if t.kind == "OP" and t.text in ("+", "-"):
+            self.next()
+            v = self._parse_duration_unary()
+            return -v if t.text == "-" else v
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            v = self._parse_duration_expr()
+            self.expect("OP", ")")
+            return v
+        t = self.next()
+        if t.kind == "DUR":
+            return parse_duration_ms(t.text) / 1000.0
+        if t.kind == "NUM":
+            return (float(int(t.text, 16)) if t.text.startswith("0x")
+                    else float(t.text))
+        raise PromQLSyntaxError(f"bad duration at {t.pos}")
+
+    def _duration_ms(self, *, positive: bool, what: str) -> int:
+        ms = int(round(self._parse_duration_expr() * 1000))
+        if positive and ms <= 0:
+            raise PromQLSyntaxError(f"{what} must be greater than 0")
+        return ms
+
     def parse_postfix(self) -> Node:
         expr = self.parse_primary()
         while True:
             t = self.peek()
             if t.kind == "OP" and t.text == "[":
                 self.next()
-                rng_tok = self.next()
-                if rng_tok.kind == "DUR":
-                    rng = parse_duration_ms(rng_tok.text)
-                elif rng_tok.kind == "NUM":
-                    rng = int(float(rng_tok.text) * 1000)
-                else:
-                    raise PromQLSyntaxError(f"bad range at {rng_tok.pos}")
+                rng = self._duration_ms(positive=True, what="range")
                 if self.peek().kind == "OP" and self.peek().text == ":":
                     self.next()
                     step = 0
                     if not (self.peek().kind == "OP" and self.peek().text == "]"):
-                        st = self.next()
-                        step = (parse_duration_ms(st.text) if st.kind == "DUR"
-                                else int(float(st.text) * 1000))
+                        step = self._duration_ms(positive=True,
+                                                 what="subquery step")
                     self.expect("OP", "]")
                     expr = Subquery(expr, rng, step)
                 else:
@@ -260,9 +312,20 @@ class Parser:
                 if self.peek().kind == "OP" and self.peek().text == "-":
                     self.next()
                     neg = True
-                ot = self.next()
-                off = (parse_duration_ms(ot.text) if ot.kind == "DUR"
-                       else int(float(ot.text) * 1000))
+                if self.peek().kind == "OP" and self.peek().text == "(":
+                    # compound offsets need parens: 'foo offset 5m + 10'
+                    # must keep parsing as (foo offset 5m) + 10
+                    self.next()
+                    off = int(round(self._parse_duration_expr() * 1000))
+                    self.expect("OP", ")")
+                else:
+                    ot = self.next()
+                    if ot.kind == "DUR":
+                        off = parse_duration_ms(ot.text)
+                    elif ot.kind == "NUM":
+                        off = int(float(ot.text) * 1000)
+                    else:
+                        raise PromQLSyntaxError(f"bad offset at {ot.pos}")
                 if neg:
                     off = -off
                 self._apply_offset(expr, off)
