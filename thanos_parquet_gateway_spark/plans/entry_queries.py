@@ -2676,6 +2676,44 @@ def promql_over_time_family(spark, sf_dir):
     return s.join(l, ["t", "user"]).join(p, ["t", "user"])
 
 
+@q("promql_ts_of", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'purchase' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+ranked AS (
+    SELECT t, "user", ts,
+           row_number() OVER (PARTITION BY t, "user"
+                              ORDER BY value DESC, ts DESC) AS rmax,
+           row_number() OVER (PARTITION BY t, "user"
+                              ORDER BY value ASC, ts DESC) AS rmin
+    FROM win
+)
+SELECT t, "user",
+       CAST(max(CASE WHEN rmax = 1 THEN ts END) AS DOUBLE) / 1000.0 AS ts_max_s,
+       CAST(max(CASE WHEN rmin = 1 THEN ts END) AS DOUBLE) / 1000.0 AS ts_min_s,
+       CAST(max(ts) AS DOUBLE) / 1000.0 AS ts_last_s
+FROM ranked GROUP BY t, "user"
+""")
+def promql_ts_of(spark, sf_dir):
+    """ts_of_{{max,min,last}}_over_time (experimental Prometheus 3.x):
+    timestamp in seconds of the window extreme/last sample; tied extremes
+    resolve to the LAST occurrence in (ts, value) sort order, which the
+    oracle expresses as max_by/min_by over row(value, ±ts)."""
+    eng = _engine(spark, sf_dir)
+    def one(q, alias):
+        return (eng.query_range(q, R_START, R_END, STEP).df
+                .select("t", _lbl("user").alias("user"),
+                        F.col("value").alias(alias)))
+    mx = one("ts_of_max_over_time(purchase[2d])", "ts_max_s")
+    mn = one("ts_of_min_over_time(purchase[2d])", "ts_min_s")
+    lst = one("ts_of_last_over_time(purchase[2d])", "ts_last_s")
+    return mx.join(mn, ["t", "user"]).join(lst, ["t", "user"])
+
+
 @q("promql_quantile_stddev_over_time", f"""
 WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
 {_GRID},

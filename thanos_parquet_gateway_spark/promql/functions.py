@@ -91,7 +91,29 @@ _OVER_TIME = {
     "stdvar_over_time": lambda arr: folds.fold_var_pop(arr),
     "present_over_time": lambda arr: F.lit(1.0),
     "mad_over_time": lambda arr: folds.fold_mad(arr),
+    # experimental ts_of_* family (public Prometheus 3.x): the timestamp, in
+    # SECONDS, of the last/extreme sample in the window.  Extremes update on
+    # >= / <= like the upstream fold, so the LAST occurrence of a tied
+    # extreme wins; a NaN current-extreme is always replaced (IsNaN(acc)
+    # branch upstream), and NaN candidates never beat a real extreme (the
+    # ~isnan(x) mask — Spark would otherwise order NaN above every double).
+    "ts_of_last_over_time": lambda arr: F.element_at(arr, -1)["o"].cast(D) / 1000.0,
+    "ts_of_max_over_time": lambda arr: _fold_ts_of(arr, "max"),
+    "ts_of_min_over_time": lambda arr: _fold_ts_of(arr, "min"),
 }
+
+
+def _fold_ts_of(arr: Column, mode: str) -> Column:
+    acc0 = F.struct(F.lit(None).cast(D).alias("v"),
+                    F.lit(None).cast("long").alias("o"))
+
+    def step(a, x):
+        better = (x["v"] >= a["v"]) if mode == "max" else (x["v"] <= a["v"])
+        upd = a["v"].isNull() | F.isnan(a["v"]) | (~F.isnan(x["v"]) & better)
+        return F.when(upd, F.struct(x["v"].alias("v"), x["o"].alias("o"))) \
+                .otherwise(a)
+
+    return F.aggregate(arr, acc0, step)["o"].cast(D) / 1000.0
 
 
 def _over_time(c: Compiler, call: A.Call) -> InstantVector:
