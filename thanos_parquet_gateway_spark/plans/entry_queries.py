@@ -2714,6 +2714,46 @@ def promql_ts_of(spark, sf_dir):
     return mx.join(mn, ["t", "user"]).join(lst, ["t", "user"])
 
 
+@q("promql_info", f"""
+WITH {_SAMPLES}, {_LAST}
+SELECT "user", shard,
+       CASE WHEN CAST("user" AS BIGINT) % 2 = 0 THEN 'even' ELSE 'odd' END
+         AS team,
+       value
+FROM last WHERE rn = 1
+""")
+def promql_info(spark, sf_dir):
+    """info() (experimental Prometheus 3.x): click series carry synthetic
+    (instance, job) identifying labels; a target_info series per user adds
+    the team=even/odd data label.  The oracle recomputes the enrichment as
+    user-parity over the plain lookback vector."""
+    base = samples_from_events(spark, sf_dir)
+    ident = F.create_map(
+        F.lit("instance"), F.element_at("labels", "user"),
+        F.lit("job"), F.element_at("labels", "shard"))
+    base2 = base.withColumn("labels", F.map_concat(F.col("labels"), ident))
+    users = (base.select(F.element_at("labels", "user").alias("u"),
+                         F.element_at("labels", "shard").alias("s"))
+             .distinct())
+    team = F.when(users["u"].cast("long") % 2 == 0,
+                  F.lit("even")).otherwise(F.lit("odd"))
+    info = users.select(
+        F.lit("target_info").alias("__name__"),
+        F.map_from_arrays(
+            F.array(F.lit("__name__"), F.lit("instance"), F.lit("job"),
+                    F.lit("team")),
+            F.array(F.lit("target_info"), users["u"], users["s"], team))
+        .alias("labels"),
+        F.lit(T).alias("ts"), F.lit(1.0).alias("value"))
+    samples = base2.unionByName(info, allowMissingColumns=True)
+    eng = PromQLEngine(samples, lookback_ms=LOOKBACK, deterministic=True)
+    r = eng.query_instant("info(click)", T)
+    return r.df.select(_lbl("user").alias("user"),
+                       _lbl("shard").alias("shard"),
+                       _lbl("team").alias("team"),
+                       F.col("value").alias("value"))
+
+
 @q("promql_quantile_stddev_over_time", f"""
 WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
 {_GRID},

@@ -569,6 +569,107 @@ def _absent(c: Compiler, call: A.Call, over_time: bool) -> InstantVector:
     return InstantVector(out)
 
 
+_INFO_IDENTIFYING = ("instance", "job")
+
+
+def _info(c: Compiler, call: A.Call) -> InstantVector:
+    """info() (public Prometheus 3.x experimental, promql/info.go): enrich
+    each sample of v with DATA labels copied from info-metric series
+    (default ``target_info``) that share the fixed identifying labels
+    (instance, job) at the same evaluation step.
+
+    Semantics implemented (per the public function docs):
+    - the optional second argument is a brace-only selector; its
+      ``__name__`` matchers choose which info metrics to consider, every
+      other matcher both FILTERS the info series (missing label ≡ "") and
+      RESTRICTS the copied data-label set to the matcher-named labels;
+      matchers on identifying labels are rejected.
+    - data labels are the info series' labels minus __name__ and the
+      identifying labels; copied labels override same-named base labels.
+    - base samples with no matching info series pass through unchanged;
+      the metric name is kept (values are unmodified).
+    - distinct surviving data-label sets for one (t, instance, job) group
+      raise a conflicting-info-series error.
+    Spark shape: the info side reduces to one row per (t, identifying
+    labels) before an equi-join on (t, instance, job) — base cardinality is
+    preserved and the join key is small; at scale the info side is tiny
+    (one series per target) and broadcasts.
+    """
+    iv = _vector_arg(c, call, 0)
+    if len(call.args) > 2:
+        raise PromQLCompileError("info expects (vector[, selector])")
+    name_matchers: list[A.Matcher] = []
+    data_matchers: list[A.Matcher] = []
+    if len(call.args) == 2:
+        sel = call.args[1]
+        if not isinstance(sel, A.VectorSelector) or sel.name is not None:
+            raise PromQLCompileError(
+                "info: second argument must be a label selector {...}")
+        for m in sel.matchers:
+            if m.label == "__name__":
+                name_matchers.append(m)
+            elif m.label in _INFO_IDENTIFYING:
+                raise PromQLCompileError(
+                    f"info: matcher on identifying label {m.label!r} "
+                    "is not allowed")
+            else:
+                data_matchers.append(m)
+    if not name_matchers:
+        name_matchers = [A.Matcher("__name__", "=", "target_info")]
+
+    info_iv = c.compile_vector(A.VectorSelector(None, list(name_matchers)))
+    idf = info_iv.df
+
+    def lbl(k):
+        return F.coalesce(F.element_at(F.col("labels"), F.lit(k)), F.lit(""))
+
+    for m in data_matchers:
+        v = lbl(m.label)
+        anchored = f"^(?:{m.value})$"
+        cond = {"=": v == m.value, "!=": v != m.value,
+                "=~": v.rlike(anchored), "!~": ~v.rlike(anchored)}[m.op]
+        idf = idf.filter(cond)
+
+    data = drop_labels("labels", ["__name__", *_INFO_IDENTIFYING])
+    if data_matchers:
+        names = F.array(*[F.lit(n)
+                          for n in sorted({m.label for m in data_matchers})])
+        data = F.map_filter(data, lambda k, _v: F.array_contains(names, k))
+    idf = idf.select("t", lbl("instance").alias("__inst"),
+                     lbl("job").alias("__job"), data.alias("__data"))
+    dsig = canonical_sig(F.col("__data"))
+    g = (idf.withColumn("__dsig", dsig)
+         .groupBy("t", "__inst", "__job")
+         .agg(F.size(F.collect_set("__dsig")).alias("__nvar"),
+              F.max_by(F.col("__data"), F.col("__dsig")).alias("__data")))
+    # the guard must ride on a column the downstream plan actually reads —
+    # a standalone flag column would be pruned by Catalyst and the
+    # raise_error never evaluated
+    guard = F.when(
+        F.col("__nvar") > 1,
+        F.raise_error(F.concat(
+            F.lit("info: conflicting info series for {instance="),
+            F.col("__inst"), F.lit(", job="), F.col("__job"), F.lit("}")))
+    ).otherwise(F.col("__data"))
+    g = g.select("t", "__inst", "__job", guard.alias("__data"))
+
+    b = (iv.df.withColumn("__inst", lbl("instance"))
+         .withColumn("__job", lbl("job")))
+    j = b.join(g, ["t", "__inst", "__job"], "left")
+    merged = F.when(
+        F.col("__data").isNotNull(),
+        F.map_concat(
+            F.map_filter(F.col("labels"),
+                         lambda k, _v: F.element_at(F.col("__data"), k)
+                         .isNull()),
+            F.col("__data"))
+    ).otherwise(F.col("labels"))
+    out = (j.withColumn("labels", merged)
+           .withColumn("sig", canonical_sig(F.col("labels")))
+           .select("t", "sig", "labels", "sample_ts", "value"))
+    return _iv(out)
+
+
 # ---------------------------------------------------------------- dispatch
 def dispatch(c: Compiler, call: A.Call):
     fn = call.func
@@ -646,6 +747,8 @@ def dispatch(c: Compiler, call: A.Call):
               .withColumn("value", H.hist_fraction(lo, hi, F.col("hist")))
               .drop("hist"))
         return _iv(_drop_name(df))
+    if fn == "info":
+        return _info(c, call)
     if fn == "label_replace":
         return _label_replace(c, call)
     if fn == "label_join":
