@@ -222,6 +222,53 @@ def _shape_over_time(rng, t):
             f"GROUP BY job, inst")
 
 
+def _shape_ts_of(rng, t):
+    """ts_of_{max,min,last}_over_time: timestamp (seconds) of the window
+    extreme; tied extremes resolve to the LAST occurrence, which the SQL
+    pins with a (value DESC|ASC, ts DESC) ranking."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn = rng.choice(["ts_of_max_over_time", "ts_of_min_over_time",
+                     "ts_of_last_over_time"])
+    w = rng.choice(WINDOWS)
+    base = _win_sql(metric, sqlp, t, w)
+    if fn == "ts_of_last_over_time":
+        inner = f"SELECT job, inst, max(ts) / 1000.0 AS v FROM ({base}) " \
+                f"GROUP BY job, inst"
+    else:
+        order = "value DESC" if fn == "ts_of_max_over_time" else "value ASC"
+        inner = f"""
+        SELECT job, inst, max(CASE WHEN rn = 1 THEN ts END) / 1000.0 AS v
+        FROM (SELECT job, inst, ts,
+                     row_number() OVER (PARTITION BY job, inst
+                                        ORDER BY {order}, ts DESC) AS rn
+              FROM ({base}))
+        GROUP BY job, inst"""
+    return f"{fn}({sel}[{w}s])", inner
+
+
+def _shape_duration_expr(rng, t):
+    """The same over_time window spelled as a duration expression — fuzzes
+    the parse-time arithmetic fold (sum/half/double/modulo spellings)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlagg = rng.choice(OVER_TIME)
+    w = rng.choice(WINDOWS)
+    spelling = rng.choice([
+        f"{w // 2}s+{w - w // 2}s",
+        f"2*{w}s/2",
+        f"{2 * w}s/2",
+        f"({w}s)",
+        f"{3 * w}s%{2 * w}s" if w else f"{w}s",   # 3w mod 2w = w
+    ])
+    base = _win_sql(metric, sqlp, t, w)
+    return (f"{fn}({sel}[{spelling}])",
+            f"SELECT job, inst, {sqlagg} AS v FROM ({base}) "
+            f"GROUP BY job, inst")
+
+
 def _shape_rate(rng, t):
     metric = rng.choice(METRICS)
     pm, sqlp = rng.choice(MATCHERS)
@@ -511,7 +558,8 @@ SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
           _shape_subquery, _shape_qot, _shape_limit,
           _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum,
-          _shape_group_left, _shape_irate, _shape_label_ops]
+          _shape_group_left, _shape_irate, _shape_label_ops,
+          _shape_ts_of, _shape_duration_expr]
 
 N_QUERIES = 300
 
