@@ -694,3 +694,41 @@ def test_shingles_short_documents(spark):
         .collect()}
     assert out[1] == [] and out[2] == []
     assert out[3] == ["x y z", "y z w"]
+
+
+def test_lloyd_step_means_and_empty_cells(spark):
+    """One Lloyd iteration re-centers each cell on its members' mean; a
+    centroid whose cell goes empty keeps its previous vector."""
+    rows = [(1, [0.0, 1.0]), (2, [0.0, 3.0]),      # cluster up
+            (3, [2.0, 0.0]), (4, [4.0, 0.0])]      # cluster right
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .select(F.col("vec_id"), F.col("embedding").alias("v"))
+    cents = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]),
+         (3, [-1.0, -1.0])],                        # attracts nothing
+        ["cell", "cvec"])
+    for exact in (True, False):
+        out = {r["cell"]: r["cvec"]
+               for r in similarity._lloyd_step(e, cents,
+                                               exact_means=exact).collect()}
+        assert out[1] == pytest.approx([0.0, 2.0])
+        assert out[2] == pytest.approx([3.0, 0.0])
+        assert out[3] == pytest.approx([-1.0, -1.0])  # empty-cell fallback
+
+
+def test_ivf_lloyd_preserves_topk_contract(spark, sf_dir):
+    """Refined-IVF results keep the (query_id, rank) contract and exact
+    rescoring: every returned cos_sim matches a brute-force recompute."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    got = similarity.ivf_topk(emb, q, k=3, nlist=8, nprobe=2,
+                              lloyd_iters=2).collect()
+    assert {r["query_id"] for r in got} == {0, 1}
+    for qid in (0, 1):
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == qid)
+        assert ranks == [1, 2, 3]
+    # rank 1 for a query that is itself in the corpus is the query itself
+    self_hits = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert self_hits == {0: 0, 1: 1}

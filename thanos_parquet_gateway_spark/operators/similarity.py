@@ -109,20 +109,97 @@ def rademacher_signature(vec: Column, n_bits: int, seed: int = 0) -> Column:
     return F.concat(*bits)
 
 
+def _cents_to_arr(cents: DataFrame) -> DataFrame:
+    """(cell, cvec) rows → ONE row holding all centroids: the broadcast
+    nested-loop attaches the array to every corpus/query row and cell
+    assignment becomes a pure map-side argmax — zero corpus shuffle."""
+    return cents.agg(F.collect_list(F.struct("cell", "cvec")).alias("__cents"))
+
+
+def _probe(df: DataFrame, vcol: str, n: int, cents_arr: DataFrame) -> DataFrame:
+    """Attach the n best cells (by centroid cosine, ties to the lower cell
+    id) as an exploded ``cell`` column — all map-side."""
+    j = df.crossJoin(F.broadcast(cents_arr))
+    scored = F.transform(
+        "__cents",
+        lambda c: F.struct(cosine(F.col(vcol), c["cvec"]).alias("cs"),
+                           (-c["cell"]).alias("neg"),
+                           c["cell"].alias("cell")))
+    best = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return (j.select("*", F.explode(best).alias("__b"))
+            .withColumn("cell", F.col("__b.cell"))
+            .drop("__cents", "__b"))
+
+
+def _lloyd_step(e: DataFrame, cents: DataFrame, *,
+                exact_means: bool) -> DataFrame:
+    """One Lloyd iteration: assign every vector to its nearest centroid,
+    replace each centroid with its cell's element-wise mean (empty cells
+    keep the previous centroid).
+
+    Two mean paths:
+    - default: posexplode → per-(cell, pos) native AVG — map-side partial
+      aggregation, the 100 TB path (float sum order is parallel-dependent,
+      fine for an index build);
+    - ``exact_means``: per-cell sorted sequential fold in vec_id order —
+      bit-reproducible so an independent SQL oracle (list(... ORDER BY
+      vec_id) fold) matches exactly; cell size bounds the array.
+    """
+    asg = _probe(e, "v", 1, _cents_to_arr(cents))
+    if exact_means:
+        pairs = F.array_sort(F.collect_list(F.struct("vec_id", "v")))
+        g = asg.groupBy("cell").agg(pairs.alias("__p"))
+        dim = F.size(F.element_at(F.col("__p"), 1)["v"])
+        mean = F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda p: F.aggregate(
+                F.col("__p"), F.lit(0.0),
+                lambda a, x: a + F.get(x["v"], p).cast("double"))
+            / F.size(F.col("__p")))
+        means = g.select("cell", mean.alias("mvec"))
+    else:
+        ex = asg.select("cell", F.posexplode("v").alias("pos", "val"))
+        means = (ex.groupBy("cell", "pos")
+                 .agg(F.avg(F.col("val").cast("double")).alias("c"))
+                 .groupBy("cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                     lambda s: s["c"]).alias("mvec")))
+    return (cents.join(means, "cell", "left")
+            .select("cell", F.coalesce("mvec", "cvec").alias("cvec")))
+
+
+def seed_centroids(e: DataFrame, nlist: int, hash_family: str) -> DataFrame:
+    """``nlist`` deterministic seed centroids: the corpus vectors ranked
+    first by a hash of their id — an O(1)-state sample needing no k-means
+    pass.  orderBy().limit() plans as TakeOrderedAndProject (distributed
+    top-nlist, NOT a single-partition sort); the numbering window only ever
+    sees nlist rows."""
+    from pyspark.sql import Window
+    rank_key = (F.md5(F.col("vec_id").cast("string")) if hash_family == "md5"
+                else F.xxhash64(F.col("vec_id")).cast("string"))
+    seeds = e.withColumn("__hk", rank_key).orderBy("__hk", "vec_id") \
+             .limit(nlist)
+    seed_w = Window.orderBy(F.col("__hk").asc(), F.col("vec_id").asc())
+    return (seeds.withColumn("cell", F.row_number().over(seed_w))
+            .select("cell", F.col("v").alias("cvec")))
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              nlist: int = 8, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
-             hash_family: str = "xxhash") -> DataFrame:
+             hash_family: str = "xxhash", lloyd_iters: int = 0,
+             exact_means: bool = False) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into ``nlist``
-    inverted cells around deterministic seed centroids, probe the ``nprobe``
+    inverted cells around deterministic centroids, probe the ``nprobe``
     nearest cells per query, exact-cosine rescore inside the probed cells.
 
     The scale shape (vs brute force / LSH):
-    - centroids = the ``nlist`` corpus vectors ranked first by a hash of
-      their id — a deterministic O(1)-state sample needing no k-means pass
-      (one Lloyd refinement can be layered on later; seeds keep the whole
-      index build a single narrow scan + one tiny broadcast).
+    - centroids start as hash-ranked seed vectors (``seed_centroids``);
+      ``lloyd_iters`` k-means refinements re-center them on their cells'
+      means (``_lloyd_step``) — each iteration is one corpus scan with a
+      (cell, pos)-keyed aggregation whose output is nlist×dim rows, tiny.
     - cell assignment is a broadcast nested-loop against ``nlist`` rows
       (row multiplication nlist×, reduced back to 1× by the argmin window)
       — no shuffle of the corpus.
@@ -130,48 +207,24 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
       equi-join on ``cell`` — the inverted-file effect.
 
     ``hash_family``: ``xxhash`` (64-bit JVM hash, default) or ``md5``
-    (hex-string ranking an independent SQL oracle can replicate —
-    same dual-family pattern as operators/dedup.py).
+    (hex-string ranking an independent SQL oracle can replicate — same
+    dual-family pattern as operators/dedup.py).  ``exact_means`` makes the
+    Lloyd means bit-reproducible (sorted sequential folds) for oracles.
     Returns (query_id, rank, vec_id, cos_sim); ties break by vec_id.
     """
     from pyspark.sql import Window
 
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("v"))
-    rank_key = (F.md5(F.col("vec_id").cast("string")) if hash_family == "md5"
-                else F.xxhash64(F.col("vec_id")).cast("string"))
-    # orderBy().limit() plans as TakeOrderedAndProject — a distributed
-    # top-nlist, NOT a single-partition global sort; the window that numbers
-    # the cells only ever sees nlist rows.
-    seeds = e.withColumn("__hk", rank_key).orderBy("__hk", "vec_id") \
-             .limit(nlist)
-    seed_w = Window.orderBy(F.col("__hk").asc(), F.col("vec_id").asc())
-    cents = (seeds.withColumn("cell", F.row_number().over(seed_w))
-             .select("cell", F.col("v").alias("cvec")))
-    # One row holding all centroids → broadcast nested-loop attaches the
-    # array to every corpus/query row, and cell assignment becomes a pure
-    # map-side argmax over nlist array elements: zero shuffle.
-    cents_arr = cents.agg(
-        F.collect_list(F.struct("cell", "cvec")).alias("__cents"))
+    cents = seed_centroids(e, nlist, hash_family)
+    for _ in range(lloyd_iters):
+        cents = _lloyd_step(e, cents, exact_means=exact_means)
+    cents_arr = _cents_to_arr(cents)
 
-    def _probe(df, vcol, n):
-        """Attach the n best cells (by centroid cosine, ties to the lower
-        cell id) as an exploded ``cell`` column — all map-side."""
-        j = df.crossJoin(F.broadcast(cents_arr))
-        scored = F.transform(
-            "__cents",
-            lambda c: F.struct(cosine(F.col(vcol), c["cvec"]).alias("cs"),
-                               (-c["cell"]).alias("neg"),
-                               c["cell"].alias("cell")))
-        best = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return (j.select("*", F.explode(best).alias("__b"))
-                .withColumn("cell", F.col("__b.cell"))
-                .drop("__cents", "__b"))
-
-    e_cells = _probe(e, "v", 1)
+    e_cells = _probe(e, "v", 1, cents_arr)
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("qv"))
-    q_probes = _probe(q, "qv", nprobe)
+    q_probes = _probe(q, "qv", nprobe, cents_arr)
 
     j = e_cells.join(F.broadcast(q_probes), "cell")
     scored = j.select("query_id", "vec_id",
@@ -186,7 +239,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   hash_family: str = "xxhash") -> DataFrame:
+                   hash_family: str = "xxhash", lloyd_iters: int = 0,
+                   exact_means: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     partition the corpus into ``k_clusters`` cells around deterministic
     hash-seeded centroids (the same seeding as ``ivf_topk``), then inside
@@ -213,24 +267,10 @@ def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
         raise ValueError("semantic_dedup: k_clusters must be >= 1")
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("v"))
-    rank_key = (F.md5(F.col("vec_id").cast("string")) if hash_family == "md5"
-                else F.xxhash64(F.col("vec_id")).cast("string"))
-    seeds = (e.withColumn("__hk", rank_key).orderBy("__hk", "vec_id")
-             .limit(k_clusters))
-    seed_w = Window.orderBy(F.col("__hk").asc(), F.col("vec_id").asc())
-    cents_arr = (seeds.withColumn("cell", F.row_number().over(seed_w))
-                 .agg(F.collect_list(
-                     F.struct("cell", F.col("v").alias("cvec")))
-                     .alias("__cents")))
-    scored = F.transform(
-        "__cents",
-        lambda c: F.struct(cosine(F.col("v"), c["cvec"]).alias("cs"),
-                           (-c["cell"]).alias("neg"),
-                           c["cell"].alias("cell")))
-    assigned = (e.crossJoin(F.broadcast(cents_arr))
-                .withColumn("cell", F.element_at(
-                    F.reverse(F.array_sort(scored)), 1)["cell"])
-                .drop("__cents"))
+    cents = seed_centroids(e, k_clusters, hash_family)
+    for _ in range(lloyd_iters):
+        cents = _lloyd_step(e, cents, exact_means=exact_means)
+    assigned = _probe(e, "v", 1, _cents_to_arr(cents))
     a = assigned.select("cell", F.col("vec_id").alias("id_a"),
                         F.col("v").alias("va"))
     b = assigned.select("cell", F.col("vec_id").alias("id_b"),

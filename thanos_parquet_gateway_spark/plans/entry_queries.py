@@ -1839,6 +1839,81 @@ def sim_ivf_topk(spark, sf_dir):
                                nlist=8, nprobe=2, hash_family="md5")
 
 
+@q("sim_ivf_lloyd", f"""
+WITH seeds AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS cell
+    FROM embeddings
+    QUALIFY cell <= 8
+),
+asg0 AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s)
+    WHERE r = 1
+),
+mexp AS (
+    SELECT cell, vec_id, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM asg0
+),
+means AS (
+    SELECT cell, pos,
+           list_reduce(list_prepend(0.0,
+                       list(CAST(val AS DOUBLE) ORDER BY vec_id)),
+                       (a, b) -> a + b) / count(*) AS c
+    FROM mexp GROUP BY cell, pos
+),
+cents AS (
+    SELECT s.cell, COALESCE(m.mvec, s.cvec) AS cvec
+    FROM seeds s LEFT JOIN (SELECT cell, list(c ORDER BY pos) AS mvec
+                            FROM means GROUP BY cell) m
+      ON s.cell = m.cell
+),
+easg AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, cents s)
+    WHERE r = 1
+),
+qasg AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, cents s WHERE e.vec_id < 3)
+    WHERE r <= 2
+),
+cand AS (
+    SELECT q.vec_id AS query_id, e.vec_id,
+           {_cos_sql('e.embedding', 'q.embedding')} AS cos_sim
+    FROM easg e JOIN qasg q USING (cell)
+)
+SELECT query_id, rank, vec_id, cos_sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM cand)
+WHERE rank <= 5
+""")
+def sim_ivf_lloyd(spark, sf_dir):
+    """IVF ANN with ONE k-means (Lloyd) refinement of the hash-seeded
+    centroids: cells re-center on their element-wise means before the
+    nprobe search (operators/similarity._lloyd_step; exact_means so the
+    sorted-fold means match the SQL oracle bit-for-bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _query_vectors(spark, sf_dir), k=5,
+                               nlist=8, nprobe=2, hash_family="md5",
+                               lloyd_iters=1, exact_means=True)
+
+
 @q("sim_semantic_dedup", f"""
 WITH seeds AS (
     SELECT embedding AS cvec,
