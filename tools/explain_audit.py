@@ -124,6 +124,25 @@ def main():
         ("query side broadcast", r"Broadcast(NestedLoopJoin|ExchangeExec|Exchange)"),
     ]))
 
+    # 6. decontamination: the benchmark gram set must be the BROADCAST side
+    # (the corpus is never shuffled on gram text)
+    q6 = EQ.QUERIES["text_decontaminate"](spark, sf_dir)
+    results.append(check("text decontaminate", plan_of(q6), [
+        ("benchmark gram set broadcast",
+         r"BroadcastHashJoin|BroadcastExchange"),
+    ]))
+
+    # 7. semantic dedup: centroid attach is a broadcast nested loop against
+    # the one-row centroid array — the corpus never shuffles for assignment
+    q7 = similarity.semantic_dedup(emb, k_clusters=4, threshold=0.35)
+    p7 = plan_of(q7)
+    results.append(check("semantic dedup", p7, [
+        ("centroid array broadcast", r"BroadcastNestedLoopJoin"),
+    ]))
+    if "CartesianProduct" in p7:
+        print("  [MISS] cartesian corpus join present")
+        results.append(False)
+
     print(f"\n{'ALL OK' if all(results) else 'SOME CHECKS MISSED'}")
     return 0 if all(results) else 1
 
