@@ -648,6 +648,30 @@ def _rshape_over_time(rng, start, end, step):
             f"GROUP BY t, job, inst")
 
 
+def _rshape_ts_of(rng, start, end, step):
+    """ts_of_* per grid step (see _shape_ts_of for the tie rule)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn = rng.choice(["ts_of_max_over_time", "ts_of_min_over_time",
+                     "ts_of_last_over_time"])
+    w = rng.choice(WINDOWS)
+    base = _rwin_sql(metric, sqlp, start, end, step, w)
+    if fn == "ts_of_last_over_time":
+        sql = f"SELECT t, job, inst, max(ts) / 1000.0 AS v FROM ({base}) " \
+              f"GROUP BY t, job, inst"
+    else:
+        order = "value DESC" if fn == "ts_of_max_over_time" else "value ASC"
+        sql = f"""
+        SELECT t, job, inst, max(CASE WHEN rn = 1 THEN ts END) / 1000.0 AS v
+        FROM (SELECT t, job, inst, ts,
+                     row_number() OVER (PARTITION BY t, job, inst
+                                        ORDER BY {order}, ts DESC) AS rn
+              FROM ({base}))
+        GROUP BY t, job, inst"""
+    return f"{fn}({sel}[{w}s])", sql
+
+
 def _rshape_rate(rng, start, end, step):
     metric = rng.choice(METRICS)
     pm, sqlp = rng.choice(MATCHERS)
@@ -696,7 +720,8 @@ def _rshape_rate(rng, start, end, step):
     return f"{kind}({sel}[{w}s])", sql
 
 
-RSHAPES = [_rshape_selector, _rshape_agg, _rshape_over_time, _rshape_rate]
+RSHAPES = [_rshape_selector, _rshape_agg, _rshape_over_time, _rshape_rate,
+           _rshape_ts_of]
 N_RANGE_QUERIES = 60
 
 
