@@ -83,9 +83,20 @@ def test_manifest_single_pass(converted, spark, sf_dir):
         manifest.explain("formatted")
     plan = buf.getvalue()
     assert "events.parquet" not in plan  # no second pass over the raw source
-    assert out.split("/")[-1] in plan    # scans the written table
-    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    assert rs and "labels" not in rs[0] and "value" not in rs[0], plan
+    # the returned frame is pre-materialized (collected once for the meta
+    # sidecars) — the I/O property lives in the underlying aggregation plan
+    assert "ExistingRDD" in plan
+    from thanos_parquet_gateway_spark.convert.convert import (
+        _manifest_from_written,
+    )
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        _manifest_from_written(spark, out).explain("formatted")
+    plan2 = buf2.getvalue()
+    assert "events.parquet" not in plan2
+    assert out.split("/")[-1] in plan2   # scans the written table
+    rs = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
+    assert rs and "labels" not in rs[0] and "value" not in rs[0], plan2
 
 
 def test_label_stats_sidecar(converted, spark):

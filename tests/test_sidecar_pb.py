@@ -1,0 +1,121 @@
+"""Wire-format tests for the proto3 block sidecars (meta.pb / stream.pb /
+deletion-marker.pb) + conversion/retention integration.
+
+Golden byte vectors are hand-derived from the public proto3 wire spec
+(varint, tag = field<<3|wiretype, length-delimited) against the message
+shapes in the reference .proto files — no protobuf dependency exists in
+this environment, so byte-compat is proven against the spec itself.
+"""
+
+from __future__ import annotations
+
+from thanos_parquet_gateway_spark.convert import sidecar_pb as pb
+
+
+def test_metadata_golden_bytes():
+    # Metadata{mint=1, maxt=2, shards=3, version=2, blids=["a"]}:
+    # 08 01 | 10 02 | 18 03 | 28 02 | 32 01 'a'
+    got = pb.encode_metadata(mint=1, maxt=2, shards=3, version=2,
+                             converted_from_blids=["a"])
+    assert got == bytes.fromhex("080110021803280232") + b"\x01a"
+    # proto3 default omission: all-zero message is empty
+    assert pb.encode_metadata() == b""
+    # multi-byte varint: 300 = 0xAC 0x02
+    assert pb.encode_metadata(mint=300) == b"\x08\xac\x02"
+    # negative int64 = 10-byte two's-complement varint
+    enc = pb.encode_metadata(mint=-1)
+    assert enc == b"\x08" + b"\xff" * 9 + b"\x01"
+    assert pb.decode_metadata(enc)["mint"] == -1
+
+
+def test_metadata_roundtrip_with_columns_map():
+    cols = {"http_requests": ["s_hash", "val_0"], "up": []}
+    enc = pb.encode_metadata(mint=1704067200000, maxt=1704153600000,
+                             shards=4, version=2, columns_for_name=cols,
+                             converted_from_blids=["01H", "01J"])
+    dec = pb.decode_metadata(enc)
+    assert dec["mint"] == 1704067200000 and dec["maxt"] == 1704153600000
+    assert dec["shards"] == 4 and dec["version"] == 2
+    assert dec["columns_for_name"] == cols
+    assert dec["converted_from_blids"] == ["01H", "01J"]
+
+
+def test_stream_descriptor_golden_and_roundtrip():
+    # {externalLabels: {"cluster": "a"}}: entry = 0A 07 'cluster' 12 01 'a'
+    # outer: 0A 0C <entry>
+    enc = pb.encode_stream_descriptor({"cluster": "a"})
+    assert enc == b"\x0a\x0c\x0a\x07cluster\x12\x01a"
+    labels = {"cluster": "eu-1", "replica": "r0", "zzz": ""}
+    assert pb.decode_stream_descriptor(
+        pb.encode_stream_descriptor(labels)) == labels
+    # sorted-key determinism
+    assert (pb.encode_stream_descriptor({"b": "2", "a": "1"})
+            == pb.encode_stream_descriptor({"a": "1", "b": "2"}))
+
+
+def test_deletion_mark_golden_and_roundtrip():
+    assert pb.encode_deletion_mark("retention") == b"\x0a\x09retention"
+    assert pb.decode_deletion_mark(b"\x0a\x09retention") == {
+        "reason": "retention"}
+    assert pb.decode_deletion_mark(b"") == {"reason": ""}
+
+
+def test_decoder_skips_unknown_fields():
+    # a future field 15 (varint) must not break decoding: tag = 15<<3 = 0x78
+    data = b"\x78\x2a" + pb.encode_metadata(mint=7)
+    assert pb.decode_metadata(data)["mint"] == 7
+
+
+def test_conversion_writes_block_sidecars(spark, sf_dir, tmp_path):
+    from thanos_parquet_gateway_spark.convert import convert as C
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    out = str(tmp_path / "converted")
+    raw = samples_from_events(spark, sf_dir).limit(5000)
+    manifest = C.convert_samples(raw, out, dedup=True)
+    rows = manifest.collect()
+    assert rows
+    for r in rows[:3]:
+        meta = C.read_block_meta(out, r["stream"], r["date"])
+        assert meta["version"] == C.SCHEMA_VERSION
+        assert meta["shards"] >= 1
+        # day bounds contain the data extremes recorded in the manifest
+        assert meta["mint"] <= r["mint"] <= r["maxt"] < meta["maxt"]
+        assert meta["maxt"] - meta["mint"] == 86_400_000
+
+
+def test_retention_markers_written_and_discovered(spark, sf_dir, tmp_path):
+    from thanos_parquet_gateway_spark.convert import convert as C
+    from thanos_parquet_gateway_spark.convert import retention as R
+
+    out = str(tmp_path / "converted")
+    raw = samples = None
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+    raw = samples_from_events(spark, sf_dir).limit(3000)
+    manifest = C.convert_samples(raw, out, dedup=True)
+    dates = sorted(r["date"] for r in manifest.collect())
+    assert len(dates) >= 2
+    # retention cutoff right after the oldest day -> exactly the old days
+    # marked; markers land in their block dirs and are discoverable
+    import datetime as dt
+    oldest = dt.datetime.strptime(dates[0], "%Y-%m-%d") \
+        .replace(tzinfo=dt.timezone.utc)
+    now_ms = int((oldest.timestamp() + 2.5 * 86400) * 1000)
+    marked = R.mark_for_deletion(manifest, retention_days=1, now_ms=now_ms,
+                                 table_path=out, reason="retention")
+    n_marked = marked.filter("deleted_at IS NOT NULL").count()
+    assert n_marked >= 1
+    found = R.deletion_marked(out)
+    assert len(found) == n_marked
+    assert all(d <= dates[0] for _, d in found)
+    # marker content is the reference DeletionMark message
+    from pathlib import Path
+    s, d = found[0]
+    raw_marker = (Path(out) / f"stream={s}" / f"date={d}"
+                  / pb.DELETION_MARKER_FILE).read_bytes()
+    assert pb.decode_deletion_mark(raw_marker) == {"reason": "retention"}
+    # sweep after the consistency delay removes the dir and its marker
+    deleted = R.apply_retention(marked, out,
+                                now_ms=now_ms + R.CONSISTENCY_DELAY_MS + 1)
+    assert len(deleted) == n_marked
+    assert R.deletion_marked(out) == []

@@ -133,7 +133,8 @@ def cmd_retention(args) -> int:
     spark = get_spark("retention")
     now_ms = int(time.time() * 1000)
     manifest = read_manifest(spark, args.path)
-    marked = mark_for_deletion(manifest, args.days, now_ms).cache()
+    marked = mark_for_deletion(manifest, args.days, now_ms,
+                               table_path=args.path).cache()
     n = marked.filter("deleted_at IS NOT NULL").count()
     print(f"marked partitions: {n}")
     write_manifest(marked, args.path)

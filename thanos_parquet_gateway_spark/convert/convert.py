@@ -23,10 +23,15 @@ write streamed to a bucket.  In Spark the whole thing is ONE declarative job
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from thanos_parquet_gateway_spark.convert import sidecar_pb
 from thanos_parquet_gateway_spark.schema import canonical_sig
+
+SCHEMA_VERSION = 2  # reference schema.V2 (schema/schema.go)
 
 SORT_COLS = ["__name__", "series_hash", "ts"]
 
@@ -77,7 +82,47 @@ def convert_samples(raw: DataFrame, out_path: str, *,
        .partitionBy("stream", "date")
        .parquet(out_path))
     write_label_stats(raw.sparkSession, out_path)
-    return _manifest_from_written(raw.sparkSession, out_path)
+    return _finish_conversion(raw.sparkSession, out_path)
+
+
+def _finish_conversion(spark, out_path: str) -> DataFrame:
+    """Materialize the manifest ONCE (driver-side, one small row per
+    (stream, date)), write the per-block meta sidecars from it, and hand
+    the caller an already-computed manifest frame."""
+    manifest = _manifest_from_written(spark, out_path)
+    rows = manifest.collect()
+    write_block_sidecars(spark, out_path, rows)
+    return spark.createDataFrame(rows, manifest.schema)
+
+
+def write_block_sidecars(spark, out_path: str, manifest_rows) -> None:
+    """meta.pb per (stream, date) block dir, byte-compatible with the
+    reference's metadata sidecar (convert/convert.go:273-302): version V2,
+    the DAY's [mint, maxt) bounds (not the data extremes — reference
+    day.MinT/MaxT), and the block's data-file shard count.  One driver-side
+    file listing serves every block."""
+    import datetime as _dt
+    from collections import Counter
+
+    shard_count: Counter = Counter()
+    for f in spark.read.parquet(out_path).inputFiles():
+        p = Path(f.removeprefix("file:"))
+        shard_count[str(p.parent)] += 1
+    for r in manifest_rows:
+        d = Path(out_path) / f"stream={r['stream']}" / f"date={r['date']}"
+        day0 = int(_dt.datetime.strptime(r["date"], "%Y-%m-%d")
+                   .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        meta = sidecar_pb.encode_metadata(
+            mint=day0, maxt=day0 + 86_400_000,
+            shards=shard_count.get(str(d), 0), version=SCHEMA_VERSION)
+        if d.is_dir():
+            (d / sidecar_pb.META_FILE).write_bytes(meta)
+
+
+def read_block_meta(out_path: str, stream: str, date: str) -> dict:
+    p = (Path(out_path) / f"stream={stream}" / f"date={date}"
+         / sidecar_pb.META_FILE)
+    return sidecar_pb.decode_metadata(p.read_bytes())
 
 
 def _manifest_from_written(spark, out_path: str) -> DataFrame:
@@ -138,7 +183,7 @@ def convert_streams(raws: dict[str, DataFrame], out_path: str, *,
        .parquet(out_path))
     write_stream_descriptors(df.sparkSession, out_path, ext_labels)
     write_label_stats(df.sparkSession, out_path)
-    return _manifest_from_written(df.sparkSession, out_path)
+    return _finish_conversion(df.sparkSession, out_path)
 
 
 def write_label_stats(spark, out_path: str) -> None:
@@ -164,10 +209,17 @@ def read_label_stats(spark, out_path: str) -> DataFrame:
 def write_stream_descriptors(spark, out_path: str,
                              ext_labels: dict[str, dict[str, str]]) -> None:
     """Stream-descriptor sidecar (reference schema/block.go:37-76): one row
-    per stream, (stream, labels map)."""
+    per stream, (stream, labels map) — plus the reference's own wire format
+    (streampb.StreamDescriptor, convert/convert.go:154) as stream.pb in
+    each stream's prefix for cross-tool compatibility."""
     rows = [(s, ls) for s, ls in sorted(ext_labels.items())]
     (spark.createDataFrame(rows, "stream string, labels map<string,string>")
      .coalesce(1).write.mode("overwrite").parquet(f"{out_path}/_streams"))
+    for s, ls in sorted(ext_labels.items()):
+        d = Path(out_path) / f"stream={s}"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / sidecar_pb.STREAM_FILE).write_bytes(
+            sidecar_pb.encode_stream_descriptor(ls))
 
 
 def read_stream_descriptors(spark, out_path: str) -> dict[str, dict[str, str]]:
