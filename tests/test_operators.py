@@ -732,3 +732,41 @@ def test_ivf_lloyd_preserves_topk_contract(spark, sf_dir):
     # rank 1 for a query that is itself in the corpus is the query itself
     self_hits = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
     assert self_hits == {0: 0, 1: 1}
+
+
+def test_c4_filters_line_rules(spark):
+    """Line retention rule (terminal punctuation + >=5 words) and the
+    document-level lorem/brace/sentence gates on crafted docs."""
+    rows = [
+        (1, 'This is a good sentence here.\nshort.\nNo terminal punct but '
+            'plenty of words\nAnother proper full sentence right there!'),
+        (2, 'Lorem Ipsum dolor sit amet. This doc has sentences. Three of '
+            'them even.'),
+        (3, 'function f() { return 1; }. Valid sentences here anyway. And '
+            'more. And more.'),
+        (4, 'One sentence only.'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.c4_filters(df).collect()}
+    # doc1: 4 lines; kept = lines 1 and 4 (>=5 words + terminal punct);
+    # sentence count is 3 ('.', 'short.', '!') so the doc passes
+    assert got[1]["n_lines"] == 4
+    assert got[1]["kept_line_frac"] == pytest.approx(0.5)
+    assert got[1]["n_sentences"] == 3 and got[1]["passes"]
+    assert got[2]["has_lorem_ipsum"] and not got[2]["passes"]
+    assert got[3]["has_brace"] and not got[3]["passes"]
+    assert got[4]["n_sentences"] == 1 and not got[4]["passes"]
+
+
+def test_token_entropy_exact_values(spark):
+    """H of known distributions: uniform over k words = ln k; single
+    repeated word = 0."""
+    import math
+    rows = [(1, "a b c d"), (2, "x x x x"), (3, "a a b b"), (4, "w")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.token_entropy(df).collect()}
+    assert got[1]["entropy"] == pytest.approx(math.log(4))
+    assert got[1]["n_distinct"] == 4
+    assert got[2]["entropy"] == pytest.approx(0.0)
+    assert got[3]["entropy"] == pytest.approx(math.log(2))
+    assert got[4]["entropy"] == 0.0 and got[4]["n_words"] == 1

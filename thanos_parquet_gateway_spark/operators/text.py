@@ -341,6 +341,79 @@ def repetition_signals(docs: DataFrame, *, text_col: str = "text",
         passes.alias("passes"))
 
 
+def c4_filters(docs: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id", min_sentences: int = 3,
+               min_line_words: int = 5) -> DataFrame:
+    """C4-style document cleaning signals (Raffel et al. 2020 §2.2,
+    public): a line is RETAINED when it ends in terminal punctuation
+    (. ! ? ") and has at least ``min_line_words`` words; documents with
+    fewer than ``min_sentences`` sentences, a '{' (code), or the phrase
+    'lorem ipsum' fail.  All signals are integer counts / exact ratios over
+    trimmed non-empty '\\n' lines — a narrow shuffle-free JVM plan.
+
+    Returns (doc_id, n_lines, kept_line_frac, n_sentences,
+    has_lorem_ipsum, has_brace, passes).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                     lambda l: l != "")
+    n_lines = F.size(lines)
+
+    def _kept(l):
+        words = F.size(F.split(F.trim(F.regexp_replace(l, r"\s+", " ")), " "))
+        return l.rlike('[.!?"]$') & (words >= min_line_words)
+
+    kept = F.size(F.filter(lines, _kept))
+    kept_frac = (kept.cast("double") /
+                 F.greatest(n_lines, F.lit(1)).cast("double"))
+    n_sent = F.regexp_count(t, F.lit(r"[.!?]"))
+    lorem = F.lower(t).contains("lorem ipsum")
+    brace = t.contains("{")
+    passes = (n_sent >= min_sentences) & ~lorem & ~brace
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("long").alias("n_lines"),
+        kept_frac.alias("kept_line_frac"),
+        n_sent.cast("long").alias("n_sentences"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_brace"),
+        passes.alias("passes"))
+
+
+def token_entropy(docs: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  round_to: int | None = None) -> DataFrame:
+    """Per-document unigram (word) Shannon entropy in nats:
+    H = Σ_w (c_w/N)·ln(N/c_w) — a repetition/diversity signal used by
+    training-data quality pipelines (low entropy ≈ templated/repetitive
+    text).  The fold runs over the SORTED distinct-word array so the float
+    sum order is fixed and an independent SQL oracle (list(... ORDER BY
+    word) fold) matches bit-for-bit.  Narrow per-row plan, no shuffle.
+
+    Returns (doc_id, n_words, n_distinct, entropy).
+    """
+    t = F.col(text_col)
+    words = normalized_words(t)
+    n = F.size(words)
+    dw = F.array_sort(F.array_distinct(words))
+    nd = F.greatest(n, F.lit(1)).cast("double")
+
+    def _cnt(w):
+        return F.size(F.filter(words, lambda x: x == w)).cast("double")
+
+    ent = F.aggregate(
+        dw, F.lit(0.0),
+        lambda a, w: a + (_cnt(w) / nd) * F.log(nd / _cnt(w)))
+    if round_to is not None:
+        # see bm25_score: ln differs by an ulp across engines
+        ent = F.round(ent, round_to)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_words"),
+        F.size(dw).cast("long").alias("n_distinct"),
+        ent.alias("entropy"))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, *, n: int = 13,
                   threshold: float = 0.0, text_col: str = "text",
                   id_col: str = "doc_id",

@@ -1686,6 +1686,65 @@ def text_repetition(spark, sf_dir):
     return text.repetition_signals(load_table(spark, sf_dir, "documents"))
 
 
+@q("text_c4_filters", r"""
+WITH lines AS (
+    SELECT doc_id, trim(l) AS line
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+    WHERE trim(l) <> ''
+),
+lstats AS (
+    SELECT doc_id, count(*) AS n_lines,
+           sum(CASE WHEN regexp_matches(line, '[.!?"]$')
+                     AND len(string_split(trim(regexp_replace(line, '\s+', ' ', 'g')), ' ')) >= 5
+                    THEN 1 ELSE 0 END) AS kept
+    FROM lines GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(s.kept, 0) AS DOUBLE)
+         / greatest(COALESCE(s.n_lines, 0), 1) AS kept_line_frac,
+       CAST(len(regexp_extract_all(d.text, '[.!?]')) AS BIGINT) AS n_sentences,
+       contains(lower(d.text), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(d.text, '{') AS has_brace,
+       (len(regexp_extract_all(d.text, '[.!?]')) >= 3
+        AND NOT contains(lower(d.text), 'lorem ipsum')
+        AND NOT contains(d.text, '{')) AS passes
+FROM documents d LEFT JOIN lstats s USING (doc_id)
+""")
+def text_c4_filters(spark, sf_dir):
+    """C4 cleaning signals: terminal-punctuation line retention, sentence
+    count, lorem-ipsum/brace flags (operators/text.c4_filters)."""
+    return text.c4_filters(load_table(spark, sf_dir, "documents"))
+
+
+@q("text_entropy", r"""
+WITH words AS (SELECT doc_id,
+                      string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                        AS ws
+               FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+cnt AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n, len(ws) AS n_words
+        FROM words),
+ent AS (
+    SELECT c.doc_id, count(*) AS n_distinct,
+           round(list_reduce(list_prepend(0.0,
+               list((c.c / t.n) * ln(t.n / c.c) ORDER BY c.w)),
+               (a, b) -> a + b), 9) AS entropy
+    FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+)
+SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+       COALESCE(e.entropy, 0.0) AS entropy
+FROM tot t LEFT JOIN ent e USING (doc_id)
+""")
+def text_entropy(spark, sf_dir):
+    """Unigram Shannon entropy per document, sorted-word fold so the float
+    sum order matches the oracle exactly (operators/text.token_entropy)."""
+    return text.token_entropy(load_table(spark, sf_dir, "documents"),
+                              round_to=9)
+
+
 @q("text_decontaminate", r"""
 WITH words AS (SELECT doc_id, source,
                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
