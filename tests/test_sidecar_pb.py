@@ -119,3 +119,29 @@ def test_retention_markers_written_and_discovered(spark, sf_dir, tmp_path):
                                 now_ms=now_ms + R.CONSISTENCY_DELAY_MS + 1)
     assert len(deleted) == n_marked
     assert R.deletion_marked(out) == []
+
+
+def test_streaming_convert_sidecar_refresh(spark, tmp_path):
+    """After an availableNow streaming conversion drains, refresh_sidecars
+    produces the same manifest + meta.pb state a batch conversion would."""
+    from thanos_parquet_gateway_spark.convert import convert as C
+    from thanos_parquet_gateway_spark.streaming.convert_stream import (
+        stream_convert,
+    )
+
+    raw_dir, out = str(tmp_path / "raw"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [({"__name__": "m", "job": "a"}, ts, 1.0)
+            for ts in (1704067200000, 1704070800000, 1704153600000)]
+    spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double") \
+        .write.mode("overwrite").parquet(raw_dir)
+    q = stream_convert(spark, raw_dir, out, ckpt)
+    q.awaitTermination(120)
+    manifest = C.refresh_sidecars(spark, out)
+    got = {(r["stream"], r["date"]): r for r in manifest.collect()}
+    assert set(got) == {("0", "2024-01-01"), ("0", "2024-01-02")}
+    meta = C.read_block_meta(out, "0", "2024-01-01")
+    assert meta["version"] == C.SCHEMA_VERSION and meta["shards"] >= 1
+    assert meta["mint"] == 1704067200000
+    assert meta["maxt"] == 1704067200000 + 86_400_000

@@ -119,6 +119,16 @@ def write_block_sidecars(spark, out_path: str, manifest_rows) -> None:
             (d / sidecar_pb.META_FILE).write_bytes(meta)
 
 
+def refresh_sidecars(spark, out_path: str) -> DataFrame:
+    """Post-stream sidecar refresh: recompute the manifest from the written
+    table and (re)write the per-block meta sidecars + label stats — the
+    streaming converter's analogue of the batch job's finish step (the
+    reference's polling convert cycle re-writes meta.pb each round,
+    cmd/convert.go:199-228).  Returns the fresh manifest."""
+    write_label_stats(spark, out_path)
+    return _finish_conversion(spark, out_path)
+
+
 def read_block_meta(out_path: str, stream: str, date: str) -> dict:
     p = (Path(out_path) / f"stream={stream}" / f"date={date}"
          / sidecar_pb.META_FILE)
