@@ -187,3 +187,42 @@ def test_http_quota_error_type(spark):
         assert body["errorType"] == "resource_exhausted"
     finally:
         srv.shutdown()
+
+
+def test_format_query_endpoint(server):
+    import urllib.parse
+    q = urllib.parse.quote('sum   by(job)( rate(m{job="a"}[300s]) )')
+    out = _get(server, f"/api/v1/format_query?query={q}")
+    assert out["status"] == "success"
+    assert out["data"] == 'sum by (job) (rate(m{job="a"}[5m]))'
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/api/v1/format_query?query=sum(")
+    assert e.value.code == 422
+
+
+def test_printer_roundtrip_corpus(server):
+    """format(parse(q)) must parse back to the same canonical form (string
+    fixpoint) for a representative query corpus."""
+    from thanos_parquet_gateway_spark.promql.parser import parse
+    from thanos_parquet_gateway_spark.promql.printer import (
+        format_expr,
+        prettify,
+    )
+    corpus = [
+        'sum by (job) (rate(http_requests{code=~"5..", job!="api"}[5m]))',
+        'topk(3, m) / on(job, inst) group_left (extra) n',
+        'a - ignoring(w) group_right b',
+        '1 > bool m', 'm @ 20 offset 10s', 'foo[1h:10m] offset -5m',
+        '-(a + b) * c ^ 2 ^ 3', 'quantile(0.9, m{x="a\\"b"})',
+        'count_values("v", m)', 'm offset -1w3d',
+        'max_over_time((rate(m[5m]))[30m:5m] @ end())',
+        'a unless b or c and d', 'a / b % c * d', '2 ^ -2',
+        'm[90s]', 'm[1500ms]', 'sum(m) + avg without () (n)',
+        'label_replace(m, "a", "$1", "b", "(.*)")',
+    ]
+    for q in corpus:
+        once = format_expr(parse(q))
+        assert format_expr(parse(once)) == once, q
+        pretty = prettify(parse(q))
+        assert format_expr(parse(pretty)) == once, q

@@ -296,6 +296,17 @@ class PromHTTPServer:
                             one("query"), _parse_time(one("start"), now),
                             _parse_time(one("end"), now),
                             int(float(step) * 1000)))
+                    elif u.path == "/api/v1/format_query":
+                        # Prometheus 3 query formatter: parse + prettify
+                        # (promql/printer.py; long expressions split across
+                        # indented lines like upstream Pretty)
+                        from thanos_parquet_gateway_spark.promql.parser import (
+                            parse as _pq_parse,
+                        )
+                        from thanos_parquet_gateway_spark.promql.printer import (
+                            prettify,
+                        )
+                        self._ok(prettify(_pq_parse(one("query") or "")))
                     elif u.path == "/api/v1/series":
                         data, warns = api.series(qs.get("match[]", []),
                                                  _parse_time(one("start"), 0),
