@@ -770,3 +770,32 @@ def test_token_entropy_exact_values(spark):
     assert got[2]["entropy"] == pytest.approx(0.0)
     assert got[3]["entropy"] == pytest.approx(math.log(2))
     assert got[4]["entropy"] == 0.0 and got[4]["n_words"] == 1
+
+
+def test_mix_corpus_budgets_and_determinism(spark):
+    """Greedy per-source token budgets: every source meets (never silently
+    undershoots) its budget when supply allows, the crossing doc is
+    included, unbudgeted sources drop, and selection is hash-stable."""
+    from thanos_parquet_gateway_spark.operators import sampling
+    rows = [(i, "a" if i < 6 else "b",
+             " ".join(["w"] * 10)) for i in range(12)]
+    rows.append((99, "c", "only words here"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sampling.mix_corpus(df, {"a": 25, "b": 1000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # a: docs of 10 tokens; budget 25 -> 3 docs (cum 10,20,30 — third
+    # crosses and is kept)
+    assert len(by_src["a"]) == 3
+    assert max(r["cum_tokens"] for r in by_src["a"]) == 30
+    # b: budget exceeds supply -> all 6 kept
+    assert len(by_src["b"]) == 6
+    # c: no budget -> excluded entirely
+    assert "c" not in by_src
+    # determinism: same seed, same selection
+    again = sampling.mix_corpus(df, {"a": 25, "b": 1000}).collect()
+    assert sorted(r["doc_id"] for r in again) == \
+        sorted(r["doc_id"] for r in out)
+    with pytest.raises(ValueError):
+        sampling.mix_corpus(df, {})

@@ -96,3 +96,49 @@ def hash_topk_sample(df: DataFrame, k: int, key_col: str = "doc_id",
             .orderBy("__h", key_col)
             .limit(k)
             .drop("__h"))
+
+
+def mix_corpus(docs: DataFrame, budgets: dict[str, int], *,
+               source_col: str = "source", id_col: str = "doc_id",
+               text_col: str = "text", seed: int = 0,
+               hash_family: str = "xxhash") -> DataFrame:
+    """Deterministic corpus mixing by per-source TOKEN budget — the
+    selection step that turns per-domain sampling weights into a concrete
+    training mixture (the data-mixture recipe step of public pipelines like
+    The Pile / Dolma).  Within each source, documents are ranked by keyed
+    hash (reproducible shuffle order) and taken greedily until the source's
+    cumulative whitespace-token count reaches its budget; the first
+    document that crosses the budget is still INCLUDED (budgets are met,
+    never silently undershot), and sources missing from ``budgets``
+    contribute nothing.
+
+    Scale shape (100 TB): one shuffle keyed on the source column; the
+    cumulative sum is a per-source window over the hash order, so each
+    source's rows land in one partition group — with many sources this
+    parallelizes across them, and a pathological single-source corpus
+    degrades to that source's partition (cap budgets or pre-split by a
+    salted source key if one source dominates).
+
+    Returns (doc_id, source, n_tokens, cum_tokens) for the selected rows.
+    """
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError("mix_corpus: budgets must be non-empty")
+    tokens = F.size(F.split(F.trim(F.regexp_replace(
+        F.col(text_col), r"\s+", " ")), " "))
+    budget_map = F.create_map(*[F.lit(x) for kv in sorted(budgets.items())
+                                for x in kv])
+    h = _hash_col(F.col(id_col), seed, hash_family)
+    w = (Window.partitionBy(source_col)
+         .orderBy(h.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = (docs.withColumn("__budget", budget_map[F.col(source_col)])
+         .filter(F.col("__budget").isNotNull())
+         .withColumn("n_tokens", tokens.cast("long"))
+         .withColumn("cum_tokens", F.sum("n_tokens").over(w)))
+    keep = (F.col("cum_tokens") - F.col("n_tokens")) < F.col("__budget")
+    return (d.filter(keep)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(source_col).alias("source"),
+                    "n_tokens", "cum_tokens"))

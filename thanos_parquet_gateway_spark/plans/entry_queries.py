@@ -2152,6 +2152,37 @@ def sample_bernoulli(spark, sf_dir):
         .select("doc_id", "lang", "source")
 
 
+@q("sample_mix_corpus", r"""
+WITH w AS (
+    SELECT doc_id, source,
+           len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             AS n_tokens,
+           md5('0:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    WHERE source IN ('src0', 'src1', 'src2')
+),
+c AS (
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+    FROM w
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c
+WHERE cum_tokens - n_tokens <
+      CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400 ELSE 200 END
+""")
+def sample_mix_corpus(spark, sf_dir):
+    """Data-mixture selection: per-source token budgets filled greedily in
+    deterministic hash order (operators/sampling.mix_corpus; md5 family so
+    the oracle reproduces the ranking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mix_corpus(
+        docs, {"src0": 800, "src1": 400, "src2": 200},
+        seed=0, hash_family="md5")
+
+
 @q("sample_stratified", """
 SELECT doc_id, lang FROM documents
 WHERE CASE
