@@ -226,3 +226,23 @@ def test_printer_roundtrip_corpus(server):
         assert format_expr(parse(once)) == once, q
         pretty = prettify(parse(q))
         assert format_expr(parse(pretty)) == once, q
+
+
+def test_parse_query_endpoint(server):
+    import urllib.parse
+    q = urllib.parse.quote('sum by (job) (rate(m{job="a"}[5m] @ end())) > bool 2')
+    out = _get(server, f"/api/v1/parse_query?query={q}")
+    assert out["status"] == "success"
+    tree = out["data"]
+    assert tree["type"] == "binaryExpr" and tree["op"] == ">"
+    assert tree["bool"] is True and tree["matching"] is None
+    agg = tree["lhs"]
+    assert agg["type"] == "aggregation" and agg["op"] == "sum"
+    assert agg["grouping"] == ["job"] and agg["without"] is False
+    call = agg["expr"]
+    assert call["type"] == "call" and call["func"] == {"name": "rate"}
+    mat = call["args"][0]
+    assert mat["type"] == "matrixSelector" and mat["range"] == 300_000
+    assert mat["name"] == "m" and mat["startOrEnd"] == "end"
+    assert {"name": "job", "type": "=", "value": "a"} in mat["matchers"]
+    assert tree["rhs"] == {"type": "numberLiteral", "val": "2"}

@@ -307,6 +307,16 @@ class PromHTTPServer:
                             prettify,
                         )
                         self._ok(prettify(_pq_parse(one("query") or "")))
+                    elif u.path == "/api/v1/parse_query":
+                        # Prometheus 3 AST endpoint: the parsed expression
+                        # as a JSON tree (promql/printer.ast_to_json)
+                        from thanos_parquet_gateway_spark.promql.parser import (
+                            parse as _pq_parse,
+                        )
+                        from thanos_parquet_gateway_spark.promql.printer import (
+                            ast_to_json,
+                        )
+                        self._ok(ast_to_json(_pq_parse(one("query") or "")))
                     elif u.path == "/api/v1/series":
                         data, warns = api.series(qs.get("match[]", []),
                                                  _parse_time(one("start"), 0),

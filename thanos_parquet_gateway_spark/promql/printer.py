@@ -187,3 +187,60 @@ def prettify(node: A.Node, indent: int = 0) -> str:
         parts = [prettify(a, indent + 1) for a in node.args]
         return f"{pad}{node.func}(\n" + ",\n".join(parts) + f"\n{pad})"
     return pad + one
+
+
+def _at_fields(at_ms: int | None) -> dict:
+    """timestamp / startOrEnd split (the upstream AST-JSON convention:
+    @ start()/end() surfaces as startOrEnd, a literal @ as timestamp ms)."""
+    if at_ms is None:
+        return {"timestamp": None, "startOrEnd": None}
+    if at_ms == -1:
+        return {"timestamp": None, "startOrEnd": "start"}
+    if at_ms == -2:
+        return {"timestamp": None, "startOrEnd": "end"}
+    return {"timestamp": at_ms, "startOrEnd": None}
+
+
+def ast_to_json(node: A.Node):
+    """AST → JSON tree for /api/v1/parse_query (public Prometheus 3
+    endpoint; node/field naming follows the upstream translate-AST
+    convention: camelCase types, matcher {name, type, value}, durations in
+    milliseconds, matrix selectors flattened with their inner selector)."""
+    if isinstance(node, A.NumberLiteral):
+        return {"type": "numberLiteral", "val": _fmt_float(node.value)}
+    if isinstance(node, A.StringLiteral):
+        return {"type": "stringLiteral", "val": node.value}
+    if isinstance(node, A.VectorSelector):
+        return {"type": "vectorSelector", "name": node.name or "",
+                "matchers": [{"name": m.label, "type": m.op,
+                              "value": m.value} for m in node.matchers],
+                "offset": node.offset_ms, **_at_fields(node.at_ms)}
+    if isinstance(node, A.MatrixSelector):
+        inner = ast_to_json(node.selector)
+        return {**inner, "type": "matrixSelector", "range": node.range_ms}
+    if isinstance(node, A.Subquery):
+        return {"type": "subquery", "expr": ast_to_json(node.expr),
+                "range": node.range_ms, "step": node.step_ms,
+                "offset": node.offset_ms, **_at_fields(node.at_ms)}
+    if isinstance(node, A.Call):
+        return {"type": "call", "func": {"name": node.func},
+                "args": [ast_to_json(a) for a in node.args]}
+    if isinstance(node, A.Aggregation):
+        return {"type": "aggregation", "op": node.op,
+                "expr": ast_to_json(node.expr),
+                "param": (ast_to_json(node.param)
+                          if node.param is not None else None),
+                "grouping": list(node.grouping), "without": node.without}
+    if isinstance(node, A.UnaryExpr):
+        return {"type": "unaryExpr", "op": node.op,
+                "expr": ast_to_json(node.expr)}
+    if isinstance(node, A.BinaryExpr):
+        vm = node.matching
+        matching = None
+        if vm.explicit:
+            matching = {"card": vm.card, "labels": list(vm.labels),
+                        "on": vm.on, "include": list(vm.include)}
+        return {"type": "binaryExpr", "op": node.op,
+                "lhs": ast_to_json(node.lhs), "rhs": ast_to_json(node.rhs),
+                "matching": matching, "bool": node.bool_modifier}
+    raise TypeError(f"cannot serialize {type(node).__name__}")
