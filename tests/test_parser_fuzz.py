@@ -74,3 +74,30 @@ def test_scalar_constant_folding(x, op):
     node = parse(f"({x!r}) {op} 2")
     assert isinstance(node, A.BinaryExpr)
     assert isinstance(node.lhs, (A.NumberLiteral, A.UnaryExpr))
+
+
+@settings(max_examples=200, deadline=None)
+@given(name=label_names, lbl=label_names, op=ops, val=label_values,
+       dur=durations, agg=aggs, bop=binops, grp=label_names)
+def test_printer_fixpoint(name, lbl, op, val, dur, agg, bop, grp):
+    """format(parse(q)) reaches a string fixpoint for generated queries —
+    the printer never loses or reorders semantics (printer.py contract)."""
+    from thanos_parquet_gateway_spark.promql.printer import (
+        ast_to_json,
+        format_expr,
+        prettify,
+    )
+    sel = f'{name}{{{lbl}{op}"{val}"}}'
+    queries = [
+        sel,
+        f"rate({sel}[{dur}])",
+        f"{agg} by ({grp}) (rate({sel}[{dur}]))",
+        f"{sel} {bop} {name}",
+        f"({sel} {bop} {name})[{dur}:30s] offset {dur}",
+        f"topk(3, {sel}) - on ({grp}) group_left {name}",
+    ]
+    for q in queries:
+        once = format_expr(parse(q))
+        assert format_expr(parse(once)) == once, q
+        assert format_expr(parse(prettify(parse(q)))) == once, q
+        ast_to_json(parse(q))  # serializes without error
