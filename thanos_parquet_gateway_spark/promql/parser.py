@@ -159,14 +159,17 @@ class Parser:
         lhs = self.parse_unary()
         while True:
             t = self.peek()
-            op = t.text if (t.kind == "OP" or
-                            (t.kind == "IDENT" and t.text in
-                             ("and", "or", "unless", "atan2"))) else None
+            # keywords are case-insensitive upstream (lexer.go key lookup
+            # via strings.ToLower): AND / Or / UNLESS all lex as operators
+            op = (t.text if t.kind == "OP" else
+                  t.text.lower() if (t.kind == "IDENT" and t.text.lower() in
+                                     ("and", "or", "unless", "atan2"))
+                  else None)
             if op not in _PREC or _PREC[op] < min_prec:
                 return lhs
             self.next()
             bool_mod = False
-            if self.peek().kind == "IDENT" and self.peek().text == "bool":
+            if self.peek().kind == "IDENT" and self.peek().text.lower() == "bool":
                 self.next()
                 bool_mod = True
                 if op not in ("==", "!=", ">", "<", ">=", "<="):
@@ -186,14 +189,15 @@ class Parser:
     def _parse_matching(self) -> VectorMatching:
         vm = VectorMatching()
         t = self.peek()
-        if t.kind == "IDENT" and t.text in ("on", "ignoring"):
+        if t.kind == "IDENT" and t.text.lower() in ("on", "ignoring"):
             vm.explicit = True
-            vm.on = t.text == "on"
+            vm.on = t.text.lower() == "on"
             self.next()
             vm.labels = self._label_list()
             t = self.peek()
-            if t.kind == "IDENT" and t.text in ("group_left", "group_right"):
-                vm.card = ("many-to-one" if t.text == "group_left"
+            if t.kind == "IDENT" and t.text.lower() in ("group_left",
+                                                        "group_right"):
+                vm.card = ("many-to-one" if t.text.lower() == "group_left"
                            else "one-to-many")
                 self.next()
                 if self.peek().kind == "OP" and self.peek().text == "(":
@@ -306,7 +310,7 @@ class Parser:
                         raise PromQLSyntaxError(
                             "range selector requires a vector selector")
                     expr = MatrixSelector(expr, rng)
-            elif t.kind == "IDENT" and t.text == "offset":
+            elif t.kind == "IDENT" and t.text.lower() == "offset":
                 self.next()
                 neg = False
                 if self.peek().kind == "OP" and self.peek().text == "-":
@@ -334,10 +338,10 @@ class Parser:
                 at = self.next()
                 if at.kind == "NUM":
                     at_ms = int(float(at.text) * 1000)
-                elif at.kind == "IDENT" and at.text in ("start", "end"):
+                elif at.kind == "IDENT" and at.text.lower() in ("start", "end"):
                     self.expect("OP", "(")
                     self.expect("OP", ")")
-                    at_ms = -1 if at.text == "start" else -2  # sentinels
+                    at_ms = -1 if at.text.lower() == "start" else -2  # sentinels
                 else:
                     raise PromQLSyntaxError(f"bad @ modifier at {at.pos}")
                 self._apply_at(expr, at_ms)
@@ -384,7 +388,8 @@ class Parser:
             nxt = self.peek()
             if low in AGGREGATION_OPS and (
                     nxt.kind == "OP" and nxt.text == "(" or
-                    (nxt.kind == "IDENT" and nxt.text in ("by", "without"))):
+                    (nxt.kind == "IDENT" and
+                     nxt.text.lower() in ("by", "without"))):
                 return self._parse_aggregation(low)
             if nxt.kind == "OP" and nxt.text == "(":
                 return self._parse_call(name)
@@ -395,8 +400,9 @@ class Parser:
         grouping: list[str] = []
         without = False
         has_grouping = False
-        if self.peek().kind == "IDENT" and self.peek().text in ("by", "without"):
-            without = self.next().text == "without"
+        if (self.peek().kind == "IDENT"
+                and self.peek().text.lower() in ("by", "without")):
+            without = self.next().text.lower() == "without"
             grouping = self._label_list()
             has_grouping = True
         self.expect("OP", "(")
@@ -405,8 +411,9 @@ class Parser:
             self.next()
             args.append(self.parse_expr())
         self.expect("OP", ")")
-        if self.peek().kind == "IDENT" and self.peek().text in ("by", "without"):
-            without = self.next().text == "without"
+        if (self.peek().kind == "IDENT"
+                and self.peek().text.lower() in ("by", "without")):
+            without = self.next().text.lower() == "without"
             grouping = self._label_list()
             has_grouping = True
         if op in PARAM_AGGREGATIONS:
