@@ -234,6 +234,32 @@ def test_ivf_topk_probed_cells_and_self_rank1(spark, sf_dir):
     assert full == exact
 
 
+def test_pq_topk_self_rank1_and_validation(spark, sf_dir):
+    import pytest as _pytest
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    top = similarity.pq_topk(emb, q, k=3, m=4, n_codes=8).collect()
+    # a vector quantizes to its own codes → ADC distance to itself is the
+    # minimum of its bucket; self must rank 1 with exact cosine 1
+    rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in top
+             if r["rank"] == 1}
+    assert all(vid == qid for qid, (vid, _) in rank1.items())
+    assert all(abs(cs - 1.0) < 1e-9 for _, cs in rank1.values())
+    # ADC distances are non-negative and non-decreasing in rank
+    by_q = {}
+    for r in sorted(top, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["approx_dist"])
+    for dists in by_q.values():
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
+    with _pytest.raises(ValueError):
+        similarity.pq_topk(emb, q, m=0)
+    with _pytest.raises(ValueError):
+        similarity.pq_topk(emb, q, m=7)  # 7 does not divide dim 64
+
+
 def test_language_and_quality_and_tokens(spark):
     rows = [(1, "the cat and the dog went to the house of a friend"),
             (2, "der hund und die katze ist nicht zu hause mit der maus"),

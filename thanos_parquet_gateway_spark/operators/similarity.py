@@ -236,6 +236,107 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "rank", "vec_id", "cos_sim"))
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (deterministic, oracle-replicable
+    — same element order as an ORDER-BY-position SQL fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 4, n_codes: int = 16, dim: int | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+            hash_family: str = "xxhash") -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public): split each
+    vector into ``m`` sub-blocks, quantize every block to one of ``n_codes``
+    codewords, search by asymmetric distance computation (ADC) — per query
+    ONE m×n_codes lookup table, per corpus vector m table lookups instead of
+    a dim-wide float scan.
+
+    The 100 TB shape:
+    - the codebook is the ``n_codes`` hash-ranked corpus vectors
+      (``seed_centroids`` — a distributed TakeOrderedAndProject, no k-means
+      pass required; deterministic, so an independent SQL oracle replicates
+      it.  Lloyd refinement per block can be grafted on exactly as in
+      ``ivf_topk``).
+    - encoding is map-side: codebook broadcast as ONE row, per-block argmin
+      inside a codegen'd array sort — the corpus never shuffles and the
+      encoded output is m bytes-ish per vector (the memory-bound regime PQ
+      exists for).
+    - search is a broadcast nested-loop of corpus codes × query tables;
+      each pair costs m ``element_at`` lookups — no dim-length math per
+      pair, no shuffle.  Top-k per query via window.
+
+    Ordering is by ADC distance (ascending, ties by vec_id); the exact
+    cosine of each returned pair is attached for downstream rescoring.
+    Returns (query_id, rank, vec_id, approx_dist, cos_sim).
+    """
+    from pyspark.sql import Window
+
+    if m < 1 or n_codes < 1:
+        raise ValueError("pq_topk: m and n_codes must be >= 1")
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    if dim is None:
+        # one-row control-plane read (like the conversion manifest), not a
+        # data-path collect
+        dim = e.select(F.size("v").alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_topk: m={m} must divide dim={dim}")
+    blk = dim // m
+
+    def block(vec: Column, b: int) -> Column:
+        return F.slice(vec, b * blk + 1, blk)
+
+    # codebook: hash-ranked corpus vectors, broadcast as one row, sorted by
+    # code so a lookup table indexed by code is a plain transform
+    cb_arr = _cents_to_arr(seed_centroids(e, n_codes, hash_family))
+    sorted_cb = F.array_sort(F.col("__cents"))
+
+    def code_for(vec: Column, b: int) -> Column:
+        scored = F.transform(
+            sorted_cb,
+            lambda c: F.struct(_l2sq(block(vec, b),
+                                     block(c["cvec"], b)).alias("d"),
+                               c["cell"].alias("code")))
+        return F.element_at(F.array_sort(scored), 1)["code"]
+
+    enc = (e.crossJoin(F.broadcast(cb_arr))
+           .select("vec_id", "v",
+                   F.array(*[code_for(F.col("v"), b)
+                             for b in range(m)]).alias("__codes")))
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+
+    def table_for(b: int) -> Column:
+        return F.transform(
+            sorted_cb,
+            lambda c: _l2sq(block(F.col("qv"), b), block(c["cvec"], b)))
+
+    qt = (q.crossJoin(F.broadcast(cb_arr))
+          .select("query_id", "qv",
+                  F.array(*[table_for(b) for b in range(m)]).alias("__tables")))
+
+    # ADC: Σ_b tables[b][code_b] — sequential fold in block order
+    approx = F.aggregate(
+        F.zip_with("__codes", "__tables",
+                   lambda c, t: F.element_at(t, c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (enc.crossJoin(F.broadcast(qt))
+              .select("query_id", "vec_id", "v", "qv",
+                      approx.alias("approx_dist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "approx_dist",
+                    cosine(F.col("v"), F.col("qv")).alias("cos_sim")))
+
+
 def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",

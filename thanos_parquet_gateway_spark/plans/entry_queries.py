@@ -1973,6 +1973,68 @@ def sim_ivf_lloyd(spark, sf_dir):
                                lloyd_iters=1, exact_means=True)
 
 
+def _l2sq_sql(a: str, b: str) -> str:
+    """DuckDB squared-L2 with the same sequential fold order as
+    operators/similarity._l2sq — bit-for-bit replicable."""
+    return (f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+            f"pr -> (CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)) * "
+            f"(CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE)))), "
+            f"(p, q) -> p + q)")
+
+
+_PQB = "[bl.b*16+1 : bl.b*16+16]"
+
+
+@q("sim_pq_topk", f"""
+WITH cb AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS code
+    FROM embeddings
+    QUALIFY code <= 16
+),
+blocks AS (SELECT unnest(range(4)) AS b),
+ecodes AS (
+    SELECT vec_id, b, code FROM (
+        SELECT e.vec_id, bl.b, c.code,
+               row_number() OVER (PARTITION BY e.vec_id, bl.b
+                                  ORDER BY {_l2sq_sql('e.embedding' + _PQB,
+                                                      'c.cvec' + _PQB)},
+                                           c.code) AS r
+        FROM embeddings e, cb c, blocks bl)
+    WHERE r = 1
+),
+adc AS (
+    SELECT q.vec_id AS query_id, ec.vec_id,
+           list_reduce(list_prepend(0.0,
+               list({_l2sq_sql('q.embedding' + _PQB, 'c.cvec' + _PQB)}
+                    ORDER BY ec.b)),
+               (p, s) -> p + s) AS approx_dist
+    FROM ecodes ec JOIN cb c ON c.code = ec.code
+         JOIN blocks bl ON bl.b = ec.b,
+         (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+    GROUP BY q.vec_id, ec.vec_id
+)
+SELECT query_id, rank, vec_id, approx_dist, cos_sim FROM (
+    SELECT a.query_id, a.vec_id, a.approx_dist,
+           {_cos_sql('ee.embedding', 'qe.embedding')} AS cos_sim,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY a.approx_dist, a.vec_id) AS rank
+    FROM adc a JOIN embeddings ee ON ee.vec_id = a.vec_id
+               JOIN embeddings qe ON qe.vec_id = a.query_id)
+WHERE rank <= 5
+""")
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 4 sub-blocks x 16 codes from hash-ranked
+    corpus vectors, map-side encoding, ADC lookup-table search (m table
+    lookups per pair instead of a 64-float scan) — the memory-bound ANN
+    scale path (operators/similarity.pq_topk; md5 family so the DuckDB
+    oracle replicates the codebook exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, _query_vectors(spark, sf_dir), k=5,
+                              m=4, n_codes=16, dim=64, hash_family="md5")
+
+
 @q("sim_semantic_dedup", f"""
 WITH seeds AS (
     SELECT embedding AS cvec,
