@@ -228,6 +228,29 @@ def test_printer_roundtrip_corpus(server):
         assert format_expr(parse(pretty)) == once, q
 
 
+def test_query_annotations(server):
+    import urllib.parse
+    # PossibleNonCounterInfo: rate over a name without a counter suffix →
+    # top-level "infos" (upstream util/annotations via the v1 API)
+    q = urllib.parse.quote("rate(m[30s])")
+    out = _get(server, f"/api/v1/query?query={q}&time=40")
+    assert out["status"] == "success"
+    assert any("might not be a counter" in i for i in out["infos"])
+    assert "infos" not in out["data"]  # lifted, not nested
+    # InvalidQuantileWarning: φ outside [0,1] → top-level "warnings"
+    q = urllib.parse.quote("quantile(1.5, m)")
+    out = _get(server, f"/api/v1/query?query={q}&time=40")
+    assert any("between 0 and 1, got 1.5" in w for w in out["warnings"])
+    # histogram_quantile and quantile_over_time carry the same warning,
+    # range queries included
+    q = urllib.parse.quote("quantile_over_time(-0.5, m[30s])")
+    out = _get(server, f"/api/v1/query_range?query={q}&start=0&end=40&step=20")
+    assert any("got -0.5" in w for w in out["warnings"])
+    # clean queries carry neither array
+    out = _get(server, "/api/v1/query?query=sum(m)&time=40")
+    assert "warnings" not in out and "infos" not in out
+
+
 def test_parse_query_endpoint(server):
     import urllib.parse
     q = urllib.parse.quote('sum by (job) (rate(m{job="a"}[5m] @ end())) > bool 2')

@@ -159,14 +159,29 @@ class QueryAPI:
             return rows, limited
         return df.collect(), df
 
+    @staticmethod
+    def _with_annotations(payload: dict, res) -> dict:
+        """Attach PromQL annotations (upstream util/annotations) as the
+        Prometheus API's warnings/infos arrays (the HTTP layer lifts them
+        to the top-level response fields)."""
+        ann = getattr(res, "annotations", None) or []
+        warns = [m for k, m in ann if k == "warn"]
+        infos = [m for k, m in ann if k == "info"]
+        if warns:
+            payload["warnings"] = warns
+        if infos:
+            payload["infos"] = infos
+        return payload
+
     def query(self, q: str, t_ms: int) -> dict:
         with self.sem:
             res = self.engine.query_instant(q, t_ms)
             if res.result_type == "scalar":
                 row = res.df.collect()[0]
-                return {"resultType": "scalar",
-                        "result": [t_ms / 1000.0, _fmt_val(row["value"])],
-                        "stats": {"samples": scan_stats(res.df)}}
+                return self._with_annotations(
+                    {"resultType": "scalar",
+                     "result": [t_ms / 1000.0, _fmt_val(row["value"])],
+                     "stats": {"samples": scan_stats(res.df)}}, res)
             rows, ran = self._collect(res.df)
             # Prometheus execution error: an instant vector must not contain
             # two samples with the same labelset (can arise from
@@ -179,12 +194,13 @@ class QueryAPI:
                     raise ValueError(
                         "vector cannot contain metrics with the same labelset")
                 seen.add(key)
-            return {"resultType": "vector",
-                    "result": [
-                        {"metric": dict(r["labels"]),
-                         "value": [r["t"] / 1000.0, _fmt_val(r["value"])]}
-                        for r in rows],
-                    "stats": {"samples": scan_stats(ran)}}
+            return self._with_annotations(
+                {"resultType": "vector",
+                 "result": [
+                     {"metric": dict(r["labels"]),
+                      "value": [r["t"] / 1000.0, _fmt_val(r["value"])]}
+                     for r in rows],
+                 "stats": {"samples": scan_stats(ran)}}, res)
 
     def query_range(self, q: str, start_ms: int, end_ms: int,
                     step_ms: int) -> dict:
@@ -193,11 +209,13 @@ class QueryAPI:
             rows, ran = self._collect(res.df)
             stats = {"samples": scan_stats(ran)}
             if res.result_type == "scalar":
-                return {"resultType": "matrix", "result": [{
-                    "metric": {},
-                    "values": [[r["t"] / 1000.0, _fmt_val(r["value"])]
-                               for r in sorted(rows, key=lambda r: r["t"])]}],
-                    "stats": stats}
+                return self._with_annotations(
+                    {"resultType": "matrix", "result": [{
+                        "metric": {},
+                        "values": [[r["t"] / 1000.0, _fmt_val(r["value"])]
+                                   for r in sorted(rows,
+                                                   key=lambda r: r["t"])]}],
+                     "stats": stats}, res)
             series: dict = {}
             seen_points: set = set()
             for r in rows:
@@ -213,9 +231,10 @@ class QueryAPI:
                     [r["t"] / 1000.0, _fmt_val(r["value"])])
             for s in series.values():
                 s["values"].sort(key=lambda v: v[0])
-            return {"resultType": "matrix",
-                    "result": [series[k] for k in sorted(series)],
-                    "stats": stats}
+            return self._with_annotations(
+                {"resultType": "matrix",
+                 "result": [series[k] for k in sorted(series)],
+                 "stats": stats}, res)
 
     # -- metadata endpoints: (data, warnings) pairs ----------------------
     def _limited(self, df, limit: int):
@@ -269,10 +288,17 @@ class PromHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _ok(self, data, warnings=None):
+            def _ok(self, data, warnings=None, infos=None):
                 payload = {"status": "success", "data": data}
+                # query handlers return warnings/infos inside the data dict;
+                # the Prometheus API carries them at the top level
+                if isinstance(data, dict):
+                    warnings = warnings or data.pop("warnings", None)
+                    infos = infos or data.pop("infos", None)
                 if warnings:
                     payload["warnings"] = warnings
+                if infos:
+                    payload["infos"] = infos
                 self._send(payload)
 
             def do_GET(self):  # noqa: N802

@@ -37,6 +37,16 @@ from thanos_parquet_gateway_spark.schema import (
     label,
 )
 
+def fmt_g(v: float) -> str:
+    """Go %g float formatting for annotation messages (NaN/+Inf spelled the
+    Go way)."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    return f"{v:g}"
+
+
 def NAN() -> Column:
     return F.lit(float("nan"))
 
@@ -209,6 +219,14 @@ class Compiler:
                                     for k in ls})
         self.spark = samples.sparkSession
         self.step = max(params.step_ms, 1)
+        # PromQL annotations (upstream util/annotations): (kind, message)
+        # pairs collected at compile time, surfaced as the API's top-level
+        # warnings / infos arrays.  kind ∈ {"warn", "info"}.
+        self.annotations: list[tuple[str, str]] = []
+
+    def annotate(self, kind: str, msg: str) -> None:
+        if (kind, msg) not in self.annotations:
+            self.annotations.append((kind, msg))
 
     # ------------------------------------------------------------------ grid
     def grid_df(self) -> DataFrame:
@@ -525,6 +543,11 @@ class Compiler:
                 param = p
             else:
                 raise PromQLCompileError(f"{agg.op} param must be literal")
+        if agg.op == "quantile" and isinstance(param, float) and (
+                math.isnan(param) or param < 0 or param > 1):
+            # upstream annotations.NewInvalidQuantileWarning
+            self.annotate("warn", "quantile value should be between 0 and 1, "
+                                  f"got {fmt_g(param)}")
         df = self._grouped(iv, agg.grouping, agg.without, agg.has_grouping)
 
         if agg.op in ("topk", "bottomk"):

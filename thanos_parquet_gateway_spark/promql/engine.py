@@ -33,6 +33,9 @@ from thanos_parquet_gateway_spark.schema import (
 class QueryResult:
     df: DataFrame
     result_type: str  # 'vector' | 'matrix' | 'scalar'
+    # PromQL annotations (upstream util/annotations, served as the API's
+    # top-level warnings/infos): list of ("warn" | "info", message)
+    annotations: list = None
 
 
 class PromQLEngine:
@@ -115,30 +118,32 @@ class PromQLEngine:
     def query_range(self, q: str, start_ms: int, end_ms: int,
                     step_ms: int) -> QueryResult:
         comp, v = self._compile(q, start_ms, end_ms, step_ms)
+        ann = comp.annotations
         if isinstance(v, float):
             v = ScalarV(comp._const_scalar_df(v))
         if isinstance(v, ScalarV):
-            return QueryResult(v.df.select("t", "value"), "scalar")
+            return QueryResult(v.df.select("t", "value"), "scalar", ann)
         if isinstance(v, RangeVector):
             raise ValueError("range query must evaluate to an instant vector/scalar")
         if isinstance(v, InstantVector):
             extra = ["hist"] if "hist" in v.df.columns else []
             df = v.df.select("t", "sig", "labels", "value", *extra)
-            return QueryResult(df, "matrix")
+            return QueryResult(df, "matrix", ann)
         raise ValueError(f"unexpected result {type(v).__name__}")
 
     def query_instant(self, q: str, t_ms: int) -> QueryResult:
         comp, v = self._compile(q, t_ms, t_ms, 1)
+        ann = comp.annotations
         if isinstance(v, float):
             v = ScalarV(comp._const_scalar_df(v))
         if isinstance(v, ScalarV):
-            return QueryResult(v.df.select("t", "value"), "scalar")
+            return QueryResult(v.df.select("t", "value"), "scalar", ann)
         if isinstance(v, RangeVector):
             return QueryResult(v.df.select("t", "sig", "labels", "ts", "value"),
-                               "matrix")
+                               "matrix", ann)
         extra = ["hist"] if "hist" in v.df.columns else []
         return QueryResult(v.df.select("t", "sig", "labels", "value", *extra),
-                           "vector")
+                           "vector", ann)
 
     # ------------------------------------------- metadata APIs (A27-A31)
     def _matched(self, match: list[str], start_ms: int, end_ms: int) -> DataFrame:

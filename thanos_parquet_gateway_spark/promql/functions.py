@@ -12,6 +12,7 @@ higher-order functions: JVM-side, deterministic, bounded by samples-per-window
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -116,10 +117,33 @@ def _fold_ts_of(arr: Column, mode: str) -> Column:
     return F.aggregate(arr, acc0, step)["o"].cast(D) / 1000.0
 
 
+def _warn_quantile(c: Compiler, q: float) -> None:
+    """upstream annotations.NewInvalidQuantileWarning: φ outside [0,1]."""
+    from thanos_parquet_gateway_spark.promql.compiler import fmt_g
+    if math.isnan(q) or q < 0 or q > 1:
+        c.annotate("warn", "quantile value should be between 0 and 1, "
+                           f"got {fmt_g(q)}")
+
+
+def _selector_name(node: A.Node) -> str | None:
+    """Metric name of a matrix/vector selector argument, if statically
+    known (for the possible-non-counter info annotation)."""
+    if isinstance(node, A.MatrixSelector):
+        node = node.selector
+    if isinstance(node, A.VectorSelector):
+        if node.name:
+            return node.name
+        for m in node.matchers:
+            if m.label == "__name__" and m.op == "=":
+                return m.value
+    return None
+
+
 def _over_time(c: Compiler, call: A.Call) -> InstantVector:
     fn = call.func
     if fn == "quantile_over_time":
         q = _scalar_lit(c, call, 0)
+        _warn_quantile(c, q)
         rv = _range_arg(c, call, 1)
         g = _collect_window(rv)
         val = folds.fold_quantile(F.col("arr"), F.lit(q))
@@ -683,8 +707,16 @@ def dispatch(c: Compiler, call: A.Call):
         return _over_time(c, call)
 
     if fn in ("rate", "increase"):
-        return _extrapolated(c, _range_arg(c, call), counter=True,
-                             is_rate=(fn == "rate"))
+        rv = _range_arg(c, call)
+        name = _selector_name(call.args[0])
+        if (name and "hist" not in rv.df.columns and
+                not re.search(r"_(total|sum|count|bucket)$", name)):
+            # upstream annotations.NewPossibleNonCounterInfo (emitted on the
+            # float path only — native-histogram series carry no suffix)
+            c.annotate("info", "metric might not be a counter, name does "
+                               "not end in _total/_sum/_count/_bucket: "
+                               f'"{name}"')
+        return _extrapolated(c, rv, counter=True, is_rate=(fn == "rate"))
     if fn == "delta":
         return _extrapolated(c, _range_arg(c, call), counter=False, is_rate=False)
     if fn in ("irate", "idelta"):
@@ -707,6 +739,7 @@ def dispatch(c: Compiler, call: A.Call):
     if fn == "histogram_quantile":
         iv = _vector_arg(c, call, 1)
         q_ = _scalar_lit(c, call, 0)
+        _warn_quantile(c, q_)
         if "hist" not in iv.df.columns:
             return _iv(_histogram_quantile_classic(q_, iv.df))
         # mixed vector: native-histogram samples take the bucket-struct
