@@ -653,8 +653,10 @@ class Compiler:
                            F.lit(None).cast("long").alias("sample_ts"), "value"))
             return InstantVector(out)
 
-        if "hist" in df.columns and agg.op == "sum":
-            # native-histogram sum: le-aligned bucket merge (histograms.py)
+        if "hist" in df.columns and agg.op in ("sum", "avg"):
+            # native-histogram sum: le-aligned bucket merge (histograms.py);
+            # avg = the same merge scaled by 1/n (upstream aggregates
+            # histograms through FloatHistogram.Add then Div)
             from thanos_parquet_gateway_spark.promql import histograms as H
             hdf = (df.filter(F.col("hist").isNotNull())
                    .withColumn("__gh", F.xxhash64("gsig")))
@@ -662,6 +664,7 @@ class Compiler:
                       .agg(F.first("gsig").alias("gsig"),
                            F.sum(F.col("hist.count")).alias("__c"),
                            F.sum(F.col("hist.sum")).alias("__s"),
+                           F.count("*").alias("__n"),
                            F.first("glabels").alias("labels")))
             buckets = (hdf.select("t", "__gh",
                                   F.explode(F.col("hist.buckets")).alias("b"))
@@ -671,12 +674,14 @@ class Compiler:
                        .agg(F.array_sort(F.collect_list(
                            F.struct(F.col("__le").alias("le"),
                                     F.col("__bc").alias("count")))).alias("__bk")))
+            merged = H.make_hist(F.col("__c"), F.col("__s"), F.col("__bk"))
+            if agg.op == "avg":
+                merged = H.scale_hist(merged, F.lit(1.0) / F.col("__n"))
             out = (totals.join(buckets, ["t", "__gh"])
                    .select("t", F.col("gsig").alias("sig"), "labels",
                            F.lit(None).cast("long").alias("sample_ts"),
                            F.lit(float("nan")).alias("value"),
-                           H.make_hist(F.col("__c"), F.col("__s"),
-                                       F.col("__bk")).alias("hist")))
+                           merged.alias("hist")))
             return InstantVector(out)
 
         if self.p.deterministic:
@@ -820,6 +825,15 @@ class Compiler:
             df = df.join(F.broadcast(sdf), "t")
             sc = F.col("__sv")
         lv, rv = (sc, F.col("value")) if swap else (F.col("value"), sc)
+        has_hist = "hist" in df.columns
+        if has_hist and not (op == "*" or (op == "/" and not swap)):
+            # upstream: only hist*scalar, scalar*hist and hist/scalar are
+            # defined; every other combination drops the histogram sample
+            # (annotations.NewIncompatibleTypesInBinOpInfo)
+            self.annotate("info", "incompatible sample types encountered "
+                                  f"for binary operator \"{op}\"")
+            df = df.filter(F.col("hist").isNull()).drop("hist")
+            has_hist = False
         if op in A.COMPARISON_OPS:
             cond = ieee_cmp(op, lv, rv)
             if be.bool_modifier:
@@ -832,7 +846,16 @@ class Compiler:
             out = (df.withColumn("value", arith_value(op, lv, rv))
                    .withColumn("labels", drop_labels("labels", ["__name__"]))
                    .withColumn("sig", canonical_sig(F.col("labels"))))
-        return InstantVector(out.select("t", "sig", "labels", "sample_ts", "value"))
+            if has_hist:
+                # histogram scaling (upstream FloatHistogram.Mul / Div)
+                from thanos_parquet_gateway_spark.promql import histograms as H
+                factor = sc if op == "*" else F.lit(1.0) / sc
+                out = out.withColumn(
+                    "hist", F.when(F.col("hist").isNotNull(),
+                                   H.scale_hist(F.col("hist"), factor)))
+        extra = ["hist"] if has_hist else []
+        return InstantVector(
+            out.select("t", "sig", "labels", "sample_ts", "value", *extra))
 
     def _vector_vector(self, be: A.BinaryExpr, l: InstantVector,
                        r: InstantVector) -> InstantVector:
@@ -880,10 +903,13 @@ class Compiler:
                 F.to_json("labels"),
                 F.lit(f" on the {side} hand-side of the operation")))
         ).otherwise(F.col("__mh_raw"))
+        lhist = "hist" in ldf.columns
+        rhist = "hist" in r.df.columns
+        rextra = ([F.col("hist").alias("__rhist")] if rhist else [])
         rdf = (r.df.withColumn("__mh_raw", mh)
                .select("t", rguard.alias("__mh"),
                        F.col("value").alias("__rv"),
-                       F.col("labels").alias("__rlabels")))
+                       F.col("labels").alias("__rlabels"), *rextra))
         j = ldf.join(rdf, ["t", "__mh"])
         # The many-side (lhs) one-to-one guard stays POST-join: Prometheus
         # only detects the left duplicate when inserting into matchedSigs,
@@ -898,8 +924,58 @@ class Compiler:
         rv = F.col("__rv")
         if swap_values:
             lv, rv = rv, lv
+        # native-histogram operands (upstream FloatHistogram arithmetic):
+        # h+h / h-h bucket-merge, h*f / f*h / h/f scale; every other
+        # hist-involved pairing is dropped like upstream's incompatible-
+        # types eval path.  Float pairs are untouched.
+        from thanos_parquet_gateway_spark.promql import histograms as H
+        lh = F.col("hist") if lhist else H.null_hist()
+        rh = F.col("__rhist") if rhist else H.null_hist()
+        if swap_values:
+            lh, rh = rh, lh
+        any_hist = lhist or rhist
+        both_f = lh.isNull() & rh.isNull()
+        hist_out = None
+        hist_cmp = None
+        if any_hist:
+            both_h = lh.isNotNull() & rh.isNotNull()
+            if op in ("==", "!="):
+                # upstream (Prometheus 3): histogram equality is structural
+                # (count, sum, buckets); mixed float/histogram pairs drop
+                keep = both_f | both_h
+                eq = lh.eqNullSafe(rh)
+                hist_cmp = (both_h, eq if op == "==" else ~eq)
+                hist_out = F.when(both_h, lh)
+            elif op in ("+", "-"):
+                keep = both_f | both_h
+                hist_out = F.when(
+                    both_h, H.merge_two(lh, rh) if op == "+"
+                    else H.sub_two(lh, rh))
+            elif op == "*":
+                keep = both_f | (lh.isNotNull() != rh.isNotNull())
+                hist_out = (F.when(lh.isNotNull() & rh.isNull(),
+                                   H.scale_hist(lh, rv))
+                            .when(rh.isNotNull() & lh.isNull(),
+                                  H.scale_hist(rh, lv)))
+            elif op == "/":
+                keep = both_f | (lh.isNotNull() & rh.isNull())
+                hist_out = F.when(lh.isNotNull() & rh.isNull(),
+                                  H.scale_hist(lh, F.lit(1.0) / rv))
+            else:
+                # %, ^, atan2, comparisons: float-only upstream
+                self.annotate("info", "incompatible sample types encountered"
+                                      f" for binary operator \"{op}\"")
+                keep = both_f
+                hist_out = None
+            j = j.filter(keep)
+            if hist_out is not None:
+                # materialized BEFORE the value column is overwritten with
+                # the arithmetic result — the scale factor reads it
+                j = j.withColumn("__hout", hist_out)
         if op in A.COMPARISON_OPS:
             cond = ieee_cmp(op, lv, rv)
+            if hist_cmp is not None:
+                cond = F.when(hist_cmp[0], hist_cmp[1]).otherwise(cond)
             if be.bool_modifier:
                 out = (j.withColumn("value", cond.cast("double"))
                        .withColumn("labels", self._result_labels(vm))
@@ -910,9 +986,16 @@ class Compiler:
             out = (j.withColumn("value", arith_value(op, lv, rv))
                    .withColumn("labels", self._result_labels(vm))
                    .withColumn("sig", canonical_sig(F.col("labels"))))
+        hist_cols = []
+        if hist_out is not None and (op not in A.COMPARISON_OPS
+                                     or not be.bool_modifier):
+            # arithmetic results and non-bool ==/!= filters carry the
+            # (lhs) histogram; bool comparisons yield plain 0/1 floats
+            hist_cols = [F.col("__hout").alias("hist")]
         return InstantVector(
             out.select("t", "sig", "labels",
-                       F.lit(None).cast("long").alias("sample_ts"), "value"))
+                       F.lit(None).cast("long").alias("sample_ts"), "value",
+                       *hist_cols))
 
     def _result_labels(self, vm: A.VectorMatching) -> Column:
         """Result label set of an arithmetic/bool vector-vector op: on(...) 1:1
@@ -933,8 +1016,15 @@ class Compiler:
 
     def _set_op(self, op: str, l: InstantVector, r: InstantVector,
                 vm: A.VectorMatching) -> InstantVector:
+        from thanos_parquet_gateway_spark.promql import histograms as H
         mh = F.xxhash64(self._match_sig(vm))
+        # set ops never touch sample values, so native-histogram samples
+        # pass through untouched (null-hist padding when only one side
+        # carries them)
+        any_hist = "hist" in l.df.columns or "hist" in r.df.columns
         ldf = l.df.withColumn("__mh", mh)
+        if any_hist and "hist" not in ldf.columns:
+            ldf = ldf.withColumn("hist", H.null_hist())
         rkeys = r.df.withColumn("__mh", mh).select("t", "__mh").distinct()
         if op == "and":
             out = ldf.join(rkeys, ["t", "__mh"], "left_semi")
@@ -942,10 +1032,14 @@ class Compiler:
             out = ldf.join(rkeys, ["t", "__mh"], "left_anti")
         else:  # or — all lhs series + rhs series whose match-sig absent in lhs
             lkeys = ldf.select("t", "__mh").distinct()
-            radd = (r.df.withColumn("__mh", mh)
-                    .join(lkeys, ["t", "__mh"], "left_anti"))
+            rdf = r.df.withColumn("__mh", mh)
+            if any_hist and "hist" not in rdf.columns:
+                rdf = rdf.withColumn("hist", H.null_hist())
+            radd = rdf.join(lkeys, ["t", "__mh"], "left_anti")
             out = ldf.unionByName(radd)
-        return InstantVector(out.select("t", "sig", "labels", "sample_ts", "value"))
+        extra = ["hist"] if any_hist else []
+        return InstantVector(
+            out.select("t", "sig", "labels", "sample_ts", "value", *extra))
 
     def _unary(self, ue: A.UnaryExpr):
         v = self.compile(ue.expr)
@@ -957,7 +1051,16 @@ class Compiler:
             df = (v.df.withColumn("value", -F.col("value"))
                   .withColumn("labels", drop_labels("labels", ["__name__"]))
                   .withColumn("sig", canonical_sig(F.col("labels"))))
-            return InstantVector(df.select("t", "sig", "labels", "sample_ts", "value"))
+            extra = []
+            if "hist" in df.columns:
+                # upstream: unary minus scales the histogram by -1
+                from thanos_parquet_gateway_spark.promql import histograms as H
+                df = df.withColumn(
+                    "hist", F.when(F.col("hist").isNotNull(),
+                                   H.scale_hist(F.col("hist"), F.lit(-1.0))))
+                extra = ["hist"]
+            return InstantVector(
+                df.select("t", "sig", "labels", "sample_ts", "value", *extra))
         raise PromQLCompileError("cannot negate range vector")
 
     # ---------------------------------------------------------------- calls
