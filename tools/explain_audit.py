@@ -143,6 +143,18 @@ def main():
         print("  [MISS] cartesian corpus join present")
         results.append(False)
 
+    # 8. product quantization: codebook + query tables attach via broadcast
+    # nested loops; the corpus is never shuffled (encoding and ADC scoring
+    # are map-side) — the only exchange is the per-query top-k window
+    q8 = similarity.pq_topk(emb, q, k=5, m=4, n_codes=8, dim=64)
+    p8 = plan_of(q8)
+    results.append(check("pq topk", p8, [
+        ("codebook/query broadcast", r"BroadcastNestedLoopJoin"),
+    ]))
+    if "CartesianProduct" in p8 or "SortMergeJoin" in p8:
+        print("  [MISS] corpus shuffle join present in pq plan")
+        results.append(False)
+
     print(f"\n{'ALL OK' if all(results) else 'SOME CHECKS MISSED'}")
     return 0 if all(results) else 1
 
