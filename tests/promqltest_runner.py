@@ -233,7 +233,15 @@ def parse_test(text: str) -> TestScript:
                                       lines[i].startswith("\t")):
                 eline = lines[i].strip()
                 if eline and not eline.startswith("#"):
-                    labels, rest = parse_series_id(eline)
+                    # bare numeric line(s) = scalar range expectation (one
+                    # value slot per step, like the instant form)
+                    if re.fullmatch(
+                            r"(?:-?(?:[0-9.]+(?:e-?\d+)?|NaN|Inf|\+Inf|_)"
+                            r"(?:[x+-][0-9.]+)*\s*)+",
+                            eline, re.IGNORECASE):
+                        labels, rest = {}, eline
+                    else:
+                        labels, rest = parse_series_id(eline)
                     vals = [None if v is None or v == "stale" else float(v)
                             for v in expand_values(rest.split())]
                     case.expected.append((labels, vals))

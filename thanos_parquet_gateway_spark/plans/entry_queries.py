@@ -67,6 +67,24 @@ last AS (
 )"""
 
 
+def _ksum(lst: str) -> str:
+    """DuckDB Kahan-compensated sequential fold over an ordered DOUBLE list
+    — bit-for-bit the same step order and compensation branches as
+    functions/folds.fold_sum (and the sum part of fold_avg), so the oracles
+    stay exact now that the engine folds are compensated.  Accumulator is a
+    [sum, comp] list pair: struct-typed lambdas chained through
+    list_transform mis-evaluate in DuckDB 1.0."""
+    z = "CAST(0.0 AS DOUBLE)"
+    acc = (
+        f"list_reduce(list_prepend([{z}, {z}], "
+        f"list_transform({lst}, v -> [CAST(v AS DOUBLE), {z}])), "
+        f"(a, x) -> CASE WHEN isinf(a[1] + x[1]) THEN [a[1] + x[1], {z}] "
+        "WHEN abs(a[1]) >= abs(x[1]) THEN "
+        "[a[1] + x[1], a[2] + ((a[1] - (a[1] + x[1])) + x[1])] "
+        "ELSE [a[1] + x[1], a[2] + ((x[1] - (a[1] + x[1])) + a[1])] END)")
+    return f"(({acc})[1] + ({acc})[2])"
+
+
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -122,8 +140,7 @@ def promql_instant_regex(spark, sf_dir):
 @q("promql_sum_by", f"""
 WITH {_SAMPLES}, {_LAST}
 SELECT shard,
-       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                   (a, b) -> a + b) AS value
+       {_ksum('list(value ORDER BY "user")')} AS value
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_sum_by(spark, sf_dir):
@@ -228,7 +245,7 @@ win AS (
       ON e.event_type = 'purchase' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
 )
 SELECT t, "user",
-       list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)), (a, b) -> a + b)
+       {_ksum('list(value ORDER BY ts, value)')}
          / CAST(count(*) AS DOUBLE) AS value
 FROM win GROUP BY t, "user"
 """)
@@ -2312,8 +2329,7 @@ last AS (
     WHERE name = 'click' AND ts > {T - DAY - LOOKBACK} AND ts <= {T - DAY}
 )
 SELECT shard,
-       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                   (a, b) -> a + b) AS value
+       {_ksum('list(value ORDER BY "user")')} AS value
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_offset(spark, sf_dir):
@@ -2332,8 +2348,7 @@ last AS (
     WHERE name = 'click' AND ts > {A_MS - LOOKBACK} AND ts <= {A_MS}
 )
 SELECT shard,
-       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                   (a, b) -> a + b) AS value
+       {_ksum('list(value ORDER BY "user")')} AS value
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_at(spark, sf_dir):
@@ -2355,8 +2370,7 @@ slast AS (
 ),
 ssum AS (
     SELECT g, shard,
-           list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                       (a, b) -> a + b) AS v
+           {_ksum('list(value ORDER BY "user")')} AS v
     FROM slast WHERE rn = 1 GROUP BY g, shard
 )
 SELECT shard, max(v) AS value FROM ssum GROUP BY shard
@@ -2729,8 +2743,7 @@ def events_hopping_window(spark, sf_dir):
 @q("promql_ext_labels", f"""
 WITH {_SAMPLES}, {_LAST}
 SELECT shard, 'prom-a' AS prometheus,
-       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                   (a, b) -> a + b) AS value
+       {_ksum('list(value ORDER BY "user")')} AS value
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_ext_labels(spark, sf_dir):
@@ -2770,8 +2783,7 @@ last AS (
     WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
 )
 SELECT shard,
-       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                   (a, b) -> a + b) AS value
+       {_ksum('list(value ORDER BY "user")')} AS value
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_replica_dedup(spark, sf_dir):
@@ -2885,8 +2897,7 @@ win AS (
       ON e.event_type = 'purchase' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
 )
 SELECT t, "user",
-       list_reduce(list_prepend(0.0, list(value ORDER BY ts, value)),
-                   (a, b) -> a + b) AS sum_v,
+       {_ksum('list(value ORDER BY ts, value)')} AS sum_v,
        last(value ORDER BY ts, value) AS last_v,
        1.0 AS present_v
 FROM win GROUP BY t, "user"
@@ -3271,8 +3282,7 @@ last AS (
     FROM raw WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
 )
 SELECT shard, 'zone-a' AS zone,
-       list_reduce(list_prepend(0.0, list(value ORDER BY "user")),
-                   (a, b) -> a + b) AS value
+       {_ksum('list(value ORDER BY "user")')} AS value
 FROM last WHERE rn = 1 GROUP BY shard
 """)
 def promql_multistream(spark, sf_dir):
