@@ -187,6 +187,31 @@ def test_simhash_similar_docs_close(spark):
     assert hamming(h[1], h[2]) < hamming(h[1], h[3])
 
 
+def test_duplicate_spans_planted(spark):
+    import pytest as _pytest
+    shared = "the exact same forty-odd character sentence appears twice here"
+    rows = [(1, "A" * 30),                        # self-repeating run
+            (2, "prefix one " + shared),
+            (3, "prefix two " + shared),
+            (4, "tiny"),                          # shorter than min_len
+            (5, "x" * 10 + "".join(chr(97 + i % 26) for i in range(40)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_spans(df, min_len=24).collect()}
+    # a homogeneous run duplicates against itself: full coverage
+    assert out[1]["dup_fraction"] == 1.0
+    # the shared sentence is covered in both docs; the distinct prefixes
+    # are not -> 0 < fraction < 1, identical dup_chars on both sides
+    assert 0.0 < out[2]["dup_fraction"] < 1.0
+    # the common suffix includes the space separating prefix and sentence
+    assert out[2]["dup_chars"] == out[3]["dup_chars"] == len(shared) + 1
+    # below min_len and unique text -> zero
+    assert out[4]["dup_fraction"] == 0.0 and out[4]["n_dup_grams"] == 0
+    assert out[5]["dup_fraction"] == 0.0
+    with _pytest.raises(ValueError):
+        dedup.duplicate_spans(df, min_len=0)
+
+
 def test_brute_force_topk_self_is_rank1(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 2)

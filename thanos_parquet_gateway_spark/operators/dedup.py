@@ -350,3 +350,70 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         F.pow(F.lit(2.0), j).cast("long"))
                         .otherwise(F.lit(0).cast("long"))))
     return sim.select("doc_id", "simhash")
+
+
+def duplicate_spans(docs: DataFrame, min_len: int = 24, stride: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_count: int = 2) -> DataFrame:
+    """Exact substring-duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): every length-
+    ``min_len`` character gram occurring in ≥ ``min_count`` (doc, position)
+    sites marks a duplicated span; per document the spans' interval union
+    gives the exactly-duplicated character coverage.
+
+    Spark-first shape (the paper's suffix array is a single-node design):
+    - gram extraction is a narrow per-row ``transform`` over a position
+      ``sequence`` (``stride`` > 1 subsamples start positions to bound gram
+      volume at scale — coverage then lower-bounds the true value);
+    - the only shuffle keys on md5(gram) — corpus-wide duplicate detection
+      is one hash aggregation with map-side partial counts;
+    - per-document coverage is a sorted sequential fold over the span
+      starts (interval union in one pass, oracle-replicable).
+
+    Returns (doc_id, n_chars, n_dup_grams, dup_chars, dup_fraction).
+    """
+    if min_len < 1 or stride < 1:
+        raise ValueError("duplicate_spans: min_len and stride must be >= 1")
+    L = min_len
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("__t"))
+    starts = F.sequence(F.lit(1), F.greatest(
+        (F.length("__t") - L + 1), F.lit(0)), F.lit(stride))
+    grams = (base.filter(F.length("__t") >= L)
+             .select("doc_id", F.length("__t").alias("n_chars"),
+                     F.posexplode(F.transform(
+                         starts,
+                         lambda p: F.struct(
+                             p.alias("pos"),
+                             F.md5(F.substring(F.col("__t"), p, L))
+                              .alias("g")))).alias("__i", "s"))
+             .select("doc_id", "n_chars", F.col("s.pos").alias("pos"),
+                     F.col("s.g").alias("g")))
+    counts = grams.groupBy("g").agg(F.count("*").alias("__n"))
+    dup = (grams.join(counts.filter(F.col("__n") >= min_count), "g")
+           .select("doc_id", "n_chars", "pos"))
+    # interval union over sorted span starts: acc = (covered, last_end);
+    # each start p covers [p, p+L) minus overlap with [.., last_end)
+    acc0 = F.struct(F.lit(0).cast("long").alias("cov"),
+                    F.lit(0).cast("long").alias("end"))
+    spans = F.array_sort(F.collect_list("pos"))
+    fold = F.aggregate(
+        spans, acc0,
+        lambda a, p: F.struct(
+            (a["cov"] + F.greatest(p + L - F.greatest(p, a["end"]),
+                                   F.lit(0).cast("long"))).alias("cov"),
+            F.greatest(a["end"], p + L).alias("end")))
+    per_doc = (dup.groupBy("doc_id")
+               .agg(F.first("n_chars").alias("n_chars"),
+                    F.count("*").alias("n_dup_grams"),
+                    fold["cov"].alias("dup_chars")))
+    out = (base.select("doc_id", F.length("__t").alias("n_chars"))
+           .join(per_doc.drop("n_chars"), "doc_id", "left")
+           .select("doc_id", "n_chars",
+                   F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                   F.coalesce("dup_chars", F.lit(0)).alias("dup_chars")))
+    return out.withColumn(
+        "dup_fraction",
+        F.when(F.col("n_chars") > 0,
+               F.col("dup_chars").cast("double") / F.col("n_chars"))
+         .otherwise(F.lit(0.0)))

@@ -1378,6 +1378,42 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+@q("dedup_substring_spans", """
+WITH base AS (SELECT doc_id, text AS t, length(text) AS n_chars FROM documents),
+grams AS (
+    SELECT doc_id, n_chars, p AS pos, md5(substr(t, CAST(p AS INTEGER), 24)) AS g
+    FROM base, unnest(range(1, greatest(n_chars - 24 + 1, 0) + 1)) AS u(p)
+    WHERE n_chars >= 24
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT doc_id, n_chars, pos FROM grams JOIN dupg USING (g)),
+per AS (
+    SELECT doc_id, count(*) AS n_dup_grams,
+           (list_reduce(
+               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                   list_transform(list(pos ORDER BY pos),
+                                  p -> [CAST(p AS BIGINT), CAST(0 AS BIGINT)])),
+               (a, x) -> [a[1] + greatest(x[1] + 24 - greatest(x[1], a[2]),
+                                          CAST(0 AS BIGINT)),
+                          greatest(a[2], x[1] + 24)]))[1] AS dup_chars
+    FROM dup GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_chars,
+       CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       CASE WHEN b.n_chars > 0
+            THEN CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / b.n_chars
+            ELSE 0.0 END AS dup_fraction
+FROM base b LEFT JOIN per p USING (doc_id)
+""")
+def dedup_substring_spans(spark, sf_dir):
+    """Exact substring-duplication coverage (Lee et al. 2022 suffix-array
+    dedup re-expressed Spark-first: gram-hash shuffle + per-doc interval-
+    union fold — operators/dedup.duplicate_spans)."""
+    return dedup.duplicate_spans(load_table(spark, sf_dir, "documents"),
+                                 min_len=24)
+
+
 @q("text_fingerprint", """
 WITH words AS (
     SELECT doc_id,
