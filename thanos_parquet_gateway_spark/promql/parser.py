@@ -126,6 +126,14 @@ def lex(q: str) -> list[Token]:
 
 
 # precedence levels (binding powers); higher binds tighter
+# lexer keywords (upstream lexer.go key map, matched case-insensitively):
+# these can never appear as bare metric names.  start/end are NOT here —
+# upstream made them context-dependent (special only after @) so metrics
+# named start/end keep working.
+_KEYWORDS = frozenset((
+    "and", "or", "unless", "atan2", "by", "without", "on", "ignoring",
+    "group_left", "group_right", "offset", "bool"))
+
 _PREC = {"or": 1, "and": 2, "unless": 2,
          "==": 3, "!=": 3, "<=": 3, "<": 3, ">=": 3, ">": 3,
          "+": 4, "-": 4,
@@ -391,6 +399,12 @@ class Parser:
                     (nxt.kind == "IDENT" and
                      nxt.text.lower() in ("by", "without"))):
                 return self._parse_aggregation(low)
+            # upstream lexes keywords (and aggregator names) regardless of
+            # context, so a bare keyword is never a metric name — reject
+            # like the upstream parser ({__name__="and"} still selects it)
+            if low in _KEYWORDS or low in AGGREGATION_OPS:
+                raise PromQLSyntaxError(
+                    f"unexpected keyword {name!r} at {t.pos}")
             if nxt.kind == "OP" and nxt.text == "(":
                 return self._parse_call(name)
             return self._parse_selector(name)
