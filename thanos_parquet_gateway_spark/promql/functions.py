@@ -863,9 +863,13 @@ def dispatch(c: Compiler, call: A.Call):
         return float(3.141592653589793)
 
     if fn in ("sort", "sort_desc"):
+        # upstream sorts NaN to the BOTTOM in both directions (funcSort /
+        # funcSortDesc reverse a NaN-first heap); Spark's desc() would
+        # otherwise put NaN first (NaN orders greatest)
         iv = _vector_arg(c, call)
-        order = (F.col("value").desc() if fn == "sort_desc" else F.col("value").asc())
-        return InstantVector(iv.df.orderBy("t", order, F.col("sig")))
+        order = ([F.isnan("value").asc(), F.col("value").desc()]
+                 if fn == "sort_desc" else [F.col("value").asc()])
+        return InstantVector(iv.df.orderBy("t", *order, F.col("sig")))
 
     if fn in ("sort_by_label", "sort_by_label_desc"):
         # Lexicographic (byte-wise) per-label compare, missing label ≡ "",
