@@ -187,6 +187,35 @@ def test_simhash_similar_docs_close(spark):
     assert hamming(h[1], h[2]) < hamming(h[1], h[3])
 
 
+def test_split_dataset_partition_and_determinism(spark, sf_dir):
+    import pytest as _pytest
+    from thanos_parquet_gateway_spark.operators import sampling
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.split_dataset(
+        docs, {"train": 0.8, "validation": 0.1, "test": 0.1}, seed=7)
+    rows = out.select("doc_id", "split").collect()
+    # exactly one split per row, all rows present
+    assert len(rows) == docs.count()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= {"train", "validation", "test"}
+    # fractions roughly honored (hash uniformity, 500 docs)
+    assert counts["train"] > counts.get("validation", 0)
+    assert counts["train"] > counts.get("test", 0)
+    # determinism: same seed → identical assignment; repartition-invariant
+    again = {r["doc_id"]: r["split"] for r in
+             sampling.split_dataset(docs.repartition(7),
+                                    {"train": 0.8, "validation": 0.1,
+                                     "test": 0.1}, seed=7)
+             .select("doc_id", "split").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    with _pytest.raises(ValueError):
+        sampling.split_dataset(docs, {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError):
+        sampling.split_dataset(docs, {})
+
+
 def test_duplicate_spans_planted(spark):
     import pytest as _pytest
     shared = "the exact same forty-odd character sentence appears twice here"

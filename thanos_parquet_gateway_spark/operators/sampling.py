@@ -142,3 +142,48 @@ def mix_corpus(docs: DataFrame, budgets: dict[str, int], *,
             .select(F.col(id_col).alias("doc_id"),
                     F.col(source_col).alias("source"),
                     "n_tokens", "cum_tokens"))
+
+
+def split_dataset(df: DataFrame, splits: dict[str, float],
+                  key_col: str = "doc_id", seed: int = 0,
+                  hash_family: str = "xxhash") -> DataFrame:
+    """Deterministic train/validation/test partitioning: the keyed hash is
+    mapped to [0, 1) and each row labeled with the split whose cumulative
+    fraction interval contains it.  Every row lands in exactly one split
+    (fractions must sum to 1 within 1e-9); membership depends only on
+    (key, seed), so re-runs, shard order, and cluster size never move a
+    document between splits — the property training pipelines need to keep
+    eval sets uncontaminated across dataset versions.
+
+    Pure map-side CASE on the hash — no shuffle at any scale.  With
+    ``hash_family='md5'`` an independent SQL oracle replicates the
+    assignment exactly.  Returns the input plus a ``split`` column.
+    """
+    if not splits:
+        raise ValueError("split_dataset: splits must be non-empty")
+    if any(f < 0 for f in splits.values()):
+        raise ValueError("split_dataset: fractions must be >= 0")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split_dataset: fractions sum to {total}, want 1")
+    key = F.col(key_col)
+    names = list(splits)
+    # strictly-increasing cumulative upper bounds; the last split takes the
+    # remainder so rounding never drops a row
+    cum, bounds = 0.0, []
+    for n in names[:-1]:
+        cum += splits[n]
+        bounds.append((n, cum))
+    if hash_family == "md5":
+        h = _hash_col(key, seed, "md5")
+        expr = F.lit(names[-1])
+        for n, b in reversed(bounds):
+            expr = F.when(h < F.lit(md5_threshold(b)), F.lit(n)) \
+                    .otherwise(expr)
+    else:
+        h = F.shiftrightunsigned(_hash_col(key, seed, "xxhash"), 1)
+        expr = F.lit(names[-1])
+        for n, b in reversed(bounds):
+            expr = F.when(h < F.lit(int(b * _LONG_SPACE)), F.lit(n)) \
+                    .otherwise(expr)
+    return df.withColumn("split", expr)

@@ -2267,6 +2267,27 @@ def sample_bernoulli(spark, sf_dir):
         .select("doc_id", "lang", "source")
 
 
+_T80 = sampling.md5_threshold(0.8)
+_T90 = sampling.md5_threshold(0.9)
+
+
+@q("sample_split_dataset", f"""
+SELECT doc_id, lang, source,
+       CASE WHEN md5('7:' || CAST(doc_id AS VARCHAR)) < '{_T80}' THEN 'train'
+            WHEN md5('7:' || CAST(doc_id AS VARCHAR)) < '{_T90}' THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def sample_split_dataset(spark, sf_dir):
+    """Deterministic 80/10/10 train/validation/test split: membership is a
+    pure function of (doc_id, seed) — stable across re-runs, shard order,
+    and cluster size (operators/sampling.split_dataset)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.split_dataset(
+        docs, {"train": 0.8, "validation": 0.1, "test": 0.1},
+        seed=7, hash_family="md5").select("doc_id", "lang", "source", "split")
+
+
 @q("sample_mix_corpus", r"""
 WITH w AS (
     SELECT doc_id, source,
