@@ -473,7 +473,29 @@ class Parser:
             # upstream parser: "metric name must not be set twice"
             raise PromQLSyntaxError(
                 f"metric name must not be set twice: {name!r} and __name__")
+        if name is None and all(_matches_empty(m) for m in matchers):
+            # upstream parser.go checkAST: a selector whose every matcher
+            # accepts the empty string would match every series
+            raise PromQLSyntaxError(
+                "vector selector must contain at least one non-empty matcher")
         return VectorSelector(name, matchers)
+
+
+def _matches_empty(m: Matcher) -> bool:
+    """Does this matcher accept the empty string (≡ label absent)?
+    Mirrors upstream labels.Matcher.Matches("") for the parse-time
+    non-empty-matcher validation.  An invalid regex is a parse error, like
+    the upstream lexer-stage regex compilation."""
+    import re as _re
+    if m.op == "=":
+        return m.value == ""
+    if m.op == "!=":
+        return m.value != ""
+    try:
+        hit = _re.fullmatch(f"(?:{m.value})", "") is not None
+    except _re.error as e:
+        raise PromQLSyntaxError(f"invalid regex in matcher: {e}") from None
+    return hit if m.op == "=~" else not hit
 
 
 def parse(q: str) -> Node:
