@@ -374,6 +374,13 @@ def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
     rv = _range_arg(c, call, 0)
     sf = _scalar_lit(c, call, 1)
     tf = _scalar_lit(c, call, 2)
+    # upstream funcDoubleExponentialSmoothing: factors strictly in (0, 1)
+    if not 0 < sf < 1:
+        raise PromQLCompileError(
+            f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf:g}")
+    if not 0 < tf < 1:
+        raise PromQLCompileError(
+            f"invalid trend factor. Expected: 0 < tf < 1, got: {tf:g}")
     g = _collect_window(rv).filter(F.size("arr") >= 2)
     arr = F.col("arr")
     first_v = F.element_at(arr, 1)["v"]
@@ -521,12 +528,19 @@ def _histogram_quantile_classic(q: float, df) -> "DataFrame":
 
 
 # ----------------------------------------------------------- label functions
+_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
 def _label_replace(c: Compiler, call: A.Call) -> InstantVector:
     iv = _vector_arg(c, call, 0)
     dst = c.compile(call.args[1]).value
     repl = c.compile(call.args[2]).value
     src = c.compile(call.args[3]).value
     regex = c.compile(call.args[4]).value
+    if not _LABEL_NAME_RE.match(dst):
+        # upstream funcLabelReplace eval error
+        raise PromQLCompileError(
+            f"invalid destination label name in label_replace(): {dst}")
     anchored = f"^(?:{regex})$"
     src_val = F.coalesce(F.element_at(F.col("labels"), src), F.lit(""))
     matched = src_val.rlike(anchored)
@@ -545,6 +559,14 @@ def _label_join(c: Compiler, call: A.Call) -> InstantVector:
     dst = c.compile(call.args[1]).value
     sep = c.compile(call.args[2]).value
     srcs = [c.compile(a).value for a in call.args[3:]]
+    if not _LABEL_NAME_RE.match(dst):
+        raise PromQLCompileError(
+            f"invalid destination label name in label_join(): {dst}")
+    for s in srcs:
+        if not _LABEL_NAME_RE.match(s):
+            # upstream funcLabelJoin eval error
+            raise PromQLCompileError(
+                f"invalid source label name in label_join(): {s}")
     joined = F.concat_ws(
         sep, *[F.coalesce(F.element_at(F.col("labels"), s), F.lit("")) for s in srcs])
     without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(dst))
