@@ -543,6 +543,12 @@ class Compiler:
                 param = p
             else:
                 raise PromQLCompileError(f"{agg.op} param must be literal")
+        if agg.op == "count_values" and isinstance(param, str):
+            import re as _re
+            if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", param):
+                # upstream aggregation eval error
+                raise PromQLCompileError(
+                    f"invalid label name {param!r}")
         if agg.op == "quantile" and isinstance(param, float) and (
                 math.isnan(param) or param < 0 or param > 1):
             # upstream annotations.NewInvalidQuantileWarning

@@ -58,7 +58,22 @@ def _range_arg(c: Compiler, call: A.Call, idx: int = 0) -> RangeVector:
 
 
 def _vector_arg(c: Compiler, call: A.Call, idx: int = 0) -> InstantVector:
-    return c.compile_vector(call.args[idx])
+    """Strict instant-vector argument: upstream's parser-stage typecheck
+    never coerces scalars into vectors (abs(1), scalar(scalar(x)) etc. are
+    type errors; only the explicit vector() function converts)."""
+    v = c.compile(call.args[idx])
+    if isinstance(v, (float, ScalarV)):
+        raise PromQLCompileError(
+            "expected type instant vector in call to function "
+            f"\"{call.func}\", got scalar")
+    if isinstance(v, RangeVector):
+        raise PromQLCompileError(
+            "expected type instant vector in call to function "
+            f"\"{call.func}\", got range vector")
+    if not isinstance(v, InstantVector):
+        raise PromQLCompileError(
+            f"expected instant vector in call to {call.func}")
+    return v
 
 
 def _scalar_lit(c: Compiler, call: A.Call, idx: int) -> float:
