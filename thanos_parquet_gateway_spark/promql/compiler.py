@@ -535,14 +535,19 @@ class Compiler:
                 f"{agg.op} expects an instant vector, got "
                 f"{type(iv).__name__}")
         param = None
+        param_df = None  # per-step scalar parameter (upstream allows any
+        #                  scalar-typed expression, re-evaluated per step)
         if agg.param is not None:
             p = self.compile(agg.param)
             if isinstance(p, StringV):
                 param = p.value
             elif isinstance(p, float):
                 param = p
+            elif isinstance(p, ScalarV) and agg.op in ("topk", "bottomk",
+                                                       "quantile"):
+                param_df = p.df.withColumnRenamed("value", "__param")
             else:
-                raise PromQLCompileError(f"{agg.op} param must be literal")
+                raise PromQLCompileError(f"{agg.op} param must be a scalar")
         if agg.op == "count_values" and isinstance(param, str):
             import re as _re
             if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", param):
@@ -555,10 +560,14 @@ class Compiler:
             self.annotate("warn", "quantile value should be between 0 and 1, "
                                   f"got {fmt_g(param)}")
         df = self._grouped(iv, agg.grouping, agg.without, agg.has_grouping)
+        if param_df is not None:
+            # one row per t, broadcast onto the grouped frame
+            df = df.join(F.broadcast(param_df), "t")
 
         if agg.op in ("topk", "bottomk"):
             from pyspark.sql import Window
-            k = int(param)
+            k = (F.col("__param").cast("long") if param_df is not None
+                 else F.lit(int(param)))
             if agg.op == "topk":
                 order = [F.isnan("value").asc(), F.col("value").desc(), F.col("sig").asc()]
             else:
@@ -690,13 +699,22 @@ class Compiler:
                            merged.alias("hist")))
             return InstantVector(out)
 
-        if self.p.deterministic:
+        if self.p.deterministic or (param_df is not None
+                                    and agg.op == "quantile"):
+            # per-step quantile params always take the fold path: Spark's
+            # percentile() needs a foldable fraction, the fold takes any
+            # Column
+            extra = ([F.first("__param").alias("__param")]
+                     if param_df is not None else [])
             g = hgroup(df, "gsig",
                        folds.sorted_pairs(F.col("sig"), F.col("value")).alias("arr"),
-                       F.first("glabels").alias("labels"))
+                       F.first("glabels").alias("labels"), *extra)
             arr = F.col("arr")
             vals = folds.values_of(arr)
             non_nan = F.filter(vals, lambda v: ~F.isnan(v))
+            qparam = (F.col("__param") if param_df is not None
+                      else F.lit(float(param)) if param is not None
+                      else F.lit(0.0))
             val = {
                 "sum": lambda: folds.fold_sum(arr),
                 "avg": lambda: folds.fold_avg(arr),
@@ -706,7 +724,7 @@ class Compiler:
                 "max": lambda: F.coalesce(F.array_max(non_nan), NAN()),
                 "stddev": lambda: folds.fold_stddev_pop(arr),
                 "stdvar": lambda: folds.fold_var_pop(arr),
-                "quantile": lambda: folds.fold_quantile(arr, F.lit(float(param))),
+                "quantile": lambda: folds.fold_quantile(arr, qparam),
             }[agg.op]()
             out = g.select("t", F.col("gsig").alias("sig"), "labels",
                            F.lit(None).cast("long").alias("sample_ts"),
