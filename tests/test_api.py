@@ -269,3 +269,15 @@ def test_parse_query_endpoint(server):
     assert mat["name"] == "m" and mat["startOrEnd"] == "end"
     assert {"name": "job", "type": "=", "value": "a"} in mat["matchers"]
     assert tree["rhs"] == {"type": "numberLiteral", "val": "2"}
+
+
+def test_string_literal_query(server):
+    import urllib.parse
+    out = _get(server, "/api/v1/query?query=%s&time=7" % urllib.parse.quote('"hi there"'))
+    assert out["data"]["resultType"] == "string"
+    assert out["data"]["result"] == [7.0, "hi there"]
+    # range queries reject string expressions like upstream
+    import urllib.error, pytest as _pytest
+    with _pytest.raises(urllib.error.HTTPError):
+        _get(server, "/api/v1/query_range?query=%s&start=0&end=10&step=5"
+             % urllib.parse.quote('"hi"'))

@@ -176,6 +176,11 @@ class QueryAPI:
     def query(self, q: str, t_ms: int) -> dict:
         with self.sem:
             res = self.engine.query_instant(q, t_ms)
+            if res.result_type == "string":
+                row = res.df.collect()[0]
+                return self._with_annotations(
+                    {"resultType": "string",
+                     "result": [t_ms / 1000.0, row["value"]]}, res)
             if res.result_type == "scalar":
                 row = res.df.collect()[0]
                 return self._with_annotations(

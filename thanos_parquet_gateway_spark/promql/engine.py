@@ -20,6 +20,7 @@ from thanos_parquet_gateway_spark.promql.values import (
     InstantVector,
     RangeVector,
     ScalarV,
+    StringV,
 )
 from thanos_parquet_gateway_spark.schema import (
     canonical_sig,
@@ -119,6 +120,10 @@ class PromQLEngine:
                     step_ms: int) -> QueryResult:
         comp, v = self._compile(q, start_ms, end_ms, step_ms)
         ann = comp.annotations
+        if isinstance(v, StringV):
+            # upstream: "invalid expression type \"string\" for range query"
+            raise ValueError(
+                'invalid expression type "string" for range query')
         if isinstance(v, float):
             v = ScalarV(comp._const_scalar_df(v))
         if isinstance(v, ScalarV):
@@ -134,6 +139,11 @@ class PromQLEngine:
     def query_instant(self, q: str, t_ms: int) -> QueryResult:
         comp, v = self._compile(q, t_ms, t_ms, 1)
         ann = comp.annotations
+        if isinstance(v, StringV):
+            # string literal result (API resultType "string")
+            df = self.samples.sparkSession.createDataFrame(
+                [(t_ms, v.value)], "t long, value string")
+            return QueryResult(df, "string", ann)
         if isinstance(v, float):
             v = ScalarV(comp._const_scalar_df(v))
         if isinstance(v, ScalarV):
