@@ -777,6 +777,14 @@ class Compiler:
         r = self.compile(be.rhs)
         op = be.op
 
+        if isinstance(l, (RangeVector, StringV)) or \
+                isinstance(r, (RangeVector, StringV)):
+            # upstream typecheck: "binary expression must contain only
+            # scalar and instant vector types"
+            raise PromQLCompileError(
+                "binary expression must contain only scalar and instant "
+                "vector types")
+
         if isinstance(l, float) and isinstance(r, float):
             return self._const_binop(op, l, r, be.bool_modifier)
 
