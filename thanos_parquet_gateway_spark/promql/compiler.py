@@ -566,8 +566,21 @@ class Compiler:
 
         if agg.op in ("topk", "bottomk"):
             from pyspark.sql import Window
-            k = (F.col("__param").cast("long") if param_df is not None
-                 else F.lit(int(param)))
+            if param_df is not None:
+                # upstream errors on NaN/overflowing k ("Scalar value %v
+                # overflows int64") — raise from the plan, not a CAST crash
+                kp = F.col("__param")
+                bad = (F.isnan(kp) | (kp >= F.lit(float(2 ** 63)))
+                       | (kp <= F.lit(-float(2 ** 63))))
+                k = (F.when(bad, F.raise_error(F.concat(
+                        F.lit("scalar value "), kp.cast("string"),
+                        F.lit(f" overflows int64 for {agg.op}"))))
+                     .otherwise(kp)).cast("long")
+            else:
+                if math.isnan(param) or abs(param) >= 2 ** 63:
+                    raise PromQLCompileError(
+                        f"scalar value {fmt_g(param)} overflows int64")
+                k = F.lit(int(param))
             if agg.op == "topk":
                 order = [F.isnan("value").asc(), F.col("value").desc(), F.col("sig").asc()]
             else:
