@@ -123,11 +123,28 @@ def _vector(rng: random.Random, depth: int) -> str:
         v = _vector(rng, depth - 1)
         mod = "bool " if rng.random() < 0.5 else ""
         return f"({v} {rng.choice(CMP)} {mod}{_scalar(rng, 0)})"
-    if r < 0.92:
+    if r < 0.88:
         v = _vector(rng, depth - 1)
         return f'label_replace({v}, "dst", "$1", "job", "(.*)")'
-    if r < 0.96:
+    if r < 0.90:
         return f"clamp({_vector(rng, depth - 1)}, 0, 50)"
+    if r < 0.96:
+        # native-histogram shapes: float-returning probes over the hist
+        # metric, hist arithmetic, hist scaling, mixed set ops
+        hr = rng.random()
+        hsel = 'h0' + ('{job="a"}' if rng.random() < 0.5 else "")
+        if hr < 0.4:
+            fn = rng.choice(("histogram_count", "histogram_sum",
+                             "histogram_avg"))
+            return f"{fn}({hsel})"
+        if hr < 0.55:
+            return f"histogram_quantile(0.5, {hsel})"
+        if hr < 0.7:
+            return (f"histogram_count(({hsel} "
+                    f"{rng.choice(('+', '-'))} ignoring(__name__) h1))")
+        if hr < 0.85:
+            return f"histogram_sum(({hsel} * {rng.choice((2, 3))}))"
+        return f"histogram_count(({hsel} or {_vector(rng, depth - 1)}))"
     return f"-{_vector(rng, depth - 1)}"
 
 
@@ -149,6 +166,21 @@ def gcorpus(spark):
                         v = rng.uniform(-20, 80)
                     rows.append(({"__name__": metric, "job": job,
                                   "inst": inst}, i * 10 * S, round(v, 4)))
+    # native-histogram series for the histogram grammar branches: h0 on the
+    # same (job, inst) grid, h1 a single-label companion for h+h matching
+    for job in JOBS:
+        for inst in INSTS:
+            for i in range(26):
+                c1 = float(rng.randrange(1, 6))
+                c2 = float(rng.randrange(0, 4))
+                rows.append((
+                    {"__name__": "h0", "job": job, "inst": inst}, i * 10 * S,
+                    {"hist": (c1 + c2, rng.uniform(0, 20),
+                              [(1.0, c1), (2.0, c2), (float("inf"), 0.0)])}))
+                rows.append((
+                    {"__name__": "h1", "job": job, "inst": inst}, i * 10 * S,
+                    {"hist": (c2 + 1, rng.uniform(0, 5),
+                              [(1.0, c2), (2.0, 1.0), (float("inf"), 0.0)])}))
     from thanos_parquet_gateway_spark.promql import PromQLEngine
     return PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
                         deterministic=True)
