@@ -394,3 +394,29 @@ def test_multistream_convert_prune_decorate(spark, sf_dir, tmp_path):
     assert zones == ["eu-west", "us-east"]
     names = [r["name"] for r in eng.label_names(None, 0, t, 0).collect()]
     assert {"zone", "prometheus"} <= set(names)
+
+
+def test_cli_query_instant_and_range(spark, sf_dir, tmp_path, capsys):
+    """CLI one-shot query (promtool query analogue): instant and range JSON
+    on stdout, parse errors as status=error with exit 1."""
+    import json as _json
+
+    from thanos_parquet_gateway_spark.cli import main
+
+    path = str(tmp_path / "samples")
+    samples_from_events(spark, sf_dir).drop("__ts_raw").write.parquet(path)
+    t = 1704412800000
+    assert main(["query", "--path", path, "sum by (shard) (click)",
+                 "--time", str(t), "--lookback-ms", str(7 * 86400_000)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "vector" and out["data"]["result"]
+    assert main(["query", "--path", path, "sum by (shard) (click)",
+                 "--start", str(t - 86400_000), "--end", str(t),
+                 "--step", str(86400_000),
+                 "--lookback-ms", str(7 * 86400_000)]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["data"]["resultType"] == "matrix"
+    assert main(["query", "--path", path, "sum(", "--time", "0"]) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "error"

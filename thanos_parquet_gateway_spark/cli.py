@@ -70,6 +70,38 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """One-shot PromQL from the shell (promtool query instant/range
+    analogue): JSON result on stdout, evaluation errors as status=error
+    with exit code 1."""
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.api.http import QueryAPI
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    spark = get_spark("query")
+    eng = PromQLEngine(
+        spark.read.parquet(args.path),
+        lookback_ms=args.lookback_ms,
+        replica_labels=args.replica_label or None,
+        ext_labels=_parse_label_map(args.external_label or []) or None)
+    api = QueryAPI(eng)
+    try:
+        if args.start is not None or args.end is not None:
+            if args.start is None or args.end is None:
+                raise SystemExit("range query needs both --start and --end")
+            data = api.query_range(args.expr, args.start, args.end, args.step)
+        else:
+            import time as _time
+            t = args.time if args.time is not None else int(_time.time() * 1000)
+            data = api.query(args.expr, t)
+    except Exception as e:  # noqa: BLE001 — CLI surface
+        print(json.dumps({"status": "error", "errorType": "execution",
+                          "error": str(e)}))
+        return 1
+    print(json.dumps({"status": "success", "data": data}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     import time
 
@@ -167,6 +199,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="name=value external label (repeatable; "
                    "reference query.external-label)")
     s.set_defaults(fn=cmd_serve)
+
+    qp = sub.add_parser("query", help="one-shot PromQL evaluation (promtool "
+                        "query instant/range analogue)")
+    qp.add_argument("--path", required=True, help="samples parquet root")
+    qp.add_argument("expr", help="PromQL expression")
+    qp.add_argument("--time", type=int, default=None,
+                    help="instant eval time (epoch ms; default now)")
+    qp.add_argument("--start", type=int, default=None,
+                    help="range start (epoch ms)")
+    qp.add_argument("--end", type=int, default=None, help="range end (epoch ms)")
+    qp.add_argument("--step", type=int, default=60_000, help="range step (ms)")
+    qp.add_argument("--lookback-ms", type=int, default=300_000)
+    qp.add_argument("--replica-label", action="append")
+    qp.add_argument("--external-label", action="append")
+    qp.set_defaults(fn=cmd_query)
 
     c = sub.add_parser("convert", help="convert raw samples parquet into the "
                        "stream/date-partitioned layout (reference cmd/convert.go)")
