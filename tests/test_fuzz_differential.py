@@ -553,13 +553,53 @@ def _shape_label_ops(rng, t):
             f"GROUP BY job, inst")
 
 
+def _shape_param_scalar(rng, t):
+    """Per-step scalar aggregation parameters: k/φ computed from a series
+    value via scalar() (non-literal params, upstream engine parameter
+    evaluation).  k is derived as a 1..3 value from the scalar to stay in a
+    sane range; quantile uses a φ mapped into [0, 1]."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    src = rng.choice(METRICS)
+    ksel = f'{src}{{job="a", inst="1"}}'
+    ksql = (f"SELECT arg_max(value, ts) FROM samples WHERE name = '{src}' "
+            f"AND job = 'a' AND inst = '1' AND ts > {t - LOOKBACK} "
+            f"AND ts <= {t}")
+    base = _sel_sql(metric, sqlp, t)
+    if rng.random() < 0.5:
+        op, order = rng.choice([("topk", "DESC"), ("bottomk", "ASC")])
+        # k = scalar % 3 + 1 ∈ [1, 4); PromQL truncates the float k toward
+        # zero (upstream convertibleToInt64 + int64()), so trunc, not round.
+        return (f"sum({op}(scalar({ksel}) % 3 + 1, {sel}))",
+                f"""SELECT sum(v) AS v FROM (
+                    SELECT v FROM ({base}) ORDER BY v {order}
+                    LIMIT (SELECT CAST(trunc(fmod(({ksql}), 3) + 1) AS BIGINT)))""")
+    # φ = fractional part of the scalar ∈ [0, 1) via % 1.  DuckDB's
+    # quantile_cont only takes constant parameters, so spell out the
+    # linear interpolation (identical to PromQL's) by rank.
+    return (f"quantile(scalar({ksel}) % 1, {sel})",
+            f"""WITH vals AS ({base}),
+                ranked AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r
+                           FROM vals),
+                st AS (SELECT count(*) AS n, (SELECT fmod(({ksql}), 1)) AS p
+                       FROM vals)
+                SELECT lo.v + (hi.v - lo.v)
+                       * (st.p * (st.n - 1) - floor(st.p * (st.n - 1))) AS v
+                FROM st
+                JOIN ranked lo
+                  ON lo.r = CAST(floor(st.p * (st.n - 1)) AS BIGINT)
+                JOIN ranked hi
+                  ON hi.r = CAST(ceil(st.p * (st.n - 1)) AS BIGINT)""")
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
           _shape_subquery, _shape_qot, _shape_limit,
           _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum,
           _shape_group_left, _shape_irate, _shape_label_ops,
-          _shape_ts_of, _shape_duration_expr]
+          _shape_ts_of, _shape_duration_expr, _shape_param_scalar]
 
 N_QUERIES = 300
 
