@@ -593,13 +593,102 @@ def _shape_param_scalar(rng, t):
                   ON hi.r = CAST(ceil(st.p * (st.n - 1)) AS BIGINT)""")
 
 
+def _shape_at(rng, t):
+    """@ modifier: evaluation pinned to an absolute timestamp, optionally
+    composed with the same selector evaluated at the query time (upstream
+    at_modifier.test semantics: the pin overrides t entirely)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    t2 = rng.randrange(50, 196) * S
+    base_pin = _sel_sql(metric, sqlp, t2)
+    if rng.random() < 0.5:
+        op, sqlagg = rng.choice(AGGS)
+        return (f"{op}({sel} @ {t2 // S})",
+                f"SELECT {sqlagg} AS v FROM ({base_pin})")
+    base_now = _sel_sql(metric, sqlp, t)
+    return (f"sum({sel} @ {t2 // S}) + sum({sel})",
+            f"""SELECT (SELECT sum(v) FROM ({base_pin}))
+                     + (SELECT sum(v) FROM ({base_now})) AS v""")
+
+
+def _shape_absent(rng, t):
+    """absent() over equality-only selectors: empty result → one series
+    carrying the equality matchers' labels, value 1; else empty."""
+    metric = rng.choice(METRICS)
+    job = rng.choice(("a", "b", "nope"))
+    inst = rng.choice(("1", "3", "99"))
+    base = _sel_sql(metric, f"job = '{job}' AND inst = '{inst}'", t)
+    return (f'absent({metric}{{job="{job}", inst="{inst}"}})',
+            f"""SELECT '{job}' AS job, '{inst}' AS inst, 1.0 AS v
+                WHERE NOT EXISTS (SELECT 1 FROM ({base}))""")
+
+
+def _shape_changes_resets(rng, t):
+    """changes()/resets() over the range window: adjacent-pair counting in
+    ts order (NaN-free corpus, so the NaN-transition rules don't bite)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    w = rng.choice(WINDOWS)
+    fn, cond = rng.choice([("changes", "value <> pv"),
+                           ("resets", "value < pv")])
+    return (f"{fn}({sel}[{w}s])", f"""
+        SELECT job, inst,
+               CAST(sum(CASE WHEN pv IS NOT NULL AND {cond}
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS v
+        FROM (SELECT job, inst, value,
+                     lag(value) OVER (PARTITION BY job, inst
+                                      ORDER BY ts) AS pv
+              FROM ({_win_sql(metric, sqlp, t, w)}))
+        GROUP BY job, inst""")
+
+
+def _linreg_sql(metric, sqlp, t, w, x0_expr, v_expr):
+    """Least-squares with x = (ts - x0)/1e3 seconds, spelled with the same
+    cov/var algebra as functions._linreg so rounding stays within _close."""
+    return f"""
+        WITH w AS ({_win_sql(metric, sqlp, t, w)}),
+        f AS (SELECT job, inst, min(ts) AS t0 FROM w GROUP BY job, inst),
+        s AS (SELECT w.job, w.inst,
+                     sum((w.ts - {x0_expr}) / 1000.0) AS sx,
+                     sum(w.value) AS sy,
+                     sum((w.ts - {x0_expr}) / 1000.0 * w.value) AS sxy,
+                     sum((w.ts - {x0_expr}) / 1000.0
+                         * (w.ts - {x0_expr}) / 1000.0) AS sx2,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM w JOIN f USING (job, inst)
+              GROUP BY w.job, w.inst HAVING count(*) >= 2)
+        SELECT job, inst, {v_expr} AS v
+        FROM (SELECT job, inst, sy, sx, n,
+                     (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS slope
+              FROM s)"""
+
+
+def _shape_deriv(rng, t):
+    """deriv (x pinned to the first sample) / predict_linear (x pinned to
+    the evaluation timestamp; prediction = intercept + slope*d)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    w = rng.choice(WINDOWS)
+    if rng.random() < 0.5:
+        return (f"deriv({sel}[{w}s])",
+                _linreg_sql(metric, sqlp, t, w, "f.t0", "slope"))
+    d = rng.choice((60, 300))
+    return (f"predict_linear({sel}[{w}s], {d})",
+            _linreg_sql(metric, sqlp, t, w, str(t),
+                        f"sy / n - slope * sx / n + slope * {d}"))
+
+
 SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_cmp_filter, _shape_over_time, _shape_rate, _shape_agg_rate,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
           _shape_subquery, _shape_qot, _shape_limit,
           _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum,
           _shape_group_left, _shape_irate, _shape_label_ops,
-          _shape_ts_of, _shape_duration_expr, _shape_param_scalar]
+          _shape_ts_of, _shape_duration_expr, _shape_param_scalar,
+          _shape_at, _shape_absent, _shape_changes_resets, _shape_deriv]
 
 N_QUERIES = 300
 
