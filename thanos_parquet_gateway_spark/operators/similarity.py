@@ -32,6 +32,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_per_query(scored: DataFrame, k: int, order_col: str, *,
+                    descending: bool,
+                    payload_cols: tuple[str, ...]) -> DataFrame:
+    """Two-phase distributed per-query top-k.
+
+    ``scored`` must carry ``query_id``, ``vec_id`` (the deterministic
+    tie-breaker, unique per query), ``order_col`` (double) and
+    ``payload_cols``.  Returns (query_id, rank, vec_id, *payload_cols) with
+    rank 1..k in the requested order.
+
+    Why not ``Window.partitionBy("query_id")``: that global ranking funnels
+    EVERY scored candidate of a query into ONE reducer — at 100 TB with a
+    10-query batch the whole corpus squeezes through 10 tasks.  Here:
+
+    - phase 1 ranks inside each scoring partition —
+      ``groupBy(query_id, spark_partition_id())`` keeps parallelism at
+      queries × partitions and every group is bounded by its own
+      partition's rows, so no reducer is ever larger than one input split;
+      the per-group sort is a codegen'd ``array_sort`` + ``slice(…, k)``.
+    - phase 2 merges the survivors — at most partitions × k rows per query
+      reach the final ``groupBy(query_id)``, constant in corpus size.
+
+    The sort key reproduces Spark/DuckDB ``ORDER BY x DESC`` NaN semantics
+    exactly (NaN sorts greatest, hence FIRST under DESC): a leading
+    is-NaN discriminator field keeps NaN candidates ahead of the negated
+    finite keys, so the two-phase result is bit-identical to the window
+    ranking an independent SQL oracle computes.
+    """
+    if descending:
+        key = F.struct(
+            F.when(F.isnan(F.col(order_col)), F.lit(0)).otherwise(F.lit(1))
+             .alias("__nan"),
+            F.when(F.isnan(F.col(order_col)), F.lit(0.0))
+             .otherwise(-F.col(order_col)).alias("__ord"),
+            F.col("vec_id").alias("vec_id"),
+            *[F.col(c).alias(c) for c in payload_cols])
+    else:
+        key = F.struct(
+            F.col(order_col).alias("__ord"),
+            F.col("vec_id").alias("vec_id"),
+            *[F.col(c).alias(c) for c in payload_cols])
+    partial = (scored
+               .withColumn("__k", key)
+               .groupBy("query_id", F.spark_partition_id().alias("__pid"))
+               .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, k)
+                    .alias("__top")))
+    merged = (partial
+              .groupBy("query_id")
+              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("__top"))),
+                           1, k).alias("__top")))
+    out = merged.select("query_id",
+                        F.posexplode("__top").alias("__pos", "__x"))
+    return out.select(
+        "query_id",
+        (F.col("__pos") + 1).alias("rank"),
+        F.col("__x.vec_id").alias("vec_id"),
+        *[F.col(f"__x.{c}").alias(c) for c in payload_cols])
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
@@ -39,18 +98,16 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k by cosine: broadcast the (small) query set against the
     corpus, rank per query.  At cluster scale the corpus side stays
     partitioned; only queries move.  Ties break by corpus id (deterministic).
+    Ranking is the two-phase partial top-k (``_topk_per_query``) — no
+    per-query single-reducer window.
     Returns (query_id, rank, vec_id, cos_sim)."""
-    from pyspark.sql import Window
     j = embeddings.crossJoin(F.broadcast(queries))
     scored = j.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cos_sim"))
+    return _topk_per_query(scored, k, "cos_sim", descending=True,
+                           payload_cols=("cos_sim",))
 
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -70,7 +127,6 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
     equals the query's are scored (equi-join on the bucket key — the scale
     path; recall grows with fewer planes / multi-probe).
     Returns (query_id, rank, vec_id, cos_sim)."""
-    from pyspark.sql import Window
     emb_b = embeddings.withColumn(
         "__bucket", hyperplane_signature(F.col(vec_col), planes))
     q_b = queries.withColumn(
@@ -80,11 +136,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cos_sim"))
+    return _topk_per_query(scored, k, "cos_sim", descending=True,
+                           payload_cols=("cos_sim",))
 
 
 def rademacher_signature(vec: Column, n_bits: int, seed: int = 0) -> Column:
@@ -173,16 +226,20 @@ def seed_centroids(e: DataFrame, nlist: int, hash_family: str) -> DataFrame:
     """``nlist`` deterministic seed centroids: the corpus vectors ranked
     first by a hash of their id — an O(1)-state sample needing no k-means
     pass.  orderBy().limit() plans as TakeOrderedAndProject (distributed
-    top-nlist, NOT a single-partition sort); the numbering window only ever
-    sees nlist rows."""
-    from pyspark.sql import Window
+    top-nlist, NOT a single-partition sort); numbering then collapses the
+    nlist survivors into ONE row (array_sort + posexplode) instead of a
+    partition-less window, so no global-window warning and no single-
+    partition sort stage."""
     rank_key = (F.md5(F.col("vec_id").cast("string")) if hash_family == "md5"
                 else F.xxhash64(F.col("vec_id")).cast("string"))
     seeds = e.withColumn("__hk", rank_key).orderBy("__hk", "vec_id") \
              .limit(nlist)
-    seed_w = Window.orderBy(F.col("__hk").asc(), F.col("vec_id").asc())
-    return (seeds.withColumn("cell", F.row_number().over(seed_w))
-            .select("cell", F.col("v").alias("cvec")))
+    packed = seeds.agg(F.array_sort(F.collect_list(F.struct(
+        F.col("__hk").alias("hk"), F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("v")))).alias("__s"))
+    return (packed.select(F.posexplode("__s").alias("__pos", "__x"))
+            .select((F.col("__pos") + 1).alias("cell"),
+                    F.col("__x.v").alias("cvec")))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
@@ -212,8 +269,6 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Lloyd means bit-reproducible (sorted sequential folds) for oracles.
     Returns (query_id, rank, vec_id, cos_sim); ties break by vec_id.
     """
-    from pyspark.sql import Window
-
     e = embeddings.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("v"))
     cents = seed_centroids(e, nlist, hash_family)
@@ -229,11 +284,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     j = e_cells.join(F.broadcast(q_probes), "cell")
     scored = j.select("query_id", "vec_id",
                       cosine(F.col("v"), F.col("qv")).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
-                                               F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "vec_id", "cos_sim"))
+    return _topk_per_query(scored, k, "cos_sim", descending=True,
+                           payload_cols=("cos_sim",))
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -274,8 +326,6 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     cosine of each returned pair is attached for downstream rescoring.
     Returns (query_id, rank, vec_id, approx_dist, cos_sim).
     """
-    from pyspark.sql import Window
-
     if m < 1 or n_codes < 1:
         raise ValueError("pq_topk: m and n_codes must be >= 1")
     e = embeddings.select(F.col(id_col).alias("vec_id"),
@@ -326,13 +376,16 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         F.zip_with("__codes", "__tables",
                    lambda c, t: F.element_at(t, c)),
         F.lit(0.0), lambda acc, v: acc + v)
+    # rank on the NARROW (query_id, vec_id, approx_dist) projection — the
+    # old window ranking dragged full v/qv vectors through the shuffle
     scored = (enc.crossJoin(F.broadcast(qt))
-              .select("query_id", "vec_id", "v", "qv",
-                      approx.alias("approx_dist")))
-    w = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(),
-                                               F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+              .select("query_id", "vec_id", approx.alias("approx_dist")))
+    topk = _topk_per_query(scored, k, "approx_dist", descending=False,
+                           payload_cols=("approx_dist",))
+    # exact-cosine rescoring of the winners only: the queries×k survivor
+    # set broadcasts against the corpus, so the corpus never shuffles
+    return (e.join(F.broadcast(topk), "vec_id")
+            .join(F.broadcast(q), "query_id")
             .select("query_id", "rank", "vec_id", "approx_dist",
                     cosine(F.col("v"), F.col("qv")).alias("cos_sim")))
 
@@ -362,8 +415,6 @@ def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
 
     Returns one row per input vector: (vec_id, cell, keep).
     """
-    from pyspark.sql import Window
-
     if k_clusters < 1:
         raise ValueError("semantic_dedup: k_clusters must be >= 1")
     e = embeddings.select(F.col(id_col).alias("vec_id"),

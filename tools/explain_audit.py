@@ -124,6 +124,29 @@ def main():
         ("query side broadcast", r"Broadcast(NestedLoopJoin|ExchangeExec|Exchange)"),
     ]))
 
+    # 5b. ALL four rankers must use the two-phase partial top-k: phase 1
+    # groups on (query_id, spark_partition_id()) so no reducer sees more
+    # than one input split, and no exchange moves more than partitions×k
+    # rows into the final per-query merge.  A Window node would mean the
+    # old single-reducer-per-query global ranking is back.
+    rankers = {
+        "brute_force": q5,
+        "lsh": similarity.lsh_topk(
+            emb, q, planes=[[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62],
+            k=5),
+        "ivf": similarity.ivf_topk(emb, q, k=5, nlist=4, nprobe=2),
+        "pq": similarity.pq_topk(emb, q, k=5, m=4, n_codes=8, dim=64),
+    }
+    for rname, rdf in rankers.items():
+        rp = plan_of(rdf)
+        results.append(check(f"two-phase topk: {rname}", rp, [
+            ("phase-1 partial rank groups on spark_partition_id",
+             r"SPARK_PARTITION_ID|spark_partition_id"),
+        ]))
+        if re.search(r"\(\d+\) Window", rp):
+            print("  [MISS] single-reducer Window ranking present")
+            results.append(False)
+
     # 6. decontamination: the benchmark gram set must be the BROADCAST side
     # (the corpus is never shuffled on gram text)
     q6 = EQ.QUERIES["text_decontaminate"](spark, sf_dir)
