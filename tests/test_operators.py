@@ -314,6 +314,35 @@ def test_pq_topk_self_rank1_and_validation(spark, sf_dir):
         similarity.pq_topk(emb, q, m=7)  # 7 does not divide dim 64
 
 
+def test_ivfpq_topk_self_rank1_and_candidate_bound(spark, sf_dir):
+    import pytest as _pytest
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    top = similarity.ivfpq_topk(emb, q, k=3, nlist=4, nprobe=2,
+                                m=4, n_codes=8).collect()
+    # the query's first probe is its own assignment cell and a vector's
+    # own codes attain the per-block table minima, so self ranks 1
+    rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in top
+             if r["rank"] == 1}
+    assert all(vid == qid for qid, (vid, _) in rank1.items())
+    assert all(abs(cs - 1.0) < 1e-9 for _, cs in rank1.values())
+    # probing every cell can only ADD candidates, and the codebook is
+    # cell-independent, so ADC distances agree between runs on common pairs
+    full = similarity.ivfpq_topk(emb, q, k=3, nlist=4, nprobe=4,
+                                 m=4, n_codes=8).collect()
+    fd = {(r["query_id"], r["vec_id"]): r["approx_dist"] for r in full}
+    for r in top:
+        key = (r["query_id"], r["vec_id"])
+        if key in fd:
+            assert abs(fd[key] - r["approx_dist"]) < 1e-12
+    with _pytest.raises(ValueError):
+        similarity.ivfpq_topk(emb, q, nprobe=0)
+    with _pytest.raises(ValueError):
+        similarity.ivfpq_topk(emb, q, m=7)
+
+
 def test_language_and_quality_and_tokens(spark):
     rows = [(1, "the cat and the dog went to the house of a friend"),
             (2, "der hund und die katze ist nicht zu hause mit der maus"),

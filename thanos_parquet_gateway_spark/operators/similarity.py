@@ -390,6 +390,103 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     cosine(F.col("v"), F.col("qv")).alias("cos_sim")))
 
 
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               nlist: int = 8, nprobe: int = 2,
+               m: int = 4, n_codes: int = 16, dim: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+               hash_family: str = "xxhash") -> DataFrame:
+    """IVF×PQ ANN — the IVFADC layout (Jégou et al. 2011 §V, public): an
+    IVF coarse quantizer bounds the candidate set to the ``nprobe`` probed
+    cells per query, and PQ asymmetric-distance lookups score inside those
+    cells.  Composes ``ivf_topk``'s cell pruning with ``pq_topk``'s m-byte
+    codes so search touches ~nprobe/nlist of the corpus AND pays m table
+    lookups per pair instead of a dim-wide float scan — the shape that
+    makes billion-vector search tractable (flat ADC is a linear scan per
+    query batch; IVF-only still does dim-wide math inside probed cells).
+
+    The 100 TB shape:
+    - coarse centroids and the PQ codebook are both hash-ranked seed
+      vectors (``seed_centroids`` — distributed TakeOrderedAndProject
+      collapsed to one broadcast row; deterministic, so a SQL oracle
+      replicates both).  Codes quantize the RAW vector (no residual) so
+      the codebook is cell-independent and the oracle stays closed-form;
+      residual encoding is the classic refinement and would reuse this
+      exact plan shape with (v - centroid) inside ``code_for``.
+    - corpus rows get (cell, codes) map-side: one broadcast nested loop
+      for the centroid argmax, one for the per-block code argmin — the
+      corpus never shuffles for indexing.
+    - search joins corpus codes to the broadcast (query, probed-cell,
+      lookup-table) rows on ``cell`` — an equi-join AQE plans; candidates
+      are bounded by the probed cells, scored by m ``element_at`` lookups.
+    - ranking is the two-phase partial top-k; winners-only exact-cosine
+      rescoring as in ``pq_topk``.
+
+    Returns (query_id, rank, vec_id, approx_dist, cos_sim); ordering by
+    ADC distance ascending, ties by vec_id.
+    """
+    if m < 1 or n_codes < 1 or nlist < 1 or nprobe < 1:
+        raise ValueError("ivfpq_topk: m, n_codes, nlist, nprobe must be >= 1")
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    if dim is None:
+        dim = e.select(F.size("v").alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: m={m} must divide dim={dim}")
+    blk = dim // m
+
+    cents_arr = _cents_to_arr(seed_centroids(e, nlist, hash_family))
+    cb_arr = (_cents_to_arr(seed_centroids(e, n_codes, hash_family))
+              .withColumnRenamed("__cents", "__cb"))
+    sorted_cb = F.array_sort(F.col("__cb"))
+
+    def block(vec: Column, b: int) -> Column:
+        return F.slice(vec, b * blk + 1, blk)
+
+    def code_for(vec: Column, b: int) -> Column:
+        scored = F.transform(
+            sorted_cb,
+            lambda c: F.struct(_l2sq(block(vec, b),
+                                     block(c["cvec"], b)).alias("d"),
+                               c["cell"].alias("code")))
+        return F.element_at(F.array_sort(scored), 1)["code"]
+
+    # corpus index rows: (vec_id, cell, codes) — both attaches map-side
+    e_cells = _probe(e, "v", 1, cents_arr)
+    enc = (e_cells.crossJoin(F.broadcast(cb_arr))
+           .select("vec_id", "cell",
+                   F.array(*[code_for(F.col("v"), b)
+                             for b in range(m)]).alias("__codes")))
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+    q_probes = _probe(q, "qv", nprobe, cents_arr)
+
+    def table_for(b: int) -> Column:
+        return F.transform(
+            sorted_cb,
+            lambda c: _l2sq(block(F.col("qv"), b), block(c["cvec"], b)))
+
+    qt = (q_probes.crossJoin(F.broadcast(cb_arr))
+          .select("query_id", "cell",
+                  F.array(*[table_for(b) for b in range(m)]).alias("__tables")))
+
+    # each corpus vector lives in exactly one cell, so the cell equi-join
+    # matches a (query, vector) pair at most once — no dedup needed
+    approx = F.aggregate(
+        F.zip_with("__codes", "__tables",
+                   lambda c, t: F.element_at(t, c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    scored = (enc.join(F.broadcast(qt), "cell")
+              .select("query_id", "vec_id", approx.alias("approx_dist")))
+    topk = _topk_per_query(scored, k, "approx_dist", descending=False,
+                           payload_cols=("approx_dist",))
+    return (e.join(F.broadcast(topk), "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "rank", "vec_id", "approx_dist",
+                    cosine(F.col("v"), F.col("qv")).alias("cos_sim")))
+
+
 def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
                    threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",

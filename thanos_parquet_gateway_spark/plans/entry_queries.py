@@ -2088,6 +2088,84 @@ def sim_pq_topk(spark, sf_dir):
                               m=4, n_codes=16, dim=64, hash_family="md5")
 
 
+@q("sim_ivfpq_topk", f"""
+WITH seeds AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS cell
+    FROM embeddings
+    QUALIFY cell <= 8
+),
+easg AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s)
+    WHERE r = 1
+),
+qasg AS (
+    SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s WHERE e.vec_id < 3)
+    WHERE r <= 2
+),
+cb AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS code
+    FROM embeddings
+    QUALIFY code <= 16
+),
+blocks AS (SELECT unnest(range(4)) AS b),
+ecodes AS (
+    SELECT vec_id, b, code FROM (
+        SELECT e.vec_id, bl.b, c.code,
+               row_number() OVER (PARTITION BY e.vec_id, bl.b
+                                  ORDER BY {_l2sq_sql('e.embedding' + _PQB,
+                                                      'c.cvec' + _PQB)},
+                                           c.code) AS r
+        FROM embeddings e, cb c, blocks bl)
+    WHERE r = 1
+),
+adc AS (
+    SELECT q.vec_id AS query_id, ec.vec_id,
+           list_reduce(list_prepend(0.0,
+               list({_l2sq_sql('q.embedding' + _PQB, 'c.cvec' + _PQB)}
+                    ORDER BY ec.b)),
+               (p, s) -> p + s) AS approx_dist
+    FROM ecodes ec JOIN cb c ON c.code = ec.code
+         JOIN blocks bl ON bl.b = ec.b
+         JOIN easg ee ON ee.vec_id = ec.vec_id
+         JOIN qasg q ON q.cell = ee.cell
+    GROUP BY q.vec_id, ec.vec_id
+)
+SELECT query_id, rank, vec_id, approx_dist, cos_sim FROM (
+    SELECT a.query_id, a.vec_id, a.approx_dist,
+           {_cos_sql('ee.embedding', 'qe.embedding')} AS cos_sim,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY a.approx_dist, a.vec_id) AS rank
+    FROM adc a JOIN embeddings ee ON ee.vec_id = a.vec_id
+               JOIN embeddings qe ON qe.vec_id = a.query_id)
+WHERE rank <= 5
+""")
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVFADC composition: 8 hash-seeded IVF cells bound the candidate set
+    (nprobe=2 per query), 4x16 product-quantization codes score candidates
+    via ADC lookup tables — the billion-vector layout where search touches
+    ~nprobe/nlist of the corpus and pays m table lookups per pair
+    (operators/similarity.ivfpq_topk; md5 family so the DuckDB oracle
+    replicates centroids and codebook exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, _query_vectors(spark, sf_dir), k=5,
+                                 nlist=8, nprobe=2, m=4, n_codes=16, dim=64,
+                                 hash_family="md5")
+
+
 @q("sim_semantic_dedup", f"""
 WITH seeds AS (
     SELECT embedding AS cvec,

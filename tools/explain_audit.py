@@ -136,6 +136,8 @@ def main():
             k=5),
         "ivf": similarity.ivf_topk(emb, q, k=5, nlist=4, nprobe=2),
         "pq": similarity.pq_topk(emb, q, k=5, m=4, n_codes=8, dim=64),
+        "ivfpq": similarity.ivfpq_topk(emb, q, k=5, nlist=4, nprobe=2,
+                                       m=4, n_codes=8, dim=64),
     }
     for rname, rdf in rankers.items():
         rp = plan_of(rdf)
