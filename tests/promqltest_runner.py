@@ -123,7 +123,62 @@ def _tokenize_values(s: str) -> list[str]:
 
 
 _SERIES_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)?(\{[^}]*\})?\s*(.*)$")
-_LABEL_RE = re.compile(r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"')
+
+
+def _parse_brace_items(body: str) -> dict:
+    """Brace-content scanner for series notation: classic ``l="v"`` pairs,
+    quoted UTF-8 label names (``"l.x"="v"``), and a bare quoted string as
+    the metric name (``{"a.b", l="v"}`` — Prometheus 3 syntax)."""
+    labels: dict[str, str] = {}
+    i, n = 0, len(body)
+
+    def read_string(j: int) -> tuple[str, int]:
+        j += 1  # opening quote
+        buf = []
+        while j < n and body[j] != '"':
+            if body[j] == "\\" and j + 1 < n:
+                buf.append({'"': '"', "\\": "\\", "n": "\n",
+                            "t": "\t"}.get(body[j + 1], "\\" + body[j + 1]))
+                j += 2
+            else:
+                buf.append(body[j])
+                j += 1
+        return "".join(buf), j + 1
+
+    while i < n:
+        while i < n and body[i] in " \t,":
+            i += 1
+        if i >= n:
+            break
+        if body[i] == '"':
+            val, i = read_string(i)
+            j = i
+            while j < n and body[j] in " \t":
+                j += 1
+            if j < n and body[j] == "=":
+                i = j + 1
+                while i < n and body[i] in " \t":
+                    i += 1
+                v, i = read_string(i)
+                labels[val] = v
+            else:
+                labels["__name__"] = val
+        else:
+            m = re.match(r"[a-zA-Z_][a-zA-Z0-9_:]*", body[i:])
+            if not m:
+                raise ValueError(f"bad series label at {body[i:]!r}")
+            name = m.group(0)
+            i += m.end()
+            while i < n and body[i] in " \t":
+                i += 1
+            if i >= n or body[i] != "=":
+                raise ValueError(f"bad series label {name!r}")
+            i += 1
+            while i < n and body[i] in " \t":
+                i += 1
+            v, i = read_string(i)
+            labels[name] = v
+    return labels
 
 
 def parse_series_id(spec: str) -> tuple[dict, str]:
@@ -134,9 +189,7 @@ def parse_series_id(spec: str) -> tuple[dict, str]:
     if name:
         labels["__name__"] = name
     if lbl:
-        for lm in _LABEL_RE.finditer(lbl):
-            labels[lm.group(1)] = lm.group(2).replace('\\"', '"') \
-                                             .replace("\\\\", "\\")
+        labels.update(_parse_brace_items(lbl[1:-1]))
     return labels, rest
 
 

@@ -137,3 +137,38 @@ def test_duration_expression_errors():
                 "foo[1m%0]", "foo[5m:0s]"]:
         with pytest.raises(PromQLSyntaxError):
             parse(bad)
+
+
+def test_utf8_quoted_names():
+    """Prometheus 3 UTF-8 syntax: quoted metric names inside braces and
+    quoted label names in matchers and grouping lists."""
+    from thanos_parquet_gateway_spark.promql.printer import format_expr
+    vs = parse('{"http.requests.total"}')
+    assert vs.name == "http.requests.total" and not vs.matchers
+    vs = parse('{env="prod", "http.requests.total"}')
+    assert vs.name == "http.requests.total"
+    assert [(m.label, m.op, m.value) for m in vs.matchers] == [
+        ("env", "=", "prod")]
+    vs = parse('{"label with spaces"="x"}')
+    assert vs.matchers[0].label == "label with spaces"
+    agg = parse('sum by ("a.b", c) (up)')
+    assert agg.grouping == ["a.b", "c"]
+    be = parse('x * on("i.d") group_left("e.l") y')
+    assert be.matching.labels == ["i.d"]
+    assert be.matching.include == ["e.l"]
+    # printer quotes non-classic names, roundtrip-stable
+    for q in ['{"a.b", c="d"}', 'sum by ("l.1") (up)',
+              '{"l w"="x"}', 'rate({"m.x"}[5m])']:
+        s = format_expr(parse(q))
+        assert format_expr(parse(s)) == s
+    # classic names never gain quotes
+    assert format_expr(parse('up{env="p"}')) == 'up{env="p"}'
+
+
+def test_utf8_quoted_name_errors():
+    for bad in ['foo{"bar"}', '{"a", "b"}', '{"a.b", __name__="x"}',
+                '{""}', '{"a.b" env="p"}', 'up{a="b" c="d"}']:
+        with pytest.raises(PromQLSyntaxError):
+            parse(bad)
+    # trailing comma stays legal
+    assert parse('up{a="b",}').matchers[0].value == "b"

@@ -213,10 +213,17 @@ class Parser:
         return vm
 
     def _label_list(self) -> list[str]:
+        # label names may be quoted UTF-8 strings (Prometheus 3 syntax:
+        # sum by ("label.with.dots") (...)) — the upstream grammar's
+        # maybe_label accepts string_identifier alongside identifiers
         self.expect("OP", "(")
         out = []
         while not (self.peek().kind == "OP" and self.peek().text == ")"):
-            out.append(self.expect("IDENT").text)
+            t = self.next()
+            if t.kind not in ("IDENT", "STR"):
+                raise PromQLSyntaxError(
+                    f"expected label name, got {t.text!r} at {t.pos}")
+            out.append(t.text)
             if self.peek().kind == "OP" and self.peek().text == ",":
                 self.next()
         self.expect("OP", ")")
@@ -453,20 +460,44 @@ class Parser:
 
     def _parse_selector(self, name: str | None) -> VectorSelector:
         matchers: list[Matcher] = []
+        quoted_name: str | None = None
         if self.peek().kind == "OP" and self.peek().text == "{":
             self.next()
             while not (self.peek().kind == "OP" and self.peek().text == "}"):
                 lbl_tok = self.next()
                 if lbl_tok.kind not in ("IDENT", "STR"):
                     raise PromQLSyntaxError(f"bad matcher label at {lbl_tok.pos}")
-                op_tok = self.next()
-                if op_tok.text not in ("=", "!=", "=~", "!~"):
-                    raise PromQLSyntaxError(f"bad matcher op at {op_tok.pos}")
-                val = self.expect("STR").text
-                matchers.append(Matcher(lbl_tok.text, op_tok.text, val))
-                if self.peek().kind == "OP" and self.peek().text == ",":
-                    self.next()
+                nxt = self.peek()
+                if (lbl_tok.kind == "STR"
+                        and not (nxt.kind == "OP"
+                                 and nxt.text in ("=", "!=", "=~", "!~"))):
+                    # bare quoted string = UTF-8 metric name (Prometheus 3:
+                    # {"http.requests.total", env="prod"}); the upstream
+                    # grammar's label_matcher accepts a lone
+                    # string_identifier anywhere in the list, at most once
+                    if quoted_name is not None or name is not None:
+                        raise PromQLSyntaxError(
+                            "metric name must not be set twice: "
+                            f"{(name or quoted_name)!r} and {lbl_tok.text!r}")
+                    quoted_name = lbl_tok.text
+                else:
+                    op_tok = self.next()
+                    if op_tok.text not in ("=", "!=", "=~", "!~"):
+                        raise PromQLSyntaxError(f"bad matcher op at {op_tok.pos}")
+                    val = self.expect("STR").text
+                    matchers.append(Matcher(lbl_tok.text, op_tok.text, val))
+                nxt = self.peek()
+                if nxt.kind == "OP" and nxt.text == ",":
+                    self.next()  # trailing comma before '}' is allowed
+                elif not (nxt.kind == "OP" and nxt.text == "}"):
+                    raise PromQLSyntaxError(
+                        f"expected ',' or '}}' in matchers, got "
+                        f"{nxt.text!r} at {nxt.pos}")
             self.expect("OP", "}")
+        if quoted_name is not None:
+            if quoted_name == "":
+                raise PromQLSyntaxError("metric name must not be empty")
+            name = quoted_name
         if name is None and not matchers:
             raise PromQLSyntaxError("empty selector")
         if name is not None and any(m.label == "__name__" for m in matchers):

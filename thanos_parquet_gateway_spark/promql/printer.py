@@ -14,6 +14,7 @@ indented lines at aggregation/binary nodes.
 from __future__ import annotations
 
 import math
+import re
 
 from thanos_parquet_gateway_spark.promql import ast as A
 from thanos_parquet_gateway_spark.promql.parser import _PREC
@@ -53,6 +54,31 @@ def _quote(s: str) -> str:
     return f'"{out}"'
 
 
+# classic (pre-UTF-8) name charsets; anything else prints in the quoted
+# Prometheus 3 form ({"a.b"}, by ("l.1")) and reparses through the STR path
+_CLASSIC_LABEL = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+_CLASSIC_METRIC = re.compile(r"[a-zA-Z_:][a-zA-Z0-9_:]*")
+
+
+def _label_ref(s: str) -> str:
+    return s if _CLASSIC_LABEL.fullmatch(s) else _quote(s)
+
+
+def _label_refs(labels) -> str:
+    return ", ".join(_label_ref(l) for l in labels)
+
+
+def _selector_str(name: str | None, matchers) -> str:
+    parts = [f"{_label_ref(m.label)}{m.op}{_quote(m.value)}"
+             for m in matchers]
+    if name and not _CLASSIC_METRIC.fullmatch(name):
+        # UTF-8 metric name: quoted, first inside the braces
+        parts.insert(0, _quote(name))
+        name = None
+    inner = ", ".join(parts)
+    return (name or "") + (f"{{{inner}}}" if parts or not name else "")
+
+
 def _modifiers(offset_ms: int, at_ms: int | None) -> str:
     out = ""
     if at_ms is not None:
@@ -89,17 +115,11 @@ def format_expr(node: A.Node) -> str:
     if isinstance(node, A.StringLiteral):
         return _quote(node.value)
     if isinstance(node, A.VectorSelector):
-        matchers = ", ".join(f"{m.label}{m.op}{_quote(m.value)}"
-                             for m in node.matchers)
-        base = (node.name or "") + (f"{{{matchers}}}" if matchers or
-                                    not node.name else "")
+        base = _selector_str(node.name, node.matchers)
         return base + _modifiers(node.offset_ms, node.at_ms)
     if isinstance(node, A.MatrixSelector):
         sel = node.selector
-        matchers = ", ".join(f"{m.label}{m.op}{_quote(m.value)}"
-                             for m in sel.matchers)
-        base = (sel.name or "") + (f"{{{matchers}}}" if matchers or
-                                   not sel.name else "")
+        base = _selector_str(sel.name, sel.matchers)
         return (base + f"[{format_duration(node.range_ms)}]"
                 + _modifiers(sel.offset_ms, sel.at_ms))
     if isinstance(node, A.Subquery):
@@ -115,7 +135,7 @@ def format_expr(node: A.Node) -> str:
         clause = ""
         if node.has_grouping:
             kw = "without" if node.without else "by"
-            clause = f" {kw} ({', '.join(node.grouping)})"
+            clause = f" {kw} ({_label_refs(node.grouping)})"
         args = ([format_expr(node.param)] if node.param is not None else []) \
             + [format_expr(node.expr)]
         sep = " " if clause else ""
@@ -136,12 +156,12 @@ def format_expr(node: A.Node) -> str:
         vm = node.matching
         if vm.explicit:
             kw = "on" if vm.on else "ignoring"
-            mods += f" {kw} ({', '.join(vm.labels)})"
+            mods += f" {kw} ({_label_refs(vm.labels)})"
             if vm.card == "many-to-one":
-                mods += (f" group_left ({', '.join(vm.include)})"
+                mods += (f" group_left ({_label_refs(vm.include)})"
                          if vm.include else " group_left")
             elif vm.card == "one-to-many":
-                mods += (f" group_right ({', '.join(vm.include)})"
+                mods += (f" group_right ({_label_refs(vm.include)})"
                          if vm.include else " group_right")
         return f"{lhs} {node.op}{mods} {rhs}"
     raise TypeError(f"cannot format {type(node).__name__}")
@@ -160,7 +180,7 @@ def prettify(node: A.Node, indent: int = 0) -> str:
         clause = ""
         if node.has_grouping:
             kw = "without" if node.without else "by"
-            clause = f" {kw} ({', '.join(node.grouping)})"
+            clause = f" {kw} ({_label_refs(node.grouping)})"
         parts = ([prettify(node.param, indent + 1)]
                  if node.param is not None else []) \
             + [prettify(node.expr, indent + 1)]
@@ -175,7 +195,7 @@ def prettify(node: A.Node, indent: int = 0) -> str:
         vm = node.matching
         if vm.explicit:
             kw = "on" if vm.on else "ignoring"
-            mods += f" {kw} ({', '.join(vm.labels)})"
+            mods += f" {kw} ({_label_refs(vm.labels)})"
         lhs = prettify(node.lhs, indent + 1)
         rhs = prettify(node.rhs, indent + 1)
         if _prec_of(node.lhs) <= p:
