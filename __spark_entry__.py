@@ -35,8 +35,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark)
 
 
+def _rotation_rank() -> dict[str, int]:
+    """Rank each query by the most recent round whose committed
+    CORRECTNESS_r*.json contains a row for it (never-checked → -1), so the
+    registry iterates oldest-proven-first and a bounded per-round driver
+    window keeps re-proving the stalest results."""
+    import glob
+    import json
+    import os
+    import re
+
+    rank: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            rank[name] = max(rank.get(name, -1), int(m.group(1)))
+    return rank
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, iterated
+    oldest-proven-first (see _rotation_rank)."""
     from thanos_parquet_gateway_spark.plans import QUERIES
 
     def wrap(fn):
@@ -45,7 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
-    return {name: wrap(fn) for name, fn in QUERIES.items()}
+    rank = _rotation_rank()
+    order = {name: i for i, name in enumerate(QUERIES)}
+    names = sorted(QUERIES, key=lambda n: (rank.get(n, -1), order[n]))
+    return {name: wrap(QUERIES[name]) for name in names}
 
 
 def oracle_sql() -> dict[str, str]:
