@@ -549,8 +549,9 @@ class Compiler:
             else:
                 raise PromQLCompileError(f"{agg.op} param must be a scalar")
         if agg.op == "count_values" and isinstance(param, str):
-            import re as _re
-            if not _re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", param):
+            # Prometheus 3 default UTF-8 validation scheme: any non-empty
+            # string is a legal label name (model.LabelName.IsValid)
+            if param == "":
                 # upstream aggregation eval error
                 raise PromQLCompileError(
                     f"invalid label name {param!r}")
@@ -1050,7 +1051,12 @@ class Compiler:
         if vm.explicit and vm.on and vm.card == "one-to-one":
             base = keep_labels("labels", vm.labels)
         else:
-            dropped = (list(vm.labels) if vm.explicit and not vm.on else []) + ["__name__"]
+            # ignoring-labels are dropped ONLY for one-to-one matches
+            # (upstream engine resultMetric: the many side of group_left/
+            # group_right keeps its full labelset, including ignored labels)
+            dropped = ["__name__"]
+            if vm.explicit and not vm.on and vm.card == "one-to-one":
+                dropped += list(vm.labels)
             base = drop_labels("labels", dropped)
         if vm.include:
             inc = F.array(*[F.lit(k) for k in vm.include])

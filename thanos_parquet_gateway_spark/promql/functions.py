@@ -543,7 +543,10 @@ def _histogram_quantile_classic(q: float, df) -> "DataFrame":
 
 
 # ----------------------------------------------------------- label functions
-_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+# Prometheus 3 default UTF-8 validation scheme (model.LabelName.IsValid):
+# any non-empty string is a legal label name
+def _valid_label_name(s: str) -> bool:
+    return s != ""
 
 
 def _label_replace(c: Compiler, call: A.Call) -> InstantVector:
@@ -552,7 +555,7 @@ def _label_replace(c: Compiler, call: A.Call) -> InstantVector:
     repl = c.compile(call.args[2]).value
     src = c.compile(call.args[3]).value
     regex = c.compile(call.args[4]).value
-    if not _LABEL_NAME_RE.match(dst):
+    if not _valid_label_name(dst):
         # upstream funcLabelReplace eval error
         raise PromQLCompileError(
             f"invalid destination label name in label_replace(): {dst}")
@@ -574,11 +577,11 @@ def _label_join(c: Compiler, call: A.Call) -> InstantVector:
     dst = c.compile(call.args[1]).value
     sep = c.compile(call.args[2]).value
     srcs = [c.compile(a).value for a in call.args[3:]]
-    if not _LABEL_NAME_RE.match(dst):
+    if not _valid_label_name(dst):
         raise PromQLCompileError(
             f"invalid destination label name in label_join(): {dst}")
     for s in srcs:
-        if not _LABEL_NAME_RE.match(s):
+        if not _valid_label_name(s):
             # upstream funcLabelJoin eval error
             raise PromQLCompileError(
                 f"invalid source label name in label_join(): {s}")

@@ -530,12 +530,358 @@ def gen_rate() -> str:
     return "\n".join(lines)
 
 
+def bucket_quantile(phi: float, buckets: list[tuple[float, float]]) -> float:
+    """Upstream bucketQuantile (classic histograms): ``buckets`` is
+    [(le, cumulative_count)] sorted by le, last le = +Inf."""
+    if math.isnan(phi):
+        return math.nan
+    if phi < 0:
+        return -math.inf
+    if phi > 1:
+        return math.inf
+    obs = buckets[-1][1]
+    if obs == 0:
+        return math.nan
+    rank = phi * obs
+    b = 0
+    while buckets[b][1] < rank:
+        b += 1
+    if buckets[b][0] == math.inf:
+        return buckets[-2][0]
+    start, count = 0.0, buckets[b][1]
+    if b > 0:
+        start = buckets[b - 1][0]
+        count -= buckets[b - 1][1]
+        rank -= buckets[b - 1][1]
+    # Go float division: 0/0 = NaN (no exception), rank>0 / 0 = +Inf
+    if count == 0:
+        frac = math.nan if rank == 0 else math.inf
+    else:
+        frac = rank / count
+    return start + (buckets[b][0] - start) * frac
+
+
+def gen_hist() -> str:
+    les = [0.1, 0.5, 1.0, 5.0, math.inf]
+    apps = {
+        # cumulative counts per bucket
+        "api": [12.0, 40.0, 70.0, 95.0, 100.0],
+        "web": [0.0, 5.0, 5.0, 30.0, 42.0],
+        "idle": [0.0, 0.0, 0.0, 0.0, 0.0],
+    }
+    def le_str(le):
+        return "+Inf" if le == math.inf else fmt(le)
+    lines = ["# GENERATED by tools/gen_promqltest.py — classic",
+             "# histogram_quantile over cumulative bucket series; expected",
+             "# values from an independent port of the public",
+             "# bucketQuantile interpolation.",
+             "", "load 10s"]
+    for app, counts in apps.items():
+        for le, c in zip(les, counts):
+            lines.append(f"\thb_bucket{{app=\"{app}\", le=\"{le_str(le)}\"}} "
+                         f"{fmt(c)}+0x50")
+    lines.append("")
+    for phi in (0.0, 0.1, 0.5, 0.9, 0.99, 1.0):
+        lines.append(f"eval instant at 500s histogram_quantile({fmt(phi)}, hb_bucket)")
+        for app, counts in apps.items():
+            q_ = bucket_quantile(phi, list(zip(les, counts)))
+            lines.append(f"\t{{app=\"{app}\"}} {fmt(q_)}")
+        lines.append("")
+    # aggregate buckets across apps first (the canonical dashboard shape)
+    summed = [sum(apps[a][i] for a in apps) for i in range(len(les))]
+    for phi in (0.25, 0.75, 0.95):
+        q_ = bucket_quantile(phi, list(zip(les, summed)))
+        lines.append(f"eval instant at 500s "
+                     f"histogram_quantile({fmt(phi)}, sum by (le) (hb_bucket))")
+        lines.append(f"\t{{}} {fmt(q_)}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_time() -> str:
+    import datetime as dt
+    lines = ["# GENERATED by tools/gen_promqltest.py — calendar functions",
+             "# at edge instants (epoch, leap day, year end); expected from",
+             "# Python UTC datetime.",
+             "", "load 10s", "\tm 7+0x50", ""]
+    epochs = [0, 1_709_208_896,  # 2024-02-29 12:14:56 (leap day)
+              1_609_459_199,     # 2020-12-31 23:59:59
+              1_704_412_800,     # 2024-01-05 00:00:00
+              951_827_696]       # 2000-02-29 (century leap)
+    FNS = {
+        "minute": lambda d: float(d.minute),
+        "hour": lambda d: float(d.hour),
+        "day_of_week": lambda d: float((d.weekday() + 1) % 7),
+        "day_of_month": lambda d: float(d.day),
+        "day_of_year": lambda d: float(d.timetuple().tm_yday),
+        "days_in_month": lambda d: float(
+            (dt.date(d.year + (d.month == 12), d.month % 12 + 1, 1)
+             - dt.date(d.year, d.month, 1)).days),
+        "month": lambda d: float(d.month),
+        "year": lambda d: float(d.year),
+    }
+    for t in epochs:
+        d = dt.datetime.fromtimestamp(t, dt.timezone.utc)
+        for fn, f in FNS.items():
+            lines.append(f"eval instant at {t}s {fn}()")
+            lines.append(f"\t{{}} {fmt(f(d))}")
+            lines.append("")
+        lines.append(f"eval instant at {t}s time()")
+        lines.append(f"\t{fmt(float(t))}")
+        lines.append("")
+    # timestamp() returns the SAMPLE timestamp (grid-aligned below t)
+    for t_s in (505, 500):
+        lines.append(f"eval instant at {t_s}s timestamp(m)")
+        lines.append(f"\t{{}} {fmt(float(t_s // 10 * 10))}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_label_fns() -> str:
+    lines = ["# GENERATED by tools/gen_promqltest.py — label_replace /",
+             "# label_join shapes (capture groups, no-match keep, empty",
+             "# removal, separators).",
+             "", "load 10s",
+             "\tm{src=\"abc-def\", dst=\"x\"} 4+0x50",
+             "\tm{src=\"zz\", dst=\"y\"} 6+0x50", ""]
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for labels, v in rows:
+            lines.append(f"\t{series_id(labels)} {fmt(v)}")
+        lines.append("")
+
+    emit('label_replace(m, "new", "$1", "src", "([a-z]+)-.*")',
+         [({"__name__": "m", "src": "abc-def", "dst": "x", "new": "abc"}, 4.0),
+          ({"__name__": "m", "src": "zz", "dst": "y"}, 6.0)])
+    emit('label_replace(m, "src", "$1", "src", "([a-z]+)-.*")',
+         [({"__name__": "m", "src": "abc", "dst": "x"}, 4.0),
+          ({"__name__": "m", "src": "zz", "dst": "y"}, 6.0)])
+    emit('label_replace(m, "dst", "", "src", "zz")',
+         [({"__name__": "m", "src": "abc-def", "dst": "x"}, 4.0),
+          ({"__name__": "m", "src": "zz"}, 6.0)])
+    emit('label_replace(m, "copy", "$0-$0", "dst", ".*")',
+         [({"__name__": "m", "src": "abc-def", "dst": "x", "copy": "x-x"}, 4.0),
+          ({"__name__": "m", "src": "zz", "dst": "y", "copy": "y-y"}, 6.0)])
+    emit('label_join(m, "j", "-", "src", "dst")',
+         [({"__name__": "m", "src": "abc-def", "dst": "x",
+            "j": "abc-def-x"}, 4.0),
+          ({"__name__": "m", "src": "zz", "dst": "y", "j": "zz-y"}, 6.0)])
+    emit('label_join(m, "j", "", "dst")',
+         [({"__name__": "m", "src": "abc-def", "dst": "x", "j": "x"}, 4.0),
+          ({"__name__": "m", "src": "zz", "dst": "y", "j": "y"}, 6.0)])
+    emit('label_join(m, "src", "|", "dst", "src")',
+         [({"__name__": "m", "src": "x|abc-def", "dst": "x"}, 4.0),
+          ({"__name__": "m", "src": "y|zz", "dst": "y"}, 6.0)])
+    return "\n".join(lines)
+
+
+def gen_matching2() -> str:
+    req = {("api", "0"): 10.0, ("api", "1"): 14.0,
+           ("web", "0"): 6.0, ("db", "0"): 3.0}
+    info = {"api": ("v1", 1.0), "web": ("v2", 1.0)}  # no db info
+    lines = ["# GENERATED by tools/gen_promqltest.py — group_left/right",
+             "# info-join shapes with include labels.",
+             "", "load 10s"]
+    for (j, i), v in req.items():
+        lines.append(f"\treq{{job=\"{j}\", instance=\"{i}\"}} {fmt(v)}+0x50")
+    for j, (ver, v) in info.items():
+        lines.append(f"\tinfo{{job=\"{j}\", version=\"{ver}\"}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for labels, v in rows:
+            lines.append(f"\t{series_id(labels)} {fmt(v)}")
+        lines.append("")
+
+    emit("req * on(job) group_left(version) info",
+         [({"job": j, "instance": i, "version": info[j][0]}, v)
+          for (j, i), v in req.items() if j in info])
+    emit("req * on(job) group_left info",
+         [({"job": j, "instance": i}, v)
+          for (j, i), v in req.items() if j in info])
+    emit("info * on(job) group_right(version) req",
+         [({"job": j, "instance": i, "version": info[j][0]}, v)
+          for (j, i), v in req.items() if j in info])
+    emit("req / on(job) group_left sum by (job) (req)",
+         [({"job": j, "instance": i},
+           v / sum(w for (j2, _), w in req.items() if j2 == j))
+          for (j, i), v in req.items()])
+    emit("sum by (job) (req) + on(job) info",
+         [({"job": j}, sum(w for (j2, _), w in req.items() if j2 == j) + 1.0)
+          for j in info])
+    # many-to-one via ignoring: the many side KEEPS the ignored label
+    # (upstream resultMetric drops ignoring-labels only for one-to-one)
+    emit("req + ignoring(instance) group_left sum without (instance) (req)",
+         [({"job": j, "instance": i},
+           v + sum(w for (j2, _), w in req.items() if j2 == j))
+          for (j, i), v in req.items()])
+    # one-to-one via ignoring: the ignored label IS dropped from the result
+    emit("sum without (instance) (req) * ignoring(version) info",
+         [({"job": j}, sum(w for (j2, _), w in req.items() if j2 == j))
+          for j in info])
+    return "\n".join(lines)
+
+
+def gen_subquery() -> str:
+    gs = [(i * 10_000, 3.0 * i + 10) for i in range(61)]  # linear gauge
+    cvals = [2.0 * i for i in range(61)]                  # clean counter
+    cs = [(i * 10_000, cvals[i]) for i in range(61)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — subquery grids:",
+             "# evaluation points are absolute multiples of step in",
+             "# (t-range, t]; inner instant/rate per point from the same",
+             "# independent simulation.",
+             "", "load 10s",
+             "\tg " + " ".join(fmt(v) for _, v in gs),
+             "\tc " + " ".join(fmt(v) for _, v in cs), ""]
+
+    def points(t, rng, step):
+        first = (t - rng) // step * step
+        while first <= t - rng:
+            first += step
+        return list(range(first, t + 1, step))
+
+    OUTER = {"sum_over_time": sum,
+             "max_over_time": max,
+             "min_over_time": min,
+             "avg_over_time": lambda vs: sum(vs) / len(vs),
+             "count_over_time": lambda vs: float(len(vs))}
+    for t in (305_000, 500_000, 605_000):
+        for rng, step, rs, ss in [(100_000, 30_000, "100s", "30s"),
+                                  (120_000, 40_000, "120s", "40s"),
+                                  (90_000, 10_000, "90s", "10s")]:
+            pts = points(t, rng, step)
+            inner = [instant(gs, p) for p in pts]
+            inner = [v for v in inner if v is not None]
+            ts = t // 1000
+            for fn, f in OUTER.items():
+                lines.append(f"eval instant at {ts}s {fn}(g[{rs}:{ss}])")
+                lines.append(f"\t{{}} {fmt(f(inner))}")
+                lines.append("")
+            # rate inside the subquery
+            rates = []
+            for p in pts:
+                w = window(cs, p, 60_000)
+                if len(w) >= 2:
+                    rates.append(extrapolated_rate(w, p, 60_000, True, True))
+            lines.append(f"eval instant at {ts}s "
+                         f"max_over_time(rate(c[60s])[{rs}:{ss}])")
+            lines.append(f"\t{{}} {fmt(max(rates))}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def gen_at_offset() -> str:
+    gs = [(i * 10_000, 3.0 * i + 10) for i in range(61)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — @ / offset",
+             "# combination grid over a linear gauge.",
+             "", "load 10s",
+             "\tg " + " ".join(fmt(v) for _, v in gs), ""]
+
+    def emit(t_s, expr, v, name="g"):
+        lines.append(f"eval instant at {t_s}s {expr}")
+        sid = name if name else "{}"
+        lines.append(f"\t{sid} {fmt(v)}")
+        lines.append("")
+
+    for t in (305, 500):
+        t_ms = t * 1000
+        emit(t, "g", instant(gs, t_ms))
+        for off in (50, 130, 250):
+            emit(t, f"g offset {off}s", instant(gs, t_ms - off * 1000))
+        for at in (100, 300, 444):
+            emit(t, f"g @ {at}", instant(gs, at * 1000))
+            emit(t, f"g @ {at} offset 60s", instant(gs, (at - 60) * 1000))
+        emit(t, "g @ start()", instant(gs, t_ms))
+        emit(t, "g @ end()", instant(gs, t_ms))
+        for w_s, w in (("100s", 100_000),):
+            for at in (250, 460):
+                vals = [v for _, v in window(gs, at * 1000, w)]
+                lines.append(f"eval instant at {t}s "
+                             f"sum_over_time(g[{w_s}] @ {at})")
+                lines.append(f"\t{{}} {fmt(sum(vals))}")
+                lines.append("")
+            vals = [v for _, v in window(gs, t_ms - 120_000, w)]
+            lines.append(f"eval instant at {t}s "
+                         f"sum_over_time(g[{w_s}] offset 120s)")
+            lines.append(f"\t{{}} {fmt(sum(vals))}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def holt_winters(vals: list[float], sf: float, tf: float) -> float:
+    """Upstream doubleExponentialSmoothing recurrence (public)."""
+    s1 = vals[0]
+    b = vals[1] - vals[0]
+    s0 = 0.0
+    for i in range(1, len(vals)):
+        x = sf * vals[i]
+        if i != 1:
+            b = tf * (s1 - s0) + (1 - tf) * b
+        y = (1 - sf) * (s1 + b)
+        s0, s1 = s1, x + y
+    return s1
+
+
+def gen_smoothing_sort() -> str:
+    # wavy gauge for smoothing; distinct values for sort
+    n = 40
+    wav = [(i * 10_000, 20 + 8 * math.sin(i / 2) + 0.5 * i) for i in range(n + 1)]
+    svals = {"a": 4.0, "b": -2.0, "c": 9.5, "d": 0.0, "e": 7.0}
+    lines = ["# GENERATED by tools/gen_promqltest.py —",
+             "# double_exponential_smoothing recurrence + ordered sort.",
+             "", "load 10s",
+             "\tw " + " ".join(fmt(v) for _, v in wav)]
+    for g, v in svals.items():
+        lines.append(f"\ts{{g=\"{g}\"}} {fmt(v)}+0x50")
+    lines.append("")
+    for t in (200, 400):
+        for w_s, w_ms in (("100s", 100_000), ("200s", 200_000)):
+            vals = [v for _, v in window(wav, t * 1000, w_ms)]
+            if len(vals) < 2:
+                continue
+            for sf, tf in ((0.2, 0.4), (0.5, 0.5), (0.8, 0.1)):
+                lines.append(
+                    f"eval instant at {t}s double_exponential_smoothing("
+                    f"w[{w_s}], {fmt(sf)}, {fmt(tf)})")
+                lines.append(f"\t{{}} {fmt(holt_winters(vals, sf, tf))}")
+                lines.append("")
+    lines.append("eval ordered instant at 500s sort(s)")
+    for g, v in sorted(svals.items(), key=lambda kv: kv[1]):
+        lines.append(f"\ts{{g=\"{g}\"}} {fmt(v)}")
+    lines.append("")
+    lines.append("eval ordered instant at 500s sort_desc(s)")
+    for g, v in sorted(svals.items(), key=lambda kv: -kv[1]):
+        lines.append(f"\ts{{g=\"{g}\"}} {fmt(v)}")
+    lines.append("")
+    lines.append("eval instant at 500s scalar(sum(s))")
+    lines.append(f"\t{fmt(sum(svals.values()))}")
+    lines.append("")
+    lines.append("eval instant at 500s vector(42)")
+    lines.append("\t{} 42")
+    lines.append("")
+    lines.append("eval instant at 500s absent(s)")
+    lines.append("")
+    lines.append('eval instant at 500s absent(nonexistent{x="1"})')
+    lines.append('\t{x="1"} 1')
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
     "gen_agg.test": gen_agg,
     "gen_overtime.test": gen_overtime,
     "gen_rate.test": gen_rate,
+    "gen_hist.test": gen_hist,
+    "gen_time.test": gen_time,
+    "gen_label_fns.test": gen_label_fns,
+    "gen_matching2.test": gen_matching2,
+    "gen_subquery.test": gen_subquery,
+    "gen_at_offset.test": gen_at_offset,
+    "gen_smoothing_sort.test": gen_smoothing_sort,
 }
 
 
