@@ -220,6 +220,12 @@ def test_printer_roundtrip_corpus(server):
         'a unless b or c and d', 'a / b % c * d', '2 ^ -2',
         'm[90s]', 'm[1500ms]', 'sum(m) + avg without () (n)',
         'label_replace(m, "a", "$1", "b", "(.*)")',
+        # Prometheus 3 UTF-8 quoted names
+        '{"http.requests.total", env="prod"}',
+        'sum by ("service.name") (rate({"m.x"}[5m]))',
+        '{"label with spaces"="x", "a.b"!~"c.*"}',
+        'x * on("i.d") group_left("e.l") y',
+        'sum without ("a.b", c) (m)',
     ]
     for q in corpus:
         once = format_expr(parse(q))

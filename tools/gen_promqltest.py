@@ -293,19 +293,24 @@ def gen_binops() -> str:
              "%": lambda x, y: math.fmod(x, y) if y != 0 else math.nan,
              "^": powg}
     for op, f in ARITH.items():
-        emit(f"a {op} 2", {g: f(v, 2.0) for g, v in a_vals.items()})
-        emit(f"2 {op} a", {g: f(2.0, v) for g, v in a_vals.items()})
+        for s in (2.0, -1.5, 0.0):
+            # parenthesize negative literals: -1.5 ^ a would otherwise
+            # parse as -(1.5 ^ a) (unary minus binds looser than ^)
+            lit = f"({fmt(s)})" if s < 0 else fmt(s)
+            emit(f"a {op} {lit}", {g: f(v, s) for g, v in a_vals.items()})
+            emit(f"{lit} {op} a", {g: f(s, v) for g, v in a_vals.items()})
         emit(f"a {op} on(g) b",
              {g: f(a_vals[g], b_vals[g]) for g in a_vals if g in b_vals})
     CMP = {"==": lambda x, y: x == y, "!=": lambda x, y: x != y,
            ">": lambda x, y: x > y, "<": lambda x, y: x < y,
            ">=": lambda x, y: x >= y, "<=": lambda x, y: x <= y}
     for op, f in CMP.items():
-        # filter form keeps the metric name and original value
-        emit(f"a {op} 2", {g: (v if f(v, 2.0) else None)
-                           for g, v in a_vals.items()}, name="a")
-        emit(f"a {op} bool 2", {g: float(f(v, 2.0))
-                                for g, v in a_vals.items()})
+        for s in (2.0, -3.0):
+            # filter form keeps the metric name and original value
+            emit(f"a {op} {fmt(s)}", {g: (v if f(v, s) else None)
+                                      for g, v in a_vals.items()}, name="a")
+            emit(f"a {op} bool {fmt(s)}", {g: float(f(v, s))
+                                           for g, v in a_vals.items()})
         emit(f"a {op} bool on(g) b",
              {g: float(f(a_vals[g], b_vals[g]))
               for g in a_vals if g in b_vals})
@@ -364,8 +369,11 @@ def gen_agg() -> str:
              f"quantile by (r) ({fmt(phi)}, m)",
              {(r,): quantile(phi, [val[(r, c)] for c in cols])
               for r in rows}, "r")
+    # out-of-range phi clamps to ±Inf (with an upstream warning annotation)
+    emit("quantile(-0.5, m)", {(): -math.inf}, "")
+    emit("quantile(1.5, m)", {(): math.inf}, "")
     # topk/bottomk keep full series identity
-    for k in (1, 2):
+    for k in (1, 2, 3, 5):
         lines.append(f"eval instant at 500s topk({k}, m)")
         for (r, c), v in sorted(val.items(), key=lambda kv: -kv[1])[:k]:
             lines.append(f"\tm{{c=\"{c}\", r=\"{r}\"}} {fmt(v)}")
@@ -397,8 +405,9 @@ def gen_overtime() -> str:
         "present_over_time": lambda vs: 1.0,
         "mad_over_time": mad,
     }
-    times = [95_000, 300_000, 455_000, 600_000]
-    windows = [(30_000, "30s"), (90_000, "90s"), (250_000, "250s")]
+    times = [95_000, 180_000, 300_000, 455_000, 540_000, 600_000]
+    windows = [(30_000, "30s"), (90_000, "90s"), (170_000, "170s"),
+               (250_000, "250s")]
     for fn, f in FNS.items():
         for t in times:
             for w_ms, w_s in windows:
@@ -454,8 +463,9 @@ def gen_rate() -> str:
              "", "load 10s",
              "\tc " + " ".join(fmt(x) for x in vals),
              "\tg " + " ".join(fmt(v) for _, v in gs), ""]
-    times = [100_000, 260_000, 440_000, 605_000]
-    windows = [(50_000, "50s"), (130_000, "130s"), (300_000, "300s")]
+    times = [100_000, 260_000, 350_000, 440_000, 505_000, 605_000]
+    windows = [(50_000, "50s"), (130_000, "130s"), (220_000, "220s"),
+               (300_000, "300s")]
     for t in times:
         for w_ms, w_s in windows:
             w = window(sams, t, w_ms)
@@ -747,10 +757,11 @@ def gen_subquery() -> str:
              "min_over_time": min,
              "avg_over_time": lambda vs: sum(vs) / len(vs),
              "count_over_time": lambda vs: float(len(vs))}
-    for t in (305_000, 500_000, 605_000):
+    for t in (305_000, 430_000, 500_000, 605_000):
         for rng, step, rs, ss in [(100_000, 30_000, "100s", "30s"),
                                   (120_000, 40_000, "120s", "40s"),
-                                  (90_000, 10_000, "90s", "10s")]:
+                                  (90_000, 10_000, "90s", "10s"),
+                                  (150_000, 50_000, "150s", "50s")]:
             pts = points(t, rng, step)
             inner = [instant(gs, p) for p in pts]
             inner = [v for v in inner if v is not None]
@@ -785,12 +796,12 @@ def gen_at_offset() -> str:
         lines.append(f"\t{sid} {fmt(v)}")
         lines.append("")
 
-    for t in (305, 500):
+    for t in (305, 500, 610):
         t_ms = t * 1000
         emit(t, "g", instant(gs, t_ms))
-        for off in (50, 130, 250):
+        for off in (50, 130, 250, 15):
             emit(t, f"g offset {off}s", instant(gs, t_ms - off * 1000))
-        for at in (100, 300, 444):
+        for at in (100, 300, 444, 605):
             emit(t, f"g @ {at}", instant(gs, at * 1000))
             emit(t, f"g @ {at} offset 60s", instant(gs, (at - 60) * 1000))
         emit(t, "g @ start()", instant(gs, t_ms))
