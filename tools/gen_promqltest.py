@@ -880,6 +880,67 @@ def gen_smoothing_sort() -> str:
     return "\n".join(lines)
 
 
+def gen_native_hist() -> str:
+    """Native-histogram scalar extraction over a linearly growing series:
+    at sample i, count = 4i, sum = 10i, buckets [i, 2i, i] — so the
+    bucket-wise rate family reduces to the float extrapolatedRate on the
+    extracted count/sum, independently simulatable."""
+    n = 40
+    cnt = [(i * 10_000, 4.0 * i) for i in range(n + 1)]
+    sm = [(i * 10_000, 10.0 * i) for i in range(n + 1)]
+    lits = " ".join(
+        f"{{{{schema:0 count:{fmt(4.0 * i)} sum:{fmt(10.0 * i)} "
+        f"buckets:[{fmt(float(i))} {fmt(2.0 * i)} {fmt(float(i))}]}}}}"
+        for i in range(n + 1))
+    lines = ["# GENERATED by tools/gen_promqltest.py — native-histogram",
+             "# rate/arithmetic via scalar extraction (count=4i, sum=10i):",
+             "# bucket-wise extrapolated rate must equal the float",
+             "# extrapolatedRate of the extracted components.",
+             "", "load 10s", "\th " + lits, ""]
+    for t_s in (205, 400):
+        t = t_s * 1000
+        i = min(t // 10_000, n)
+        lines.append(f"eval instant at {t_s}s histogram_count(h)")
+        lines.append(f"\t{{}} {fmt(4.0 * i)}")
+        lines.append("")
+        lines.append(f"eval instant at {t_s}s histogram_sum(h)")
+        lines.append(f"\t{{}} {fmt(10.0 * i)}")
+        lines.append("")
+        lines.append(f"eval instant at {t_s}s histogram_avg(h)")
+        lines.append(f"\t{{}} {fmt(2.5)}")
+        lines.append("")
+        lines.append(f"eval instant at {t_s}s histogram_count(h + h)")
+        lines.append(f"\t{{}} {fmt(8.0 * i)}")
+        lines.append("")
+        lines.append(f"eval instant at {t_s}s histogram_sum(h * 3)")
+        lines.append(f"\t{{}} {fmt(30.0 * i)}")
+        lines.append("")
+        lines.append(f"eval instant at {t_s}s histogram_count(sum(h))")
+        lines.append(f"\t{{}} {fmt(4.0 * i)}")
+        lines.append("")
+        for w_ms, w_s in ((60_000, "60s"), (150_000, "150s")):
+            wc = window(cnt, t, w_ms)
+            ws = window(sm, t, w_ms)
+            if len(wc) < 2:
+                continue
+            rc = extrapolated_rate(wc, t, w_ms, True, True)
+            rs = extrapolated_rate(ws, t, w_ms, True, True)
+            ic = extrapolated_rate(wc, t, w_ms, True, False)
+            lines.append(f"eval instant at {t_s}s "
+                         f"histogram_count(rate(h[{w_s}]))")
+            lines.append(f"\t{{}} {fmt(rc)}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s "
+                         f"histogram_sum(rate(h[{w_s}]))")
+            lines.append(f"\t{{}} {fmt(rs)}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s "
+                         f"histogram_count(increase(h[{w_s}]))")
+            lines.append(f"\t{{}} {fmt(ic)}")
+            lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -893,6 +954,7 @@ FILES = {
     "gen_subquery.test": gen_subquery,
     "gen_at_offset.test": gen_at_offset,
     "gen_smoothing_sort.test": gen_smoothing_sort,
+    "gen_native_hist.test": gen_native_hist,
 }
 
 
