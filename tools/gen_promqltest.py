@@ -941,6 +941,130 @@ def gen_native_hist() -> str:
     return "\n".join(lines)
 
 
+def gen_staleness_absent() -> str:
+    """Staleness-marker and absent grids: a stale marker hides the series
+    from instant selection and never enters range windows; a series with
+    no sample in the 5m lookback is absent."""
+    # s1: value = i; stale at i=9; gap i=10..12; resumes at i=13..30
+    s1 = []
+    toks1 = []
+    for i in range(31):
+        if i == 9:
+            toks1.append("stale")
+            s1.append((i * 10_000, "stale"))
+        elif i in (10, 11, 12):
+            toks1.append("_")
+        else:
+            toks1.append(fmt(float(i)))
+            s1.append((i * 10_000, float(i)))
+    # s2: ends at i=12 (no samples after 120s)
+    s2 = [(i * 10_000, 5.0 + i) for i in range(13)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — staleness-marker /",
+             "# absent grids (stale hides instant selection, never enters",
+             "# windows; series vanish 5m after their last sample).",
+             "", "load 10s",
+             "\ts1 " + " ".join(toks1),
+             "\ts2 " + " ".join(fmt(v) for _, v in s2), ""]
+
+    def inst(samples, t):
+        best = None
+        for ts, v in samples:
+            if t - LOOKBACK_MS <= ts <= t:
+                best = v
+        return None if best == "stale" else best
+
+    def win(samples, t, w):
+        return [v for ts, v in samples
+                if t - w < ts <= t and v != "stale"]
+
+    times = [45, 90, 95, 105, 125, 135, 215, 305, 425, 610]
+    for t_s in times:
+        t = t_s * 1000
+        for name, sams in (("s1", s1), ("s2", s2)):
+            v = inst(sams, t)
+            lines.append(f"eval instant at {t_s}s {name}")
+            if v is not None:
+                lines.append(f"\t{name} {fmt(v)}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s absent({name})")
+            if v is None:
+                lines.append("\t{} 1")
+            lines.append("")
+        for w_ms, w_s in ((50_000, "50s"), (120_000, "120s")):
+            vals = win(s1, t, w_ms)
+            lines.append(f"eval instant at {t_s}s count_over_time(s1[{w_s}])")
+            if vals:
+                lines.append(f"\t{{}} {fmt(float(len(vals)))}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s absent_over_time(s1[{w_s}])")
+            if not vals:
+                lines.append("\t{} 1")
+            lines.append("")
+            if vals:
+                lines.append(f"eval instant at {t_s}s sum_over_time(s1[{w_s}])")
+                lines.append(f"\t{{}} {fmt(sum(vals))}")
+                lines.append("")
+    return "\n".join(lines)
+
+
+def gen_compose() -> str:
+    """Composed shapes: aggregations over the rate family, filters over
+    rates, arithmetic on aggregates — two-layer pipelines whose expected
+    values chain the same independent primitives."""
+    slopes = {"a": 2.0, "b": 5.0, "c": 0.5}
+    sams = {g: [(i * 10_000, s * i) for i in range(61)]
+            for g, s in slopes.items()}
+    lines = ["# GENERATED by tools/gen_promqltest.py — composed pipelines:",
+             "# aggregate/filter/arithmetic layers over the rate family.",
+             "", "load 10s"]
+    for g in slopes:
+        lines.append(f"\tc{{g=\"{g}\"}} " +
+                     " ".join(fmt(v) for _, v in sams[g]))
+    lines.append("")
+    for t_s in (205, 410, 605):
+        t = t_s * 1000
+        for w_ms, w_s in ((60_000, "60s"), (140_000, "140s")):
+            rates = {}
+            for g in slopes:
+                w = window(sams[g], t, w_ms)
+                if len(w) >= 2:
+                    rates[g] = extrapolated_rate(w, t, w_ms, True, True)
+            if not rates:
+                continue
+            lines.append(f"eval instant at {t_s}s sum(rate(c[{w_s}]))")
+            lines.append(f"\t{{}} {fmt(sum(rates.values()))}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s max(rate(c[{w_s}]))")
+            lines.append(f"\t{{}} {fmt(max(rates.values()))}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s avg(rate(c[{w_s}]))")
+            lines.append(f"\t{{}} {fmt(sum(rates.values()) / len(rates))}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s "
+                         f"sum by (g) (rate(c[{w_s}])) * 60")
+            for g, r in rates.items():
+                lines.append(f"\t{{g=\"{g}\"}} {fmt(r * 60)}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s rate(c[{w_s}]) > 1")
+            for g, r in rates.items():
+                if r > 1:
+                    lines.append(f"\t{{g=\"{g}\"}} {fmt(r)}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s "
+                         f"rate(c[{w_s}]) / ignoring(g) group_left "
+                         f"sum(rate(c[{w_s}]))")
+            tot = sum(rates.values())
+            for g, r in rates.items():
+                lines.append(f"\t{{g=\"{g}\"}} {fmt(r / tot)}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s "
+                         f"topk(2, sum by (g) (rate(c[{w_s}])))")
+            for g, r in sorted(rates.items(), key=lambda kv: -kv[1])[:2]:
+                lines.append(f"\t{{g=\"{g}\"}} {fmt(r)}")
+            lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -955,6 +1079,8 @@ FILES = {
     "gen_at_offset.test": gen_at_offset,
     "gen_smoothing_sort.test": gen_smoothing_sort,
     "gen_native_hist.test": gen_native_hist,
+    "gen_staleness_absent.test": gen_staleness_absent,
+    "gen_compose.test": gen_compose,
 }
 
 
