@@ -1065,6 +1065,115 @@ def gen_compose() -> str:
     return "\n".join(lines)
 
 
+def gen_regex() -> str:
+    """Regex matcher grid: full-anchored =~/!~ over a label corpus,
+    expected matches computed with Python re (patterns restricted to the
+    RE2-compatible subset so Go and Python agree)."""
+    import re as _re
+    values = ["api", "api-v2", "web", "web01", "db", "cache", "a.b",
+              "x_y", "", "API"]
+    lines = ["# GENERATED by tools/gen_promqltest.py — anchored regex",
+             "# matcher grid ((?s)-style full match, missing label ≡ \"\").",
+             "", "load 10s"]
+    for i, v in enumerate(values):
+        if v == "":
+            lines.append(f"\tr{{idx=\"{i}\"}} {fmt(float(i))}+0x50")
+        else:
+            lines.append(f"\tr{{idx=\"{i}\", svc=\"{v}\"}} "
+                         f"{fmt(float(i))}+0x50")
+    lines.append("")
+    patterns = ["api.*", ".*b.*", "web|db", "w[aeo]b\\d*", "(api|web)(-v\\d+)?",
+                "", ".+", ".*", "[A-Z]+", "a\\.b", "x.y"]
+    for pat in patterns:
+        esc = pat.replace("\\", "\\\\").replace('"', '\\"')
+        for op in ("=~", "!~"):
+            lines.append(f'eval instant at 500s r{{svc{op}"{esc}"}}')
+            for i, v in enumerate(values):
+                hit = _re.fullmatch(f"(?:{pat})", v) is not None
+                if (op == "=~") == hit:
+                    sid = (f'r{{idx="{i}", svc="{v}"}}' if v != ""
+                           else f'r{{idx="{i}"}}')
+                    lines.append(f"\t{sid} {fmt(float(i))}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def gen_nan_agg() -> str:
+    """NaN propagation through aggregations: sum/avg/stddev poison, min/max
+    skip NaN unless every value is NaN, count counts NaN rows, quantile
+    sorts NaN first (Go vectorByValueHeap.Less)."""
+    grid = {
+        ("1", "a"): 10.0, ("1", "b"): math.nan, ("1", "c"): 30.0,
+        ("2", "a"): math.nan, ("2", "b"): math.nan, ("2", "c"): math.nan,
+        ("3", "a"): 5.0, ("3", "b"): 7.0, ("3", "c"): 9.0,
+    }
+    lines = ["# GENERATED by tools/gen_promqltest.py — NaN-mixed",
+             "# aggregation grid (row 2 is all-NaN).",
+             "", "load 10s"]
+    for (r, c), v in grid.items():
+        lines.append(f"\tn{{r=\"{r}\", c=\"{c}\"}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def g_min(vs):
+        real = [v for v in vs if not math.isnan(v)]
+        return min(real) if real else math.nan
+
+    def g_max(vs):
+        real = [v for v in vs if not math.isnan(v)]
+        return max(real) if real else math.nan
+
+    def nan_quantile(phi, vs):
+        # Go sorts NaN FIRST; linear interpolation over that order.
+        s = sorted(vs, key=lambda v: (not math.isnan(v), v))
+        n = len(s)
+        rank = phi * (n - 1)
+        lo = int(math.floor(rank))
+        hi = min(n - 1, lo + 1)
+        w = rank - lo
+        return s[lo] * (1 - w) + s[hi] * w
+
+    AGGS = {
+        "sum": sum, "avg": lambda vs: sum(vs) / len(vs),
+        "min": g_min, "max": g_max,
+        "count": lambda vs: float(len(vs)),
+        "stddev": stddev, "stdvar": lambda vs: stddev(vs) ** 2,
+    }
+    rows = ["1", "2", "3"]
+    cols = ["a", "b", "c"]
+    for op, f in AGGS.items():
+        lines.append(f"eval instant at 500s {op} by (r) (n)")
+        for r in rows:
+            v = f([grid[(r, c)] for c in cols])
+            lines.append(f"\t{{r=\"{r}\"}} {fmt(v)}")
+        lines.append("")
+    for phi in (0.5, 0.9):
+        lines.append(f"eval instant at 500s quantile by (r) ({fmt(phi)}, n)")
+        for r in rows:
+            v = nan_quantile(phi, [grid[(r, c)] for c in cols])
+            lines.append(f"\t{{r=\"{r}\"}} {fmt(v)}")
+        lines.append("")
+    # arithmetic with NaN operands propagates
+    lines.append("eval instant at 500s n{r=\"1\"} + 1")
+    for c in cols:
+        v = grid[("1", c)] + 1
+        lines.append(f"\t{{r=\"1\", c=\"{c}\"}} {fmt(v)}")
+    lines.append("")
+    # comparison filters drop NaN (NaN > x is false); bool yields 0
+    lines.append("eval instant at 500s n{r=\"1\"} > 5")
+    for c in cols:
+        v = grid[("1", c)]
+        if not math.isnan(v) and v > 5:
+            lines.append(f"\tn{{r=\"1\", c=\"{c}\"}} {fmt(v)}")
+    lines.append("")
+    lines.append("eval instant at 500s n{r=\"1\"} >= bool 10")
+    for c in cols:
+        v = grid[("1", c)]
+        lines.append(f"\t{{r=\"1\", c=\"{c}\"}} "
+                     f"{fmt(0.0 if math.isnan(v) else float(v >= 10))}")
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -1081,6 +1190,8 @@ FILES = {
     "gen_native_hist.test": gen_native_hist,
     "gen_staleness_absent.test": gen_staleness_absent,
     "gen_compose.test": gen_compose,
+    "gen_regex.test": gen_regex,
+    "gen_nan_agg.test": gen_nan_agg,
 }
 
 
