@@ -1174,6 +1174,90 @@ def gen_nan_agg() -> str:
     return "\n".join(lines)
 
 
+def gen_range() -> str:
+    """Range-query (eval range) grids: per-step arrays for selectors,
+    offsets, @-pinning (start()/end() resolve against the QUERY bounds),
+    over_time windows, aggregations, and rate — the range path exercises
+    grid explosion + per-step alignment rather than single-instant eval."""
+    gs = [(i * 10_000, 3.0 * i + 10) for i in range(61)]
+    slopes = {"a": 2.0, "b": 5.0}
+    cs = {g: [(i * 10_000, s * i) for i in range(61)]
+          for g, s in slopes.items()}
+    lines = ["# GENERATED by tools/gen_promqltest.py — eval range grids:",
+             "# instant selection, offset/@ pinning, over_time, agg, rate",
+             "# per step.",
+             "", "load 10s",
+             "\tg " + " ".join(fmt(v) for _, v in gs)]
+    for g in slopes:
+        lines.append(f"\tc{{g=\"{g}\"}} " +
+                     " ".join(fmt(v) for _, v in cs[g]))
+    lines.append("")
+
+    def steps(start, end, step):
+        return list(range(start, end + 1, step))
+
+    def row(vals, sid="{}"):
+        return f"\t{sid} " + " ".join("_" if v is None else fmt(v)
+                                      for v in vals)
+
+    grids = [(100_000, 400_000, 60_000, "100s", "400s", "60s"),
+             (0, 600_000, 150_000, "0", "600s", "150s"),
+             (305_000, 605_000, 50_000, "305s", "605s", "50s")]
+    for start, end, step, ss, es, ps in grids:
+        pts = steps(start, end, step)
+        hdr = f"eval range from {ss} to {es} step {ps} "
+        lines.append(hdr + "g")
+        lines.append(row([instant(gs, t) for t in pts], sid="g"))
+        lines.append("")
+        lines.append(hdr + "g offset 45s")
+        lines.append(row([instant(gs, t - 45_000) for t in pts], sid="g"))
+        lines.append("")
+        # @-pinning: start()/end() resolve to the QUERY bounds, so the
+        # value is constant across steps
+        lines.append(hdr + "g @ start()")
+        lines.append(row([instant(gs, start)] * len(pts), sid="g"))
+        lines.append("")
+        lines.append(hdr + "g @ end()")
+        lines.append(row([instant(gs, end)] * len(pts), sid="g"))
+        lines.append("")
+        lines.append(hdr + "g @ 250")
+        lines.append(row([instant(gs, 250_000)] * len(pts), sid="g"))
+        lines.append("")
+        lines.append(hdr + "sum_over_time(g[90s])")
+        lines.append(row([sum(v for _, v in window(gs, t, 90_000)) or None
+                          for t in pts]))
+        lines.append("")
+        lines.append(hdr + "sum(c)")
+        lines.append(row([sum(instant(cs[g], t) or 0 for g in slopes)
+                          if any(instant(cs[g], t) is not None
+                                 for g in slopes) else None
+                          for t in pts]))
+        lines.append("")
+        lines.append(hdr + "rate(c[80s])")
+        for g in slopes:
+            vals = []
+            for t in pts:
+                w = window(cs[g], t, 80_000)
+                vals.append(extrapolated_rate(w, t, 80_000, True, True)
+                            if len(w) >= 2 else None)
+            lines.append(f"\t{{g=\"{g}\"}} " +
+                         " ".join("_" if v is None else fmt(v)
+                                  for v in vals))
+        lines.append("")
+        lines.append(hdr + "max(rate(c[80s]))")
+        vals = []
+        for t in pts:
+            rs = []
+            for g in slopes:
+                w = window(cs[g], t, 80_000)
+                if len(w) >= 2:
+                    rs.append(extrapolated_rate(w, t, 80_000, True, True))
+            vals.append(max(rs) if rs else None)
+        lines.append(row(vals))
+        lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -1192,6 +1276,7 @@ FILES = {
     "gen_compose.test": gen_compose,
     "gen_regex.test": gen_regex,
     "gen_nan_agg.test": gen_nan_agg,
+    "gen_range.test": gen_range,
 }
 
 
