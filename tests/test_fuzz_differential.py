@@ -511,6 +511,24 @@ def _shape_group_left(rng, t):
             f"USING (inst)")
 
 
+def _shape_group_left_ignoring(rng, t):
+    """Many-to-one matching spelled via ignoring(): the many side KEEPS
+    the ignored label in the result (upstream resultMetric drops
+    ignoring-labels only for one-to-one) — regression shape for the
+    round-6 label-set fix."""
+    m1, m2 = rng.choice(METRICS), rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    s1 = f"{m1}{{{pm}}}" if pm else m1
+    op, sop = rng.choice([("/", "/"), ("-", "-"), ("+", "+")])
+    return (f"{s1} {op} ignoring(job) group_left "
+            f"sum without (job) ({m2})",
+            f"SELECT l.job, l.inst, l.v {sop} r.v AS v "
+            f"FROM ({_sel_sql(m1, sqlp, t)}) l "
+            f"JOIN (SELECT inst, sum(v) AS v "
+            f"      FROM ({_sel_sql(m2, 'TRUE', t)}) GROUP BY inst) r "
+            f"USING (inst)")
+
+
 def _shape_irate(rng, t):
     """irate/idelta over the last two samples of the window; irate applies
     the single-step counter-reset rule (last < prev → use last)."""
@@ -686,7 +704,8 @@ SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_binop, _shape_setop, _shape_or, _shape_vcmp,
           _shape_subquery, _shape_qot, _shape_limit,
           _shape_fns, _shape_clamp, _shape_offset, _shape_topk_sum,
-          _shape_group_left, _shape_irate, _shape_label_ops,
+          _shape_group_left, _shape_group_left_ignoring,
+          _shape_irate, _shape_label_ops,
           _shape_ts_of, _shape_duration_expr, _shape_param_scalar,
           _shape_at, _shape_absent, _shape_changes_resets, _shape_deriv]
 

@@ -1258,6 +1258,122 @@ def gen_range() -> str:
     return "\n".join(lines)
 
 
+def gen_native_quantile() -> str:
+    """histogram_quantile / histogram_fraction over native-histogram
+    literals: expected values from an independent Python port of the
+    explicit-bound interpolation (linear within [lower, upper), zero
+    bucket at le=0, +Inf cap returning the highest finite bound —
+    the published bucketQuantile rule on the converted grid)."""
+    def buckets_of(schema, offset, bks, z):
+        base = 2.0 ** (2.0 ** -schema)
+        out = []
+        if z:
+            out.append((0.0, z))
+        for p, c in enumerate(bks):
+            out.append((base ** (offset + p), float(c)))
+        out.append((math.inf, 0.0))
+        return out
+
+    def nq(q, bks, total):
+        if math.isnan(q):
+            return math.nan
+        if q < 0:
+            return -math.inf
+        if q > 1:
+            return math.inf
+        if not bks or total == 0:
+            return math.nan
+        cum = []
+        run = 0.0
+        for le, c in bks:
+            run += c
+            cum.append((le, run))
+        rank = q * total
+        idx = next((i for i, (_, c) in enumerate(cum) if c >= rank), None)
+        if idx is None:
+            return math.nan
+        if cum[idx][0] == math.inf:
+            return cum[-2][0] if len(cum) >= 2 else math.nan
+        if idx == 0:
+            lower = cum[0][0] if cum[0][0] <= 0 else 0.0
+            count_lo = 0.0
+        else:
+            lower = cum[idx - 1][0]
+            count_lo = cum[idx - 1][1]
+        upper, count_hi = cum[idx]
+        denom = count_hi - count_lo
+        if denom == 0:
+            frac = math.nan if rank - count_lo == 0 else math.inf
+        else:
+            frac = (rank - count_lo) / denom
+        return lower + (upper - lower) * frac
+
+    def cum_at(bks, total, x):
+        cum = []
+        run = 0.0
+        for le, c in bks:
+            run += c
+            cum.append((le, run))
+        idx = next((i for i, (le, _) in enumerate(cum) if le >= x), None)
+        if idx is None or x == math.inf:
+            return total
+        if x <= 0.0:
+            return 0.0
+        lower = 0.0 if idx == 0 else cum[idx - 1][0]
+        count_lo = 0.0 if idx == 0 else cum[idx - 1][1]
+        upper, count_hi = cum[idx]
+        frac = 0.0 if upper == lower else (x - lower) / (upper - lower)
+        frac = min(max(frac, 0.0), 1.0)
+        return count_lo + (count_hi - count_lo) * frac
+
+    HISTS = {
+        "basic": dict(schema=0, offset=0, bks=[2, 3, 1], z=0.0, sum=14.0),
+        "off": dict(schema=0, offset=2, bks=[1, 4, 3], z=0.0, sum=60.0),
+        "zero": dict(schema=0, offset=0, bks=[2, 2], z=3.0, sum=7.0),
+        "neg_off": dict(schema=0, offset=-2, bks=[4, 4, 4], z=0.0, sum=5.0),
+        "sparse": dict(schema=0, offset=1, bks=[0, 0, 5], z=0.0, sum=55.0),
+    }
+    lines = ["# GENERATED by tools/gen_promqltest.py — native-histogram",
+             "# quantile/fraction interpolation over varied offsets and",
+             "# zero buckets.",
+             "", "load 10s"]
+    for case, h in HISTS.items():
+        cnt = h["z"] + sum(h["bks"])
+        zb = f" z_bucket:{fmt(h['z'])}" if h["z"] else ""
+        lines.append(
+            f"\tnh{{case=\"{case}\"}} {{{{schema:{h['schema']} "
+            f"count:{fmt(cnt)} sum:{fmt(h['sum'])}{zb} "
+            f"offset:{h['offset']} "
+            f"buckets:[{' '.join(fmt(float(b)) for b in h['bks'])}]}}}}x30")
+    lines.append("")
+    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+        lines.append(f"eval instant at 200s histogram_quantile({fmt(q)}, nh)")
+        for case, h in HISTS.items():
+            bks = buckets_of(h["schema"], h["offset"], h["bks"], h["z"])
+            total = h["z"] + sum(h["bks"])
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(nq(q, bks, total))}")
+        lines.append("")
+    for lo, hi in ((0.0, 1.0), (0.5, 2.0), (1.0, 8.0), (0.0, math.inf),
+                   (2.0, 4.0)):
+        hi_s = "Inf" if hi == math.inf else fmt(hi)
+        lines.append(f"eval instant at 200s "
+                     f"histogram_fraction({fmt(lo)}, {hi_s}, nh)")
+        for case, h in HISTS.items():
+            bks = buckets_of(h["schema"], h["offset"], h["bks"], h["z"])
+            total = h["z"] + sum(h["bks"])
+            frac = (cum_at(bks, total, hi) - cum_at(bks, total, lo)) / total
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(frac)}")
+        lines.append("")
+    # histogram_stddev/stdvar ride the same bucket-midpoint estimate —
+    # covered by hand slices; here just sum/count/avg sanity per case
+    lines.append("eval instant at 200s histogram_avg(nh)")
+    for case, h in HISTS.items():
+        total = h["z"] + sum(h["bks"])
+        lines.append(f"\t{{case=\"{case}\"}} {fmt(h['sum'] / total)}")
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -1277,6 +1393,7 @@ FILES = {
     "gen_regex.test": gen_regex,
     "gen_nan_agg.test": gen_nan_agg,
     "gen_range.test": gen_range,
+    "gen_native_quantile.test": gen_native_quantile,
 }
 
 
