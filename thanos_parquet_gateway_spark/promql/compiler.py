@@ -69,8 +69,19 @@ def _ieee_log(fn):
     return wrap
 
 
+def _ieee_intfn(fn):
+    """Spark's ceil/floor return LONG (NaN→0, ±Inf→±2^63); PromQL (Go
+    math.Ceil/Floor) stays in double.  Doubles with |v| >= 2^52 are already
+    integral, so passing them (and NaN/±Inf) through unchanged is exact."""
+    def wrap(c):
+        return (F.when(F.isnan(c) | (F.abs(c) >= F.lit(2.0 ** 52)), c)
+                .otherwise(fn(c).cast("double")))
+    return wrap
+
+
 _MATH_FUNCS = {
-    "abs": F.abs, "ceil": F.ceil, "floor": F.floor, "exp": F.exp,
+    "abs": F.abs, "ceil": _ieee_intfn(F.ceil), "floor": _ieee_intfn(F.floor),
+    "exp": F.exp,
     "sqrt": F.sqrt, "ln": _ieee_log(F.log), "log2": _ieee_log(F.log2),
     "log10": _ieee_log(F.log10),
     "acos": F.acos, "asin": F.asin, "atan": F.atan, "cos": F.cos,

@@ -834,8 +834,13 @@ def dispatch(c: Compiler, call: A.Call):
     if fn == "round":
         iv = _vector_arg(c, call)
         to = _scalar_lit(c, call, 1) if len(call.args) > 1 else 1.0
-        # PromQL round: nearest multiple of `to`, ties round up
-        val = F.floor(F.col("value") / F.lit(to) + 0.5) * F.lit(to)
+        # PromQL round: nearest multiple of `to`, ties round up.  Spark's
+        # floor returns LONG (NaN→0, ±Inf saturate); doubles with
+        # |q| >= 2^52 are already integral (the +0.5 is absorbed), so pass
+        # them — and NaN/±Inf — through as Go math.Floor would.
+        q = F.col("value") / F.lit(to)
+        val = (F.when(F.isnan(q) | (F.abs(q) >= F.lit(2.0 ** 52)), q)
+               .otherwise(F.floor(q + F.lit(0.5)).cast(D))) * F.lit(to)
         df = iv.df.withColumn("value", val.cast(D))
         return _iv(_drop_name(df))
 

@@ -1374,6 +1374,594 @@ def gen_native_quantile() -> str:
     return "\n".join(lines)
 
 
+def gen_setops() -> str:
+    """and/or/unless x on/ignoring grid: expected sets from an independent
+    match-signature simulation (upstream engine.go VectorAnd/VectorOr/
+    VectorUnless; set ops keep the sample value AND the metric name)."""
+    a = {("1", "x"): 10.0, ("1", "y"): 15.0, ("2", "x"): 20.0,
+         ("2", "y"): 25.0, ("3", "x"): 30.0}
+    b = {("1", "p"): 101.0, ("2", "q"): 102.0, ("4", "p"): 104.0}
+    aseries = [({"__name__": "sa", "r": r, "c": c}, v)
+               for (r, c), v in a.items()]
+    bseries = [({"__name__": "sb", "r": r, "d": d}, v)
+               for (r, d), v in b.items()]
+
+    def sig(labels, mod):
+        if mod is None:
+            items = {k: v for k, v in labels.items() if k != "__name__"}
+        elif mod[0] == "on":
+            items = {k: labels.get(k, "") for k in mod[1]}
+        else:  # ignoring
+            items = {k: v for k, v in labels.items()
+                     if k != "__name__" and k not in mod[1]}
+        return tuple(sorted(items.items()))
+
+    def setop(op, lhs, rhs, mod):
+        rsigs = {sig(l, mod) for l, _ in rhs}
+        if op == "and":
+            return [(l, v) for l, v in lhs if sig(l, mod) in rsigs]
+        if op == "unless":
+            return [(l, v) for l, v in lhs if sig(l, mod) not in rsigs]
+        lsigs = {sig(l, mod) for l, _ in lhs}
+        return lhs + [(l, v) for l, v in rhs if sig(l, mod) not in lsigs]
+
+    MODS = [("", None),
+            ("on (r) ", ("on", ("r",))),
+            ("on () ", ("on", ())),
+            ("on (r, c) ", ("on", ("r", "c"))),
+            ("ignoring (c, d) ", ("ignoring", ("c", "d"))),
+            ("ignoring (c) ", ("ignoring", ("c",))),
+            ("ignoring (d) ", ("ignoring", ("d",)))]
+    lines = ["# GENERATED by tools/gen_promqltest.py — set-operator grid",
+             "# (and/or/unless x on/ignoring); independent match-signature",
+             "# simulation; set ops keep values and metric names.",
+             "", "load 10s"]
+    for labels, v in aseries + bseries:
+        lines.append(f"\t{series_id(labels)} {fmt(v)}+0x50")
+    lines.append("")
+    for op in ("and", "or", "unless"):
+        for mtxt, mod in MODS:
+            for lname, lhs, rhs in (("sa", aseries, bseries),
+                                    ("sb", bseries, aseries)):
+                rname = "sb" if lname == "sa" else "sa"
+                lines.append(f"eval instant at 500s "
+                             f"{lname} {op} {mtxt}{rname}")
+                for labels, v in setop(op, lhs, rhs, mod):
+                    lines.append(f"\t{series_id(labels)} {fmt(v)}")
+                lines.append("")
+    return "\n".join(lines)
+
+
+def gen_vcmp() -> str:
+    """Comparison-operator grid: {==,!=,>,<,>=,<=} x {filter,bool} x
+    {vec-scalar, scalar-vec, vec-vec} over values including 0/NaN/±Inf.
+    Upstream rule (engine.go shouldDropMetricName): filter mode keeps the
+    sample value AND the metric name; bool emits 0/1 and drops the name."""
+    vals = {"n3": -3.0, "z": 0.0, "p25": 2.5, "nan": math.nan,
+            "inf": math.inf, "ninf": -math.inf}
+    wvals = {"n3": 1.0, "z": 0.0, "p25": 99.0, "nan": math.nan}
+    CMP = {"==": lambda x, y: x == y, "!=": lambda x, y: x != y,
+           ">": lambda x, y: x > y, "<": lambda x, y: x < y,
+           ">=": lambda x, y: x >= y, "<=": lambda x, y: x <= y}
+    lines = ["# GENERATED by tools/gen_promqltest.py — comparison grid",
+             "# over {-3, 0, 2.5, NaN, Inf, -Inf}: filter keeps value+name,",
+             "# bool emits 0/1 and drops the name (IEEE NaN semantics).",
+             "", "load 10s"]
+    for i, v in vals.items():
+        lines.append(f"\tv{{i=\"{i}\"}} {fmt(v)}+0x50")
+    for i, v in wvals.items():
+        lines.append(f"\tw{{i=\"{i}\"}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for labels, v in sorted(rows, key=lambda r: str(r[0])):
+            lines.append(f"\t{series_id(labels)} {fmt(v)}")
+        lines.append("")
+
+    for op, f in CMP.items():
+        for s in (0.0, 2.5):
+            emit(f"v {op} {fmt(s)}",
+                 [({"__name__": "v", "i": i}, v)
+                  for i, v in vals.items() if f(v, s)])
+            emit(f"v {op} bool {fmt(s)}",
+                 [({"i": i}, float(f(v, s))) for i, v in vals.items()])
+            emit(f"{fmt(s)} {op} v",
+                 [({"__name__": "v", "i": i}, v)
+                  for i, v in vals.items() if f(s, v)])
+            emit(f"{fmt(s)} {op} bool v",
+                 [({"i": i}, float(f(s, v))) for i, v in vals.items()])
+    # NaN scalar: == never matches (even NaN), != always matches
+    emit("v == NaN", [])
+    emit("v != NaN", [({"__name__": "v", "i": i}, v)
+                      for i, v in vals.items()])
+    emit("v >= bool NaN", [({"i": i}, 0.0) for i in vals])
+    emit("v < bool NaN", [({"i": i}, 0.0) for i in vals])
+    # vector-vector: default matching on the full labelset (i)
+    for op, f in CMP.items():
+        emit(f"v {op} w",
+             [({"__name__": "v", "i": i}, v) for i, v in vals.items()
+              if i in wvals and f(v, wvals[i])])
+        emit(f"v {op} bool w",
+             [({"i": i}, float(f(v, wvals[i])))
+              for i, v in vals.items() if i in wvals])
+    # scalar-scalar comparison without bool is a parse error
+    lines.append("eval_fail instant at 500s 1 > 2")
+    lines.append("")
+    lines.append("eval_fail instant at 500s scalar(v{i=\"z\"}) == 0")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def gen_count_values() -> str:
+    """count_values grids with value collisions, by/without grouping, and
+    an existing-label overwrite; label text uses Go strconv.FormatFloat
+    ('f', -1) conventions (+Inf / NaN spellings)."""
+    vals = [1.0, 2.0, 2.0, 3.5, 3.5, 3.5, 0.25, math.inf, math.inf,
+            math.nan]
+
+    def ff(v):
+        if math.isnan(v):
+            return "NaN"
+        if v == math.inf:
+            return "+Inf"
+        if v == -math.inf:
+            return "-Inf"
+        if float(v) == int(v):
+            return str(int(v))
+        return repr(float(v))
+
+    series = [({"i": str(k), "g": "a" if k % 2 == 0 else "b"}, v)
+              for k, v in enumerate(vals)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — count_values over",
+             "# colliding values (incl. +Inf and NaN groups), by/without",
+             "# grouping, and value-label overwrite of an existing label.",
+             "", "load 10s"]
+    for labels, v in series:
+        lines.append(f"\tm{{g=\"{labels['g']}\", i=\"{labels['i']}\"}} "
+                     f"{fmt(v)}+0x50")
+    lines.append("")
+
+    def count(rows, keyfn):
+        out = {}
+        for labels, v in rows:
+            k = keyfn(labels, v)
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    def emit(expr, groups):
+        lines.append(f"eval instant at 500s {expr}")
+        for key, n in sorted(groups.items()):
+            lbls = ", ".join(f'{k}="{v}"' for k, v in key)
+            lines.append(f"\t{{{lbls}}} {fmt(float(n))}")
+        lines.append("")
+
+    emit('count_values("val", m)',
+         count(series, lambda l, v: (("val", ff(v)),)))
+    emit('count_values by (g) ("val", m)',
+         count(series, lambda l, v: (("g", l["g"]), ("val", ff(v)))))
+    emit('count_values without (i) ("val", m)',
+         count(series, lambda l, v: (("g", l["g"]), ("val", ff(v)))))
+    # value label overwrites an existing label of the same name
+    emit('count_values("g", m)',
+         count(series, lambda l, v: (("g", ff(v)),)))
+    emit('count_values by (i) ("val", m)',
+         count(series, lambda l, v: (("i", l["i"]), ("val", ff(v)))))
+    return "\n".join(lines)
+
+
+def gen_clamp_round() -> str:
+    """clamp/clamp_min/clamp_max/round and the simple math functions over a
+    signed value grid; Go math.Min/Max NaN propagation, min>max → empty,
+    round(v, to) = floor(v/to + 0.5)*to (IEEE double)."""
+    vals = {"a": -2.7, "b": -0.5, "c": 0.0, "d": 0.4, "e": 0.5,
+            "f": 1.5, "g": 2.49, "h": 7.3, "nan": math.nan,
+            "inf": math.inf, "ninf": -math.inf}
+    lines = ["# GENERATED by tools/gen_promqltest.py — clamp/round and the",
+             "# simple math functions; Go NaN/Inf edge conventions.",
+             "", "load 10s"]
+    for i, v in vals.items():
+        lines.append(f"\tm{{i=\"{i}\"}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def gmin(x, y):
+        if math.isnan(x) or math.isnan(y):
+            return math.nan
+        return min(x, y)
+
+    def gmax(x, y):
+        if math.isnan(x) or math.isnan(y):
+            return math.nan
+        return max(x, y)
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for i, v in rows.items():
+            lines.append(f"\t{{i=\"{i}\"}} {fmt(v)}")
+        lines.append("")
+
+    for lo, hi in ((-1.0, 2.0), (0.0, 0.0), (-math.inf, 0.0),
+                   (0.0, math.inf), (math.nan, 1.0), (1.0, math.nan)):
+        emit(f"clamp(m, {fmt(lo)}, {fmt(hi)})",
+             {i: gmax(lo, gmin(hi, v)) for i, v in vals.items()})
+    # min > max → empty vector (upstream clampFunc early return)
+    lines.append("eval instant at 500s clamp(m, 2, -1)")
+    lines.append("")
+    for x in (0.0, math.nan):
+        emit(f"clamp_min(m, {fmt(x)})",
+             {i: gmax(x, v) for i, v in vals.items()})
+        emit(f"clamp_max(m, {fmt(x)})",
+             {i: gmin(x, v) for i, v in vals.items()})
+
+    def rnd(v, to):
+        if math.isnan(v) or math.isinf(v):
+            return v
+        return math.floor(v / to + 0.5) * to
+
+    emit("round(m)", {i: rnd(v, 1.0) for i, v in vals.items()})
+    for to in (0.5, 2.0, 0.001):
+        emit(f"round(m, {fmt(to)})",
+             {i: rnd(v, to) for i, v in vals.items()})
+
+    def _sqrt(v):
+        return math.sqrt(v) if v >= 0 else math.nan
+
+    def _sgn(v):
+        if math.isnan(v):
+            return math.nan
+        return float((v > 0) - (v < 0))
+
+    FNS = {"abs": abs, "ceil": math.ceil, "floor": math.floor,
+           "sgn": _sgn, "sqrt": _sqrt,
+           "exp": lambda v: math.exp(v) if v != math.inf else math.inf,
+           "ln": _ln}
+    for name, f in FNS.items():
+        def safe(v, f=f):
+            if math.isnan(v):
+                return math.nan
+            if math.isinf(v) and name in ("ceil", "floor", "trunc"):
+                return v
+            try:
+                return float(f(v))
+            except (ValueError, OverflowError):
+                return math.nan
+        emit(f"{name}(m)", {i: safe(v) for i, v in vals.items()})
+    return "\n".join(lines)
+
+
+def gen_predict() -> str:
+    """predict_linear / deriv grids over linear, quadratic and constant
+    series; expectations from the least-squares helper with the intercept
+    at the evaluation timestamp (upstream linearRegression)."""
+    n = 50
+    series = {
+        "lin": [(k * 10_000, 3.0 * k + 5.0) for k in range(n + 1)],
+        "quad": [(k * 10_000, 2.0 * k + 0.1 * k * k) for k in range(n + 1)],
+        "const": [(k * 10_000, 7.0) for k in range(n + 1)],
+    }
+    lines = ["# GENERATED by tools/gen_promqltest.py — predict_linear and",
+             "# deriv over linear/quadratic/constant series (least squares",
+             "# with intercept at the eval timestamp).",
+             "", "load 10s"]
+    lines.append("\tm{s=\"lin\"} 5+3x50")
+    lines.append("\tm{s=\"quad\"} " + " ".join(
+        fmt(v) for _, v in series["quad"][:8]) +
+        " " + " ".join(fmt(v) for _, v in series["quad"][8:]))
+    lines.append("\tm{s=\"const\"} 7+0x50")
+    lines.append("")
+    for t_s in (300, 400, 500):
+        t = t_s * 1000
+        for ws in (60, 120, 300):
+            win = {s: window(sams, t, ws * 1000)
+                   for s, sams in series.items()}
+            for ahead in (0.0, 60.0, 600.0):
+                lines.append(f"eval instant at {t_s}s "
+                             f"predict_linear(m[{ws}s], {fmt(ahead)})")
+                for s, sams in win.items():
+                    if len(sams) < 2:
+                        continue
+                    slope, icpt = linear_regression(sams, t)
+                    lines.append(f"\t{{s=\"{s}\"}} "
+                                 f"{fmt(slope * ahead + icpt)}")
+                lines.append("")
+            lines.append(f"eval instant at {t_s}s deriv(m[{ws}s])")
+            for s, sams in win.items():
+                if len(sams) < 2:
+                    continue
+                slope, _ = linear_regression(sams, t)
+                lines.append(f"\t{{s=\"{s}\"}} {fmt(slope)}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def gen_overtime2() -> str:
+    """quantile_over_time phi-grid and mad_over_time over two phase-shifted
+    sine gauges; upstream quantile interpolation (rank = phi*(n-1))."""
+    n = 60
+    series = {
+        "a": [(k * 10_000, k + 6.0 * math.sin(k / 3.0))
+              for k in range(n + 1)],
+        "b": [(k * 10_000, 30.0 - k + 6.0 * math.sin(k / 2.0 + 1.0))
+              for k in range(n + 1)],
+    }
+    lines = ["# GENERATED by tools/gen_promqltest.py — quantile_over_time",
+             "# phi-grid and mad_over_time over phase-shifted sine gauges.",
+             "", "load 10s"]
+    for s, sams in series.items():
+        lines.append(f"\tg{{s=\"{s}\"}} " + " ".join(fmt(v)
+                                                     for _, v in sams))
+    lines.append("")
+    for t_s in (305, 405, 500):
+        t = t_s * 1000
+        for ws in (30, 60, 120):
+            win = {s: [v for _, v in window(sams, t, ws * 1000)]
+                   for s, sams in series.items()}
+            for phi in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
+                lines.append(f"eval instant at {t_s}s "
+                             f"quantile_over_time({fmt(phi)}, g[{ws}s])")
+                for s, vs in win.items():
+                    if vs:
+                        lines.append(f"\t{{s=\"{s}\"}} "
+                                     f"{fmt(quantile(phi, vs))}")
+                lines.append("")
+            lines.append(f"eval instant at {t_s}s mad_over_time(g[{ws}s])")
+            for s, vs in win.items():
+                if vs:
+                    lines.append(f"\t{{s=\"{s}\"}} {fmt(mad(vs))}")
+            lines.append("")
+    # out-of-range phi → ±Inf (with upstream warn annotation)
+    for phi, want in ((-1.0, -math.inf), (2.0, math.inf)):
+        lines.append(f"eval instant at 500s "
+                     f"quantile_over_time({fmt(phi)}, g[60s])")
+        for s in series:
+            lines.append(f"\t{{s=\"{s}\"}} {fmt(want)}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_hist2() -> str:
+    """Classic le-bucket histogram_quantile phi-grid: independent port of
+    upstream bucketQuantile (first-bucket lower bound 0 when le > 0,
+    +Inf bucket returns the highest finite bound, NaN on empty)."""
+    LES = [0.1, 0.5, 1.0, 5.0]
+    HISTS = {  # per-bucket (non-cumulative) counts aligned with LES + +Inf
+        "even": [10, 10, 10, 10, 0],
+        "front": [40, 2, 1, 1, 0],
+        "tail": [0, 0, 1, 9, 10],
+        "inf_only": [0, 0, 0, 0, 7],
+        "empty": [0, 0, 0, 0, 0],
+    }
+
+    def bq(q, per_bucket):
+        cum, run = [], 0.0
+        bounds = LES + [math.inf]
+        for c in per_bucket:
+            run += c
+            cum.append(run)
+        total = cum[-1]
+        if q < 0:
+            return -math.inf
+        if q > 1:
+            return math.inf
+        if total == 0:
+            return math.nan
+        rank = q * total
+        b = next(i for i, c in enumerate(cum) if c >= rank)
+        if b == len(bounds) - 1:
+            return bounds[-2]
+        if b == 0 and bounds[0] <= 0:
+            return bounds[0]
+        start, end = (0.0, bounds[0]) if b == 0 else (bounds[b - 1],
+                                                      bounds[b])
+        count = cum[b] - (cum[b - 1] if b > 0 else 0.0)
+        r = rank - (cum[b - 1] if b > 0 else 0.0)
+        if count == 0:  # IEEE 0/0 → NaN (Go division, not Python)
+            return math.nan
+        return start + (end - start) * (r / count)
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — classic le-bucket",
+             "# histogram_quantile grid (bucketQuantile port: zero lower",
+             "# bound, +Inf cap, NaN on zero observations).",
+             "", "load 10s"]
+    for h, per in HISTS.items():
+        run = 0
+        for le, c in zip(LES + [math.inf], per):
+            run += c
+            le_s = "+Inf" if le == math.inf else fmt(le)
+            lines.append(f"\thb_bucket{{h=\"{h}\", le=\"{le_s}\"}} "
+                         f"0+{fmt(float(run))}x50")
+    lines.append("")
+    for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0, -0.5, 1.5):
+        lines.append(f"eval instant at 500s "
+                     f"histogram_quantile({fmt(q)}, hb_bucket)")
+        for h, per in HISTS.items():
+            v = bq(q, per)
+            lines.append(f"\t{{h=\"{h}\"}} {fmt(v)}")
+        lines.append("")
+    # quantile over rate(bucket[60s]): counts grow linearly so per-bucket
+    # rates are proportional to the cumulative counts → same quantiles
+    for q in (0.5, 0.9):
+        lines.append(f"eval instant at 500s "
+                     f"histogram_quantile({fmt(q)}, rate(hb_bucket[60s]))")
+        for h, per in HISTS.items():
+            lines.append(f"\t{{h=\"{h}\"}} {fmt(bq(q, per))}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_rate2() -> str:
+    """irate/idelta/resets/changes over a modular-wrap counter and a
+    stepping gauge across a window x eval-time grid."""
+    n = 50
+    counter = [(k * 10_000, float((3 * k) % 17)) for k in range(n + 1)]
+    gpat = [3.0, 3.0, 5.0, 2.0, 2.0, 7.0]
+    gauge = [(k * 10_000, gpat[k % len(gpat)]) for k in range(n + 1)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — irate/idelta/resets/",
+             "# changes grid over a wrapping counter and a stepping gauge.",
+             "", "load 10s"]
+    lines.append("\tc " + " ".join(fmt(v) for _, v in counter))
+    lines.append("\tg " + " ".join(fmt(v) for _, v in gauge))
+    lines.append("")
+    for t_s in (305, 355, 400, 455, 500):
+        t = t_s * 1000
+        for ws in (30, 60, 120, 250):
+            cw = window(counter, t, ws * 1000)
+            gw = window(gauge, t, ws * 1000)
+            # resets / changes
+            lines.append(f"eval instant at {t_s}s resets(c[{ws}s])")
+            if cw:
+                r = sum(1 for i in range(1, len(cw))
+                        if cw[i][1] < cw[i - 1][1])
+                lines.append(f"\t{{}} {fmt(float(r))}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s changes(g[{ws}s])")
+            if gw:
+                ch = sum(1 for i in range(1, len(gw))
+                         if gw[i][1] != gw[i - 1][1])
+                lines.append(f"\t{{}} {fmt(float(ch))}")
+            lines.append("")
+            # irate: last two samples, single-step counter-reset rule
+            lines.append(f"eval instant at {t_s}s irate(c[{ws}s])")
+            if len(cw) >= 2:
+                (pt, pv), (lt, lv) = cw[-2], cw[-1]
+                dv = lv if lv < pv else lv - pv
+                lines.append(f"\t{{}} {fmt(dv / ((lt - pt) / 1000.0))}")
+            lines.append("")
+            lines.append(f"eval instant at {t_s}s idelta(g[{ws}s])")
+            if len(gw) >= 2:
+                lines.append(f"\t{{}} {fmt(gw[-1][1] - gw[-2][1])}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def gen_arith2() -> str:
+    """%, ^ and atan2 grids (vector-scalar both directions): Go math.Mod /
+    math.Pow / math.Atan2 edge conventions, metric name dropped."""
+    vals = {"a": -7.5, "b": -2.0, "c": 0.0, "d": 3.0, "e": 8.5}
+
+    def gmod(x, y):
+        try:
+            return math.fmod(x, y)
+        except ValueError:
+            return math.nan
+
+    def gpow(x, y):
+        # Go math.Pow: Pow(0,0)=1, Pow(0,y<0)=+Inf, Pow(neg,non-int)=NaN
+        if x == 0.0 and y < 0:
+            return math.inf
+        try:
+            return math.pow(x, y)
+        except ValueError:  # negative base, non-integer exponent
+            return math.nan
+        except OverflowError:
+            return math.inf if (x > 1 or x < -1) else 0.0
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — %, ^, atan2 grids",
+             "# (vector-scalar, both directions; Go math edge rules).",
+             "", "load 10s"]
+    for i, v in vals.items():
+        lines.append(f"\tm{{i=\"{i}\"}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for i, v in rows.items():
+            lines.append(f"\t{{i=\"{i}\"}} {fmt(v)}")
+        lines.append("")
+
+    for s in (-3.0, -0.5, 2.0, 0.0):
+        emit(f"m % {fmt(s)}", {i: gmod(v, s) for i, v in vals.items()})
+        emit(f"{fmt(s)} % m", {i: gmod(s, v) for i, v in vals.items()})
+    for s in (-3.0, -0.5, 2.0):
+        emit(f"m ^ {fmt(s)}", {i: gpow(v, s) for i, v in vals.items()})
+        # NB: ^ binds tighter than unary minus, so "-3 ^ m" is -(3 ^ m)
+        if s < 0:
+            emit(f"{fmt(s)} ^ m",
+                 {i: -gpow(-s, v) for i, v in vals.items()})
+        else:
+            emit(f"{fmt(s)} ^ m", {i: gpow(s, v) for i, v in vals.items()})
+        emit(f"({fmt(s)}) ^ m", {i: gpow(s, v) for i, v in vals.items()})
+    for s in (2.0, -1.0):
+        emit(f"m atan2 {fmt(s)}",
+             {i: math.atan2(v, s) for i, v in vals.items()})
+        emit(f"{fmt(s)} atan2 m",
+             {i: math.atan2(s, v) for i, v in vals.items()})
+    return "\n".join(lines)
+
+
+def gen_utf8_grid() -> str:
+    """Generated UTF-8 quoted-name grid (Prometheus 3 syntax): dotted and
+    non-ASCII metric/label names through selectors, aggregation grouping,
+    rate, and binary ops."""
+    mets = {"http.requests.total": {("prod", "api"): 100.0,
+                                    ("prod", "web"): 40.0,
+                                    ("dev", "api"): 10.0},
+            "żółć.total": {("prod", "api"): 7.0, ("dev", "db"): 3.0}}
+    lines = ["# GENERATED by tools/gen_promqltest.py — UTF-8 quoted-name",
+             "# grid: dotted/non-ASCII metric and label names.",
+             "", "load 10s"]
+    for m, rows in mets.items():
+        for (env, svc), v in rows.items():
+            lines.append(f"\t{{\"{m}\", env=\"{env}\", "
+                         f"\"service.name\"=\"{svc}\"}} {fmt(v)}+{fmt(v)}x50")
+    lines.append("")
+
+    def sid(m, env, svc):
+        return (f"{{\"{m}\", env=\"{env}\", \"service.name\"=\"{svc}\"}}")
+
+    t, mult = 500, 51.0  # value at 500s = v + 50*v
+    m1, m2 = "http.requests.total", "żółć.total"
+    # plain selector
+    lines.append(f'eval instant at {t}s {{"{m1}"}}')
+    for (env, svc), v in mets[m1].items():
+        lines.append(f"\t{sid(m1, env, svc)} {fmt(v * mult)}")
+    lines.append("")
+    # selector + matcher on quoted label
+    lines.append(f'eval instant at {t}s {{"{m1}", "service.name"="api"}}')
+    for (env, svc), v in mets[m1].items():
+        if svc == "api":
+            lines.append(f"\t{sid(m1, env, svc)} {fmt(v * mult)}")
+    lines.append("")
+    # aggregation grouped by a quoted label name
+    lines.append(f'eval instant at {t}s sum by ("service.name") '
+                 f'({{"{m1}"}})')
+    bys = {}
+    for (env, svc), v in mets[m1].items():
+        bys[svc] = bys.get(svc, 0.0) + v * mult
+    for svc, v in sorted(bys.items()):
+        lines.append(f"\t{{\"service.name\"=\"{svc}\"}} {fmt(v)}")
+    lines.append("")
+    # rate over a dotted counter: linear v/10s growth
+    lines.append(f'eval instant at {t}s rate({{"{m1}"}}[60s])')
+    for (env, svc), v in mets[m1].items():
+        lines.append(f"\t{{env=\"{env}\", \"service.name\"=\"{svc}\"}} "
+                     f"{fmt(v / 10.0)}")
+    lines.append("")
+    # binop between two dotted metrics on shared labels
+    lines.append(f'eval instant at {t}s {{"{m1}"}} '
+                 f'* on (env, "service.name") {{"{m2}"}}')
+    for (env, svc), v in mets[m1].items():
+        if (env, svc) in mets[m2]:
+            w = mets[m2][(env, svc)]
+            lines.append(f"\t{{env=\"{env}\", \"service.name\"=\"{svc}\"}} "
+                         f"{fmt(v * mult * w * mult)}")
+    lines.append("")
+    # quantile over the non-ASCII metric
+    lines.append(f'eval instant at {t}s count({{"{m2}"}})')
+    lines.append(f"\t{{}} {fmt(float(len(mets[m2])))}")
+    lines.append("")
+    # label_replace writing INTO a quoted label name
+    lines.append(f'eval instant at {t}s sum by ("x.y") (label_replace('
+                 f'{{"{m2}"}}, "x.y", "$1", "env", "(.*)"))')
+    bye = {}
+    for (env, svc), v in mets[m2].items():
+        bye[env] = bye.get(env, 0.0) + v * mult
+    for env, v in sorted(bye.items()):
+        lines.append(f"\t{{\"x.y\"=\"{env}\"}} {fmt(v)}")
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -1394,6 +1982,16 @@ FILES = {
     "gen_nan_agg.test": gen_nan_agg,
     "gen_range.test": gen_range,
     "gen_native_quantile.test": gen_native_quantile,
+    "gen_setops.test": gen_setops,
+    "gen_vcmp.test": gen_vcmp,
+    "gen_count_values.test": gen_count_values,
+    "gen_clamp_round.test": gen_clamp_round,
+    "gen_predict.test": gen_predict,
+    "gen_overtime2.test": gen_overtime2,
+    "gen_hist2.test": gen_hist2,
+    "gen_rate2.test": gen_rate2,
+    "gen_arith2.test": gen_arith2,
+    "gen_utf8.test": gen_utf8_grid,
 }
 
 
