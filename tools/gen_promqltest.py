@@ -1962,6 +1962,283 @@ def gen_utf8_grid() -> str:
     return "\n".join(lines)
 
 
+def gen_binop_vv() -> str:
+    """Vector-vector arithmetic matching grid: on/ignoring one-to-one
+    (result keeps only the matching labels), group_left/group_right
+    many-to-one (many side keeps its labels; include-labels copied), with
+    IEEE division/mod/pow edges (x/0, 0/0, %0)."""
+    u = {("1", "x"): 2.0, ("2", "x"): -3.0, ("3", "y"): 0.0,
+         ("4", "y"): 7.0}           # u{i,g}
+    w = {"1": 4.0, "2": 0.0, "3": -2.0, "5": 9.0}  # w{i}
+    m = {("1", "a"): 10.0, ("1", "b"): 20.0, ("2", "a"): 30.0}  # m{r,c}
+    nn = {"1": 2.0, "2": 4.0}        # n{r}
+    nh = {"1": ("h1", 3.0), "2": ("h2", 5.0)}  # nh{r,h}
+
+    def gdiv(x, y):
+        if y == 0.0:
+            if x == 0.0:
+                return math.nan
+            return math.inf if x > 0 else -math.inf
+        return x / y
+
+    def gmod(x, y):
+        try:
+            return math.fmod(x, y)
+        except ValueError:
+            return math.nan
+
+    def gpow(x, y):
+        if x == 0.0 and y < 0:
+            return math.inf
+        try:
+            return math.pow(x, y)
+        except ValueError:
+            return math.nan
+
+    OPS = {"+": lambda x, y: x + y, "-": lambda x, y: x - y,
+           "*": lambda x, y: x * y, "/": gdiv, "%": gmod, "^": gpow}
+    lines = ["# GENERATED by tools/gen_promqltest.py — vector-vector",
+             "# arithmetic matching grid: on/ignoring 1:1, group_left/",
+             "# group_right, include-labels; IEEE /0, %0, pow edges.",
+             "", "load 10s"]
+    for (i, g), v in u.items():
+        lines.append(f"\tu{{g=\"{g}\", i=\"{i}\"}} {fmt(v)}+0x50")
+    for i, v in w.items():
+        lines.append(f"\tw{{i=\"{i}\"}} {fmt(v)}+0x50")
+    for (r, c), v in m.items():
+        lines.append(f"\tmm{{c=\"{c}\", r=\"{r}\"}} {fmt(v)}+0x50")
+    for r, v in nn.items():
+        lines.append(f"\tn{{r=\"{r}\"}} {fmt(v)}+0x50")
+    for r, (h, v) in nh.items():
+        lines.append(f"\tnh{{h=\"{h}\", r=\"{r}\"}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for labels, v in rows:
+            lines.append(f"\t{series_id(labels)} {fmt(v)}")
+        lines.append("")
+
+    for op, f in OPS.items():
+        # on(i) one-to-one: result labels = the on-labels only
+        emit(f"u {op} on (i) w",
+             [({"i": i}, f(v, w[i])) for (i, g), v in u.items()
+              if i in w])
+        # ignoring(g) one-to-one: drop g and __name__
+        emit(f"u {op} ignoring (g) w",
+             [({"i": i}, f(v, w[i])) for (i, g), v in u.items()
+              if i in w])
+        # many-to-one: many side keeps its full labelset
+        emit(f"mm {op} on (r) group_left n",
+             [({"r": r, "c": c}, f(v, nn[r])) for (r, c), v in m.items()
+              if r in nn])
+        # group_right mirror: one side is the LEFT operand
+        emit(f"n {op} on (r) group_right mm",
+             [({"r": r, "c": c}, f(nn[r], v)) for (r, c), v in m.items()
+              if r in nn])
+    # include-labels: group_left(h) copies h from the one side
+    emit("mm * on (r) group_left (h) nh",
+         [({"r": r, "c": c, "h": nh[r][0]}, v * nh[r][1])
+          for (r, c), v in m.items() if r in nh])
+    emit("nh * on (r) group_right (h) mm",
+         [({"r": r, "c": c, "h": nh[r][0]}, nh[r][1] * v)
+          for (r, c), v in m.items() if r in nh])
+    return "\n".join(lines)
+
+
+def gen_label_fns2() -> str:
+    """label_replace / label_join grid: full-anchor regex, no-match keeps
+    the row unchanged, empty replacement (or joining empties) removes the
+    label, overwrite of an existing label, missing source label ≡ ''."""
+    base = [({"__name__": "q", "src": "abc-123", "env": "p"}, 5.0),
+            ({"__name__": "q", "src": "xyz", "env": "d"}, 6.0),
+            ({"__name__": "q", "env": "e"}, 7.0)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — label_replace /",
+             "# label_join grid (anchored regex, no-match no-op, empty",
+             "# value removes the label, overwrite, missing src = '').",
+             "", "load 10s"]
+    for labels, v in base:
+        rest = ", ".join(f'{k}="{labels[k]}"' for k in sorted(labels)
+                         if k != "__name__")
+        lines.append(f"\tq{{{rest}}} {fmt(v)}+0x50")
+    lines.append("")
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for labels, v in rows:
+            lines.append(f"\t{series_id(labels)} {fmt(v)}")
+        lines.append("")
+
+    def repl(labels, dst, val):
+        out = dict(labels)
+        if val == "":
+            out.pop(dst, None)
+        else:
+            out[dst] = val
+        return out
+
+    # capture group: matches only src="abc-123"
+    emit('label_replace(q, "dst", "$1", "src", "abc-([0-9]+)")',
+         [(repl(l, "dst", "123") if l.get("src") == "abc-123" else l, v)
+          for l, v in base])
+    # regex is fully anchored: a bare [0-9]+ never matches "abc-123"
+    emit('label_replace(q, "dst", "X", "src", "[0-9]+")',
+         [(l, v) for l, v in base])
+    # empty regex matches the MISSING src ('' value)
+    emit('label_replace(q, "dst", "E", "src", "")',
+         [(repl(l, "dst", "E") if "src" not in l else l, v)
+          for l, v in base])
+    # overwrite an existing label with the capture
+    emit('label_replace(q, "env", "$1", "src", "(.*)")',
+         [(repl(l, "env", l.get("src", "")), v) for l, v in base])
+    # empty replacement removes the target label
+    emit('label_replace(q, "env", "", "src", "(.*)")',
+         [(repl(l, "env", ""), v) for l, v in base])
+    # label_join concatenates (missing source joins as '')
+    emit('label_join(q, "j", "-", "env", "src")',
+         [(repl(l, "j", f"{l.get('env', '')}-{l.get('src', '')}"), v)
+          for l, v in base])
+    # single-source join = copy; overwrites the target
+    emit('label_join(q, "src", "", "env")',
+         [(repl(l, "src", l.get("env", "")), v) for l, v in base])
+    # joining only missing/empty sources removes the target
+    emit('label_join(q, "src", "", "nosuch")',
+         [(repl(l, "src", ""), v) for l, v in base])
+    return "\n".join(lines)
+
+
+def gen_sort2() -> str:
+    """sort / sort_desc ordered evals (NaN always at the end, upstream
+    funcSort/funcSortDesc) and sort_by_label lexicographic ordering."""
+    vals = {"a": 5.0, "b": 1.0, "c": 9.0, "d": 3.0, "nan": math.nan}
+    lines = ["# GENERATED by tools/gen_promqltest.py — ordered sort grid:",
+             "# sort/sort_desc place NaN last; sort_by_label is",
+             "# lexicographic on the given label.",
+             "", "load 10s"]
+    for i, v in vals.items():
+        lines.append(f"\ts{{i=\"{i}\"}} {fmt(v)}+0x50")
+    lines.append("")
+    finite = {i: v for i, v in vals.items() if not math.isnan(v)}
+
+    def emit(expr, order):
+        lines.append(f"eval ordered instant at 500s {expr}")
+        for i in order:
+            lines.append(f"\ts{{i=\"{i}\"}} {fmt(vals[i])}")
+        lines.append("")
+
+    asc = sorted(finite, key=lambda i: finite[i])
+    emit("sort(s)", asc + ["nan"])
+    emit("sort_desc(s)", asc[::-1] + ["nan"])
+    emit('sort_by_label(s, "i")', sorted(vals))
+    emit('sort_by_label_desc(s, "i")', sorted(vals, reverse=True))
+    return "\n".join(lines)
+
+
+def gen_holt2() -> str:
+    """double_exponential_smoothing sf x tf x window grid over a trending
+    wavy gauge (upstream recurrence re-derived in holt_winters())."""
+    n = 60
+    sams = [(k * 10_000, 10.0 + 5.0 * math.sin(k / 2.0) + 0.3 * k)
+            for k in range(n + 1)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — smoothing grid:",
+             "# double_exponential_smoothing over sf x tf x window.",
+             "", "load 10s",
+             "\thw " + " ".join(fmt(v) for _, v in sams), ""]
+    for t_s in (400, 500):
+        t = t_s * 1000
+        for ws in (60, 120):
+            vs = [v for _, v in window(sams, t, ws * 1000)]
+            for sf in (0.1, 0.5, 0.9):
+                for tf in (0.1, 0.5, 0.9):
+                    lines.append(
+                        f"eval instant at {t_s}s "
+                        f"double_exponential_smoothing(hw[{ws}s], "
+                        f"{fmt(sf)}, {fmt(tf)})")
+                    lines.append(f"\t{{}} {fmt(holt_winters(vs, sf, tf))}")
+                    lines.append("")
+    return "\n".join(lines)
+
+
+def gen_agg_range() -> str:
+    """Per-step range grids where the result SET changes across steps:
+    topk membership flips, comparison filters cross thresholds, grouped
+    aggregates — '_' marks steps where a series is absent."""
+    a = [(k * 10_000, 3.0 * k) for k in range(61)]
+    b = [(k * 10_000, 101.0 - 2.0 * k) for k in range(61)]
+    c = [(k * 10_000, 40.0) for k in range(61)]
+    series = {"a": a, "b": b, "c": c}
+    lines = ["# GENERATED by tools/gen_promqltest.py — per-step range",
+             "# grids: topk membership flips, filters crossing thresholds,",
+             "# grouped aggregates ('_' = absent at that step).",
+             "", "load 10s"]
+    for r, sams in series.items():
+        lines.append(f"\tm{{r=\"{r}\"}} " + " ".join(fmt(v)
+                                                     for _, v in sams))
+    lines.append("")
+    pts = list(range(200_000, 500_001, 50_000))
+    hdr = "eval range from 200s to 500s step 50s "
+
+    def cur(r, t):
+        return instant(series[r], t)
+
+    def rows(per_series, name=""):
+        out = []
+        for r in sorted(per_series):
+            vals = per_series[r]
+            if all(v is None for v in vals):
+                continue
+            out.append(f"\t{name}{{r=\"{r}\"}} " +
+                       " ".join("_" if v is None else fmt(v)
+                                for v in vals))
+        return out
+
+    # plain grouped aggregate per step
+    lines.append(hdr + "sum by (r) (m)")
+    lines.extend(rows({r: [cur(r, t) for t in pts] for r in series}))
+    lines.append("")
+    # scalar-valued aggregates per step
+    for expr, f in (("sum(m)", sum), ("max(m)", max), ("min(m)", min),
+                    ("quantile(0.5, m)", lambda vs: quantile(0.5, vs)),
+                    ("avg(m)", lambda vs: sum(vs) / len(vs))):
+        lines.append(hdr + expr)
+        lines.append("\t{} " + " ".join(
+            fmt(f([cur(r, t) for r in series])) for t in pts))
+        lines.append("")
+    # topk(1): membership flips as the series cross
+    lines.append(hdr + "topk(1, m)")
+    per = {}
+    for r in series:
+        per[r] = [cur(r, t)
+                  if cur(r, t) == max(cur(x, t) for x in series) else None
+                  for t in pts]
+    lines.extend(rows({r: [None if v is None else v for v in per[r]]
+                       for r in per}, name="m"))
+    lines.append("")
+    # comparison filter: rows appear as they cross the threshold
+    lines.append(hdr + "m > 50")
+    lines.extend(rows({r: [v if (v := cur(r, t)) is not None and v > 50
+                           else None for t in pts] for r in series},
+                      name="m"))
+    lines.append("")
+    # composed: count of series above threshold per step
+    lines.append(hdr + "count(m > 50)")
+    lines.append("\t{} " + " ".join(
+        fmt(float(sum(1 for r in series if cur(r, t) > 50))) for t in pts))
+    lines.append("")
+    # over_time window per series per step
+    lines.append(hdr + "avg_over_time(m[70s])")
+    lines.extend(rows({r: [(lambda vs: sum(vs) / len(vs) if vs else None)(
+        [v for _, v in window(series[r], t, 70_000)]) for t in pts]
+        for r in series}))
+    lines.append("")
+    # binop of two aggregates per step
+    lines.append(hdr + "sum(m) / count(m)")
+    lines.append("\t{} " + " ".join(
+        fmt(sum(cur(r, t) for r in series) / 3.0) for t in pts))
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -1992,6 +2269,11 @@ FILES = {
     "gen_rate2.test": gen_rate2,
     "gen_arith2.test": gen_arith2,
     "gen_utf8.test": gen_utf8_grid,
+    "gen_binop_vv.test": gen_binop_vv,
+    "gen_label_fns2.test": gen_label_fns2,
+    "gen_sort2.test": gen_sort2,
+    "gen_holt2.test": gen_holt2,
+    "gen_agg_range.test": gen_agg_range,
 }
 
 
@@ -2002,7 +2284,8 @@ def main():
         n = text.count("\neval ") + text.startswith("eval ")
         with open(os.path.join(OUT_DIR, name), "w") as f:
             f.write(text)
-        cases = text.count("eval instant") + text.count("eval range")
+        cases = sum(1 for ln in text.splitlines()
+                    if ln.startswith(("eval ", "eval_fail ")))
         total += cases
         print(f"{name}: {cases} eval cases")
     print(f"total: {total}")
