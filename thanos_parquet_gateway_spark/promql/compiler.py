@@ -440,7 +440,8 @@ class Compiler:
                 extra_keys=()).filter(alive)
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
-                           F.col("sv.ts").alias("sample_ts"),
+                           (F.col("sv.ts") - F.lit(vs.offset_ms))
+                           .alias("sample_ts"),
                            F.col("sv.value").alias("value"), *sel_extra))
             return InstantVector(out)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
@@ -449,7 +450,11 @@ class Compiler:
                       F.first("labels").alias("labels"))
                .filter(alive)
                .select("t", "sig", "labels",
-                       F.col("sv.ts").alias("sample_ts"),
+                       # selection runs in the offset-shifted frame; the
+                       # user-visible sample timestamp (timestamp()) is the
+                       # ORIGINAL one (upstream vectorSelectorSingle)
+                       (F.col("sv.ts") - F.lit(vs.offset_ms))
+                       .alias("sample_ts"),
                        F.col("sv.value").alias("value"), *sel_extra))
         return InstantVector(out)
 

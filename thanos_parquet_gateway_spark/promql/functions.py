@@ -166,6 +166,16 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         rv = _range_arg(c, call, 0)
         g = _collect_window(rv)
         val = _OVER_TIME[fn](F.col("arr"))
+        if fn.startswith("ts_of_"):
+            # window points live in the offset-shifted frame; the exposed
+            # timestamp is the original one (upstream matrix points keep
+            # their raw T under offset)
+            arg = call.args[0]
+            off = (arg.selector.offset_ms
+                   if isinstance(arg, A.MatrixSelector)
+                   else getattr(arg, "offset_ms", 0))
+            if off:
+                val = val - F.lit(off / 1000.0)
     out = g.select("t", "sig", "labels",
                    F.lit(None).cast("long").alias("sample_ts"),
                    val.alias("value"))

@@ -2239,6 +2239,180 @@ def gen_agg_range() -> str:
     return "\n".join(lines)
 
 
+def gen_subquery2() -> str:
+    """Subquery grids with offset/@ (outer and inner) and a nested
+    subquery; evaluation points are absolute multiples of the step in
+    (t-range, t] (upstream eval alignment)."""
+    gs = [(i * 10_000, 3.0 * i + 10) for i in range(61)]
+    lines = ["# GENERATED by tools/gen_promqltest.py — subquery offset/@",
+             "# (outer applies to the subquery eval time; inner to every",
+             "# evaluation point) and nested subqueries.",
+             "", "load 10s",
+             "\tg " + " ".join(fmt(v) for _, v in gs), ""]
+
+    def points(t, rng, step):
+        first = (t - rng) // step * step
+        while first <= t - rng:
+            first += step
+        return list(range(first, t + 1, step))
+
+    def inner_vals(t, rng, step, shift=0, pin=None):
+        out = []
+        for p in points(t, rng, step):
+            q = pin if pin is not None else p - shift
+            v = instant(gs, q)
+            if v is not None:
+                out.append(v)
+        return out
+
+    for t_s in (305, 500, 605):
+        t = t_s * 1000
+        # outer offset shifts the subquery evaluation time
+        vs = inner_vals(t - 50_000, 100_000, 30_000)
+        lines.append(f"eval instant at {t_s}s "
+                     f"sum_over_time(g[100s:30s] offset 50s)")
+        lines.append(f"\t{{}} {fmt(sum(vs))}")
+        lines.append("")
+        # inner offset shifts every evaluation point
+        vs = inner_vals(t, 100_000, 30_000, shift=30_000)
+        lines.append(f"eval instant at {t_s}s "
+                     f"sum_over_time((g offset 30s)[100s:30s])")
+        lines.append(f"\t{{}} {fmt(sum(vs))}")
+        lines.append("")
+        # outer @ pins the subquery eval time
+        vs = inner_vals(400_000, 100_000, 30_000)
+        lines.append(f"eval instant at {t_s}s "
+                     f"max_over_time(g[100s:30s] @ 400)")
+        lines.append(f"\t{{}} {fmt(max(vs))}")
+        lines.append("")
+        # inner @ pins every evaluation point to one instant
+        vs = inner_vals(t, 100_000, 30_000, pin=250_000)
+        lines.append(f"eval instant at {t_s}s "
+                     f"min_over_time((g @ 250)[100s:30s])")
+        lines.append(f"\t{{}} {fmt(min(vs))}")
+        lines.append("")
+        # combined offset + @ on the subquery
+        vs = inner_vals(450_000 - 40_000, 120_000, 40_000)
+        lines.append(f"eval instant at {t_s}s "
+                     f"avg_over_time(g[120s:40s] offset 40s @ 450)")
+        lines.append(f"\t{{}} {fmt(sum(vs) / len(vs))}")
+        lines.append("")
+        # nested subquery: outer points each run an inner subquery
+        outer = []
+        for p in points(t, 90_000, 30_000):
+            iv = inner_vals(p, 60_000, 20_000)
+            if iv:
+                outer.append(min(iv))
+        lines.append(f"eval instant at {t_s}s "
+                     f"max_over_time(min_over_time(g[60s:20s])[90s:30s])")
+        lines.append(f"\t{{}} {fmt(max(outer))}")
+        lines.append("")
+        # subquery step defaulting: [100s:] uses the 1m default interval
+        # (upstream --query.default-evaluation-interval)
+        vs = inner_vals(t, 100_000, 60_000)
+        lines.append(f"eval instant at {t_s}s count_over_time(g[100s:])")
+        lines.append(f"\t{{}} {fmt(float(len(vs)))}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_time_vec() -> str:
+    """Calendar functions over a VECTOR argument (sample value = epoch
+    seconds): leap day, year boundaries, month ends; upstream Weekday()
+    has Sunday = 0."""
+    import datetime as _dt
+
+    DATES = {
+        "leap": "2024-02-29T23:59:30",
+        "nyd": "2024-01-01T00:00:00",
+        "nye": "2024-12-31T23:59:59",
+        "mid": "2023-06-15T12:34:56",
+        "epoch": "1970-01-01T00:00:00",
+        "feb00": "2000-02-29T06:00:00",
+    }
+    ts = {k: _dt.datetime.fromisoformat(v).replace(
+        tzinfo=_dt.timezone.utc) for k, v in DATES.items()}
+    FNS = {
+        "minute": lambda d: float(d.minute),
+        "hour": lambda d: float(d.hour),
+        "day_of_week": lambda d: float((d.weekday() + 1) % 7),
+        "day_of_month": lambda d: float(d.day),
+        "day_of_year": lambda d: float(d.timetuple().tm_yday),
+        "days_in_month": lambda d: float(
+            ((d.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+             - _dt.timedelta(days=1)).day),
+        "month": lambda d: float(d.month),
+        "year": lambda d: float(d.year),
+    }
+    lines = ["# GENERATED by tools/gen_promqltest.py — calendar functions",
+             "# over a vector argument (value = epoch seconds); Sunday=0.",
+             "", "load 10s"]
+    for k, d in ts.items():
+        lines.append(f"\tdt{{d=\"{k}\"}} {fmt(d.timestamp())}+0x50")
+    lines.append("")
+    for fn, f in FNS.items():
+        lines.append(f"eval instant at 500s {fn}(dt)")
+        for k, d in ts.items():
+            lines.append(f"\t{{d=\"{k}\"}} {fmt(f(d))}")
+        lines.append("")
+    # timestamp() returns the SAMPLE timestamp, not the value
+    lines.append("eval instant at 505s timestamp(dt)")
+    for k in ts:
+        lines.append(f"\t{{d=\"{k}\"}} 500")
+    lines.append("")
+    lines.append("eval instant at 505s timestamp(dt offset 100s)")
+    for k in ts:
+        lines.append(f"\t{{d=\"{k}\"}} 400")
+    lines.append("")
+    # ts_of_* likewise expose the ORIGINAL sample timestamp under offset
+    lines.append("eval instant at 505s ts_of_last_over_time(dt[60s] offset 100s)")
+    for k in ts:
+        lines.append(f"\t{{d=\"{k}\"}} 400")
+    lines.append("")
+    lines.append("eval instant at 505s timestamp(dt @ 250)")
+    for k in ts:
+        lines.append(f"\t{{d=\"{k}\"}} 250")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def gen_scalar_fns() -> str:
+    """scalar() cardinality rules (1 series → value, else NaN), vector(),
+    and absent() equality-matcher label decoration."""
+    lines = ["# GENERATED by tools/gen_promqltest.py — scalar()/vector()/",
+             "# absent(): scalar is NaN unless exactly one series; absent",
+             "# decorates from equality matchers only (never __name__).",
+             "", "load 10s",
+             "\tone{job=\"a\"} 11+0x50",
+             "\tmany{i=\"1\"} 1+0x50",
+             "\tmany{i=\"2\"} 2+0x50", ""]
+
+    def emit(expr, rows):
+        lines.append(f"eval instant at 500s {expr}")
+        for line in rows:
+            lines.append(f"\t{line}")
+        lines.append("")
+
+    emit("scalar(one)", ["11"])
+    emit("scalar(many)", ["NaN"])
+    emit("scalar(nosuch)", ["NaN"])
+    emit("scalar(one) * 3 + time()", [fmt(11.0 * 3 + 500.0)])
+    emit("vector(5)", ["{} 5"])
+    emit("vector(time())", ["{} 500"])
+    emit("vector(scalar(one) * 2)", ["{} 22"])
+    emit("absent(one)", [])
+    emit("absent(nosuch)", ["{} 1"])
+    emit('absent(nosuch{job="x"})', ['{job="x"} 1'])
+    emit('absent(nosuch{job="x", env="p"})', ['{env="p", job="x"} 1'])
+    # regex / negative matchers contribute no labels
+    emit('absent(nosuch{job=~"x.*", env="p"})', ['{env="p"} 1'])
+    emit('absent(nosuch{job!="x"})', ["{} 1"])
+    # a present metric with a non-matching matcher IS absent
+    emit('absent(one{job="zzz"})', ['{job="zzz"} 1'])
+    emit("absent(sum(nosuch))", ["{} 1"])
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
@@ -2274,6 +2448,9 @@ FILES = {
     "gen_sort2.test": gen_sort2,
     "gen_holt2.test": gen_holt2,
     "gen_agg_range.test": gen_agg_range,
+    "gen_subquery2.test": gen_subquery2,
+    "gen_time_vec.test": gen_time_vec,
+    "gen_scalar_fns.test": gen_scalar_fns,
 }
 
 
