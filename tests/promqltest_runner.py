@@ -122,7 +122,26 @@ def _tokenize_values(s: str) -> list[str]:
     return re.findall(r"\{\{[^}]*\}\}(?:x\d+)?|\S+", s)
 
 
-_SERIES_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)?(\{[^}]*\})?\s*(.*)$")
+_SERIES_NAME_RE = re.compile(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)?")
+
+
+def _find_close_brace(s: str, start: int) -> int:
+    """Index of the ``}`` matching ``s[start] == '{'``, skipping quoted
+    strings — a quoted UTF-8 label name/value (Prometheus 3 syntax) may
+    legally contain ``}``, so ``[^}]*`` would truncate the body."""
+    i, n = start + 1, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == '"':
+            i += 1
+            while i < n and s[i] != '"':
+                i += 2 if s[i] == "\\" else 1
+            i += 1
+            continue
+        if ch == "}":
+            return i
+        i += 1
+    raise ValueError(f"unclosed brace in series spec: {s!r}")
 
 
 def _parse_brace_items(body: str) -> dict:
@@ -183,14 +202,17 @@ def _parse_brace_items(body: str) -> dict:
 
 def parse_series_id(spec: str) -> tuple[dict, str]:
     """``metric{l="v", ...}`` → (labels dict incl __name__, rest-of-line)."""
-    m = _SERIES_RE.match(spec.strip())
-    name, lbl, rest = m.group(1), m.group(2), m.group(3)
+    s = spec.strip()
+    m = _SERIES_NAME_RE.match(s)
+    name, i = m.group(1), m.end()
     labels: dict[str, str] = {}
     if name:
         labels["__name__"] = name
-    if lbl:
-        labels.update(_parse_brace_items(lbl[1:-1]))
-    return labels, rest
+    if i < len(s) and s[i] == "{":
+        j = _find_close_brace(s, i)
+        labels.update(_parse_brace_items(s[i + 1:j]))
+        return labels, s[j + 1:].lstrip()
+    return labels, s[i:].lstrip()
 
 
 @dataclass

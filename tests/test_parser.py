@@ -172,3 +172,13 @@ def test_utf8_quoted_name_errors():
             parse(bad)
     # trailing comma stays legal
     assert parse('up{a="b",}').matchers[0].value == "b"
+    # empty quoted label names in grouping/matching lists are invalid even
+    # under the UTF-8 validation scheme (model.LabelName.IsValid requires
+    # non-empty) — upstream rejects these at parse time
+    for bad in ['sum by ("") (up)', 'sum without ("") (up)',
+                'x * on("") y', 'x * ignoring("") y',
+                'x * on(i) group_left("") y']:
+        with pytest.raises(PromQLSyntaxError):
+            parse(bad)
+    # non-empty quoted names in the same positions still parse
+    assert parse('sum by ("a") (up)').grouping == ["a"]

@@ -25,3 +25,18 @@ def test_promqltest_corpus(spark, path):
     assert script.evals, f"no eval cases parsed from {path}"
     failures = run_script(spark, script, make_samples, PromQLEngine)
     assert not failures, f"{len(failures)} failures:\n" + "\n".join(failures)
+
+
+def test_series_spec_brace_in_quoted_string():
+    """A quoted UTF-8 label name/value may contain '}' (legal Prometheus 3
+    series notation) — the spec scanner must find the REAL close brace."""
+    from tests.promqltest_runner import parse_series_id
+
+    labels, rest = parse_series_id('m{"l}x"="v}w", a="b"} 1 2 3')
+    assert labels == {"__name__": "m", "l}x": "v}w", "a": "b"}
+    assert rest == "1 2 3"
+    labels, rest = parse_series_id('{"na{me}", x="y"} 5')
+    assert labels == {"__name__": "na{me}", "x": "y"} and rest == "5"
+    # escaped quote inside a value containing a brace
+    labels, rest = parse_series_id(r'm{a="q\"}z"} 7')
+    assert labels == {"__name__": "m", "a": 'q"}z'} and rest == "7"

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from thanos_parquet_gateway_spark.operators.topk import grouped_topk
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (deterministic)."""
@@ -54,37 +56,35 @@ def _topk_per_query(scored: DataFrame, k: int, order_col: str, *,
     - phase 2 merges the survivors — at most partitions × k rows per query
       reach the final ``groupBy(query_id)``, constant in corpus size.
 
-    The sort key reproduces Spark/DuckDB ``ORDER BY x DESC`` NaN semantics
-    exactly (NaN sorts greatest, hence FIRST under DESC): a leading
-    is-NaN discriminator field keeps NaN candidates ahead of the negated
-    finite keys, so the two-phase result is bit-identical to the window
-    ranking an independent SQL oracle computes.
+    The sort key reproduces Spark/DuckDB ``ORDER BY x`` semantics exactly:
+    NaN sorts greatest (FIRST under DESC, last-before-NULL under ASC), and
+    NULL scores (Spark cosine yields NULL for a zero-norm vector — x/0.0 is
+    NULL in non-ANSI mode) sort LAST in both directions, matching the
+    oracle's default NULLS LAST.  A leading discriminator field encodes all
+    of that so the finite keys stay negatable and the two-phase result is
+    bit-identical to the window ranking an independent SQL oracle computes.
+
+    The two-phase machinery itself is the shared
+    :func:`~thanos_parquet_gateway_spark.operators.topk.grouped_topk`
+    (also used by PromQL topk/bottomk/limitk).
     """
+    oc = F.col(order_col)
     if descending:
-        key = F.struct(
-            F.when(F.isnan(F.col(order_col)), F.lit(0)).otherwise(F.lit(1))
-             .alias("__nan"),
-            F.when(F.isnan(F.col(order_col)), F.lit(0.0))
-             .otherwise(-F.col(order_col)).alias("__ord"),
-            F.col("vec_id").alias("vec_id"),
-            *[F.col(c).alias(c) for c in payload_cols])
+        disc = (F.when(oc.isNull(), F.lit(2))
+                 .when(F.isnan(oc), F.lit(0)).otherwise(F.lit(1)))
+        ordv = (F.when(oc.isNull() | F.isnan(oc), F.lit(0.0))
+                 .otherwise(-oc))
     else:
-        key = F.struct(
-            F.col(order_col).alias("__ord"),
-            F.col("vec_id").alias("vec_id"),
-            *[F.col(c).alias(c) for c in payload_cols])
-    partial = (scored
-               .withColumn("__k", key)
-               .groupBy("query_id", F.spark_partition_id().alias("__pid"))
-               .agg(F.slice(F.array_sort(F.collect_list("__k")), 1, k)
-                    .alias("__top")))
-    merged = (partial
-              .groupBy("query_id")
-              .agg(F.slice(F.array_sort(F.flatten(F.collect_list("__top"))),
-                           1, k).alias("__top")))
-    out = merged.select("query_id",
-                        F.posexplode("__top").alias("__pos", "__x"))
-    return out.select(
+        disc = (F.when(oc.isNull(), F.lit(2))
+                 .when(F.isnan(oc), F.lit(1)).otherwise(F.lit(0)))
+        ordv = (F.when(oc.isNull() | F.isnan(oc), F.lit(0.0))
+                 .otherwise(oc))
+    key = F.struct(
+        disc.alias("__nan"), ordv.alias("__ord"),
+        F.col("vec_id").alias("vec_id"),
+        *[F.col(c).alias(c) for c in payload_cols])
+    ranked = grouped_topk(scored, ["query_id"], key, k)
+    return ranked.select(
         "query_id",
         (F.col("__pos") + 1).alias("rank"),
         F.col("__x.vec_id").alias("vec_id"),

@@ -1,0 +1,68 @@
+"""Distributed two-phase grouped top-k (shared by similarity rankers and the
+PromQL ``topk``/``bottomk``/``limitk`` aggregators).
+
+Why not ``Window.partitionBy(group).orderBy(...)`` + ``row_number``: a window
+ranking funnels EVERY row of a group into ONE reducer.  For PromQL
+``topk(10, metric)`` over a 10M-series metric that is the whole series set
+crossing one partition per step (the reference pushes 1.5M series through
+Select with no single-partition stage — db/db_bench_test.go:143-307); for a
+similarity ranker it is the whole corpus squeezing through one task per
+query.  Here instead:
+
+- phase 1 ranks inside each scanning partition: ``groupBy(*group,
+  spark_partition_id())`` keeps parallelism at groups × partitions, and no
+  aggregation buffer ever exceeds one input split (ObjectHashAggregate
+  falls back to sort-based + spill beyond
+  ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``, so even a
+  skewed split cannot OOM the buffer).  The per-group rank is a codegen'd
+  ``array_sort`` + ``slice(…, k)``.
+- phase 2 merges survivors: at most partitions × k rows per group reach the
+  final ``groupBy(*group)`` — constant in input size.
+
+The sort key is an ascending struct; callers encode their order (descending,
+NaN placement, NULL placement, tie-breaks) as leading discriminator fields so
+the two-phase result is bit-identical to the window ranking an independent
+SQL oracle computes.
+
+``k`` may be an int or a per-row Column (PromQL's per-step scalar parameter)
+— it must be constant within each group; side-effecting guards in the k
+expression (``raise_error`` on int64 overflow) still evaluate per input row,
+exactly as they did under the window formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
+                 k: int | Column) -> DataFrame:
+    """Return ``group_cols + (__pos, __x)`` where ``__x`` iterates the first
+    ``k`` values of ``key`` (an orderable struct) in ascending order and
+    ``__pos`` is the 0-based rank.  ``k <= 0`` yields no rows for the group.
+    """
+    kcol = (F.lit(int(k)) if isinstance(k, int) else k).cast("long")
+    staged = df.withColumn("__k", key).withColumn("__kk", kcol)
+
+    def _cut(arr: Column, kk: Column) -> Column:
+        # slice() needs an int length; clamp to [0, size] first so an int64
+        # k (PromQL allows up to 2^63-1) can't overflow the int cast.
+        n = F.least(F.greatest(kk, F.lit(0)), F.size(arr).cast("long"))
+        return F.slice(arr, 1, n.cast("int"))
+
+    partial = (staged
+               .groupBy(*group_cols, F.spark_partition_id().alias("__pid"))
+               .agg(F.collect_list("__k").alias("__l"),
+                    F.first("__kk").alias("__kk"))
+               .select(*group_cols,
+                       _cut(F.array_sort("__l"), F.col("__kk")).alias("__t"),
+                       "__kk"))
+    merged = (partial
+              .groupBy(*group_cols)
+              .agg(F.flatten(F.collect_list("__t")).alias("__l"),
+                   F.first("__kk").alias("__kk"))
+              .select(*group_cols,
+                      _cut(F.array_sort("__l"), F.col("__kk")).alias("__t")))
+    return merged.select(*group_cols,
+                         F.posexplode("__t").alias("__pos", "__x"))

@@ -30,11 +30,13 @@ from thanos_parquet_gateway_spark.promql.values import (
     ScalarV,
     StringV,
 )
+from thanos_parquet_gateway_spark.operators.topk import grouped_topk
 from thanos_parquet_gateway_spark.schema import (
     canonical_sig,
     drop_labels,
     keep_labels,
     label,
+    labels_from_sig,
 )
 
 def fmt_g(v: float) -> str:
@@ -582,7 +584,6 @@ class Compiler:
             df = df.join(F.broadcast(param_df), "t")
 
         if agg.op in ("topk", "bottomk"):
-            from pyspark.sql import Window
             if param_df is not None:
                 # upstream errors on NaN/overflowing k ("Scalar value %v
                 # overflows int64") — raise from the plan, not a CAST crash
@@ -598,31 +599,52 @@ class Compiler:
                     raise PromQLCompileError(
                         f"scalar value {fmt_g(param)} overflows int64")
                 k = F.lit(int(param))
-            if agg.op == "topk":
-                order = [F.isnan("value").asc(), F.col("value").desc(), F.col("sig").asc()]
-            else:
-                order = [F.isnan("value").asc(), F.col("value").asc(), F.col("sig").asc()]
-            w = Window.partitionBy("t", F.xxhash64("gsig")).orderBy(*order)
-            out = (df.withColumn("__rn", F.row_number().over(w))
-                   .filter(F.col("__rn") <= k)
-                   .select("t", "sig", "labels",
-                           F.lit(None).cast("long").alias("sample_ts"), "value"))
+            # Two-phase distributed top-k (operators/topk.py) — no window:
+            # `topk(10, metric)` over a 10M-series metric must not funnel
+            # the whole series set through one reducer per step (reference
+            # scale contract: db/db_bench_test.go:143-307).  The ascending
+            # struct key reproduces the former window order exactly
+            # (isnan asc, value desc|asc, sig asc); `value` is never NULL
+            # here (stale markers are dropped before aggregation), and the
+            # NaN discriminator keeps the negated key finite.
+            sgn = F.lit(-1.0 if agg.op == "topk" else 1.0)
+            key = F.struct(
+                F.when(F.isnan("value"), F.lit(1)).otherwise(F.lit(0))
+                 .alias("__nan"),
+                F.when(F.isnan("value"), F.lit(0.0))
+                 .otherwise(F.col("value") * sgn).alias("__ord"),
+                F.col("sig").alias("sig"),
+                F.col("value").alias("value"))
+            ranked = grouped_topk(
+                df.withColumn("__gh", F.xxhash64("gsig")),
+                ["t", "__gh"], key, k)
+            out = ranked.select(
+                "t", F.col("__x.sig").alias("sig"),
+                labels_from_sig(F.col("__x.sig")).alias("labels"),
+                F.lit(None).cast("long").alias("sample_ts"),
+                F.col("__x.value").alias("value"))
             return InstantVector(out)
 
         if agg.op == "limitk":
             # Experimental sampling aggregator: up to k series per group,
             # selection unspecified upstream (funcs.go AggrFunc limitk) —
             # deterministic here by sig order so runs are reproducible.
-            from pyspark.sql import Window
+            # Same two-phase shape as topk: no per-(step, group) window.
             k = int(param)
             if k < 1:
                 return InstantVector(iv.df.filter(F.lit(False)).select(
                     "t", "sig", "labels", "sample_ts", "value"))
-            w = (Window.partitionBy("t", F.xxhash64("gsig"))
-                 .orderBy(F.col("sig").asc()))
-            out = (df.withColumn("__rn", F.row_number().over(w))
-                   .filter(F.col("__rn") <= k)
-                   .select("t", "sig", "labels", "sample_ts", "value"))
+            key = F.struct(F.col("sig").alias("sig"),
+                           F.col("sample_ts").alias("sample_ts"),
+                           F.col("value").alias("value"))
+            ranked = grouped_topk(
+                df.withColumn("__gh", F.xxhash64("gsig")),
+                ["t", "__gh"], key, k)
+            out = ranked.select(
+                "t", F.col("__x.sig").alias("sig"),
+                labels_from_sig(F.col("__x.sig")).alias("labels"),
+                F.col("__x.sample_ts").alias("sample_ts"),
+                F.col("__x.value").alias("value"))
             return InstantVector(out)
 
         if agg.op == "limit_ratio":

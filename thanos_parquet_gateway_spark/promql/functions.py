@@ -844,13 +844,18 @@ def dispatch(c: Compiler, call: A.Call):
     if fn == "round":
         iv = _vector_arg(c, call)
         to = _scalar_lit(c, call, 1) if len(call.args) > 1 else 1.0
-        # PromQL round: nearest multiple of `to`, ties round up.  Spark's
-        # floor returns LONG (NaN→0, ±Inf saturate); doubles with
+        # PromQL round: nearest multiple of `to`, ties round up.  Upstream
+        # funcRound works through the INVERSE multiplier
+        # (floor(v*(1/to)+0.5)/(1/to), promql/functions.go funcRound) — the
+        # direct v/to form can differ in the last ulp for non-power-of-two
+        # `to` and flip a tie across the .5 boundary, so mirror it exactly.
+        # Spark's floor returns LONG (NaN→0, ±Inf saturate); doubles with
         # |q| >= 2^52 are already integral (the +0.5 is absorbed), so pass
         # them — and NaN/±Inf — through as Go math.Floor would.
-        q = F.col("value") / F.lit(to)
+        inv = 1.0 / to
+        q = F.col("value") * F.lit(inv)
         val = (F.when(F.isnan(q) | (F.abs(q) >= F.lit(2.0 ** 52)), q)
-               .otherwise(F.floor(q + F.lit(0.5)).cast(D))) * F.lit(to)
+               .otherwise(F.floor(q + F.lit(0.5)).cast(D))) / F.lit(inv)
         df = iv.df.withColumn("value", val.cast(D))
         return _iv(_drop_name(df))
 

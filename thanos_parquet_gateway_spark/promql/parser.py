@@ -223,6 +223,14 @@ class Parser:
             if t.kind not in ("IDENT", "STR"):
                 raise PromQLSyntaxError(
                     f"expected label name, got {t.text!r} at {t.pos}")
+            if t.kind == "STR" and t.text == "":
+                # model.LabelName.IsValid requires non-empty even under the
+                # UTF-8 validation scheme — upstream rejects `by ("")`,
+                # on(""), group_left("") (mirrors the quoted-metric-name
+                # emptiness check in _parse_selector)
+                raise PromQLSyntaxError(
+                    f"unexpected identifier \"\" at {t.pos}: "
+                    "label name cannot be empty")
             out.append(t.text)
             if self.peek().kind == "OP" and self.peek().text == ",":
                 self.next()

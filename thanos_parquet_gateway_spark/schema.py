@@ -68,6 +68,16 @@ def canonical_sig(labels_col: Column | str) -> Column:
     return F.to_json(F.array_sort(F.map_entries(c)))
 
 
+def labels_from_sig(sig_col: Column | str) -> Column:
+    """Inverse of :func:`canonical_sig` — rebuild the label map from its
+    canonical JSON serialization.  Lets orderable operators (two-phase
+    top-k) carry the string ``sig`` through a sort key instead of the
+    unorderable ``map`` column."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.map_from_entries(
+        F.from_json(c, "array<struct<key:string,value:string>>"))
+
+
 def series_hash(labels_col: Column | str) -> Column:
     """64-bit series identity = xxhash64 of the canonical label serialization
     (same dedup/join role as reference ___cf_meta_hash)."""

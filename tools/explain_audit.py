@@ -94,6 +94,24 @@ def main():
         ("ts bounds pushed to parquet stats", TS_PUSHED),
     ]))
 
+    # 2c. PromQL topk/bottomk/limitk: two-phase partial top-k keyed on
+    # (t, group-hash, spark_partition_id) — NO per-(step, group) Window
+    # ranking (was the last single-reducer shape in the codebase; the
+    # reference pushes 1.5M series through Select with no single-partition
+    # stage, db/db_bench_test.go:143-307).
+    for expr in ("topk(3, click)", "bottomk(2, click)",
+                 "limitk(2, click)"):
+        qk = eng.query_instant(expr, EQ.T).df
+        pk = plan_of(qk)
+        okk = check(f"promql two-phase {expr.split('(')[0]}", pk, [
+            ("phase-1 partial rank groups on spark_partition_id",
+             r"SPARK_PARTITION_ID|spark_partition_id"),
+        ])
+        if re.search(r"\(\d+\) Window", pk):
+            print("  [MISS] single-reducer Window ranking present")
+            okk = False
+        results.append(okk)
+
     # 3. tpch q3: dimension joins must broadcast
     q3 = EQ.QUERIES["tpch_q3_shipping"](spark, sf_dir)
     results.append(check("tpch q3", plan_of(q3), [

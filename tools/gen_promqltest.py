@@ -236,8 +236,8 @@ def gen_functions() -> str:
     # round with and without to_nearest
     for expr, f in [
         ("round(m)", lambda v: math.floor(v + 0.5)),
-        ("round(m, 0.5)", lambda v: math.floor(v / 0.5 + 0.5) * 0.5),
-        ("round(m, 2)", lambda v: math.floor(v / 2 + 0.5) * 2),
+        ("round(m, 0.5)", lambda v: math.floor(v * (1.0 / 0.5) + 0.5) / (1.0 / 0.5)),
+        ("round(m, 2)", lambda v: math.floor(v * (1.0 / 2.0) + 0.5) / (1.0 / 2.0)),
         ("clamp(m, -1, 1)", lambda v: max(-1.0, min(1.0, v))),
         ("clamp_min(m, 0)", lambda v: max(0.0, v)),
         ("clamp_max(m, 0)", lambda v: min(0.0, v)),
@@ -1553,7 +1553,8 @@ def gen_count_values() -> str:
 def gen_clamp_round() -> str:
     """clamp/clamp_min/clamp_max/round and the simple math functions over a
     signed value grid; Go math.Min/Max NaN propagation, min>max → empty,
-    round(v, to) = floor(v/to + 0.5)*to (IEEE double)."""
+    round(v, to) = floor(v*(1/to) + 0.5)/(1/to) (IEEE double, upstream
+    funcRound's inverse-multiplier form)."""
     vals = {"a": -2.7, "b": -0.5, "c": 0.0, "d": 0.4, "e": 0.5,
             "f": 1.5, "g": 2.49, "h": 7.3, "nan": math.nan,
             "inf": math.inf, "ninf": -math.inf}
@@ -1596,7 +1597,9 @@ def gen_clamp_round() -> str:
     def rnd(v, to):
         if math.isnan(v) or math.isinf(v):
             return v
-        return math.floor(v / to + 0.5) * to
+        # upstream funcRound rounds through the INVERSE multiplier
+        inv = 1.0 / to
+        return math.floor(v * inv + 0.5) / inv
 
     emit("round(m)", {i: rnd(v, 1.0) for i, v in vals.items()})
     for to in (0.5, 2.0, 0.001):
