@@ -1,0 +1,474 @@
+"""Proto3 wire codecs for the public Thanos gRPC query API.
+
+The reference serves four gRPC services to a Thanos Querier (reference
+api/grpc/thanos.go:116-167): ``thanos.Query`` (Query/QueryRange,
+pkg/api/query/querypb/query.proto), ``thanos.info.Info`` (Info,
+pkg/info/infopb/rpc.proto) and ``thanos.Store``
+(Series/LabelNames/LabelValues, pkg/store/storepb/rpc.proto), with label
+and sample payloads from pkg/store/labelpb/types.proto and
+pkg/store/storepb/prompb/types.proto.  All of those .proto files are public
+(thanos-io/thanos, Apache-2.0); this module hand-encodes the same proto3
+wire format with NO protobuf dependency — same approach as
+convert/sidecar_pb.py — so messages are byte-compatible with the upstream
+stubs.  Field numbers below are cited from the upstream .proto files.
+
+Messages are plain dicts; unknown fields are skipped on decode (proto3
+semantics).  Deterministic subset on encode: fields in field-number order,
+defaults omitted.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from thanos_parquet_gateway_spark.convert.sidecar_pb import (
+    _iter_fields,
+    _ld,
+    _tag,
+    _to_i64,
+    _uvarint,
+    _varint64,
+    _vi,
+)
+
+_WT_FIXED64 = 1
+
+
+def _dbl(field: int, v: float) -> bytes:
+    return _tag(field, _WT_FIXED64) + struct.pack("<d", v)
+
+
+def _vi64(field: int, n: int) -> bytes:
+    """int64 field, omitted when 0 (proto3 default)."""
+    return b"" if n == 0 else _tag(field, 0) + _varint64(n)
+
+
+def _s(field: int, s: str) -> bytes:
+    return b"" if s == "" else _ld(field, s.encode())
+
+
+# ------------------------------------------------------- labelpb / prompb
+
+def encode_label(name: str, value: str) -> bytes:
+    # labelpb.Label: name=1 value=2 (labelpb/types.proto)
+    return _s(1, name) + _s(2, value)
+
+
+def decode_label(data: bytes) -> tuple[str, str]:
+    name = value = ""
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            name = v.decode()
+        elif f == 2:
+            value = v.decode()
+    return name, value
+
+
+def encode_label_set(labels: dict[str, str]) -> bytes:
+    # labelpb.ZLabelSet: labels=1
+    return b"".join(_ld(1, encode_label(k, v))
+                    for k, v in sorted(labels.items()))
+
+
+def decode_label_set(data: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            k, val = decode_label(v)
+            out[k] = val
+    return out
+
+
+def encode_time_series(labels: dict[str, str],
+                       samples: list[tuple[int, float]]) -> bytes:
+    # prompb.TimeSeries: labels=1 samples=2 (exemplars=3 histograms=4
+    # unused — the engine exports float samples); prompb.Sample: value=1
+    # (double) timestamp=2 (storepb/prompb/types.proto)
+    out = [
+        _ld(1, encode_label(k, v)) for k, v in sorted(labels.items())
+    ]
+    for ts, val in samples:
+        out.append(_ld(2, _dbl(1, val) + _vi64(2, ts)))
+    return b"".join(out)
+
+
+def decode_time_series(data: bytes) -> dict:
+    labels: dict[str, str] = {}
+    samples: list[tuple[int, float]] = []
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            k, val = decode_label(v)
+            labels[k] = val
+        elif f == 2:
+            ts, value = 0, 0.0
+            for sf, _swt, sv in _iter_fields(v):
+                if sf == 1:
+                    value = struct.unpack("<d", sv)[0]
+                elif sf == 2:
+                    ts = _to_i64(sv)
+            samples.append((ts, value))
+    return {"labels": labels, "samples": samples}
+
+
+# --------------------------------------------------------------- querypb
+
+def encode_query_request(query: str, time_seconds: int, *,
+                         timeout_seconds: int = 0,
+                         replica_labels: list[str] | None = None,
+                         lookback_delta_seconds: int = 0) -> bytes:
+    # querypb.QueryRequest: query=1 time_seconds=2 timeout_seconds=3
+    # max_resolution_seconds=4 replica_labels=5 storeMatchers=6
+    # enableDedup=7 enablePartialResponse=8 (9 reserved) skipChunks=10
+    # shard_info=11 lookback_delta_seconds=12 engine=13
+    # (querypb/query.proto)
+    out = [_s(1, query), _vi64(2, time_seconds), _vi64(3, timeout_seconds)]
+    out += [_ld(5, r.encode()) for r in (replica_labels or [])]
+    out.append(_vi64(12, lookback_delta_seconds))
+    return b"".join(out)
+
+
+def decode_query_request(data: bytes) -> dict:
+    out = {"query": "", "time_seconds": 0, "timeout_seconds": 0,
+           "replica_labels": [], "lookback_delta_seconds": 0}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            out["query"] = v.decode()
+        elif f == 2:
+            out["time_seconds"] = _to_i64(v)
+        elif f == 3:
+            out["timeout_seconds"] = _to_i64(v)
+        elif f == 5:
+            out["replica_labels"].append(v.decode())
+        elif f == 12:
+            out["lookback_delta_seconds"] = _to_i64(v)
+    return out
+
+
+def encode_query_range_request(query: str, start_s: int, end_s: int,
+                               interval_s: int, *, timeout_seconds: int = 0,
+                               replica_labels: list[str] | None = None,
+                               lookback_delta_seconds: int = 0) -> bytes:
+    # querypb.QueryRangeRequest: query=1 start_time_seconds=2
+    # end_time_seconds=3 interval_seconds=4 timeout_seconds=5
+    # max_resolution_seconds=6 replica_labels=7 storeMatchers=8
+    # enableDedup=9 enablePartialResponse=10 (11 reserved) skipChunks=12
+    # shard_info=13 lookback_delta_seconds=14 engine=15
+    out = [_s(1, query), _vi64(2, start_s), _vi64(3, end_s),
+           _vi64(4, interval_s), _vi64(5, timeout_seconds)]
+    out += [_ld(7, r.encode()) for r in (replica_labels or [])]
+    out.append(_vi64(14, lookback_delta_seconds))
+    return b"".join(out)
+
+
+def decode_query_range_request(data: bytes) -> dict:
+    out = {"query": "", "start_time_seconds": 0, "end_time_seconds": 0,
+           "interval_seconds": 0, "timeout_seconds": 0,
+           "replica_labels": [], "lookback_delta_seconds": 0}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            out["query"] = v.decode()
+        elif f == 2:
+            out["start_time_seconds"] = _to_i64(v)
+        elif f == 3:
+            out["end_time_seconds"] = _to_i64(v)
+        elif f == 4:
+            out["interval_seconds"] = _to_i64(v)
+        elif f == 5:
+            out["timeout_seconds"] = _to_i64(v)
+        elif f == 7:
+            out["replica_labels"].append(v.decode())
+        elif f == 14:
+            out["lookback_delta_seconds"] = _to_i64(v)
+    return out
+
+
+def encode_query_response(*, warnings: str | None = None,
+                          timeseries: bytes | None = None,
+                          stats: tuple[int, int] | None = None) -> bytes:
+    # querypb.Query(Range)Response oneof: warnings=1 timeseries=2 stats=3;
+    # querypb.QueryStats: samples_total=1 peak_samples=2
+    if warnings is not None:
+        return _ld(1, warnings.encode())
+    if timeseries is not None:
+        return _ld(2, timeseries)
+    st, pk = stats or (0, 0)
+    return _ld(3, _vi64(1, st) + _vi64(2, pk))
+
+
+def decode_query_response(data: bytes) -> dict:
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            return {"warnings": v.decode()}
+        if f == 2:
+            return {"timeseries": decode_time_series(v)}
+        if f == 3:
+            st = {"samples_total": 0, "peak_samples": 0}
+            for sf, _swt, sv in _iter_fields(v):
+                if sf == 1:
+                    st["samples_total"] = _to_i64(sv)
+                elif sf == 2:
+                    st["peak_samples"] = _to_i64(sv)
+            return {"stats": st}
+    return {}
+
+
+# ---------------------------------------------------------------- infopb
+
+def encode_info_response(info: dict) -> bytes:
+    # infopb.InfoResponse: label_sets=1 ComponentType=2 store=3 ... query=8;
+    # infopb.StoreInfo: min_time=1 max_time=2 supports_sharding=3
+    # supports_without_replica_labels=4 tsdb_infos=5; infopb.TSDBInfo:
+    # labels=1 min_time=2 max_time=3  (infopb/rpc.proto)
+    out = [_ld(1, encode_label_set(ls)) for ls in info.get("labelSets", [])]
+    out.append(_s(2, info.get("componentType", "")))
+    store = info.get("store", {})
+    sbody = [_vi64(1, store.get("minTime", 0)),
+             _vi64(2, store.get("maxTime", 0))]
+    if store.get("supportsWithoutReplicaLabels"):
+        sbody.append(_tag(4, 0) + _uvarint(1))
+    for ti in store.get("tsdbInfos", []):
+        sbody.append(_ld(5, _ld(1, encode_label_set(ti.get("labels", {})))
+                        + _vi64(2, ti.get("minTime", 0))
+                        + _vi64(3, ti.get("maxTime", 0))))
+    out.append(_ld(3, b"".join(sbody)))
+    if "query" in info:
+        out.append(_ld(8, b""))  # QueryAPIInfo{}
+    return b"".join(out)
+
+
+def decode_info_response(data: bytes) -> dict:
+    out: dict = {"labelSets": [], "componentType": "", "store": {}}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            out["labelSets"].append(decode_label_set(v))
+        elif f == 2:
+            out["componentType"] = v.decode()
+        elif f == 3:
+            store: dict = {"minTime": 0, "maxTime": 0,
+                           "supportsWithoutReplicaLabels": False,
+                           "tsdbInfos": []}
+            for sf, _swt, sv in _iter_fields(v):
+                if sf == 1:
+                    store["minTime"] = _to_i64(sv)
+                elif sf == 2:
+                    store["maxTime"] = _to_i64(sv)
+                elif sf == 4:
+                    store["supportsWithoutReplicaLabels"] = bool(sv)
+                elif sf == 5:
+                    ti = {"labels": {}, "minTime": 0, "maxTime": 0}
+                    for tf, _twt, tv in _iter_fields(sv):
+                        if tf == 1:
+                            ti["labels"] = decode_label_set(tv)
+                        elif tf == 2:
+                            ti["minTime"] = _to_i64(tv)
+                        elif tf == 3:
+                            ti["maxTime"] = _to_i64(tv)
+                    store["tsdbInfos"].append(ti)
+            out["store"] = store
+        elif f == 8:
+            out["query"] = {}
+    return out
+
+
+# --------------------------------------------------------------- storepb
+
+MATCHER_OPS = {0: "=", 1: "!=", 2: "=~", 3: "!~"}  # LabelMatcher.Type
+MATCHER_TYPES = {v: k for k, v in MATCHER_OPS.items()}
+
+
+def encode_label_matcher(op: str, name: str, value: str) -> bytes:
+    # storepb.LabelMatcher: type=1 name=2 value=3 (EQ/NEQ/RE/NRE)
+    return _vi(1, MATCHER_TYPES[op]) + _s(2, name) + _s(3, value)
+
+
+def decode_label_matcher(data: bytes) -> tuple[str, str, str]:
+    t, name, value = 0, "", ""
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            t = v
+        elif f == 2:
+            name = v.decode()
+        elif f == 3:
+            value = v.decode()
+    return MATCHER_OPS[t], name, value
+
+
+def matchers_to_selector(matchers: list[tuple[str, str, str]]) -> str:
+    """LabelMatcher list → one PromQL selector string (the reference's
+    storepb.MatchersToPromMatchers + querier re-parse round trip)."""
+    quoted = ", ".join(
+        f'{name}{op}"{val}"' for op, name, val in matchers)
+    return "{" + quoted + "}"
+
+
+def encode_series_request(min_time: int, max_time: int,
+                          matchers: list[tuple[str, str, str]], *,
+                          skip_chunks: bool = False,
+                          without_replica_labels: list[str] | None = None,
+                          limit: int = 0) -> bytes:
+    # storepb.SeriesRequest: min_time=1 max_time=2 matchers=3
+    # max_resolution_window=4 aggregates=5 (6 deprecated)
+    # partial_response_strategy=7 skip_chunks=8 query_hints=9 shard_info=10
+    # without_replica_labels=11 limit=12  (storepb/rpc.proto)
+    out = [_vi64(1, min_time), _vi64(2, max_time)]
+    out += [_ld(3, encode_label_matcher(*m)) for m in matchers]
+    if skip_chunks:
+        out.append(_tag(8, 0) + _uvarint(1))
+    out += [_ld(11, r.encode()) for r in (without_replica_labels or [])]
+    out.append(_vi64(12, limit))
+    return b"".join(out)
+
+
+def decode_series_request(data: bytes) -> dict:
+    out = {"min_time": 0, "max_time": 0, "matchers": [],
+           "skip_chunks": False, "without_replica_labels": [], "limit": 0}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            out["min_time"] = _to_i64(v)
+        elif f == 2:
+            out["max_time"] = _to_i64(v)
+        elif f == 3:
+            out["matchers"].append(decode_label_matcher(v))
+        elif f == 8:
+            out["skip_chunks"] = bool(v)
+        elif f == 11:
+            out["without_replica_labels"].append(v.decode())
+        elif f == 12:
+            out["limit"] = _to_i64(v)
+    return out
+
+
+CHUNK_XOR = 0  # storepb.Chunk.Encoding
+
+
+def encode_series_response(*, labels: dict[str, str] | None = None,
+                           chunks: list[tuple[int, int, bytes]] | None = None,
+                           warning: str | None = None) -> bytes:
+    # storepb.SeriesResponse oneof: series=1 warning=2 hints=3;
+    # storepb.Series: labels=1 chunks=2; storepb.AggrChunk: min_time=1
+    # max_time=2 raw=3; storepb.Chunk: type=1 data=2
+    if warning is not None:
+        return _ld(2, warning.encode())
+    body = [_ld(1, encode_label(k, v))
+            for k, v in sorted((labels or {}).items())]
+    for mint, maxt, raw in chunks or []:
+        # Chunk.type = XOR (0, proto3 default → omitted on the wire)
+        chk = _vi(1, CHUNK_XOR) + (_ld(2, raw) if raw else b"")
+        body.append(_ld(2, _vi64(1, mint) + _vi64(2, maxt) + _ld(3, chk)))
+    return _ld(1, b"".join(body))
+
+
+def decode_series_response(data: bytes) -> dict:
+    for f, _wt, v in _iter_fields(data):
+        if f == 2:
+            return {"warning": v.decode()}
+        if f == 1:
+            labels: dict[str, str] = {}
+            chunks: list[dict] = []
+            for sf, _swt, sv in _iter_fields(v):
+                if sf == 1:
+                    k, val = decode_label(sv)
+                    labels[k] = val
+                elif sf == 2:
+                    c = {"min_time": 0, "max_time": 0, "type": 0,
+                         "data": b""}
+                    for cf, _cwt, cv in _iter_fields(sv):
+                        if cf == 1:
+                            c["min_time"] = _to_i64(cv)
+                        elif cf == 2:
+                            c["max_time"] = _to_i64(cv)
+                        elif cf == 3:
+                            for rf, _rwt, rv in _iter_fields(cv):
+                                if rf == 1:
+                                    c["type"] = rv
+                                elif rf == 2:
+                                    c["data"] = rv
+                    chunks.append(c)
+            return {"series": {"labels": labels, "chunks": chunks}}
+    return {}
+
+
+def encode_label_names_request(start: int, end: int, *,
+                               matchers: list[tuple[str, str, str]]
+                               | None = None,
+                               without_replica_labels: list[str]
+                               | None = None,
+                               limit: int = 0) -> bytes:
+    # storepb.LabelNamesRequest: (1 deprecated) partial_response_strategy=2
+    # start=3 end=4 hints=5 matchers=6 without_replica_labels=7 limit=8
+    out = [_vi64(3, start), _vi64(4, end)]
+    out += [_ld(6, encode_label_matcher(*m)) for m in (matchers or [])]
+    out += [_ld(7, r.encode()) for r in (without_replica_labels or [])]
+    out.append(_vi64(8, limit))
+    return b"".join(out)
+
+
+def decode_label_names_request(data: bytes) -> dict:
+    out = {"start": 0, "end": 0, "matchers": [],
+           "without_replica_labels": [], "limit": 0}
+    for f, _wt, v in _iter_fields(data):
+        if f == 3:
+            out["start"] = _to_i64(v)
+        elif f == 4:
+            out["end"] = _to_i64(v)
+        elif f == 6:
+            out["matchers"].append(decode_label_matcher(v))
+        elif f == 7:
+            out["without_replica_labels"].append(v.decode())
+        elif f == 8:
+            out["limit"] = _to_i64(v)
+    return out
+
+
+def encode_label_values_request(label: str, start: int, end: int, *,
+                                matchers: list[tuple[str, str, str]]
+                                | None = None,
+                                without_replica_labels: list[str]
+                                | None = None,
+                                limit: int = 0) -> bytes:
+    # storepb.LabelValuesRequest: label=1 (2 deprecated)
+    # partial_response_strategy=3 start=4 end=5 hints=6 matchers=7
+    # without_replica_labels=8 limit=9
+    out = [_s(1, label), _vi64(4, start), _vi64(5, end)]
+    out += [_ld(7, encode_label_matcher(*m)) for m in (matchers or [])]
+    out += [_ld(8, r.encode()) for r in (without_replica_labels or [])]
+    out.append(_vi64(9, limit))
+    return b"".join(out)
+
+
+def decode_label_values_request(data: bytes) -> dict:
+    out = {"label": "", "start": 0, "end": 0, "matchers": [],
+           "without_replica_labels": [], "limit": 0}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            out["label"] = v.decode()
+        elif f == 4:
+            out["start"] = _to_i64(v)
+        elif f == 5:
+            out["end"] = _to_i64(v)
+        elif f == 7:
+            out["matchers"].append(decode_label_matcher(v))
+        elif f == 8:
+            out["without_replica_labels"].append(v.decode())
+        elif f == 9:
+            out["limit"] = _to_i64(v)
+    return out
+
+
+def encode_label_strings_response(values: list[str], warnings: list[str],
+                                  *, field_values: int = 1) -> bytes:
+    # storepb.LabelNamesResponse: names=1 warnings=2 hints=3;
+    # storepb.LabelValuesResponse: values=1 warnings=2 hints=3
+    out = [_ld(field_values, s.encode()) for s in values]
+    out += [_ld(2, w.encode()) for w in warnings]
+    return b"".join(out)
+
+
+def decode_label_strings_response(data: bytes) -> dict:
+    out: dict = {"values": [], "warnings": []}
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            out["values"].append(v.decode())
+        elif f == 2:
+            out["warnings"].append(v.decode())
+    return out

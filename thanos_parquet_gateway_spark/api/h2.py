@@ -1,0 +1,183 @@
+"""Minimal HTTP/2 (RFC 7540) framing + gRPC-over-HTTP/2 message layer.
+
+grpcio is not available in this sandbox, and gRPC is "just" protobuf
+messages length-prefixed inside HTTP/2 DATA frames (gRPC spec
+PROTOCOL-HTTP2.md): request = HEADERS(:method POST, :path
+/pkg.Service/Method, content-type application/grpc) + DATA(1-byte
+compressed flag + 4-byte big-endian length + message)* END_STREAM;
+response = HEADERS(:status 200) + DATA(messages)* + trailers
+HEADERS(grpc-status, grpc-message, END_STREAM).  This module implements
+exactly that over a TCP socket with cleartext prior-knowledge h2 (what
+grpc-go uses on insecure channels):
+
+- connection preface + SETTINGS exchange,
+- HEADERS/CONTINUATION assembly with HPACK (api/hpack.py),
+- DATA with padding handling, gRPC length-prefix reassembly across frames,
+- PING reply, WINDOW_UPDATE bookkeeping (large initial windows are
+  advertised so flow control never stalls the unary/streaming RPCs served
+  here), RST_STREAM/GOAWAY teardown,
+- frames chunked to the peer's SETTINGS_MAX_FRAME_SIZE.
+
+Shared by the server (api/grpc_server.py) and the in-repo test client.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from thanos_parquet_gateway_spark.api.hpack import Decoder, Encoder
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+# frame types (RFC 7540 §6)
+DATA, HEADERS, PRIORITY, RST_STREAM, SETTINGS = 0, 1, 2, 3, 4
+PUSH_PROMISE, PING, GOAWAY, WINDOW_UPDATE, CONTINUATION = 5, 6, 7, 8, 9
+
+FLAG_END_STREAM = 0x1
+FLAG_ACK = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+
+SETTINGS_MAX_FRAME_SIZE = 0x5
+SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+
+DEFAULT_MAX_FRAME = 16384
+BIG_WINDOW = (1 << 30)
+
+
+class H2Error(Exception):
+    pass
+
+
+def pack_frame(ftype: int, flags: int, stream_id: int,
+               payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload))[1:]
+            + bytes([ftype, flags]) + struct.pack(">I", stream_id)
+            + payload)
+
+
+class Conn:
+    """One HTTP/2 connection (either side).  Reads are pull-based
+    (read_frame); writes are locked so response streams can interleave."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self.sock = sock
+        self.rbuf = b""
+        self.wlock = threading.Lock()
+        self.henc = Encoder()
+        self.hdec = Decoder()
+        self.max_frame = DEFAULT_MAX_FRAME
+        self.closed = False
+
+    # ----------------------------------------------------------- raw io
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self.rbuf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("peer closed")
+            self.rbuf += chunk
+        out, self.rbuf = self.rbuf[:n], self.rbuf[n:]
+        return out
+
+    def send(self, data: bytes) -> None:
+        with self.wlock:
+            self.sock.sendall(data)
+
+    def read_frame(self) -> tuple[int, int, int, bytes]:
+        hdr = self._recv_exact(9)
+        length = (hdr[0] << 16) | (hdr[1] << 8) | hdr[2]
+        ftype, flags = hdr[3], hdr[4]
+        stream_id = struct.unpack(">I", hdr[5:9])[0] & 0x7FFFFFFF
+        return ftype, flags, stream_id, self._recv_exact(length)
+
+    # ------------------------------------------------------- handshake
+    def send_settings(self) -> None:
+        self.send(pack_frame(SETTINGS, 0, 0, struct.pack(
+            ">HI", SETTINGS_INITIAL_WINDOW_SIZE, BIG_WINDOW)))
+        # connection-level window bump so flow control never stalls us
+        self.send(pack_frame(WINDOW_UPDATE, 0, 0,
+                             struct.pack(">I", BIG_WINDOW - 65535)))
+
+    def handle_settings(self, flags: int, payload: bytes) -> None:
+        if flags & FLAG_ACK:
+            return
+        for off in range(0, len(payload) - 5, 6):
+            ident, value = struct.unpack(">HI", payload[off:off + 6])
+            if ident == SETTINGS_MAX_FRAME_SIZE:
+                self.max_frame = value
+        self.send(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+
+    # --------------------------------------------------------- sending
+    def send_headers(self, stream_id: int, headers: list[tuple[str, str]],
+                     end_stream: bool = False) -> None:
+        block = self.henc.encode(headers)
+        flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
+        self.send(pack_frame(HEADERS, flags, stream_id, block))
+
+    def send_data(self, stream_id: int, data: bytes,
+                  end_stream: bool = False) -> None:
+        if not data and end_stream:
+            self.send(pack_frame(DATA, FLAG_END_STREAM, stream_id, b""))
+            return
+        off = 0
+        while off < len(data):
+            chunk = data[off:off + self.max_frame]
+            off += len(chunk)
+            last = off >= len(data)
+            self.send(pack_frame(
+                DATA, FLAG_END_STREAM if (last and end_stream) else 0,
+                stream_id, chunk))
+
+    def send_goaway(self, last_stream: int = 0, code: int = 0) -> None:
+        try:
+            self.send(pack_frame(GOAWAY, 0, 0,
+                                 struct.pack(">II", last_stream, code)))
+        except OSError:
+            pass
+
+
+def grpc_frame(message: bytes) -> bytes:
+    """gRPC length-prefixed message (compressed flag always 0)."""
+    return b"\x00" + struct.pack(">I", len(message)) + message
+
+
+def split_grpc_frames(buf: bytes) -> tuple[list[bytes], bytes]:
+    """Extract complete length-prefixed messages; return (messages, rest)."""
+    out = []
+    while len(buf) >= 5:
+        if buf[0] != 0:
+            raise H2Error("compressed gRPC messages unsupported")
+        ln = struct.unpack(">I", buf[1:5])[0]
+        if len(buf) < 5 + ln:
+            break
+        out.append(buf[5:5 + ln])
+        buf = buf[5 + ln:]
+    return out, buf
+
+
+class Stream:
+    """Server-side per-stream accumulation state."""
+
+    def __init__(self, stream_id: int) -> None:
+        self.id = stream_id
+        self.headers: list[tuple[str, str]] = []
+        self.header_block = b""
+        self.headers_done = False
+        self.data = b""
+        self.ended = False
+
+
+def strip_padding(flags: int, payload: bytes) -> bytes:
+    if flags & FLAG_PADDED:
+        pad = payload[0]
+        return payload[1:len(payload) - pad]
+    return payload
+
+
+def strip_priority(flags: int, payload: bytes) -> bytes:
+    if flags & FLAG_PRIORITY:
+        return payload[5:]
+    return payload

@@ -64,8 +64,24 @@ def cmd_serve(args) -> int:
                          max_concurrent=args.max_concurrent,
                          row_quota=args.max_row_count,
                          byte_quota=args.max_chunk_bytes)
-    print(f"serving {args.path} on :{srv.port} "
-          f"(streams={sorted(streams) if streams else None})")
+    gsrv = None
+    if args.grpc_port is not None:
+        # reference serves HTTP and gRPC side by side (cmd/serve.go:60-140)
+        from thanos_parquet_gateway_spark.api.grpc_server import (
+            ThanosGrpcServer,
+        )
+        from thanos_parquet_gateway_spark.api.server import QueryServer
+        qs = QueryServer(samples, streams=streams,
+                         ext_labels=_parse_label_map(
+                             args.external_label or []) or None,
+                         lookback_ms=args.lookback_ms,
+                         max_concurrent=args.max_concurrent,
+                         row_quota=args.max_row_count,
+                         byte_quota=args.max_chunk_bytes)
+        gsrv = ThanosGrpcServer(qs, port=args.grpc_port).start()
+    print(f"serving {args.path} on :{srv.port}"
+          + (f" grpc :{gsrv.port}" if gsrv else "")
+          + f" (streams={sorted(streams) if streams else None})")
     srv.server.serve_forever()
     return 0
 
@@ -185,6 +201,9 @@ def main(argv: list[str] | None = None) -> int:
                        "converted samples table (reference cmd/serve.go)")
     s.add_argument("--path", required=True, help="samples parquet root")
     s.add_argument("--port", type=int, default=9090)
+    s.add_argument("--grpc-port", type=int, default=None,
+                   help="also serve the Thanos gRPC query API on this port "
+                   "(reference http-port/grpc-port pair, cmd/serve.go)")
     s.add_argument("--lookback-ms", type=int, default=300_000,
                    help="query.lookback (reference cmd/serve.go:102)")
     s.add_argument("--max-concurrent", type=int, default=100,
