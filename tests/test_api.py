@@ -287,3 +287,23 @@ def test_string_literal_query(server):
     with _pytest.raises(urllib.error.HTTPError):
         _get(server, "/api/v1/query_range?query=%s&start=0&end=10&step=5"
              % urllib.parse.quote('"hi"'))
+
+
+def test_scan_counters_on_range_query(spark, sf_dir):
+    """Per-query scan observability (reference search/metrics.go:35-76
+    exports pages/rows/bytes scanned per query): a parquet-backed range
+    query must report non-zero file/byte/row scan counters in its stats."""
+    from thanos_parquet_gateway_spark.api.http import QueryAPI
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    api = QueryAPI(eng)
+    out = api.query_range("sum(click)", 1704153600000, 1704412800000,
+                          86400_000)
+    st = out["stats"]["samples"]
+    assert st["totalQueried"] > 0
+    assert st["peakSamples"] > 0
+    assert st["filesScanned"] > 0
+    assert st["bytesScanned"] > 0

@@ -104,20 +104,31 @@ def scan_stats(df) -> dict:
     """Per-query scan statistics from the *executed* plan's leaf metrics
     (call after an action): total rows produced by all scans and the largest
     single scan — the analogue of the reference's samples total/peak stats
-    (api/grpc/thanos.go:561-566)."""
+    (api/grpc/thanos.go:561-566).
+
+    Scan-level counters ride along when the leaves are parquet scans
+    (reference search/metrics.go:35-76 exports pages/rows/bytes per query):
+    ``filesScanned`` (split count after partition/stats pruning — the
+    page-run analogue) and ``bytesScanned`` (pruned file bytes)."""
     try:
         leaves: list = []
         _walk_leaves(df._jdf.queryExecution().executedPlan(), leaves)
-        total = peak = 0
+        total = peak = files = fbytes = 0
         for leaf in leaves:
             m = leaf.metrics()
             if m.contains("numOutputRows"):
                 v = int(m.apply("numOutputRows").value())
                 total += v
                 peak = max(peak, v)
-        return {"totalQueried": total, "peakSamples": peak}
+            if m.contains("numFiles"):
+                files += int(m.apply("numFiles").value())
+            if m.contains("filesSize"):
+                fbytes += int(m.apply("filesSize").value())
+        return {"totalQueried": total, "peakSamples": peak,
+                "filesScanned": files, "bytesScanned": fbytes}
     except Exception:  # noqa: BLE001 — stats are advisory
-        return {"totalQueried": 0, "peakSamples": 0}
+        return {"totalQueried": 0, "peakSamples": 0,
+                "filesScanned": 0, "bytesScanned": 0}
 
 
 class QueryAPI:
