@@ -169,19 +169,26 @@ def _cents_to_arr(cents: DataFrame) -> DataFrame:
     return cents.agg(F.collect_list(F.struct("cell", "cvec")).alias("__cents"))
 
 
-def _probe(df: DataFrame, vcol: str, n: int, cents_arr: DataFrame) -> DataFrame:
+def _probe(df: DataFrame, vcol: str, n: int, cents_arr: DataFrame, *,
+           keep_cvec: bool = False) -> DataFrame:
     """Attach the n best cells (by centroid cosine, ties to the lower cell
-    id) as an exploded ``cell`` column — all map-side."""
+    id) as an exploded ``cell`` column — all map-side.  ``keep_cvec`` also
+    carries the probed cell's centroid vector as ``__cvec`` (the residual
+    encoders need v − centroid without a second centroid attach)."""
     j = df.crossJoin(F.broadcast(cents_arr))
+    fields = [lambda c: cosine(F.col(vcol), c["cvec"]).alias("cs"),
+              lambda c: (-c["cell"]).alias("neg"),
+              lambda c: c["cell"].alias("cell")]
+    if keep_cvec:
+        fields.append(lambda c: c["cvec"].alias("cvec"))
     scored = F.transform(
-        "__cents",
-        lambda c: F.struct(cosine(F.col(vcol), c["cvec"]).alias("cs"),
-                           (-c["cell"]).alias("neg"),
-                           c["cell"].alias("cell")))
+        "__cents", lambda c: F.struct(*[f(c) for f in fields]))
     best = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-    return (j.select("*", F.explode(best).alias("__b"))
-            .withColumn("cell", F.col("__b.cell"))
-            .drop("__cents", "__b"))
+    out = (j.select("*", F.explode(best).alias("__b"))
+           .withColumn("cell", F.col("__b.cell")))
+    if keep_cvec:
+        out = out.withColumn("__cvec", F.col("__b.cvec"))
+    return out.drop("__cents", "__b")
 
 
 def _lloyd_step(e: DataFrame, cents: DataFrame, *,
@@ -395,7 +402,8 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                m: int = 4, n_codes: int = 16, dim: int | None = None,
                id_col: str = "vec_id", vec_col: str = "embedding",
                query_id_col: str = "query_id", query_vec_col: str = "query_vec",
-               hash_family: str = "xxhash") -> DataFrame:
+               hash_family: str = "xxhash",
+               residual: bool = False) -> DataFrame:
     """IVF×PQ ANN — the IVFADC layout (Jégou et al. 2011 §V, public): an
     IVF coarse quantizer bounds the candidate set to the ``nprobe`` probed
     cells per query, and PQ asymmetric-distance lookups score inside those
@@ -409,10 +417,13 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     - coarse centroids and the PQ codebook are both hash-ranked seed
       vectors (``seed_centroids`` — distributed TakeOrderedAndProject
       collapsed to one broadcast row; deterministic, so a SQL oracle
-      replicates both).  Codes quantize the RAW vector (no residual) so
-      the codebook is cell-independent and the oracle stays closed-form;
-      residual encoding is the classic refinement and would reuse this
-      exact plan shape with (v - centroid) inside ``code_for``.
+      replicates both).  By default codes quantize the RAW vector so the
+      codebook is cell-independent; ``residual=True`` enables the classic
+      IVFADC refinement (Jégou 2011 §V.A: quantize v − centroid(cell),
+      and build the query's ADC table from q − centroid(probed cell)) —
+      the SAME plan shape (the probe already carries the centroid row, so
+      the residual is one extra map-side zip_with on each side, no new
+      join or shuffle), still closed-form for the SQL oracle.
     - corpus rows get (cell, codes) map-side: one broadcast nested loop
       for the centroid argmax, one for the per-block code argmin — the
       corpus never shuffles for indexing.
@@ -451,21 +462,29 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                                c["cell"].alias("code")))
         return F.element_at(F.array_sort(scored), 1)["code"]
 
+    def _residual(vec: Column) -> Column:
+        # v − centroid(assigned/probed cell), double precision — the
+        # probe row already carries the centroid, so this is map-side
+        return F.zip_with(vec, F.col("__cvec"),
+                          lambda x, y: x.cast("double") - y.cast("double"))
+
     # corpus index rows: (vec_id, cell, codes) — both attaches map-side
-    e_cells = _probe(e, "v", 1, cents_arr)
+    e_cells = _probe(e, "v", 1, cents_arr, keep_cvec=residual)
+    evec = _residual(F.col("v")) if residual else F.col("v")
     enc = (e_cells.crossJoin(F.broadcast(cb_arr))
            .select("vec_id", "cell",
-                   F.array(*[code_for(F.col("v"), b)
+                   F.array(*[code_for(evec, b)
                              for b in range(m)]).alias("__codes")))
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_vec_col).alias("qv"))
-    q_probes = _probe(q, "qv", nprobe, cents_arr)
+    q_probes = _probe(q, "qv", nprobe, cents_arr, keep_cvec=residual)
+    qvec = _residual(F.col("qv")) if residual else F.col("qv")
 
     def table_for(b: int) -> Column:
         return F.transform(
             sorted_cb,
-            lambda c: _l2sq(block(F.col("qv"), b), block(c["cvec"], b)))
+            lambda c: _l2sq(block(qvec, b), block(c["cvec"], b)))
 
     qt = (q_probes.crossJoin(F.broadcast(cb_arr))
           .select("query_id", "cell",

@@ -2166,6 +2166,99 @@ def sim_ivfpq_topk(spark, sf_dir):
                                  hash_family="md5")
 
 
+_RES_E = ("list_transform(list_zip(e.embedding, a.ccvec), "
+          "pr -> CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))")
+_RES_Q = ("list_transform(list_zip(qr.embedding, qr.ccvec), "
+          "pr -> CAST(pr[1] AS DOUBLE) - CAST(pr[2] AS DOUBLE))")
+
+
+@q("sim_ivfpq_residual", f"""
+WITH seeds AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS cell
+    FROM embeddings
+    QUALIFY cell <= 8
+),
+easg AS (
+    SELECT vec_id, cell, ccvec FROM (
+        SELECT e.vec_id, s.cell, s.cvec AS ccvec,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s)
+    WHERE r = 1
+),
+qasg AS (
+    SELECT vec_id, embedding, cell, ccvec FROM (
+        SELECT e.vec_id, e.embedding, s.cell, s.cvec AS ccvec,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 's.cvec')}
+                                           DESC, s.cell) AS r
+        FROM embeddings e, seeds s WHERE e.vec_id < 3)
+    WHERE r <= 2
+),
+cb AS (
+    SELECT embedding AS cvec,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS code
+    FROM embeddings
+    QUALIFY code <= 16
+),
+blocks AS (SELECT unnest(range(4)) AS b),
+eres AS (
+    SELECT e.vec_id, a.cell, {_RES_E} AS rv
+    FROM embeddings e JOIN easg a ON a.vec_id = e.vec_id
+),
+ecodes AS (
+    SELECT vec_id, cell, b, code FROM (
+        SELECT e.vec_id, e.cell, bl.b, c.code,
+               row_number() OVER (PARTITION BY e.vec_id, bl.b
+                                  ORDER BY {_l2sq_sql('e.rv' + _PQB,
+                                                      'c.cvec' + _PQB)},
+                                           c.code) AS r
+        FROM eres e, cb c, blocks bl)
+    WHERE r = 1
+),
+qres AS (
+    SELECT qr.vec_id AS query_id, qr.cell, {_RES_Q} AS rqv
+    FROM qasg qr
+),
+adc AS (
+    SELECT q.query_id, ec.vec_id,
+           list_reduce(list_prepend(0.0,
+               list({_l2sq_sql('q.rqv' + _PQB, 'c.cvec' + _PQB)}
+                    ORDER BY ec.b)),
+               (p, s) -> p + s) AS approx_dist
+    FROM ecodes ec JOIN cb c ON c.code = ec.code
+         JOIN blocks bl ON bl.b = ec.b
+         JOIN qres q ON q.cell = ec.cell
+    GROUP BY q.query_id, ec.vec_id
+)
+SELECT query_id, rank, vec_id, approx_dist, cos_sim FROM (
+    SELECT a.query_id, a.vec_id, a.approx_dist,
+           {_cos_sql('ee.embedding', 'qe.embedding')} AS cos_sim,
+           row_number() OVER (PARTITION BY a.query_id
+                              ORDER BY a.approx_dist, a.vec_id) AS rank
+    FROM adc a JOIN embeddings ee ON ee.vec_id = a.vec_id
+               JOIN embeddings qe ON qe.vec_id = a.query_id)
+WHERE rank <= 5
+""")
+def sim_ivfpq_residual(spark, sf_dir):
+    """IVFADC with residual encoding (Jégou et al. 2011 §V.A, the classic
+    refinement): PQ codes quantize v − centroid(cell) and the query ADC
+    table is built from q − centroid(probed cell), concentrating the
+    quantizer's dynamic range on within-cell variation.  Same plan shape
+    as sim_ivfpq_topk — the probe carries the centroid, so the residual is
+    one extra map-side zip_with per side; the corpus still never shuffles
+    (operators/similarity.ivfpq_topk(residual=True); md5 family so the
+    DuckDB oracle replicates centroids and codebook exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, _query_vectors(spark, sf_dir), k=5,
+                                 nlist=8, nprobe=2, m=4, n_codes=16, dim=64,
+                                 hash_family="md5", residual=True)
+
+
 @q("sim_semantic_dedup", f"""
 WITH seeds AS (
     SELECT embedding AS cvec,

@@ -156,6 +156,9 @@ def main():
         "pq": similarity.pq_topk(emb, q, k=5, m=4, n_codes=8, dim=64),
         "ivfpq": similarity.ivfpq_topk(emb, q, k=5, nlist=4, nprobe=2,
                                        m=4, n_codes=8, dim=64),
+        "ivfpq_residual": similarity.ivfpq_topk(emb, q, k=5, nlist=4,
+                                                nprobe=2, m=4, n_codes=8,
+                                                dim=64, residual=True),
     }
     for rname, rdf in rankers.items():
         rp = plan_of(rdf)
