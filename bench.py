@@ -14,19 +14,14 @@ import os
 import time
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
-
+def make_benches(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
-    from thanos_parquet_gateway_spark import get_spark
     from thanos_parquet_gateway_spark.operators import dedup, similarity
     from thanos_parquet_gateway_spark.plans import entry_queries as EQ
     from thanos_parquet_gateway_spark.promql import PromQLEngine
     from thanos_parquet_gateway_spark.sources import samples_from_events
     from thanos_parquet_gateway_spark.sources.tables import load_table
 
-    spark = get_spark("bench")
     eng = PromQLEngine(samples_from_events(spark, sf_dir),
                        lookback_ms=EQ.LOOKBACK, deterministic=False)
 
@@ -34,7 +29,7 @@ def main():
         # execute the full plan without driver materialization cost
         return df.write.format("noop").mode("overwrite").save()
 
-    benches = {
+    return {
         "promql_instant_sum": lambda: drain(
             eng.query_instant("sum by (shard) (click)", EQ.T).df),
         "promql_range_rate": lambda: drain(
@@ -66,8 +61,20 @@ def main():
             EQ.QUERIES["events_hopping_window"](spark, sf_dir)),
     }
 
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from thanos_parquet_gateway_spark import get_spark
+    from thanos_parquet_gateway_spark.sources.tables import load_table
+
+    spark = get_spark("bench")
+    benches = make_benches(spark, sf_dir)
+
     # warm the JVM/scan path once so timings measure the engine, not startup
-    drain(load_table(spark, sf_dir, "lineitem").limit(1))
+    drain_warm = load_table(spark, sf_dir, "lineitem").limit(1)
+    drain_warm.write.format("noop").mode("overwrite").save()
 
     # Adaptive passes per query, report the min: steady-state engine
     # throughput, excluding tiered-JIT warmup of the generated code (the
@@ -107,10 +114,39 @@ def main():
 
     load_end = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
     total = round(sum(times.values()), 3)
-    print(json.dumps({"metric": "headline_queries_total", "value": total,
-                      "unit": "sec", "queries": times, "sf": sf,
-                      "cold_first_run": cold, "pass_totals": pass_totals,
-                      "loadavg_1m": [load_start, load_end]}))
+    out = {"metric": "headline_queries_total", "value": total,
+           "unit": "sec", "queries": times, "sf": sf,
+           "cold_first_run": cold, "pass_totals": pass_totals,
+           "loadavg_1m": [load_start, load_end]}
+
+    # Optional scale rung: the SAME queries over a 10x dataset
+    # (tools/gen_sf1.py writes .bench/sf1 — gitignored, regenerate if
+    # absent).  The 100x-design claim is empirical here: with the JVM
+    # already warm, no query should grow worse than ~linearly vs the sf0.1
+    # number (the reference's 1.5M-series realistic-corpus bench plays the
+    # same role, db/db_bench_test.go:143-307).  min-of-2 passes: warmup is
+    # already paid, this is a scaling signal, not a precision number.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench", "sf1"))
+    if os.path.isdir(sf1_dir):
+        b1 = make_benches(spark, sf1_dir)
+        t1 = {}
+        for name, fn in b1.items():
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            t1[name] = round(min(runs), 3)
+        out["sf1"] = {"sf": 1.0, "queries": t1,
+                      "total": round(sum(t1.values()), 3),
+                      "scale_vs_sf01": {
+                          n: round(t1[n] / times[n], 1)
+                          for n in t1 if times.get(n)}}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -7,7 +7,11 @@ StructType"): a nullable ``hist`` column on the samples table,
 
     hist: struct<count:  double,   -- total observations
                  sum:    double,   -- sum of observations
-                 buckets: array<struct<le:double, count:double>>>
+                 buckets: array<struct<le:double, count:double>>,
+                 schema: int>      -- Prometheus schema: -53 = custom
+                                   -- bounds (NHCB), n in [-4, 8] =
+                                   -- exponential base 2^(2^-n);
+                                   -- NULL ≡ custom (legacy rows)
 
 ``buckets`` are NON-cumulative with explicit upper bounds, sorted by le
 ascending, last bucket le = +Inf.  Conversion from Prometheus sparse
@@ -16,6 +20,17 @@ exponential schemas computes the bounds at ingest (le = base^(idx), base =
 array/groupBy problem and removes schema-mismatch handling from the query
 path (different-schema histograms land on their own le grids and merge via
 le equality, mirroring Prometheus' reduce-to-common-schema on ingest).
+
+The ``schema`` field preserves the bound SEMANTICS upstream attaches to
+the two families (promql/quantile.go histogramQuantile, functions.go
+funcHistogramStdDev):
+- custom buckets (NHCB, schema -53): classic-histogram interpolation — the
+  first bucket's lower bound is clamped to 0 (unless le <= 0) and stddev
+  midpoints are arithmetic;
+- exponential (schema >= -4): a bucket with upper bound le > 0 covers
+  (le/base, le] — the ACTUAL exponential lower bound is used for
+  interpolation (no first-bucket clamp), and stddev midpoints are
+  geometric, sqrt(lower·upper), with the zero bucket representing 0.
 
 Float samples leave ``hist`` NULL; histogram samples carry value = NaN like
 Prometheus' series model.
@@ -31,6 +46,8 @@ from pyspark.sql import types as T
 
 D = "double"
 
+CUSTOM_SCHEMA = -53  # upstream histogram.CustomBucketsSchema
+
 HIST_TYPE = T.StructType([
     T.StructField("count", T.DoubleType()),
     T.StructField("sum", T.DoubleType()),
@@ -38,12 +55,32 @@ HIST_TYPE = T.StructType([
         T.StructField("le", T.DoubleType()),
         T.StructField("count", T.DoubleType()),
     ]))),
+    T.StructField("schema", T.IntegerType()),
 ])
 
 
-def make_hist(count: Column, total: Column, buckets: Column) -> Column:
+def make_hist(count: Column, total: Column, buckets: Column,
+              schema: Column | int | None = None) -> Column:
+    if schema is None:
+        sch = F.lit(None).cast("int")  # NULL ≡ custom bounds
+    elif isinstance(schema, int):
+        sch = F.lit(schema).cast("int")
+    else:
+        sch = schema.cast("int")
     return F.struct(count.cast(D).alias("count"), total.cast(D).alias("sum"),
-                    buckets.alias("buckets"))
+                    buckets.alias("buckets"), sch.alias("schema"))
+
+
+def _is_exp(hist: Column) -> Column:
+    """True when the histogram carries exponential-schema bound semantics."""
+    sch = hist["schema"]
+    return sch.isNotNull() & (sch != CUSTOM_SCHEMA)
+
+
+def _base(hist: Column) -> Column:
+    """Exponential bucket base 2^(2^-schema)."""
+    return F.pow(F.lit(2.0),
+                 F.pow(F.lit(2.0), -hist["schema"].cast(D)))
 
 
 def null_hist() -> Column:
