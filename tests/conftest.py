@@ -28,9 +28,10 @@ def sf_dir():
 def make_samples(spark, rows):
     """rows: list of (labels: dict, ts_ms: int, value) → samples df.
     value=None is the staleness marker (schema.py); a dict
-    {"hist": (count, sum, [(le, c), ...])} is a native-histogram sample
-    (value NaN + hist struct, histograms.py) — the hist column is only
-    added when at least one row carries one."""
+    {"hist": (count, sum, [(le, c), ...][, schema])} is a native-histogram
+    sample (value NaN + hist struct, histograms.py; schema defaults to
+    None ≡ custom/NHCB bounds, exponential literals pass their schema) —
+    the hist column is only added when at least one row carries one."""
     from pyspark.sql import types as T
     has_hist = any(isinstance(v, dict) for _, _, v in rows)
     fields = [
@@ -47,10 +48,12 @@ def make_samples(spark, rows):
     data = []
     for labels, ts, v in rows:
         if isinstance(v, dict):
-            c, s, bks = v["hist"]
+            c, s, bks, *rest = v["hist"]
+            sch = rest[0] if rest else None
             data.append((labels, ts, float("nan"),
                          (float(c), float(s),
-                          [(float(le), float(bc)) for le, bc in bks])))
+                          [(float(le), float(bc)) for le, bc in bks],
+                          None if sch is None else int(sch))))
         else:
             data.append((labels, ts, None if v is None else float(v), None))
     return spark.createDataFrame(

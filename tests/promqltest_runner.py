@@ -83,7 +83,9 @@ def _parse_hist(body: str) -> dict:
         bks.append((float("inf"), 0.0))
     count = h["count"] if h["count"] is not None else \
         sum(c for _, c in bks)
-    return {"hist": (count, h["sum"], bks)}
+    # schema rides along: exponential literals get upstream bound
+    # semantics (true lower bounds, geometric stddev midpoints)
+    return {"hist": (count, h["sum"], bks, h["schema"])}
 
 
 def expand_values(tokens: list[str]) -> list[float | None | str | dict]:

@@ -463,7 +463,7 @@ def _hist_samples(spark, rows):
         T.StructField("hist", HIST_TYPE, True),
     ])
     data = [(labels, ts, float("nan"), (float(c), float(s),
-             [(float(le), float(bc)) for le, bc in bks]))
+             [(float(le), float(bc)) for le, bc in bks], None))
             for labels, ts, c, s, bks in rows]
     return spark.createDataFrame(data, schema)
 

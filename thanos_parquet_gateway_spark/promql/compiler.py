@@ -732,6 +732,9 @@ class Compiler:
                            F.sum(F.col("hist.count")).alias("__c"),
                            F.sum(F.col("hist.sum")).alias("__s"),
                            F.count("*").alias("__n"),
+                           # bound semantics survive the merge (same-schema
+                           # histograms in practice; min is deterministic)
+                           F.min(F.col("hist.schema")).alias("__sch"),
                            F.first("glabels").alias("labels")))
             buckets = (hdf.select("t", "__gh",
                                   F.explode(F.col("hist.buckets")).alias("b"))
@@ -741,7 +744,8 @@ class Compiler:
                        .agg(F.array_sort(F.collect_list(
                            F.struct(F.col("__le").alias("le"),
                                     F.col("__bc").alias("count")))).alias("__bk")))
-            merged = H.make_hist(F.col("__c"), F.col("__s"), F.col("__bk"))
+            merged = H.make_hist(F.col("__c"), F.col("__s"), F.col("__bk"),
+                                 F.col("__sch"))
             if agg.op == "avg":
                 merged = H.scale_hist(merged, F.lit(1.0) / F.col("__n"))
             out = (totals.join(buckets, ["t", "__gh"])

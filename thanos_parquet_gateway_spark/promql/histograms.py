@@ -131,11 +131,31 @@ def _cumulative(hist: Column) -> Column:
                                      F.lit(0.0))).alias("count")))))
 
 
+def _bucket_lower(hist: Column, les: Column, i: Column) -> Column:
+    """Lower bound of bucket i (1-based) under the histogram's schema
+    semantics: custom/NHCB → classic rule (first bucket clamps to 0 unless
+    le <= 0, else previous le); exponential → le/base for le > 0 (the
+    ACTUAL bound, upstream histogramQuantile uses it unclamped), le itself
+    for the zero bucket, previous le for the +Inf cap (so cumulative
+    interpolation above the last finite bound stays finite)."""
+    le = F.element_at(les, F.greatest(i, F.lit(1)))
+    prev = F.when(i == 1, F.lit(0.0)) \
+            .otherwise(F.element_at(les, F.greatest(i - 1, F.lit(1))))
+    classic = F.when(i == 1,
+                     F.when(le <= 0, le).otherwise(F.lit(0.0))) \
+               .otherwise(prev)
+    expo = (F.when(le <= 0, le)
+             .when(le == F.lit(float("inf")), prev)
+             .otherwise(le / _base(hist)))
+    return F.when(_is_exp(hist), expo).otherwise(classic)
+
+
 def hist_quantile(q: float, hist: Column) -> Column:
     """Quantile over native buckets: locate the cumulative bucket containing
-    rank = q*count, linear-interpolate within [lower, upper) (Prometheus
-    bucketQuantile applied to the explicit-bound representation; the +Inf
-    bucket returns the highest finite bound)."""
+    rank = q*count, linear-interpolate within [lower, upper) with
+    schema-aware lower bounds (_bucket_lower — Prometheus histogramQuantile
+    semantics for both families; the +Inf bucket returns the highest
+    finite bound)."""
     if math.isnan(q):
         # Spark orders NaN above every double, so the q > 1 branch below
         # would claim it; upstream returns NaN for NaN phi
@@ -150,10 +170,7 @@ def hist_quantile(q: float, hist: Column) -> Column:
         F.sequence(F.lit(1), b), F.lit(-1),
         lambda acc, i: F.when((acc == -1) & (F.element_at(counts, i) >= rank), i)
                         .otherwise(acc))
-    lower = F.when(idx == 1,
-                   F.when(F.element_at(les, 1) <= 0, F.element_at(les, 1))
-                    .otherwise(F.lit(0.0))) \
-             .otherwise(F.element_at(les, F.greatest(idx - 1, F.lit(1))))
+    lower = _bucket_lower(hist, les, idx)
     upper = F.element_at(les, F.greatest(idx, F.lit(1)))
     count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
         F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
@@ -184,8 +201,9 @@ def _cum_at(hist: Column, x: Column) -> Column:
         F.sequence(F.lit(1), b), F.lit(-1),
         lambda acc, i: F.when((acc == -1) & (F.element_at(les, i) >= x), i)
                         .otherwise(acc))
-    lower = F.when(idx == 1, F.lit(0.0)).otherwise(
-        F.element_at(les, F.greatest(idx - 1, F.lit(1))))
+    lower = F.when(_is_exp(hist), _bucket_lower(hist, les, idx)) \
+             .otherwise(F.when(idx == 1, F.lit(0.0)).otherwise(
+                 F.element_at(les, F.greatest(idx - 1, F.lit(1)))))
     count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
         F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
     upper = F.element_at(les, F.greatest(idx, F.lit(1)))
@@ -220,18 +238,20 @@ def merge_two(a: Column, b: Column) -> Column:
         le.alias("le"),
         F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
                     lambda acc, e: acc + e["count"]).alias("count")))
-    return make_hist(a["count"] + b["count"], a["sum"] + b["sum"], merged)
+    return make_hist(a["count"] + b["count"], a["sum"] + b["sum"], merged,
+                     F.coalesce(a["schema"], b["schema"]))
 
 
 def hist_stdvar(hist: Column) -> Column:
     """histogram_stdvar: estimated population variance of the observations.
     Every observation in a bucket is assumed to sit at the bucket's
-    representative value.  Our model stores explicit bounds (NHCB-style),
-    so the representative is the arithmetic midpoint of (lower, upper] —
-    the custom-buckets convention — with the anchors the quantile algebra
-    already uses (hist_quantile): first positive bucket's lower edge is 0,
-    a le<=0 bucket represents le itself, and the +Inf bucket falls back to
-    its lower edge."""
+    representative value — upstream funcHistogramStdDev: the ARITHMETIC
+    midpoint of (lower, upper] for custom buckets (NHCB), the GEOMETRIC
+    midpoint sqrt(lower·upper) for exponential schemas (with the
+    zero-spanning bucket representing exactly 0).  Lower-bound anchors are
+    the schema-aware ones the quantile algebra uses (_bucket_lower); the
+    +Inf cap bucket falls back to its lower edge (its count is 0 in our
+    model, so the term vanishes either way)."""
     bks = hist["buckets"]
     les = F.transform(bks, lambda e: e["le"])
     mean = hist["sum"] / hist["count"]
@@ -239,11 +259,14 @@ def hist_stdvar(hist: Column) -> Column:
 
     def mid(i):
         le = F.element_at(les, i)
-        lower = F.when(i == 1, F.when(le <= 0, le).otherwise(F.lit(0.0))) \
-                 .otherwise(F.element_at(les, F.greatest(i - 1, F.lit(1))))
-        return (F.when(le <= 0, le)
-                 .when(le == inf, lower)
-                 .otherwise((lower + le) / 2))
+        lower = _bucket_lower(hist, les, i)
+        arith = (F.when(le <= 0, le)
+                  .when(le == inf, lower)
+                  .otherwise((lower + le) / 2))
+        geo = (F.when(le <= 0, F.lit(0.0))
+                .when(le == inf, lower)
+                .otherwise(F.sqrt(lower * le)))
+        return F.when(_is_exp(hist), geo).otherwise(arith)
 
     var = F.aggregate(
         F.sequence(F.lit(1), F.size(bks)), F.lit(0.0),
@@ -275,14 +298,16 @@ def sub_two(a: Column, b: Column) -> Column:
         le.alias("le"),
         F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
                     lambda acc, e: acc + e["count"]).alias("count")))
-    return make_hist(a["count"] - b["count"], a["sum"] - b["sum"], merged)
+    return make_hist(a["count"] - b["count"], a["sum"] - b["sum"], merged,
+                     F.coalesce(a["schema"], b["schema"]))
 
 
 def scale_hist(h: Column, s: Column) -> Column:
     """Scalar-scale every component (extrapolation factor / per-second)."""
     return make_hist(h["count"] * s, h["sum"] * s,
                      F.transform(h["buckets"], lambda e: F.struct(
-                         e["le"].alias("le"), (e["count"] * s).alias("count"))))
+                         e["le"].alias("le"), (e["count"] * s).alias("count"))),
+                     h["schema"])
 
 
 def detect_reset(prev: Column, cur: Column) -> Column:

@@ -1259,19 +1259,26 @@ def gen_range() -> str:
 
 
 def gen_native_quantile() -> str:
-    """histogram_quantile / histogram_fraction over native-histogram
-    literals: expected values from an independent Python port of the
-    explicit-bound interpolation (linear within [lower, upper), zero
-    bucket at le=0, +Inf cap returning the highest finite bound —
-    the published bucketQuantile rule on the converted grid)."""
+    """histogram_quantile / histogram_fraction / histogram_stddev/stdvar
+    over native-histogram literals: expected values from an independent
+    Python port of the upstream EXPONENTIAL-schema semantics
+    (promql/quantile.go histogramQuantile, functions.go
+    funcHistogramStdDev): a bucket with upper bound le > 0 covers
+    (le/base, le] and interpolation uses that ACTUAL lower bound (no
+    classic first-bucket clamp); stddev midpoints are geometric
+    sqrt(lower*upper) with the zero bucket representing exactly 0; the
+    +Inf cap returns the highest finite bound."""
     def buckets_of(schema, offset, bks, z):
         base = 2.0 ** (2.0 ** -schema)
-        out = []
+        out = []  # (lo, le, count)
         if z:
-            out.append((0.0, z))
+            out.append((0.0, 0.0, z))
+        last = 0.0
         for p, c in enumerate(bks):
-            out.append((base ** (offset + p), float(c)))
-        out.append((math.inf, 0.0))
+            out.append((base ** (offset + p - 1), base ** (offset + p),
+                        float(c)))
+            last = base ** (offset + p)
+        out.append((last, math.inf, 0.0))
         return out
 
     def nq(q, bks, total):
@@ -1285,22 +1292,18 @@ def gen_native_quantile() -> str:
             return math.nan
         cum = []
         run = 0.0
-        for le, c in bks:
+        for lo, le, c in bks:
             run += c
-            cum.append((le, run))
+            cum.append((lo, le, run))
         rank = q * total
-        idx = next((i for i, (_, c) in enumerate(cum) if c >= rank), None)
+        idx = next((i for i, (_, _, c) in enumerate(cum) if c >= rank), None)
         if idx is None:
             return math.nan
-        if cum[idx][0] == math.inf:
-            return cum[-2][0] if len(cum) >= 2 else math.nan
-        if idx == 0:
-            lower = cum[0][0] if cum[0][0] <= 0 else 0.0
-            count_lo = 0.0
-        else:
-            lower = cum[idx - 1][0]
-            count_lo = cum[idx - 1][1]
-        upper, count_hi = cum[idx]
+        if cum[idx][1] == math.inf:
+            return cum[-2][1] if len(cum) >= 2 else math.nan
+        lower = cum[idx][0]
+        count_lo = 0.0 if idx == 0 else cum[idx - 1][2]
+        upper, count_hi = cum[idx][1], cum[idx][2]
         denom = count_hi - count_lo
         if denom == 0:
             frac = math.nan if rank - count_lo == 0 else math.inf
@@ -1311,17 +1314,17 @@ def gen_native_quantile() -> str:
     def cum_at(bks, total, x):
         cum = []
         run = 0.0
-        for le, c in bks:
+        for lo, le, c in bks:
             run += c
-            cum.append((le, run))
-        idx = next((i for i, (le, _) in enumerate(cum) if le >= x), None)
+            cum.append((lo, le, run))
+        idx = next((i for i, (_, le, _) in enumerate(cum) if le >= x), None)
         if idx is None or x == math.inf:
             return total
         if x <= 0.0:
             return 0.0
-        lower = 0.0 if idx == 0 else cum[idx - 1][0]
-        count_lo = 0.0 if idx == 0 else cum[idx - 1][1]
-        upper, count_hi = cum[idx]
+        lower = cum[idx][0]
+        count_lo = 0.0 if idx == 0 else cum[idx - 1][2]
+        upper, count_hi = cum[idx][1], cum[idx][2]
         frac = 0.0 if upper == lower else (x - lower) / (upper - lower)
         frac = min(max(frac, 0.0), 1.0)
         return count_lo + (count_hi - count_lo) * frac
@@ -1364,13 +1367,35 @@ def gen_native_quantile() -> str:
             frac = (cum_at(bks, total, hi) - cum_at(bks, total, lo)) / total
             lines.append(f"\t{{case=\"{case}\"}} {fmt(frac)}")
         lines.append("")
-    # histogram_stddev/stdvar ride the same bucket-midpoint estimate —
-    # covered by hand slices; here just sum/count/avg sanity per case
     lines.append("eval instant at 200s histogram_avg(nh)")
     for case, h in HISTS.items():
         total = h["z"] + sum(h["bks"])
         lines.append(f"\t{{case=\"{case}\"}} {fmt(h['sum'] / total)}")
     lines.append("")
+
+    # stddev/stdvar: geometric bucket midpoints sqrt(lower*upper) for
+    # exponential schemas, zero bucket -> 0 (funcHistogramStdDev)
+    def stdvar(h):
+        bks = buckets_of(h["schema"], h["offset"], h["bks"], h["z"])
+        total = h["z"] + sum(h["bks"])
+        mean = h["sum"] / total
+        var = 0.0
+        for lo, le, c in bks:
+            if le == math.inf:
+                mid = lo
+            elif le <= 0:
+                mid = 0.0
+            else:
+                mid = math.sqrt(lo * le)
+            var += c * (mid - mean) * (mid - mean)
+        return var / total
+
+    for fn, post in (("histogram_stdvar", lambda v: v),
+                     ("histogram_stddev", math.sqrt)):
+        lines.append(f"eval instant at 200s {fn}(nh)")
+        for case, h in HISTS.items():
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(post(stdvar(h)))}")
+        lines.append("")
     return "\n".join(lines)
 
 
