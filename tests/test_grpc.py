@@ -201,3 +201,19 @@ def test_proto_roundtrips():
         {"__name__": "m", "job": "a"}, [(1000, 1.5), (2000, float("inf"))]))
     assert ts["labels"] == {"__name__": "m", "job": "a"}
     assert ts["samples"] == [(1000, 1.5), (2000, float("inf"))]
+
+
+def test_per_request_lookback_delta(served):
+    """The reference threads req.LookbackDeltaSeconds into query opts
+    (thanos.go:247): a short lookback must drop series whose last sample
+    is older than the delta."""
+    import thanos_parquet_gateway_spark.api.grpc_pb as pb
+
+    # default lookback (60s): at t=60s, every m series is still live
+    full = [m for m in served.query("sum(m)", 60) if "timeseries" in m]
+    assert full and full[0]["timeseries"]["samples"][0][1] == 106.0
+    # 5s lookback: newest samples are at 20s -> nothing within (55s, 60s]
+    msgs = served.call("/thanos.Query/Query", pb.encode_query_request(
+        "sum(m)", 60, lookback_delta_seconds=5))
+    assert not [m for m in msgs
+                if "timeseries" in pb.decode_query_response(m)]

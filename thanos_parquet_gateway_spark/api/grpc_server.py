@@ -223,18 +223,20 @@ class ThanosGrpcServer:
 
     def handle_query(self, body: bytes) -> list[bytes]:
         req = pb.decode_query_request(body)
+        lb = req["lookback_delta_seconds"] * 1000 or None
         res = self._compile_guard(lambda: self.qs.query(
             req["query"], req["time_seconds"] * 1000,
-            replica_labels=req["replica_labels"]))
+            replica_labels=req["replica_labels"], lookback_ms=lb))
         return _query_result_messages(res)
 
     def handle_query_range(self, body: bytes) -> list[bytes]:
         req = pb.decode_query_range_request(body)
+        lb = req["lookback_delta_seconds"] * 1000 or None
         res = self._compile_guard(lambda: self.qs.query_range(
             req["query"], req["start_time_seconds"] * 1000,
             req["end_time_seconds"] * 1000,
             req["interval_seconds"] * 1000,
-            replica_labels=req["replica_labels"]))
+            replica_labels=req["replica_labels"], lookback_ms=lb))
         return _query_result_messages(res)
 
     def handle_info(self, _body: bytes) -> list[bytes]:

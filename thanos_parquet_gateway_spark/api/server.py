@@ -48,18 +48,22 @@ class QueryServer:
         self.max_concurrent = max_concurrent
         self.row_quota = row_quota
         self.byte_quota = byte_quota
-        # one (engine, api) per distinct replica-label set, built lazily —
-        # the reference builds a DBQueryable per request (thanos.go:135-147);
-        # DataFrame plans are lazy so caching by key is the same cost model
-        self._apis: dict[tuple[str, ...], QueryAPI] = {}
+        # one (engine, api) per distinct (replica-label set, lookback),
+        # built lazily — the reference builds a DBQueryable per request
+        # (thanos.go:135-147) and threads the per-request LookbackDelta
+        # through query opts (thanos.go:247); DataFrame plans are lazy so
+        # caching by key is the same cost model
+        self._apis: dict[tuple, QueryAPI] = {}
 
-    def _api(self, replica_labels: list[str] | None) -> QueryAPI:
-        key = tuple(sorted(replica_labels or ()))
+    def _api(self, replica_labels: list[str] | None,
+             lookback_ms: int | None = None) -> QueryAPI:
+        lb = lookback_ms or self.lookback_ms
+        key = (tuple(sorted(replica_labels or ())), lb)
         if key not in self._apis:
             eng = PromQLEngine(self.samples,
-                               lookback_ms=self.lookback_ms,
+                               lookback_ms=lb,
                                deterministic=self.deterministic,
-                               replica_labels=list(key) or None,
+                               replica_labels=list(key[0]) or None,
                                ext_labels=self.ext_labels,
                                streams=self.streams)
             self._apis[key] = QueryAPI(eng, self.max_concurrent,
@@ -113,13 +117,15 @@ class QueryServer:
 
     # ----------------------------------------------------- Query/QueryRange
     def query(self, q: str, t_ms: int,
-              replica_labels: list[str] | None = None) -> dict:
-        return self._api(replica_labels).query(q, t_ms)
+              replica_labels: list[str] | None = None,
+              lookback_ms: int | None = None) -> dict:
+        return self._api(replica_labels, lookback_ms).query(q, t_ms)
 
     def query_range(self, q: str, start_ms: int, end_ms: int, step_ms: int,
-                    replica_labels: list[str] | None = None) -> dict:
-        return self._api(replica_labels).query_range(q, start_ms, end_ms,
-                                                     step_ms)
+                    replica_labels: list[str] | None = None,
+                    lookback_ms: int | None = None) -> dict:
+        return self._api(replica_labels, lookback_ms).query_range(
+            q, start_ms, end_ms, step_ms)
 
     # ------------------------------------------------------- Series export
     def series_df(self, matchers: list[str], start_ms: int, end_ms: int, *,
