@@ -62,12 +62,12 @@ def _parse_hist(body: str) -> dict:
     bucket maps to le=0.  A trailing +Inf bucket (le=inf, count 0) is
     appended if absent so quantile algebra has its cap."""
     h = {"schema": 0, "count": None, "sum": 0.0, "offset": 0,
-         "z_bucket": 0.0, "buckets": []}
+         "z_bucket": 0.0, "buckets": [], "n_offset": 0, "n_buckets": []}
     for m in re.finditer(r"(\w+):(\[[^\]]*\]|\S+)", body):
         k, v = m.group(1), m.group(2)
-        if k == "buckets":
-            h["buckets"] = [float(x) for x in v.strip("[]").split()]
-        elif k in ("schema", "offset"):
+        if k in ("buckets", "n_buckets"):
+            h[k] = [float(x) for x in v.strip("[]").split()]
+        elif k in ("schema", "offset", "n_offset"):
             h[k] = int(v)
         elif k in ("count", "sum", "z_bucket"):
             h[k] = float(v)
@@ -75,6 +75,11 @@ def _parse_hist(body: str) -> dict:
             raise ValueError(f"unsupported histogram field {k!r}")
     base = 2.0 ** (2.0 ** -h["schema"])
     bks = []
+    # negative buckets: index i covers [-base^i, -base^(i-1)); the stored
+    # upper bound is -base^(i-1) (ascending le order = descending index)
+    for p, c in enumerate(h["n_buckets"]):
+        bks.append((-(base ** (h["n_offset"] + p - 1)), float(c)))
+    bks.sort()
     if h["z_bucket"]:
         bks.append((0.0, h["z_bucket"]))
     for p, c in enumerate(h["buckets"]):

@@ -134,17 +134,19 @@ def _cumulative(hist: Column) -> Column:
 def _bucket_lower(hist: Column, les: Column, i: Column) -> Column:
     """Lower bound of bucket i (1-based) under the histogram's schema
     semantics: custom/NHCB → classic rule (first bucket clamps to 0 unless
-    le <= 0, else previous le); exponential → le/base for le > 0 (the
-    ACTUAL bound, upstream histogramQuantile uses it unclamped), le itself
-    for the zero bucket, previous le for the +Inf cap (so cumulative
-    interpolation above the last finite bound stays finite)."""
+    le <= 0, else previous le); exponential → the ACTUAL bounds upstream
+    histogramQuantile uses unclamped: le/base for a positive bucket,
+    le·base for a negative one (index i covers [-base^i, -base^(i-1))),
+    le itself for the zero bucket, previous le for the +Inf cap (so
+    cumulative interpolation above the last finite bound stays finite)."""
     le = F.element_at(les, F.greatest(i, F.lit(1)))
     prev = F.when(i == 1, F.lit(0.0)) \
             .otherwise(F.element_at(les, F.greatest(i - 1, F.lit(1))))
     classic = F.when(i == 1,
                      F.when(le <= 0, le).otherwise(F.lit(0.0))) \
                .otherwise(prev)
-    expo = (F.when(le <= 0, le)
+    expo = (F.when(le == 0, le)
+             .when(le < 0, le * _base(hist))
              .when(le == F.lit(float("inf")), prev)
              .otherwise(le / _base(hist)))
     return F.when(_is_exp(hist), expo).otherwise(classic)
@@ -213,8 +215,11 @@ def _cum_at(hist: Column, x: Column) -> Column:
     interp = count_lo + (count_hi - count_lo) * F.least(F.greatest(frac, F.lit(0.0)),
                                                         F.lit(1.0))
     total = hist["count"]
+    # classic/NHCB grids have no mass below 0; exponential grids may carry
+    # negative buckets, so x <= 0 interpolates generically there (the frac
+    # clamp handles x below the first bucket's lower bound)
     return (F.when(idx == -1, total)           # x above every bound
-             .when(x <= F.lit(0.0), F.lit(0.0))
+             .when(~_is_exp(hist) & (x <= F.lit(0.0)), F.lit(0.0))
              .otherwise(interp))
 
 
@@ -263,8 +268,9 @@ def hist_stdvar(hist: Column) -> Column:
         arith = (F.when(le <= 0, le)
                   .when(le == inf, lower)
                   .otherwise((lower + le) / 2))
-        geo = (F.when(le <= 0, F.lit(0.0))
+        geo = (F.when(le == 0, F.lit(0.0))
                 .when(le == inf, lower)
+                .when(le < 0, -F.sqrt(lower * le))  # signed (upstream)
                 .otherwise(F.sqrt(lower * le)))
         return F.when(_is_exp(hist), geo).otherwise(arith)
 

@@ -1268,16 +1268,20 @@ def gen_native_quantile() -> str:
     classic first-bucket clamp); stddev midpoints are geometric
     sqrt(lower*upper) with the zero bucket representing exactly 0; the
     +Inf cap returns the highest finite bound."""
-    def buckets_of(schema, offset, bks, z):
+    def buckets_of(schema, offset, bks, z, n_offset=0, n_bks=()):
         base = 2.0 ** (2.0 ** -schema)
         out = []  # (lo, le, count)
+        # negative bucket index i covers [-base^i, -base^(i-1))
+        for p, c in enumerate(n_bks):
+            i = n_offset + p
+            out.append((-(base ** i), -(base ** (i - 1)), float(c)))
+        out.sort()
         if z:
             out.append((0.0, 0.0, z))
-        last = 0.0
         for p, c in enumerate(bks):
             out.append((base ** (offset + p - 1), base ** (offset + p),
                         float(c)))
-            last = base ** (offset + p)
+        last = out[-1][1] if out else 0.0
         out.append((last, math.inf, 0.0))
         return out
 
@@ -1320,8 +1324,8 @@ def gen_native_quantile() -> str:
         idx = next((i for i, (_, le, _) in enumerate(cum) if le >= x), None)
         if idx is None or x == math.inf:
             return total
-        if x <= 0.0:
-            return 0.0
+        # no x<=0 shortcut: exponential grids may carry negative buckets;
+        # the frac clamp returns 0 below the first bucket's lower bound
         lower = cum[idx][0]
         count_lo = 0.0 if idx == 0 else cum[idx - 1][2]
         upper, count_hi = cum[idx][1], cum[idx][2]
@@ -1335,26 +1339,41 @@ def gen_native_quantile() -> str:
         "zero": dict(schema=0, offset=0, bks=[2, 2], z=3.0, sum=7.0),
         "neg_off": dict(schema=0, offset=-2, bks=[4, 4, 4], z=0.0, sum=5.0),
         "sparse": dict(schema=0, offset=1, bks=[0, 0, 5], z=0.0, sum=55.0),
+        # negative buckets: index i covers [-base^i, -base^(i-1))
+        "mixed": dict(schema=0, offset=0, bks=[2, 1], z=1.0, sum=-3.0,
+                      n_offset=0, n_bks=[3, 2]),
+        "neg_only": dict(schema=0, offset=0, bks=[], z=0.0, sum=-20.0,
+                         n_offset=1, n_bks=[4, 1]),
     }
+
+    def total_of(h):
+        return h["z"] + sum(h["bks"]) + sum(h.get("n_bks", []))
+
+    def grid(h):
+        return buckets_of(h["schema"], h["offset"], h["bks"], h["z"],
+                          h.get("n_offset", 0), h.get("n_bks", ()))
     lines = ["# GENERATED by tools/gen_promqltest.py — native-histogram",
              "# quantile/fraction interpolation over varied offsets and",
              "# zero buckets.",
              "", "load 10s"]
     for case, h in HISTS.items():
-        cnt = h["z"] + sum(h["bks"])
         zb = f" z_bucket:{fmt(h['z'])}" if h["z"] else ""
+        pos = (f" offset:{h['offset']} buckets:["
+               + " ".join(fmt(float(b)) for b in h["bks"]) + "]"
+               if h["bks"] else "")
+        neg = (f" n_offset:{h['n_offset']} n_buckets:["
+               + " ".join(fmt(float(b)) for b in h["n_bks"]) + "]"
+               if h.get("n_bks") else "")
         lines.append(
             f"\tnh{{case=\"{case}\"}} {{{{schema:{h['schema']} "
-            f"count:{fmt(cnt)} sum:{fmt(h['sum'])}{zb} "
-            f"offset:{h['offset']} "
-            f"buckets:[{' '.join(fmt(float(b)) for b in h['bks'])}]}}}}x30")
+            f"count:{fmt(total_of(h))} sum:{fmt(h['sum'])}{zb}"
+            f"{pos}{neg}}}}}x30")
     lines.append("")
     for q in (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0):
         lines.append(f"eval instant at 200s histogram_quantile({fmt(q)}, nh)")
         for case, h in HISTS.items():
-            bks = buckets_of(h["schema"], h["offset"], h["bks"], h["z"])
-            total = h["z"] + sum(h["bks"])
-            lines.append(f"\t{{case=\"{case}\"}} {fmt(nq(q, bks, total))}")
+            lines.append(
+                f"\t{{case=\"{case}\"}} {fmt(nq(q, grid(h), total_of(h)))}")
         lines.append("")
     for lo, hi in ((0.0, 1.0), (0.5, 2.0), (1.0, 8.0), (0.0, math.inf),
                    (2.0, 4.0)):
@@ -1362,29 +1381,29 @@ def gen_native_quantile() -> str:
         lines.append(f"eval instant at 200s "
                      f"histogram_fraction({fmt(lo)}, {hi_s}, nh)")
         for case, h in HISTS.items():
-            bks = buckets_of(h["schema"], h["offset"], h["bks"], h["z"])
-            total = h["z"] + sum(h["bks"])
+            bks, total = grid(h), total_of(h)
             frac = (cum_at(bks, total, hi) - cum_at(bks, total, lo)) / total
             lines.append(f"\t{{case=\"{case}\"}} {fmt(frac)}")
         lines.append("")
     lines.append("eval instant at 200s histogram_avg(nh)")
     for case, h in HISTS.items():
-        total = h["z"] + sum(h["bks"])
-        lines.append(f"\t{{case=\"{case}\"}} {fmt(h['sum'] / total)}")
+        lines.append(
+            f"\t{{case=\"{case}\"}} {fmt(h['sum'] / total_of(h))}")
     lines.append("")
 
     # stddev/stdvar: geometric bucket midpoints sqrt(lower*upper) for
     # exponential schemas, zero bucket -> 0 (funcHistogramStdDev)
     def stdvar(h):
-        bks = buckets_of(h["schema"], h["offset"], h["bks"], h["z"])
-        total = h["z"] + sum(h["bks"])
+        bks, total = grid(h), total_of(h)
         mean = h["sum"] / total
         var = 0.0
         for lo, le, c in bks:
             if le == math.inf:
                 mid = lo
-            elif le <= 0:
+            elif le == 0:
                 mid = 0.0
+            elif le < 0:
+                mid = -math.sqrt(lo * le)  # signed geometric midpoint
             else:
                 mid = math.sqrt(lo * le)
             var += c * (mid - mean) * (mid - mean)
