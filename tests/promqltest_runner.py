@@ -62,10 +62,11 @@ def _parse_hist(body: str) -> dict:
     bucket maps to le=0.  A trailing +Inf bucket (le=inf, count 0) is
     appended if absent so quantile algebra has its cap."""
     h = {"schema": 0, "count": None, "sum": 0.0, "offset": 0,
-         "z_bucket": 0.0, "buckets": [], "n_offset": 0, "n_buckets": []}
+         "z_bucket": 0.0, "buckets": [], "n_offset": 0, "n_buckets": [],
+         "custom_values": None}
     for m in re.finditer(r"(\w+):(\[[^\]]*\]|\S+)", body):
         k, v = m.group(1), m.group(2)
-        if k in ("buckets", "n_buckets"):
+        if k in ("buckets", "n_buckets", "custom_values"):
             h[k] = [float(x) for x in v.strip("[]").split()]
         elif k in ("schema", "offset", "n_offset"):
             h[k] = int(v)
@@ -73,6 +74,21 @@ def _parse_hist(body: str) -> dict:
             h[k] = float(v)
         else:
             raise ValueError(f"unsupported histogram field {k!r}")
+    if h["custom_values"] is not None:
+        # NHCB (schema -53): custom_values are the finite upper bounds;
+        # buckets may carry one extra trailing +Inf overflow count
+        if h["schema"] != -53:
+            raise ValueError("custom_values requires schema:-53")
+        cv = h["custom_values"]
+        cnts = h["buckets"]
+        if len(cnts) not in (len(cv), len(cv) + 1):
+            raise ValueError("custom_values/buckets length mismatch")
+        bks = [(cv[i], float(cnts[i])) for i in range(len(cv))]
+        bks.append((float("inf"),
+                    float(cnts[len(cv)]) if len(cnts) > len(cv) else 0.0))
+        count = h["count"] if h["count"] is not None else \
+            sum(c for _, c in bks)
+        return {"hist": (count, h["sum"], bks, -53)}
     base = 2.0 ** (2.0 ** -h["schema"])
     bks = []
     # negative buckets: index i covers [-base^i, -base^(i-1)); the stored

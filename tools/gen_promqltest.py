@@ -2460,7 +2460,138 @@ def gen_scalar_fns() -> str:
     return "\n".join(lines)
 
 
+def gen_nhcb() -> str:
+    """NHCB (custom-bucket, schema -53) native histograms via the upstream
+    custom_values literal: quantile/fraction follow the CLASSIC rules
+    (first bucket's lower bound clamps to 0 unless le <= 0; no mass below
+    0), stddev/stdvar use ARITHMETIC midpoints — the custom-bucket arm of
+    funcHistogramStdDev — with the +Inf overflow representing its lower
+    edge."""
+    CASES = {
+        # custom_values, counts (incl optional +Inf overflow), sum
+        "web": ([0.1, 0.5, 1.0, 5.0], [5, 3, 1, 1, 0], 4.0),
+        "overflow": ([1.0, 2.0], [2, 3, 5], 40.0),
+        "negbound": ([-2.0, 1.0, 3.0], [1, 4, 2], 6.0),
+        "single": ([10.0], [7], 21.0),
+    }
+
+    def grid(cv, cnts):
+        bks = [(cv[i], float(cnts[i])) for i in range(len(cv))]
+        bks.append((math.inf,
+                    float(cnts[len(cv)]) if len(cnts) > len(cv) else 0.0))
+        return bks
+
+    def nq(q, bks, total):
+        if q < 0:
+            return -math.inf
+        if q > 1:
+            return math.inf
+        if total == 0:
+            return math.nan
+        cum, run = [], 0.0
+        for le, c in bks:
+            run += c
+            cum.append((le, run))
+        rank = q * total
+        idx = next((i for i, (_, c) in enumerate(cum) if c >= rank), None)
+        if idx is None:
+            return math.nan
+        if cum[idx][0] == math.inf:
+            return cum[-2][0] if len(cum) >= 2 else math.nan
+        if idx == 0:
+            lower = cum[0][0] if cum[0][0] <= 0 else 0.0
+            count_lo = 0.0
+        else:
+            lower = cum[idx - 1][0]
+            count_lo = cum[idx - 1][1]
+        upper, count_hi = cum[idx]
+        denom = count_hi - count_lo
+        frac = (math.nan if rank == count_lo else math.inf) \
+            if denom == 0 else (rank - count_lo) / denom
+        return lower + (upper - lower) * frac
+
+    def cum_at(bks, total, x):
+        cum, run = [], 0.0
+        for le, c in bks:
+            run += c
+            cum.append((le, run))
+        idx = next((i for i, (le, _) in enumerate(cum) if le >= x), None)
+        if idx is None or x == math.inf:
+            return total
+        if x <= 0.0:
+            return 0.0
+        lower = 0.0 if idx == 0 else cum[idx - 1][0]
+        count_lo = 0.0 if idx == 0 else cum[idx - 1][1]
+        upper, count_hi = cum[idx]
+        frac = 0.0 if upper == lower else (x - lower) / (upper - lower)
+        frac = min(max(frac, 0.0), 1.0)
+        return count_lo + (count_hi - count_lo) * frac
+
+    def stdvar(cv, cnts, s):
+        bks = grid(cv, cnts)
+        total = sum(c for _, c in bks)
+        mean = s / total
+        var = 0.0
+        prev = None
+        for i, (le, c) in enumerate(bks):
+            if i == 0:
+                lower = le if le <= 0 else 0.0
+            else:
+                lower = prev
+            if le <= 0:
+                mid = le
+            elif le == math.inf:
+                mid = lower
+            else:
+                mid = (lower + le) / 2
+            var += c * (mid - mean) * (mid - mean)
+            prev = le
+        return var / total
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — NHCB custom-bucket",
+             "# histograms (schema -53 custom_values literals): classic",
+             "# interpolation + arithmetic stddev midpoints.",
+             "", "load 10s"]
+    for case, (cv, cnts, s) in CASES.items():
+        lines.append(
+            f"\tch{{case=\"{case}\"}} {{{{schema:-53 "
+            f"count:{fmt(float(sum(cnts)))} sum:{fmt(s)} "
+            f"custom_values:[{' '.join(fmt(v) for v in cv)}] "
+            f"buckets:[{' '.join(fmt(float(c)) for c in cnts)}]}}}}x30")
+    lines.append("")
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        lines.append(f"eval instant at 200s histogram_quantile({fmt(q)}, ch)")
+        for case, (cv, cnts, s) in CASES.items():
+            bks = grid(cv, cnts)
+            total = sum(c for _, c in bks)
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(nq(q, bks, total))}")
+        lines.append("")
+    for lo, hi in ((0.0, 1.0), (0.5, 5.0), (0.0, math.inf)):
+        hi_s = "Inf" if hi == math.inf else fmt(hi)
+        lines.append(f"eval instant at 200s "
+                     f"histogram_fraction({fmt(lo)}, {hi_s}, ch)")
+        for case, (cv, cnts, s) in CASES.items():
+            bks = grid(cv, cnts)
+            total = sum(c for _, c in bks)
+            frac = (cum_at(bks, total, hi) - cum_at(bks, total, lo)) / total
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(frac)}")
+        lines.append("")
+    for fn, post in (("histogram_stdvar", lambda v: v),
+                     ("histogram_stddev", math.sqrt),
+                     ("histogram_avg", None)):
+        lines.append(f"eval instant at 200s {fn}(ch)")
+        for case, (cv, cnts, s) in CASES.items():
+            if post is None:
+                v = s / sum(cnts)
+            else:
+                v = post(stdvar(cv, cnts, s))
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(v)}")
+        lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
+    "gen_nhcb.test": gen_nhcb,
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
     "gen_agg.test": gen_agg,
