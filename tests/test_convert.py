@@ -420,3 +420,39 @@ def test_cli_query_instant_and_range(spark, sf_dir, tmp_path, capsys):
     assert main(["query", "--path", path, "sum(", "--time", "0"]) == 1
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "error"
+
+
+def test_native_histograms_survive_conversion(spark, tmp_path):
+    """Native-histogram samples at rest: the hist struct column (including
+    the schema field) rides through convert_samples' partitioned write and
+    queries identically off the converted parquet layout (the reference
+    stores HISTOGRAM chunks in its blocks the same way)."""
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    S = 1000
+    rows = [({"__name__": "h", "job": "a"}, 10 * S,
+             {"hist": (4.0, 14.0, [(1.0, 2), (2.0, 1), (4.0, 1),
+                                   (float("inf"), 0.0)], 0)}),
+            ({"__name__": "h", "job": "b"}, 10 * S,
+             {"hist": (2.0, 6.0, [(1.0, 1), (float("inf"), 1.0)], None)}),
+            ({"__name__": "f", "job": "a"}, 10 * S, 3.5)]
+    out = str(tmp_path / "hist_table")
+    convert_samples(make_samples(spark, rows), out)
+    eng = PromQLEngine(spark.read.parquet(out), lookback_ms=60 * S,
+                       deterministic=True)
+
+    got = {tuple(sorted(r["labels"].items())): r["value"]
+           for r in eng.query_instant("histogram_count(h)", 20 * S)
+                       .df.collect()}
+    assert got == {(("job", "a"),): 4.0, (("job", "b"),): 2.0}
+    # schema survives: exponential bounds for job=a (schema 0 → q0.1 in
+    # (0.5, 1], lower 0.5), classic clamp for job=b (NULL schema → lower 0)
+    q = {tuple(sorted(r["labels"].items())): r["value"]
+         for r in eng.query_instant("histogram_quantile(0.1, h)", 20 * S)
+                     .df.collect()}
+    assert q[(("job", "a"),)] == 0.5 + 0.5 * (0.4 / 2.0)
+    assert q[(("job", "b"),)] == 0.0 + 1.0 * (0.2 / 1.0)
+    # float series coexist
+    f = eng.query_instant("f", 20 * S).df.collect()
+    assert len(f) == 1 and f[0]["value"] == 3.5
