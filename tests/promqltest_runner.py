@@ -12,6 +12,13 @@ Supported subset (what our corpus slice uses):
   ``metric{labels} v1 v2 ...`` lines — one value slot per step (expanding
   notation allowed, ``_`` = no point at that step).
 - ``eval_fail instant at <time> <expr>`` expecting an evaluation error.
+- ``expect`` directives on indented lines under an eval (Prometheus 3
+  promqltest syntax): ``expect fail [msg <text> | regex <re>]``,
+  ``expect warn [msg <text> | regex <re>]``, ``expect info [...]``,
+  ``expect no_warn``, ``expect no_info``.  ``warn``/``info`` check the
+  engine's PromQL annotations (QueryResult.annotations); ``msg`` matches
+  by substring (upstream compares whole message lists — substring keeps
+  the directive robust to our error-wrapping), ``regex`` by ``re.search``.
 
 Comparison is the upstream ``almost equal``: |a-b| ≤ 1e-6·|a+b| or both NaN.
 """
@@ -246,6 +253,9 @@ class EvalCase:
     expect_fail: bool = False
     line: int = 0
     ordered: bool = False
+    # ``expect`` directives: (kind, mode, text) with kind in
+    # {fail, warn, info, no_warn, no_info}, mode in {"", "msg", "regex"}
+    expects: list[tuple[str, str, str]] = field(default_factory=list)
     # range evals: (start_ms, end_ms, step_ms); expected holds
     # (labels, [v_or_None per step]) instead of (labels, value)
     range_ms: tuple[int, int, int] | None = None
@@ -262,6 +272,23 @@ class TestScript:
 
     def all_sections(self) -> list[tuple[list, list]]:
         return [*self.sections, (self.samples, self.evals)]
+
+
+_EXPECT_RE = re.compile(r"expect\s+(fail|warn|info|no_warn|no_info)"
+                        r"(?:\s+(msg|regex)\s+(.*))?$")
+
+
+def _parse_expect(eline: str, case: EvalCase) -> bool:
+    """Parse an ``expect`` directive line into ``case.expects``; returns
+    True if the line was one (Prometheus 3 promqltest syntax)."""
+    m = _EXPECT_RE.fullmatch(eline)
+    if not m:
+        return False
+    kind, mode, text = m.group(1), m.group(2) or "", (m.group(3) or "").strip()
+    case.expects.append((kind, mode, text))
+    if kind == "fail":
+        case.expect_fail = True
+    return True
 
 
 def parse_test(text: str) -> TestScript:
@@ -307,10 +334,12 @@ def parse_test(text: str) -> TestScript:
                                       lines[i].startswith("\t")):
                 eline = lines[i].strip()
                 if eline and not eline.startswith("#"):
+                    if _parse_expect(eline, case):
+                        pass
                     # Bare numeric line = scalar expectation (upstream allows
                     # "eval ... <scalar expr>" followed by just the value).
-                    if re.fullmatch(r"-?(?:[0-9.]+(?:e-?\d+)?|NaN|Inf|\+Inf)",
-                                    eline, re.IGNORECASE):
+                    elif re.fullmatch(r"-?(?:[0-9.]+(?:e-?\d+)?|NaN|Inf|\+Inf)",
+                                      eline, re.IGNORECASE):
                         case.expected.append(({}, _num(eline)))
                     else:
                         labels, rest = parse_series_id(eline)
@@ -331,6 +360,9 @@ def parse_test(text: str) -> TestScript:
                                       lines[i].startswith("\t")):
                 eline = lines[i].strip()
                 if eline and not eline.startswith("#"):
+                    if _parse_expect(eline, case):
+                        i += 1
+                        continue
                     # bare numeric line(s) = scalar range expectation (one
                     # value slot per step, like the instant form)
                     if re.fullmatch(
@@ -395,6 +427,7 @@ def _run_section(spark, samples, evals, make_samples, engine_cls,
                 got = dict(got_seq)
         except Exception as e:  # noqa: BLE001
             if case.expect_fail:
+                failures.extend(_check_fail_expects(case, str(e)))
                 continue
             failures.append(f"line {case.line}: {case.expr!r} raised "
                             f"{type(e).__name__}: {e}")
@@ -423,7 +456,58 @@ def _run_section(spark, samples, evals, make_samples, engine_cls,
                     f"line {case.line}: {case.expr!r} ordering differs:\n"
                     f"  got : {[sorted(k) for k in got_order]}\n"
                     f"  want: {[sorted(k) for k in want_order]}")
+        failures.extend(_check_annotation_expects(
+            case, getattr(res, "annotations", None)))
     return failures
+
+
+def _check_fail_expects(case: EvalCase, exc_text: str) -> list[str]:
+    """Verify ``expect fail msg/regex`` directives against the error text."""
+    fails = []
+    for kind, mode, text in case.expects:
+        if kind != "fail" or not mode:
+            continue
+        ok = (text in exc_text) if mode == "msg" else bool(
+            re.search(text, exc_text))
+        if not ok:
+            fails.append(f"line {case.line}: {case.expr!r} failed as "
+                         f"expected but message {exc_text!r} does not "
+                         f"match {mode} {text!r}")
+    return fails
+
+
+def _check_annotation_expects(case: EvalCase, annotations) -> list[str]:
+    """Verify warn/info/no_warn/no_info ``expect`` directives against the
+    engine's PromQL annotations (QueryResult.annotations)."""
+    ann = annotations or []
+    warns = [m for k, m in ann if k == "warn"]
+    infos = [m for k, m in ann if k == "info"]
+    fails = []
+    for kind, mode, text in case.expects:
+        if kind == "fail":
+            continue
+        if kind == "no_warn":
+            if warns:
+                fails.append(f"line {case.line}: {case.expr!r} expected no "
+                             f"warnings, got {warns}")
+            continue
+        if kind == "no_info":
+            if infos:
+                fails.append(f"line {case.line}: {case.expr!r} expected no "
+                             f"info annotations, got {infos}")
+            continue
+        pool = warns if kind == "warn" else infos
+        if mode == "msg":
+            ok = any(text in m for m in pool)
+        elif mode == "regex":
+            ok = any(re.search(text, m) for m in pool)
+        else:
+            ok = bool(pool)
+        if not ok:
+            want = f"{kind} {mode} {text}".strip()
+            fails.append(f"line {case.line}: {case.expr!r} expected "
+                         f"{want}, got annotations {ann}")
+    return fails
 
 
 def _run_range_case(eng, case: EvalCase) -> list[str]:
@@ -433,7 +517,7 @@ def _run_range_case(eng, case: EvalCase) -> list[str]:
         rows = res.df.collect()
     except Exception as e:  # noqa: BLE001
         if case.expect_fail:
-            return []
+            return _check_fail_expects(case, str(e))
         return [f"line {case.line}: {case.expr!r} raised "
                 f"{type(e).__name__}: {e}"]
     if case.expect_fail:
@@ -465,4 +549,6 @@ def _run_range_case(eng, case: EvalCase) -> list[str]:
             if not almost_equal(got[k][t], v):
                 failures.append(f"line {case.line}: {case.expr!r} {dict(k)} "
                                 f"@{t}: got {got[k][t]}, want {v}")
+    failures.extend(_check_annotation_expects(
+        case, getattr(res, "annotations", None)))
     return failures

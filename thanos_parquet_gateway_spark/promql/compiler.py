@@ -655,6 +655,11 @@ class Compiler:
             if math.isnan(float(param)):
                 raise PromQLCompileError("limit_ratio: ratio value is NaN")
             r = max(-1.0, min(1.0, float(param)))
+            if float(param) < -1.0 or float(param) > 1.0:
+                # upstream annotations.NewInvalidRatioWarning
+                self.annotate("warn",
+                              "ratio value should be between -1 and 1, got "
+                              f"{fmt_g(float(param))}, capping to {fmt_g(r)}")
             u = (F.xxhash64(F.col("sig")).cast("double")
                  / F.lit(float(2 ** 64)) + F.lit(0.5))
             keep = (u < F.lit(r)) if r >= 0 else (u >= F.lit(1.0 + r))
