@@ -9,13 +9,18 @@ Select with no single-partition stage — db/db_bench_test.go:143-307); for a
 similarity ranker it is the whole corpus squeezing through one task per
 query.  Here instead:
 
-- phase 1 ranks inside each scanning partition: ``groupBy(*group,
-  spark_partition_id())`` keeps parallelism at groups × partitions, and no
-  aggregation buffer ever exceeds one input split (ObjectHashAggregate
-  falls back to sort-based + spill beyond
-  ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``, so even a
-  skewed split cannot OOM the buffer).  The per-group rank is a codegen'd
+- phase 0 pre-cuts inside each scanning partition at sub-bucket grain:
+  ``groupBy(*group, spark_partition_id(), xxhash64(key) % B)`` bounds every
+  ``collect_list`` buffer — and every row crossing the first shuffle — to
+  ~1/B of an input split (Spark has no bounded-heap *aggregate* function;
+  higher-order ``aggregate`` folds only run over already-collected arrays,
+  so deterministic sub-bucketing + per-bucket cut is the built-in way to cap
+  the buffer; a global top-k element is by construction inside the top-k of
+  whichever bucket it hashes into).  The per-bucket rank is a codegen'd
   ``array_sort`` + ``slice(…, k)``.
+- phase 1 merges the ≤ B × k pre-cut survivors of each scanning partition
+  back to one ≤ k list per (group, partition): parallelism stays at
+  groups × partitions, buffers at B × k.
 - phase 2 merges survivors: at most partitions × k rows per group reach the
   final ``groupBy(*group)`` — constant in input size.
 
@@ -36,6 +41,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: sub-buckets per scanning partition in phase 0 — caps any single
+#: ``collect_list`` buffer (and any single shuffled row) at ~1/B of an
+#: input split.  32 matches the local test parallelism; at cluster scale
+#: the bound is maxPartitionBytes/B ≈ 4 MB of key structs per buffer.
+_PHASE0_BUCKETS = 32
+
+
 def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
                  k: int | Column) -> DataFrame:
     """Return ``group_cols + (__pos, __x)`` where ``__x`` iterates the first
@@ -51,9 +63,24 @@ def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
         n = F.least(F.greatest(kk, F.lit(0)), F.size(arr).cast("long"))
         return F.slice(arr, 1, n.cast("int"))
 
-    partial = (staged
-               .groupBy(*group_cols, F.spark_partition_id().alias("__pid"))
-               .agg(F.collect_list("__k").alias("__l"),
+    # phase 0: deterministic sub-buckets (xxhash64 of the full sort key, so
+    # retries re-bucket identically) pre-cut to k before anything big is
+    # collected or shuffled.  Correctness: every row lands in exactly one
+    # bucket, and a global top-k element is always within the top-k of its
+    # own bucket, so the union of per-bucket cuts is a superset of the
+    # (group, partition) top-k that phase 1 extracts.
+    pre = (staged
+           .groupBy(*group_cols, F.spark_partition_id().alias("__pid"),
+                    F.pmod(F.xxhash64("__k"),
+                           F.lit(_PHASE0_BUCKETS)).alias("__b"))
+           .agg(F.collect_list("__k").alias("__l"),
+                F.first("__kk").alias("__kk"))
+           .select(*group_cols, "__pid",
+                   _cut(F.array_sort("__l"), F.col("__kk")).alias("__t"),
+                   "__kk"))
+    partial = (pre
+               .groupBy(*group_cols, "__pid")
+               .agg(F.flatten(F.collect_list("__t")).alias("__l"),
                     F.first("__kk").alias("__kk"))
                .select(*group_cols,
                        _cut(F.array_sort("__l"), F.col("__kk")).alias("__t"),
