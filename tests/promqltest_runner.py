@@ -456,9 +456,15 @@ def _run_section(spark, samples, evals, make_samples, engine_cls,
                     f"line {case.line}: {case.expr!r} ordering differs:\n"
                     f"  got : {[sorted(k) for k in got_order]}\n"
                     f"  want: {[sorted(k) for k in want_order]}")
-        failures.extend(_check_annotation_expects(
-            case, getattr(res, "annotations", None)))
+        failures.extend(_check_annotation_expects(case, _result_ann(res)))
     return failures
+
+
+def _result_ann(res):
+    """Annotations including collected data-dependent probe annotations."""
+    if hasattr(res, "all_annotations"):
+        return res.all_annotations()
+    return getattr(res, "annotations", None)
 
 
 def _check_fail_expects(case: EvalCase, exc_text: str) -> list[str]:
@@ -549,6 +555,5 @@ def _run_range_case(eng, case: EvalCase) -> list[str]:
             if not almost_equal(got[k][t], v):
                 failures.append(f"line {case.line}: {case.expr!r} {dict(k)} "
                                 f"@{t}: got {got[k][t]}, want {v}")
-    failures.extend(_check_annotation_expects(
-        case, getattr(res, "annotations", None)))
+    failures.extend(_check_annotation_expects(case, _result_ann(res)))
     return failures

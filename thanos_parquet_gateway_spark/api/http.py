@@ -175,7 +175,12 @@ class QueryAPI:
         """Attach PromQL annotations (upstream util/annotations) as the
         Prometheus API's warnings/infos arrays (the HTTP layer lifts them
         to the top-level response fields)."""
-        ann = getattr(res, "annotations", None) or []
+        if hasattr(res, "all_annotations"):
+            # includes data-dependent probe annotations (bounded
+            # side-aggregations, collected once here)
+            ann = res.all_annotations()
+        else:
+            ann = getattr(res, "annotations", None) or []
         warns = [m for k, m in ann if k == "warn"]
         infos = [m for k, m in ann if k == "info"]
         if warns:

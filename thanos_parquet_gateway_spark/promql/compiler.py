@@ -236,10 +236,20 @@ class Compiler:
         # pairs collected at compile time, surfaced as the API's top-level
         # warnings / infos arrays.  kind ∈ {"warn", "info"}.
         self.annotations: list[tuple[str, str]] = []
+        # data-dependent annotation probes: tiny (kind, msg) DataFrames whose
+        # rows only exist when the data condition holds (e.g. a malformed
+        # ``le`` label reached histogram_quantile).  Never evaluated on the
+        # query hot path — QueryResult.all_annotations collects them on
+        # demand (upstream computes these inline during its row-at-a-time
+        # eval; a declarative plan needs a bounded side-aggregation).
+        self.data_probes: list[DataFrame] = []
 
     def annotate(self, kind: str, msg: str) -> None:
         if (kind, msg) not in self.annotations:
             self.annotations.append((kind, msg))
+
+    def add_data_probe(self, df: DataFrame) -> None:
+        self.data_probes.append(df)
 
     # ------------------------------------------------------------------ grid
     def grid_df(self) -> DataFrame:
@@ -583,6 +593,21 @@ class Compiler:
             # one row per t, broadcast onto the grouped frame
             df = df.join(F.broadcast(param_df), "t")
 
+        if "hist" in df.columns and agg.op in (
+                "min", "max", "stddev", "stdvar", "quantile",
+                "topk", "bottomk", "count_values"):
+            # upstream aggregation(): native-histogram samples are skipped
+            # in these aggregators with
+            # annotations.NewHistogramIgnoredInAggregationInfo — count/group
+            # DO count histograms, sum/avg merge them (branch below),
+            # limitk/limit_ratio sample them through
+            self.add_data_probe(
+                df.filter(F.col("hist").isNotNull()).limit(1)
+                  .select(F.lit("info").alias("kind"),
+                          F.lit(f"ignored histogram in {agg.op} "
+                                "aggregation").alias("msg")))
+            df = df.filter(F.col("hist").isNull()).drop("hist")
+
         if agg.op in ("topk", "bottomk"):
             if param_df is not None:
                 # upstream errors on NaN/overflowing k ("Scalar value %v
@@ -634,9 +659,12 @@ class Compiler:
             if k < 1:
                 return InstantVector(iv.df.filter(F.lit(False)).select(
                     "t", "sig", "labels", "sample_ts", "value"))
+            lk_hist = "hist" in df.columns  # sampling keeps histograms
             key = F.struct(F.col("sig").alias("sig"),
                            F.col("sample_ts").alias("sample_ts"),
-                           F.col("value").alias("value"))
+                           F.col("value").alias("value"),
+                           *([F.col("hist").alias("hist")] if lk_hist
+                             else []))
             ranked = grouped_topk(
                 df.withColumn("__gh", F.xxhash64("gsig")),
                 ["t", "__gh"], key, k)
@@ -644,7 +672,8 @@ class Compiler:
                 "t", F.col("__x.sig").alias("sig"),
                 labels_from_sig(F.col("__x.sig")).alias("labels"),
                 F.col("__x.sample_ts").alias("sample_ts"),
-                F.col("__x.value").alias("value"))
+                F.col("__x.value").alias("value"),
+                *([F.col("__x.hist").alias("hist")] if lk_hist else []))
             return InstantVector(out)
 
         if agg.op == "limit_ratio":
@@ -663,8 +692,10 @@ class Compiler:
             u = (F.xxhash64(F.col("sig")).cast("double")
                  / F.lit(float(2 ** 64)) + F.lit(0.5))
             keep = (u < F.lit(r)) if r >= 0 else (u >= F.lit(1.0 + r))
-            out = df.filter(keep).select("t", "sig", "labels",
-                                         "sample_ts", "value")
+            out = df.filter(keep).select(
+                "t", "sig", "labels", "sample_ts", "value",
+                *(["hist"] if "hist" in df.columns else []))  # sampling
+            #   keeps histogram samples, like upstream AddRatioSample
             return InstantVector(out)
 
         if agg.op == "count_values":
@@ -725,13 +756,30 @@ class Compiler:
                            F.lit(None).cast("long").alias("sample_ts"), "value"))
             return InstantVector(out)
 
+        hist_part = None  # histogram-group sum/avg output, unioned onto the
+        #                   float result at the return sites below
         if "hist" in df.columns and agg.op in ("sum", "avg"):
             # native-histogram sum: le-aligned bucket merge (histograms.py);
             # avg = the same merge scaled by 1/n (upstream aggregates
-            # histograms through FloatHistogram.Add then Div)
+            # histograms through FloatHistogram.Add then Div).  Upstream
+            # aggregation() semantics per (step, group): all-float groups
+            # aggregate normally, all-histogram groups merge, MIXED groups
+            # are removed entirely with
+            # annotations.NewMixedFloatsHistogramsAggWarning.
             from thanos_parquet_gateway_spark.promql import histograms as H
-            hdf = (df.filter(F.col("hist").isNotNull())
-                   .withColumn("__gh", F.xxhash64("gsig")))
+            dfh = df.withColumn("__gh", F.xxhash64("gsig"))
+            mixed = (dfh.groupBy("t", "__gh")
+                     .agg(F.max(F.col("hist").isNotNull()).alias("__h"),
+                          F.max(F.col("hist").isNull()).alias("__f"))
+                     .filter(F.col("__h") & F.col("__f"))
+                     .select("t", "__gh"))
+            self.add_data_probe(mixed.limit(1).select(
+                F.lit("warn").alias("kind"),
+                F.lit("encountered a mix of histograms and floats for "
+                      "aggregation").alias("msg")))
+            dfh = dfh.join(mixed, ["t", "__gh"], "left_anti")
+            hdf = dfh.filter(F.col("hist").isNotNull())
+            df = dfh.filter(F.col("hist").isNull()).drop("hist", "__gh")
             totals = (hdf.groupBy("t", "__gh")
                       .agg(F.first("gsig").alias("gsig"),
                            F.sum(F.col("hist.count")).alias("__c"),
@@ -753,12 +801,17 @@ class Compiler:
                                  F.col("__sch"))
             if agg.op == "avg":
                 merged = H.scale_hist(merged, F.lit(1.0) / F.col("__n"))
-            out = (totals.join(buckets, ["t", "__gh"])
-                   .select("t", F.col("gsig").alias("sig"), "labels",
-                           F.lit(None).cast("long").alias("sample_ts"),
-                           F.lit(float("nan")).alias("value"),
-                           merged.alias("hist")))
-            return InstantVector(out)
+            hist_part = (totals.join(buckets, ["t", "__gh"])
+                         .select("t", F.col("gsig").alias("sig"), "labels",
+                                 F.lit(None).cast("long").alias("sample_ts"),
+                                 F.lit(float("nan")).alias("value"),
+                                 merged.alias("hist")))
+            # float rows fall through to the aggregation paths below
+
+        def _with_hist(out_df):
+            if hist_part is None:
+                return out_df
+            return out_df.unionByName(hist_part, allowMissingColumns=True)
 
         if self.p.deterministic or (param_df is not None
                                     and agg.op == "quantile"):
@@ -790,7 +843,7 @@ class Compiler:
             out = g.select("t", F.col("gsig").alias("sig"), "labels",
                            F.lit(None).cast("long").alias("sample_ts"),
                            val.alias("value"))
-            return InstantVector(out)
+            return InstantVector(_with_hist(out))
 
         nanif = _nan_to_null(F.col("value"))
         exprs = {
@@ -811,7 +864,7 @@ class Compiler:
                .select("t", F.col("gsig").alias("sig"), "labels",
                        F.lit(None).cast("long").alias("sample_ts"),
                        F.col("value").cast("double").alias("value")))
-        return InstantVector(out)
+        return InstantVector(_with_hist(out))
 
     # -------------------------------------------------------------- binary
     def _const_scalar_df(self, v: float) -> DataFrame:

@@ -35,8 +35,30 @@ class QueryResult:
     df: DataFrame
     result_type: str  # 'vector' | 'matrix' | 'scalar'
     # PromQL annotations (upstream util/annotations, served as the API's
-    # top-level warnings/infos): list of ("warn" | "info", message)
+    # top-level warnings/infos): list of ("warn" | "info", message).
+    # Statically-determinable annotations only — data-dependent ones
+    # (e.g. histogram_quantile forced monotonicity) live in ``probes``.
     annotations: list = None
+    # Deferred data-dependent annotation probes: tiny DataFrames of
+    # (kind, msg) rows.  Upstream's row-at-a-time evaluator computes these
+    # inline for free; a declarative plan cannot know data-dependent facts
+    # until an action runs, so they are bounded side-aggregations collected
+    # ONLY when a consumer asks for annotations (all_annotations) — the
+    # query hot path (df) never pays for them.
+    probes: list = None
+
+    def all_annotations(self) -> list:
+        """Static annotations plus collected data-dependent probes.
+        Collection happens once; results are folded into ``annotations``."""
+        ann = list(self.annotations or [])
+        for p in self.probes or []:
+            for r in p.collect():
+                item = (r["kind"], r["msg"])
+                if item not in ann:
+                    ann.append(item)
+        self.annotations = ann
+        self.probes = []
+        return ann
 
 
 class PromQLEngine:
@@ -120,6 +142,7 @@ class PromQLEngine:
                     step_ms: int) -> QueryResult:
         comp, v = self._compile(q, start_ms, end_ms, step_ms)
         ann = comp.annotations
+        probes = comp.data_probes
         if isinstance(v, StringV):
             # upstream: "invalid expression type \"string\" for range query"
             raise ValueError(
@@ -127,33 +150,34 @@ class PromQLEngine:
         if isinstance(v, float):
             v = ScalarV(comp._const_scalar_df(v))
         if isinstance(v, ScalarV):
-            return QueryResult(v.df.select("t", "value"), "scalar", ann)
+            return QueryResult(v.df.select("t", "value"), "scalar", ann, probes)
         if isinstance(v, RangeVector):
             raise ValueError("range query must evaluate to an instant vector/scalar")
         if isinstance(v, InstantVector):
             extra = ["hist"] if "hist" in v.df.columns else []
             df = v.df.select("t", "sig", "labels", "value", *extra)
-            return QueryResult(df, "matrix", ann)
+            return QueryResult(df, "matrix", ann, probes)
         raise ValueError(f"unexpected result {type(v).__name__}")
 
     def query_instant(self, q: str, t_ms: int) -> QueryResult:
         comp, v = self._compile(q, t_ms, t_ms, 1)
         ann = comp.annotations
+        probes = comp.data_probes
         if isinstance(v, StringV):
             # string literal result (API resultType "string")
             df = self.samples.sparkSession.createDataFrame(
                 [(t_ms, v.value)], "t long, value string")
-            return QueryResult(df, "string", ann)
+            return QueryResult(df, "string", ann, probes)
         if isinstance(v, float):
             v = ScalarV(comp._const_scalar_df(v))
         if isinstance(v, ScalarV):
-            return QueryResult(v.df.select("t", "value"), "scalar", ann)
+            return QueryResult(v.df.select("t", "value"), "scalar", ann, probes)
         if isinstance(v, RangeVector):
             return QueryResult(v.df.select("t", "sig", "labels", "ts", "value"),
-                               "matrix", ann)
+                               "matrix", ann, probes)
         extra = ["hist"] if "hist" in v.df.columns else []
         return QueryResult(v.df.select("t", "sig", "labels", "value", *extra),
-                           "vector", ann)
+                           "vector", ann, probes)
 
     # ------------------------------------------- metadata APIs (A27-A31)
     def _matched(self, match: list[str], start_ms: int, end_ms: int) -> DataFrame:

@@ -489,12 +489,18 @@ def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
 
 
 # --------------------------------------------------------- histogram_quantile
-def _histogram_quantile_classic(q: float, df) -> "DataFrame":
+def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
     """Classic-bucket quantile: group bucket series by labels-minus-le, sort
     by le, enforce monotonicity, linearly interpolate (reference test evidence
     db/db_test.go:344-351; upstream algorithm bucketQuantile).  Takes the
     instant-vector rows (float samples carrying le labels) and returns the
-    result rows."""
+    result rows.
+
+    With a compiler ``c``, registers the upstream data-dependent annotations
+    (bad-bucket-label warning, forced-monotonicity info) as deferred probe
+    DataFrames — bounded side-aggregations collected only when a consumer
+    reads annotations (QueryResult.all_annotations), never on the query hot
+    path.  Message wording follows upstream util/annotations intent."""
     # Python-side NaN check: Spark's NaN ordering would route NaN phi into
     # the q > 1 → +Inf branch below; upstream returns NaN per series
     qnan = math.isnan(q)
@@ -503,14 +509,33 @@ def _histogram_quantile_classic(q: float, df) -> "DataFrame":
     df = df.withColumn(
         "__le",
         F.when(F.element_at(F.col("labels"), "le").isin("+Inf", "Inf", "inf"), INF())
-         .otherwise(F.element_at(F.col("labels"), "le").cast(D)))
+         .otherwise(F.element_at(F.col("labels"), "le").try_cast(D)))
+    if c is not None:
+        # upstream annotations.NewBadBucketLabelWarning: float samples whose
+        # ``le`` is missing or unparsable are dropped with a warning
+        raw_le = F.coalesce(F.element_at(F.col("labels"), "le"), F.lit(""))
+        mname = F.coalesce(F.element_at(F.col("labels"), "__name__"),
+                           F.lit(""))
+        c.add_data_probe(
+            df.filter(F.col("__le").isNull())
+              .groupBy(mname.alias("__n"))
+              .agg(F.first(raw_le).alias("__v"))
+              .select(F.lit("warn").alias("kind"),
+                      F.format_string(
+                          'bucket label "le" is missing or has a malformed '
+                          'value of "%s" for metric name "%s"',
+                          F.col("__v"), F.col("__n")).alias("msg")))
     df = df.filter(F.col("__le").isNotNull())
-    df = (df.withColumn("labels", drop_labels("labels", ["le", "__name__"]))
+    df = (df.withColumn("__mname",
+                        F.coalesce(F.element_at(F.col("labels"), "__name__"),
+                                   F.lit("")))
+          .withColumn("labels", drop_labels("labels", ["le", "__name__"]))
           .withColumn("sig", canonical_sig(F.col("labels"))))
     from thanos_parquet_gateway_spark.promql.compiler import hgroup
     g = hgroup(df, "sig",
                folds.sorted_pairs(F.col("__le"), F.col("value")).alias("arr"),
-               F.first("labels").alias("labels"))
+               F.first("labels").alias("labels"),
+               F.first("__mname").alias("__mname"))
     arr = F.col("arr")
     les = F.transform(arr, lambda x: x["o"])
     # running-max monotonicity fix-up
@@ -518,6 +543,22 @@ def _histogram_quantile_classic(q: float, df) -> "DataFrame":
         arr, F.array().cast("array<double>"),
         lambda acc, x: F.concat(acc, F.array(
             F.greatest(x["v"], F.try_element_at(acc, F.lit(-1))))))
+    if c is not None:
+        # upstream annotations.HistogramQuantileForcedMonotonicityInfo: a
+        # series whose raw bucket counts decrease somewhere needed the
+        # running-max fix-up above
+        vals = F.transform(arr, lambda x: x["v"])
+        needs_fix = F.exists(F.zip_with(vals, counts, lambda v, m: v < m),
+                             lambda b: b)
+        c.add_data_probe(
+            g.filter(needs_fix)
+             .select(F.col("__mname").alias("__n")).distinct()
+             .select(F.lit("info").alias("kind"),
+                     F.format_string(
+                         "input to histogram_quantile needed to be fixed "
+                         "for monotonicity (and may give inaccurate "
+                         'results) for metric name "%s"',
+                         F.col("__n")).alias("msg")))
     b = F.size(arr)
     has_inf = F.element_at(les, -1) == INF()
     total = F.element_at(counts, -1)
@@ -791,7 +832,7 @@ def dispatch(c: Compiler, call: A.Call):
         q_ = _scalar_lit(c, call, 0)
         _warn_quantile(c, q_)
         if "hist" not in iv.df.columns:
-            return _iv(_histogram_quantile_classic(q_, iv.df))
+            return _iv(_histogram_quantile_classic(q_, iv.df, c))
         # mixed vector: native-histogram samples take the bucket-struct
         # path; float samples carrying le labels take the classic path
         # (upstream evaluates both populations side by side)
@@ -802,8 +843,22 @@ def dispatch(c: Compiler, call: A.Call):
         native = _drop_name(native).select(
             "t", "sig", "labels", "sample_ts", "value")
         classic = _histogram_quantile_classic(
-            q_, iv.df.filter(F.col("hist").isNull()).drop("hist"))
-        return _iv(native.unionByName(classic))
+            q_, iv.df.filter(F.col("hist").isNull()).drop("hist"), c)
+        classic = classic.select("t", "sig", "labels", "sample_ts", "value")
+        # upstream funcHistogramQuantile: when a classic bucket group and a
+        # native histogram reduce to the SAME output labelset, the series is
+        # skipped entirely (emitting both would be an invalid vector with a
+        # duplicate labelset) and a mixed-histograms warning is raised
+        coll = (native.select("t", "sig")
+                .join(classic.select("t", "sig"), ["t", "sig"]))
+        c.add_data_probe(
+            coll.limit(1).select(
+                F.lit("warn").alias("kind"),
+                F.lit("vector contains a mix of classic and native "
+                      "histograms").alias("msg")))
+        out = (native.join(coll, ["t", "sig"], "left_anti")
+               .unionByName(classic.join(coll, ["t", "sig"], "left_anti")))
+        return _iv(out)
 
     if fn in ("histogram_count", "histogram_sum", "histogram_avg",
               "histogram_stddev", "histogram_stdvar"):
