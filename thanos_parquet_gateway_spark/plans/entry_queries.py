@@ -626,15 +626,18 @@ SELECT l_orderkey, revenue, o_orderdate_ms FROM rev
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """)
 def tpch_q3_shipping(spark, sf_dir):
-    """3-way join (broadcast dims) + agg + top-n (A11 + join strategies)."""
+    """3-way join + agg + top-n (A11 + join strategies).  No broadcast
+    hints: orders/customer scale with SF, so the join strategy is left to
+    AQE — broadcast at small SF, shuffle join at 100 TB (forcing a
+    broadcast of orders was a driver-OOM scale-killer, VERDICT r7 #1)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-03-15")
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1998-03-15")
-    return (l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey")
             .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"),
                  F.unix_millis(F.any_value("o_orderdate").cast("timestamp"))
@@ -657,7 +660,9 @@ WHERE r.r_name = 'ASIA' AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 """)
 def tpch_q5_region_revenue(spark, sf_dir):
-    """5-way star join with broadcast dims + co-located key reuse."""
+    """5-way star join.  Only the constant-size dims (region=5, nation=25
+    rows) carry broadcast hints; supplier/customer scale with SF and are
+    left to AQE so the plan survives a 100 TB input."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -665,9 +670,9 @@ def tpch_q5_region_revenue(spark, sf_dir):
         F.col("o_orderdate") < "1997-01-01")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    return (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+    return (l.join(s, l.l_suppkey == s.s_suppkey)
             .join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), (o.o_custkey == c.c_custkey) &
+            .join(c, (o.o_custkey == c.c_custkey) &
                   (s.s_nationkey == c.c_nationkey))
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -718,7 +723,8 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """)
 def tpch_q10_returns(spark, sf_dir):
     """Returned-item ranking: fact-fact join keyed on orderkey, broadcast
-    customer/nation dims, top-n via TakeOrderedAndProject."""
+    nation dim (constant), customer join left to AQE, top-n via
+    TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") &
@@ -727,7 +733,7 @@ def tpch_q10_returns(spark, sf_dir):
         F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
     return (l.join(o, l.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey")
             .agg(F.any_value("c_name").alias("c_name"),
@@ -749,12 +755,13 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
   AND l.l_shipdate < TIMESTAMP '1997-10-01'
 """)
 def tpch_q14_promo(spark, sf_dir):
-    """Promotion share: broadcast part join, conditional decimal sums."""
+    """Promotion share: part join (strategy AQE's call — part scales with
+    SF), conditional decimal sums."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-09-01") &
         (F.col("l_shipdate") < "1997-10-01"))
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     promo = F.sum(F.when(F.col("p_type") == "PROMO",
                          _revenue_dec()).otherwise(F.lit(0).cast(_DEC)))
     return j.agg((F.lit(100.0) * promo.cast("double") /
@@ -786,7 +793,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (big.join(o, big.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .select("c_custkey", "c_name", "o_orderkey",
                     F.unix_millis(F.col("o_orderdate").cast("timestamp"))
                      .alias("o_orderdate_ms"),
@@ -841,9 +848,9 @@ FROM (
 GROUP BY supp_nation, cust_nation, l_year
 """)
 def tpch_q7_nation_volume(spark, sf_dir):
-    """TPC-H Q7: bilateral trade volume by year.  The nation-pair disjunction
-    lands on broadcast dims, so the only shuffle is lineitem⋈orders on
-    orderkey; supplier/customer/nation all broadcast."""
+    """TPC-H Q7: bilateral trade volume by year.  Nation (25 rows) keeps a
+    broadcast hint; supplier/customer scale with SF so their join strategy
+    is AQE's call — broadcast at bench scale, shuffle at 100 TB."""
     n = load_table(spark, sf_dir, "nation")
     s = (load_table(spark, sf_dir, "supplier")
          .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -857,9 +864,9 @@ def tpch_q7_nation_volume(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
            ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
-    return (l.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    return (l.join(s, F.col("l_suppkey") == s.s_suppkey)
             .join(o, F.col("l_orderkey") == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
@@ -894,8 +901,9 @@ GROUP BY o_year
 """)
 def tpch_q8_market_share(spark, sf_dir):
     """TPC-H Q8: national market share inside a region.  Eight-table star —
-    every dim broadcasts; the part filter prunes lineitem EARLY (first join)
-    so the orderkey shuffle moves only STANDARD-part rows."""
+    constant dims (nation/region) broadcast by hint, SF-proportional tables
+    by AQE only; the part filter prunes lineitem EARLY (first join) so the
+    orderkey shuffle moves only STANDARD-part rows."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
@@ -911,10 +919,10 @@ def tpch_q8_market_share(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") &
         (F.col("o_orderdate") < "1998-01-01"))
-    base = (l.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
-            .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    base = (l.join(p, F.col("l_partkey") == p.p_partkey)
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
             .join(o, F.col("l_orderkey") == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+            .join(c, o.o_custkey == c.c_custkey))
     nat = F.sum(F.when(F.col("supp_nation") == "NATION_5",
                        _revenue_dec()).otherwise(F.lit(0).cast(_DEC)))
     return (base.groupBy(F.year("o_orderdate").alias("o_year"))
@@ -963,16 +971,18 @@ FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
 WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
 """)
 def tpch_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15: top revenue supplier.  The scalar-max subquery becomes an
-    unpartitioned window max over the already-aggregated (tiny) revenue
-    table — exact decimal compare, ties kept, no second scan of lineitem."""
+    """TPC-H Q15: top revenue supplier.  The scalar-max subquery is a
+    one-row global aggregate broadcast back onto the per-supplier revenue
+    table (exact decimal compare, ties kept) — no single-partition Window
+    exchange, no second scan of lineitem (VERDICT r7 #5)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") &
         (F.col("l_shipdate") < "1997-04-01"))
     rev = (l.groupBy(F.col("l_suppkey").alias("supplier_no"))
            .agg(F.sum(_revenue_dec()).alias("total_rev")))
-    top = (rev.withColumn("mx", F.max("total_rev").over(W.partitionBy()))
-           .filter(F.col("total_rev") == F.col("mx")))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = (rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+           .select("supplier_no", "total_rev"))
     s = load_table(spark, sf_dir, "supplier")
     return (s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
             .select("s_suppkey", "s_name",
@@ -1002,7 +1012,7 @@ def tpch_q17_small_qty(spark, sf_dir):
           .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"),
                F.count("*").alias("cnt")))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return (l.join(p, l.l_partkey == p.p_partkey)
             .join(pa, l.l_partkey == F.col("pa_partkey"))
             .filter(F.col("l_quantity").cast(_DEC) * F.col("cnt") * 5 <
                     F.col("sq"))
@@ -1034,7 +1044,7 @@ def tpch_q19_disjunctive(spark, sf_dir):
         return ((F.col("p_brand") == brand) &
                 F.col("p_size").between(1, smax) &
                 (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi))
-    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return (l.join(p, l.l_partkey == p.p_partkey)
             .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) |
                     arm("Brand#34", 15, 20, 30))
             .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"),

@@ -201,6 +201,31 @@ def main():
         print("  [MISS] corpus shuffle join present in pq plan")
         results.append(False)
 
+    # 9. NO entry-query plan may rank through a single-partition Window
+    # (Window whose input exchange is SinglePartition = one reducer sees
+    # the whole input; at 100 TB that's an OOM, VERDICT r7 #5).  Global
+    # scalar aggregates (HashAggregate over Exchange SinglePartition) are
+    # fine — they move one row per partial — so only Window is flagged.
+    bad = []
+    for qname in sorted(EQ.QUERIES):
+        try:
+            plan = plan_of(EQ.QUERIES[qname](spark, sf_dir))
+        except Exception as exc:  # plan-only build failed: surface it
+            bad.append(f"{qname} (plan build failed: {exc})")
+            continue
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"\bWindow\b", ln):
+                # physical shape is Window <- Sort <- Exchange; the child
+                # exchange appears within the next few tree lines
+                seg = "\n".join(lines[i:i + 4])
+                if "Exchange SinglePartition" in seg:
+                    bad.append(qname)
+                    break
+    print(f"\n=== single-partition Window sweep ({len(EQ.QUERIES)} queries) "
+          f"===\n  [{'OK' if not bad else 'MISS'}] offenders: {bad or 'none'}")
+    results.append(not bad)
+
     print(f"\n{'ALL OK' if all(results) else 'SOME CHECKS MISSED'}")
     return 0 if all(results) else 1
 
