@@ -131,17 +131,28 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench", "sf1"))
     if os.path.isdir(sf1_dir):
+        # same contract as the sf0.1 block: TWO full passes over the query
+        # set (not back-to-back reruns of one query — a contention burst
+        # then poisons both runs), per-query min across passes, pass totals
+        # + load averages recorded so a contended rung is self-evident.
         b1 = make_benches(spark, sf1_dir)
-        t1 = {}
-        for name, fn in b1.items():
-            runs = []
-            for _ in range(2):
+        sf1_load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+        t1: dict[str, float] = {}
+        sf1_pass_totals = []
+        for _ in range(2):
+            pass_times = {}
+            for name, fn in b1.items():
                 t0 = time.perf_counter()
                 fn()
-                runs.append(time.perf_counter() - t0)
-            t1[name] = round(min(runs), 3)
+                pass_times[name] = round(time.perf_counter() - t0, 3)
+                t1[name] = round(min(t1.get(name, float("inf")),
+                                     pass_times[name]), 3)
+            sf1_pass_totals.append(round(sum(pass_times.values()), 3))
+        sf1_load_end = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
         out["sf1"] = {"sf": 1.0, "queries": t1,
                       "total": round(sum(t1.values()), 3),
+                      "pass_totals": sf1_pass_totals,
+                      "loadavg_1m": [sf1_load_start, sf1_load_end],
                       "scale_vs_sf01": {
                           n: round(t1[n] / times[n], 1)
                           for n in t1 if times.get(n)}}

@@ -41,21 +41,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-#: sub-buckets per scanning partition in phase 0 — caps any single
+#: max sub-buckets per scanning partition in phase 0 — caps any single
 #: ``collect_list`` buffer (and any single shuffled row) at ~1/B of an
 #: input split.  32 matches the local test parallelism; at cluster scale
 #: the bound is maxPartitionBytes/B ≈ 4 MB of key structs per buffer.
 _PHASE0_BUCKETS = 32
 
+#: phase-0 buffer target: if Catalyst's size estimate says one input split
+#: already fits in this, sub-bucketing is pure overhead (an extra shuffle
+#: stage over tiny local groups — the r7 sf0.1 regression) and is skipped.
+_TARGET_BUFFER_BYTES = 4 << 20
+
+
+def _adaptive_buckets(df: DataFrame) -> int:
+    """Size phase-0 sub-bucketing from Catalyst's optimized-plan statistics
+    (driver-side, no job).  Returns 1 (skip the extra aggregation stage)
+    when an input split is estimated to fit the target buffer, scaling up
+    to ``_PHASE0_BUCKETS`` as per-split bytes grow — at 100 TB the estimate
+    saturates and full sub-bucketing is always on.  Estimation errors only
+    trade shuffle-stage overhead against buffer size; the result set is
+    exact either way."""
+    try:
+        est = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+        par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    except Exception:
+        return _PHASE0_BUCKETS  # stats unavailable: keep the safe bound
+    per_split = est // par
+    return max(1, min(_PHASE0_BUCKETS,
+                      -(-per_split // _TARGET_BUFFER_BYTES)))
+
 
 def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
-                 k: int | Column) -> DataFrame:
+                 k: int | Column, buckets: int | None = None) -> DataFrame:
     """Return ``group_cols + (__pos, __x)`` where ``__x`` iterates the first
     ``k`` values of ``key`` (an orderable struct) in ascending order and
     ``__pos`` is the 0-based rank.  ``k <= 0`` yields no rows for the group.
+
+    ``buckets`` overrides the adaptive phase-0 sub-bucket count (tests);
+    ``buckets == 1`` fuses phase 0 into phase 1 — one fewer aggregation
+    stage, buffer bounded by a whole input split instead of 1/B of one.
     """
     kcol = (F.lit(int(k)) if isinstance(k, int) else k).cast("long")
     staged = df.withColumn("__k", key).withColumn("__kk", kcol)
+    n_buckets = _adaptive_buckets(df) if buckets is None else int(buckets)
 
     def _cut(arr: Column, kk: Column) -> Column:
         # slice() needs an int length; clamp to [0, size] first so an int64
@@ -68,23 +97,36 @@ def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
     # collected or shuffled.  Correctness: every row lands in exactly one
     # bucket, and a global top-k element is always within the top-k of its
     # own bucket, so the union of per-bucket cuts is a superset of the
-    # (group, partition) top-k that phase 1 extracts.
-    pre = (staged
-           .groupBy(*group_cols, F.spark_partition_id().alias("__pid"),
-                    F.pmod(F.xxhash64("__k"),
-                           F.lit(_PHASE0_BUCKETS)).alias("__b"))
-           .agg(F.collect_list("__k").alias("__l"),
-                F.first("__kk").alias("__kk"))
-           .select(*group_cols, "__pid",
-                   _cut(F.array_sort("__l"), F.col("__kk")).alias("__t"),
-                   "__kk"))
-    partial = (pre
-               .groupBy(*group_cols, "__pid")
-               .agg(F.flatten(F.collect_list("__t")).alias("__l"),
+    # (group, partition) top-k that phase 1 extracts.  With one bucket the
+    # stage is an exact no-op, so it is fused into phase 1 (adaptive skip).
+    if n_buckets > 1:
+        pre = (staged
+               .groupBy(*group_cols, F.spark_partition_id().alias("__pid"),
+                        F.pmod(F.xxhash64("__k"),
+                               F.lit(n_buckets)).alias("__b"))
+               .agg(F.collect_list("__k").alias("__l"),
                     F.first("__kk").alias("__kk"))
-               .select(*group_cols,
+               .select(*group_cols, "__pid",
                        _cut(F.array_sort("__l"), F.col("__kk")).alias("__t"),
                        "__kk"))
+        partial = (pre
+                   .groupBy(*group_cols, "__pid")
+                   .agg(F.flatten(F.collect_list("__t")).alias("__l"),
+                        F.first("__kk").alias("__kk"))
+                   .select(*group_cols,
+                           _cut(F.array_sort("__l"),
+                                F.col("__kk")).alias("__t"),
+                           "__kk"))
+    else:
+        partial = (staged
+                   .groupBy(*group_cols,
+                            F.spark_partition_id().alias("__pid"))
+                   .agg(F.collect_list("__k").alias("__l"),
+                        F.first("__kk").alias("__kk"))
+                   .select(*group_cols,
+                           _cut(F.array_sort("__l"),
+                                F.col("__kk")).alias("__t"),
+                           "__kk"))
     merged = (partial
               .groupBy(*group_cols)
               .agg(F.flatten(F.collect_list("__t")).alias("__l"),

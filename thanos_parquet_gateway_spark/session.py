@@ -35,6 +35,13 @@ def get_spark(app_name: str = "thanos_parquet_gateway_spark",
         # duplicate keys; PromQL semantics = last write wins
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # broadcast by SIZE, never by hint, for SF-proportional tables:
+        # Spark's 10 MB default predates 100+ GiB executors — 64 MB keeps
+        # mid-size dims (e.g. TPC-H customer at sf1, ~30 MB) on the
+        # broadcast path while a multi-TB table at 100 TB scale still
+        # correctly shuffle-joins.  AQE re-checks with runtime sizes.
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
         # overwrite only the partitions present in the written data — makes
         # day-incremental conversion (cli.py convert) safe against the
         # stream/date-partitioned table
