@@ -203,6 +203,38 @@ def test_proto_roundtrips():
     assert ts["samples"] == [(1000, 1.5), (2000, float("inf"))]
 
 
+def test_matchers_to_selector_escaping():
+    """Matcher values splice into a PromQL selector string; backslashes
+    (every regex matcher) and quotes must survive the re-parse — the
+    reference passes matchers structurally (storepb.MatchersToPromMatchers,
+    thanos.go:379), so a lossy splice would silently change the query."""
+    from thanos_parquet_gateway_spark.api import grpc_pb as pb
+    from thanos_parquet_gateway_spark.promql.parser import parse
+
+    cases = [("=~", "pod", r"api-\d+"),
+             ("=", "msg", 'say "hi"\n'),
+             ("!=", "path", "C:\\tmp\\x"),
+             ("=", "weird.name", "v")]  # non-identifier → quoted name form
+    sel = pb.matchers_to_selector(cases)
+    parsed = parse(sel)
+    got = {(m.op, m.label, m.value) for m in parsed.matchers}
+    assert got == {(op, name, val) for op, name, val in cases}
+
+
+def test_decode_xor_chunk_truncated():
+    """Truncated/empty wire payloads must raise a clean codec error, not
+    IndexError — the gRPC client feeds wire bytes straight in."""
+    import pytest
+    from thanos_parquet_gateway_spark.api.chunkenc import (decode_xor_chunk,
+                                                           encode_xor_chunk)
+    for payload in (b"", b"\x00"):
+        with pytest.raises(ValueError, match="too short"):
+            decode_xor_chunk(payload)
+    full = encode_xor_chunk([(1000, 1.5), (2000, 2.5), (3000, -1.0)])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_xor_chunk(full[: len(full) - 2])
+
+
 def test_per_request_lookback_delta(served):
     """The reference threads req.LookbackDeltaSeconds into query opts
     (thanos.go:247): a short lookback must drop series whose last sample
@@ -217,3 +249,98 @@ def test_per_request_lookback_delta(served):
         "sum(m)", 60, lookback_delta_seconds=5))
     assert not [m for m in msgs
                 if "timeseries" in pb.decode_query_response(m)]
+
+
+def test_flow_control_respects_peer_windows():
+    """A real grpc-go peer starts at 64 KB windows and must kill the
+    connection on over-window DATA (FLOW_CONTROL_ERROR): the sender has to
+    chunk against the peer's connection + stream windows and resume only on
+    WINDOW_UPDATE.  Drives Conn.send_data over a socketpair against a raw
+    RFC 7540 peer that never raises its initial window."""
+    import socket
+    import struct
+    import threading
+
+    from thanos_parquet_gateway_spark.api import h2
+
+    a, b = socket.socketpair()
+    sender, receiver = h2.Conn(a), h2.Conn(b)
+    payload = bytes(range(256)) * 1024  # 256 KiB >> 65535
+    sid = 1
+
+    got: list[bytes] = []
+    violations: list[str] = []
+    done = threading.Event()
+
+    def peer() -> None:
+        conn_win = stream_win = 65535
+        while True:
+            ftype, flags, fsid, data = receiver.read_frame()
+            if ftype != h2.DATA:
+                continue
+            if len(data) > min(conn_win, stream_win):
+                violations.append(
+                    f"DATA {len(data)}B over window "
+                    f"(conn={conn_win}, stream={stream_win})")
+                break
+            conn_win -= len(data)
+            stream_win -= len(data)
+            got.append(data)
+            if flags & h2.FLAG_END_STREAM:
+                break
+            if min(conn_win, stream_win) < 32768:  # drip updates
+                for upd_sid, incr in ((0, 65535 - conn_win),
+                                      (fsid, 65535 - stream_win)):
+                    if incr > 0:
+                        receiver.send(h2.pack_frame(
+                            h2.WINDOW_UPDATE, 0, upd_sid,
+                            struct.pack(">I", incr)))
+                        if upd_sid == 0:
+                            conn_win += incr
+                        else:
+                            stream_win += incr
+        done.set()
+
+    def pump_sender_acks() -> None:
+        # sender side must process the peer's WINDOW_UPDATEs to unblock
+        while not done.is_set():
+            try:
+                ftype, flags, fsid, data = sender.read_frame()
+            except (ConnectionError, OSError):
+                return
+            if ftype == h2.WINDOW_UPDATE:
+                sender.handle_window_update(fsid, data)
+
+    t1 = threading.Thread(target=peer, daemon=True)
+    t2 = threading.Thread(target=pump_sender_acks, daemon=True)
+    t1.start(); t2.start()
+    sender.send_data(sid, payload, end_stream=True)
+    assert done.wait(20), "peer never saw END_STREAM"
+    a.close(); b.close()
+    assert not violations, violations
+    assert b"".join(got) == payload
+
+
+def test_settings_initial_window_adjusts_open_streams():
+    """RFC 7540 §6.9.2: a SETTINGS_INITIAL_WINDOW_SIZE change retroactively
+    adjusts every open stream's send window by the delta."""
+    import socket
+    import struct
+
+    from thanos_parquet_gateway_spark.api import h2
+
+    a, b = socket.socketpair()
+    try:
+        conn = h2.Conn(a)
+        # open a stream window implicitly at the 65535 default
+        conn._acquire_send_quota(5, 10)
+        assert conn.stream_send_windows[5] == 65535 - 10
+        conn.handle_settings(0, struct.pack(
+            ">HI", h2.SETTINGS_INITIAL_WINDOW_SIZE, 100_000))
+        assert conn.peer_initial_window == 100_000
+        assert conn.stream_send_windows[5] == 100_000 - 10
+        # new streams start at the new initial window
+        conn._acquire_send_quota(7, 1)
+        assert conn.stream_send_windows[7] == 100_000 - 1
+    finally:
+        a.close(); b.close()

@@ -646,3 +646,15 @@ def test_nan_inf_production_mode_agrees(spark):
                 assert math.isnan(b[k]), (q, k)
             else:
                 assert a[k] == pytest.approx(b[k], rel=1e-12), (q, k)
+
+
+def test_round_to_zero_is_nan_everywhere(spark):
+    """round(v, 0): upstream funcRound computes 1/0 = +Inf in Go float math
+    and every sample becomes NaN — a valid (if odd) query that must not
+    error out (ADVICE r7: Python 1.0/to raised ZeroDivisionError)."""
+    eng = eng_for(spark, BASIC)
+    r = vec(eng.query_instant("round(m, 0)", 25 * S))
+    assert len(r) == 2 and all(math.isnan(v) for v in r.values())
+    # sanity: plain round still behaves
+    r = vec(eng.query_instant("round(m)", 25 * S))
+    assert sorted(r.values()) == [3.0, 30.0]

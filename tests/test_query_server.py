@@ -187,3 +187,17 @@ def test_unconfigured_stream_value_falls_through(spark):
     eng = PromQLEngine(df, lookback_ms=60 * S, deterministic=True,
                        streams={"a": {"zone": "us"}})
     assert _vec(eng.query_instant('m{zone="eu"}', 20 * S)) == {}
+
+
+def test_api_cache_is_lru_bounded(spark):
+    """lookback_ms comes straight off the gRPC QueryRequest: a client
+    cycling distinct lookbacks must not grow the engine/API cache (and its
+    Spark plans) without bound (ADVICE r7)."""
+    srv = _server(spark, [({"__name__": "m"}, 0, 1.0)])
+    default = srv._api(None)
+    for lb in range(1_000, 1_000 + 50):
+        srv._api(None, lookback_ms=lb)
+    assert len(srv._apis) <= srv._apis_max
+    # most-recent keys survive; the earliest one-shot lookbacks are evicted
+    assert (tuple(), 1_049) in srv._apis
+    assert (tuple(), 1_000) not in srv._apis

@@ -55,8 +55,11 @@ class _BitReader:
         self.pos = bitpos
 
     def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        bit = (byte >> (7 - (self.pos & 7))) & 1
+        idx = self.pos >> 3
+        if idx >= len(self.data):  # truncated wire payload, not a crash
+            raise ValueError("xor chunk truncated: bit reader overran "
+                             f"{len(self.data)}-byte payload")
+        bit = (self.data[idx] >> (7 - (self.pos & 7))) & 1
         self.pos += 1
         return bit
 
@@ -190,6 +193,10 @@ def _write_vdelta(w: _BitWriter, prev_bits: int, cur_bits: int,
 
 
 def decode_xor_chunk(data: bytes) -> list[tuple[int, float]]:
+    if len(data) < 2:
+        raise ValueError(
+            f"xor chunk too short: {len(data)} bytes (need >= 2 for the "
+            "sample-count header)")
     n = (data[0] << 8) | data[1]
     r = _BitReader(data, 16)
     out: list[tuple[int, float]] = []

@@ -26,6 +26,7 @@ from thanos_parquet_gateway_spark.api.h2 import (
     PING,
     PREFACE,
     SETTINGS,
+    WINDOW_UPDATE,
     Conn,
     grpc_frame,
     pack_frame,
@@ -93,6 +94,11 @@ class ThanosGrpcClient:
                 continue
             if ftype == GOAWAY:
                 raise ConnectionError("server sent GOAWAY")
+            if ftype == WINDOW_UPDATE:
+                # replenishes OUR send budget (connection-level updates
+                # arrive on stream 0 — they must not be skipped below)
+                self.conn.handle_window_update(fsid, payload)
+                continue
             if fsid != sid:
                 continue
             if ftype == HEADERS:
@@ -112,6 +118,7 @@ class ThanosGrpcClient:
                 if flags & FLAG_END_STREAM:
                     break
 
+        self.conn.release_stream(sid)
         hmap = dict(headers)
         status = int(hmap.get("grpc-status", "0"))
         if status != 0:

@@ -19,6 +19,7 @@ defaults omitted.
 
 from __future__ import annotations
 
+import re
 import struct
 
 from thanos_parquet_gateway_spark.convert.sidecar_pb import (
@@ -293,11 +294,30 @@ def decode_label_matcher(data: bytes) -> tuple[str, str, str]:
     return MATCHER_OPS[t], name, value
 
 
+_SELECTOR_IDENT = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*\Z")
+
+
+def _quote_promql(s: str) -> str:
+    """Double-quoted PromQL string literal — escapes exactly what the
+    lexer's unescape table decodes, so value → selector → parse is
+    lossless (the reference never round-trips through a string at all,
+    storepb.MatchersToPromMatchers, thanos.go:379; here the selector IS
+    the engine API, so the splice must be escape-correct)."""
+    return '"' + (s.replace("\\", "\\\\").replace('"', '\\"')
+                  .replace("\n", "\\n").replace("\t", "\\t")
+                  .replace("\r", "\\r")) + '"'
+
+
 def matchers_to_selector(matchers: list[tuple[str, str, str]]) -> str:
     """LabelMatcher list → one PromQL selector string (the reference's
-    storepb.MatchersToPromMatchers + querier re-parse round trip)."""
+    storepb.MatchersToPromMatchers + querier re-parse round trip).
+    Values are escaped (regex matchers routinely carry backslashes, e.g.
+    pod=~"api-\\d+"); non-identifier names use the quoted-label-name
+    selector form the parser accepts."""
     quoted = ", ".join(
-        f'{name}{op}"{val}"' for op, name, val in matchers)
+        (name if _SELECTOR_IDENT.match(name) else _quote_promql(name))
+        + op + _quote_promql(val)
+        for op, name, val in matchers)
     return "{" + quoted + "}"
 
 

@@ -46,6 +46,7 @@ from thanos_parquet_gateway_spark.api.h2 import (
     PREFACE,
     RST_STREAM,
     SETTINGS,
+    WINDOW_UPDATE,
     Conn,
     Stream,
     grpc_frame,
@@ -141,7 +142,7 @@ class ThanosGrpcServer:
                     if flags & FLAG_END_STREAM:
                         st.ended = True
                     if st.headers_done and st.ended:
-                        self._dispatch(conn, streams.pop(sid))
+                        self._spawn_dispatch(conn, streams.pop(sid))
                 elif ftype == CONTINUATION:
                     st = streams.setdefault(sid, Stream(sid))
                     st.header_block += payload
@@ -149,26 +150,48 @@ class ThanosGrpcServer:
                         st.headers = conn.hdec.decode(st.header_block)
                         st.headers_done = True
                     if st.headers_done and st.ended:
-                        self._dispatch(conn, streams.pop(sid))
+                        self._spawn_dispatch(conn, streams.pop(sid))
                 elif ftype == DATA:
                     st = streams.setdefault(sid, Stream(sid))
                     st.data += strip_padding(flags, payload)
                     if flags & FLAG_END_STREAM:
                         st.ended = True
                         if st.headers_done:
-                            self._dispatch(conn, streams.pop(sid))
+                            self._spawn_dispatch(conn, streams.pop(sid))
+                elif ftype == WINDOW_UPDATE:
+                    # grows our SEND budget; handled on the read thread so
+                    # a handler blocked in send_data wakes up — which is
+                    # exactly why dispatch runs off-thread below
+                    conn.handle_window_update(sid, payload)
                 elif ftype == RST_STREAM:
                     streams.pop(sid, None)
-                # PRIORITY / WINDOW_UPDATE / PUSH_PROMISE: bookkeeping only
+                    conn.release_stream(sid)
+                # PRIORITY / PUSH_PROMISE: bookkeeping only
         except (ConnectionError, OSError):
             pass
         finally:
+            conn.closed = True
+            with conn.flow_cond:  # wake any handler blocked on send quota
+                conn.flow_cond.notify_all()
             try:
                 sock.close()
             except OSError:
                 pass
 
     # ---------------------------------------------------------- dispatch
+    def _spawn_dispatch(self, conn: Conn, st: Stream) -> None:
+        """Run the handler off the read loop: a large response can block in
+        send_data until the peer's WINDOW_UPDATEs arrive, and those are
+        only processed if the read loop stays free (grpc-go serves handlers
+        from per-stream goroutines for the same reason)."""
+        def run() -> None:
+            try:
+                self._dispatch(conn, st)
+            finally:
+                conn.release_stream(st.id)
+
+        threading.Thread(target=run, daemon=True).start()
+
     def _dispatch(self, conn: Conn, st: Stream) -> None:
         hdrs = dict(st.headers)
         path = hdrs.get(":path", "")

@@ -13,10 +13,21 @@ grpc-go uses on insecure channels):
 - connection preface + SETTINGS exchange,
 - HEADERS/CONTINUATION assembly with HPACK (api/hpack.py),
 - DATA with padding handling, gRPC length-prefix reassembly across frames,
-- PING reply, WINDOW_UPDATE bookkeeping (large initial windows are
-  advertised so flow control never stalls the unary/streaming RPCs served
-  here), RST_STREAM/GOAWAY teardown,
+- PING reply, RST_STREAM/GOAWAY teardown,
+- OUTBOUND flow control (RFC 7540 §5.2/§6.9): the peer's connection and
+  per-stream send windows are tracked from its SETTINGS_INITIAL_WINDOW_SIZE
+  and WINDOW_UPDATE frames, and DATA sends block/chunk against them — a
+  real grpc-go peer starts at ~64 KB windows and must treat over-window
+  DATA as FLOW_CONTROL_ERROR, so unbounded sends would kill the connection
+  on any large Series/QueryRange response.  Our own large advertised
+  window only governs INBOUND data.
 - frames chunked to the peer's SETTINGS_MAX_FRAME_SIZE.
+
+Known real-querier interop gap: api/hpack.py implements HPACK without the
+RFC 7541 §5.2 Huffman coding on the DECODE side only via the in-repo
+encoder's choices — a grpc-go client Huffman-codes literals by default, so
+cross-implementation interop additionally needs Huffman decoding (tracked
+in hpack.py).
 
 Shared by the server (api/grpc_server.py) and the in-repo test client.
 """
@@ -26,6 +37,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 
 from thanos_parquet_gateway_spark.api.hpack import Decoder, Encoder
 
@@ -46,6 +58,12 @@ SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 
 DEFAULT_MAX_FRAME = 16384
 BIG_WINDOW = (1 << 30)
+DEFAULT_WINDOW = 65535  # RFC 7540 §6.9.2 initial flow-control window
+
+#: a peer that stops draining entirely (no WINDOW_UPDATE while we hold
+#: pending DATA) is broken or gone; fail the send instead of hanging the
+#: handler thread forever
+FLOW_STALL_TIMEOUT_S = 30.0
 
 
 class H2Error(Exception):
@@ -71,6 +89,14 @@ class Conn:
         self.hdec = Decoder()
         self.max_frame = DEFAULT_MAX_FRAME
         self.closed = False
+        # peer's receive capacity = our SEND budget (RFC 7540 §5.2.1):
+        # grown by its WINDOW_UPDATEs, consumed by our DATA.  Guarded by
+        # flow_cond so a blocked sender wakes when the reader thread
+        # processes a WINDOW_UPDATE / SETTINGS frame.
+        self.flow_cond = threading.Condition()
+        self.peer_conn_window = DEFAULT_WINDOW
+        self.peer_initial_window = DEFAULT_WINDOW
+        self.stream_send_windows: dict[int, int] = {}
 
     # ----------------------------------------------------------- raw io
     def _recv_exact(self, n: int) -> bytes:
@@ -108,14 +134,68 @@ class Conn:
             ident, value = struct.unpack(">HI", payload[off:off + 6])
             if ident == SETTINGS_MAX_FRAME_SIZE:
                 self.max_frame = value
+            elif ident == SETTINGS_INITIAL_WINDOW_SIZE:
+                # §6.9.2: adjusts every open stream's SEND window by the
+                # delta (the connection window is NOT affected)
+                with self.flow_cond:
+                    delta = value - self.peer_initial_window
+                    self.peer_initial_window = value
+                    for sid in self.stream_send_windows:
+                        self.stream_send_windows[sid] += delta
+                    self.flow_cond.notify_all()
         self.send(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
+
+    def handle_window_update(self, stream_id: int, payload: bytes) -> None:
+        """Grow the peer's advertised receive capacity (our send budget)."""
+        if len(payload) < 4:
+            return
+        incr = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
+        with self.flow_cond:
+            if stream_id == 0:
+                self.peer_conn_window += incr
+            else:
+                self.stream_send_windows[stream_id] = (
+                    self.stream_send_windows.get(
+                        stream_id, self.peer_initial_window) + incr)
+            self.flow_cond.notify_all()
+
+    def release_stream(self, stream_id: int) -> None:
+        with self.flow_cond:
+            self.stream_send_windows.pop(stream_id, None)
 
     # --------------------------------------------------------- sending
     def send_headers(self, stream_id: int, headers: list[tuple[str, str]],
                      end_stream: bool = False) -> None:
-        block = self.henc.encode(headers)
         flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
-        self.send(pack_frame(HEADERS, flags, stream_id, block))
+        with self.wlock:
+            # encode INSIDE the write lock: the HPACK dynamic table and the
+            # on-wire HEADERS order must agree when handler threads
+            # interleave responses on one connection
+            block = self.henc.encode(headers)
+            self.sock.sendall(pack_frame(HEADERS, flags, stream_id, block))
+
+    def _acquire_send_quota(self, stream_id: int, want: int) -> int:
+        """Block until the peer's connection AND stream windows admit at
+        least one byte; return the grant (≤ want, ≤ max_frame)."""
+        with self.flow_cond:
+            deadline = None
+            while True:
+                sw = self.stream_send_windows.setdefault(
+                    stream_id, self.peer_initial_window)
+                grant = min(want, self.max_frame, self.peer_conn_window, sw)
+                if grant > 0:
+                    self.peer_conn_window -= grant
+                    self.stream_send_windows[stream_id] = sw - grant
+                    return grant
+                if self.closed:
+                    raise ConnectionError("connection closed during send")
+                if deadline is None:
+                    deadline = time.monotonic() + FLOW_STALL_TIMEOUT_S
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self.flow_cond.wait(remaining):
+                    raise H2Error(
+                        f"flow-control stall: peer window exhausted for "
+                        f"{FLOW_STALL_TIMEOUT_S:.0f}s on stream {stream_id}")
 
     def send_data(self, stream_id: int, data: bytes,
                   end_stream: bool = False) -> None:
@@ -124,7 +204,8 @@ class Conn:
             return
         off = 0
         while off < len(data):
-            chunk = data[off:off + self.max_frame]
+            grant = self._acquire_send_quota(stream_id, len(data) - off)
+            chunk = data[off:off + grant]
             off += len(chunk)
             last = off >= len(data)
             self.send(pack_frame(

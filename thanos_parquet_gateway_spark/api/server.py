@@ -52,8 +52,13 @@ class QueryServer:
         # built lazily — the reference builds a DBQueryable per request
         # (thanos.go:135-147) and threads the per-request LookbackDelta
         # through query opts (thanos.go:247); DataFrame plans are lazy so
-        # caching by key is the same cost model
-        self._apis: dict[tuple, QueryAPI] = {}
+        # caching by key is the same cost model.  LRU-bounded: lookback_ms
+        # comes straight off the gRPC QueryRequest, so a client cycling
+        # distinct lookbacks must not grow the cache (and its Spark plans)
+        # without bound for the life of the server.
+        from collections import OrderedDict
+        self._apis: OrderedDict[tuple, QueryAPI] = OrderedDict()
+        self._apis_max = 32
 
     def _api(self, replica_labels: list[str] | None,
              lookback_ms: int | None = None) -> QueryAPI:
@@ -69,6 +74,10 @@ class QueryServer:
             self._apis[key] = QueryAPI(eng, self.max_concurrent,
                                        row_quota=self.row_quota,
                                        byte_quota=self.byte_quota)
+            while len(self._apis) > self._apis_max:
+                self._apis.popitem(last=False)  # evict least-recently-used
+        else:
+            self._apis.move_to_end(key)
         return self._apis[key]
 
     # ------------------------------------------------------------------ Info

@@ -907,7 +907,10 @@ def dispatch(c: Compiler, call: A.Call):
         # Spark's floor returns LONG (NaN→0, ±Inf saturate); doubles with
         # |q| >= 2^52 are already integral (the +0.5 is absorbed), so pass
         # them — and NaN/±Inf — through as Go math.Floor would.
-        inv = 1.0 / to
+        # to == ±0.0: Go computes 1/±0 = ±Inf (funcRound) and every sample
+        # rounds to NaN; Python raises ZeroDivisionError, so mirror the Go
+        # float semantics explicitly (copysign keeps -0.0 → -Inf).
+        inv = math.copysign(math.inf, to) if to == 0.0 else 1.0 / to
         q = F.col("value") * F.lit(inv)
         val = (F.when(F.isnan(q) | (F.abs(q) >= F.lit(2.0 ** 52)), q)
                .otherwise(F.floor(q + F.lit(0.5)).cast(D))) / F.lit(inv)
