@@ -344,3 +344,73 @@ def test_settings_initial_window_adjusts_open_streams():
         assert conn.stream_send_windows[7] == 100_000 - 1
     finally:
         a.close(); b.close()
+
+
+def test_native_histogram_over_wire(spark):
+    """Native-histogram series ride the full wire: Query streams prompb
+    histogram samples (reference thanos.go:274-277) and Series carries
+    FLOAT_HISTOGRAM-typed chunks (thanos.go:462-473) that decode back to
+    the exact bucket model."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    from thanos_parquet_gateway_spark.api import grpc_pb as pb
+    from thanos_parquet_gateway_spark.api.grpc_client import ThanosGrpcClient
+    from thanos_parquet_gateway_spark.api.grpc_server import ThanosGrpcServer
+
+    inf = float("inf")
+    h1 = (7.0, 11.5, [(-2.0, 1.0), (0.0, 2.0), (1.0, 3.0), (4.0, 1.0),
+                      (inf, 0.0)], 0)         # exponential schema 0
+    h2 = (9.0, 14.0, [(-2.0, 1.0), (0.0, 2.0), (1.0, 4.0), (4.0, 2.0),
+                      (inf, 0.0)], 0)
+    hc = (6.0, 3.0, [(0.1, 2.0), (0.5, 3.0), (inf, 1.0)], -53)  # NHCB
+    rows = [({"__name__": "hist_m", "job": "a"}, 10 * S, {"hist": h1}),
+            ({"__name__": "hist_m", "job": "a"}, 20 * S, {"hist": h2}),
+            ({"__name__": "hist_c", "job": "b"}, 20 * S, {"hist": hc}),
+            ({"__name__": "f", "job": "a"}, 20 * S, 5.0)]
+    qs = QueryServer(make_samples(spark, rows), lookback_ms=60 * S,
+                     deterministic=True)
+    with ThanosGrpcServer(qs) as srv:
+        with ThanosGrpcClient(srv.host, srv.port) as cli:
+            # --- Series: hist samples come back as FLOAT_HISTOGRAM chunks
+            res = cli.series([("=", "__name__", "hist_m")], 0, 60 * S)
+            series = [m["series"] for m in res if "series" in m]
+            assert len(series) == 1
+            chunks = series[0]["chunks"]
+            assert [c["type"] for c in chunks] == [pb.CHUNK_FLOAT_HISTOGRAM]
+            got = pb.decode_histogram_chunk(chunks[0]["data"])
+            assert [(t, h["count"], h["sum"], h["schema"])
+                    for t, h in got] == [(10 * S, 7.0, 11.5, 0),
+                                         (20 * S, 9.0, 14.0, 0)]
+            assert got[0][1]["buckets"] == h1[2]
+            assert got[1][1]["buckets"] == h2[2]
+
+            # NHCB series round-trips custom bounds
+            res = cli.series([("=", "__name__", "hist_c")], 0, 60 * S)
+            ch = [m["series"]["chunks"] for m in res if "series" in m][0]
+            (t, h), = pb.decode_histogram_chunk(ch[0]["data"])
+            assert (t, h["schema"], h["buckets"]) == (20 * S, -53, hc[2])
+
+            # a float series on the same server still rides XOR chunks
+            res = cli.series([("=", "__name__", "f")], 0, 60 * S)
+            ch = [m["series"]["chunks"] for m in res if "series" in m][0]
+            assert ch[0]["type"] == pb.CHUNK_XOR
+
+            # --- Query: instant selector on a hist metric streams prompb
+            # histograms, not NaN float samples
+            msgs = cli.query("hist_m", 30)
+            ts = [m["timeseries"] for m in msgs if "timeseries" in m]
+            assert len(ts) == 1 and not ts[0]["samples"]
+            hists = ts[0]["histograms"]
+            assert len(hists) == 1
+            assert (hists[0]["count"], hists[0]["sum"]) == (9.0, 14.0)
+            assert hists[0]["buckets"] == h2[2]
+
+            # histogram arithmetic stays a histogram over the wire
+            msgs = cli.query("hist_m + hist_m", 30)
+            ts = [m["timeseries"] for m in msgs if "timeseries" in m]
+            assert ts and ts[0]["histograms"][0]["count"] == 18.0
+
+            # QueryRange streams histogram points per step
+            msgs = cli.query_range("hist_m", 0, 30, 10)
+            ts = [m["timeseries"] for m in msgs if "timeseries" in m]
+            assert ts and [h["count"] for h in ts[0]["histograms"]] == \
+                [7.0, 9.0, 9.0]

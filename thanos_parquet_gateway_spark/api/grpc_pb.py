@@ -19,6 +19,7 @@ defaults omitted.
 
 from __future__ import annotations
 
+import math
 import re
 import struct
 
@@ -80,22 +81,242 @@ def decode_label_set(data: bytes) -> dict[str, str]:
     return out
 
 
+# --------------------------------------------- prompb.Histogram (float)
+
+CUSTOM_SCHEMA = -53  # upstream histogram.CustomBucketsSchema
+
+
+def _zz(n: int, bits: int) -> int:
+    """Protobuf zigzag encoding for sint32/sint64."""
+    return ((n << 1) ^ (n >> (bits - 1))) & ((1 << (bits + 1)) - 1)
+
+
+def _unzz(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _sint(field: int, n: int, bits: int = 64) -> bytes:
+    return b"" if n == 0 else _tag(field, 0) + _uvarint(_zz(n, bits))
+
+
+def _packed_dbl(field: int, vals: list[float]) -> bytes:
+    if not vals:
+        return b""
+    return _ld(field, b"".join(struct.pack("<d", v) for v in vals))
+
+
+def _unpack_dbl(data: bytes) -> list[float]:
+    return [struct.unpack("<d", data[i:i + 8])[0]
+            for i in range(0, len(data), 8)]
+
+
+def _spans(indices: list[int]) -> list[tuple[int, int]]:
+    """Sorted bucket indices → prompb.BucketSpan (offset, length) list:
+    the first offset is absolute, later offsets are gaps from the previous
+    span's end (prompb/types.proto BucketSpan semantics)."""
+    spans: list[tuple[int, int]] = []
+    prev_end = 0
+    for i, idx in enumerate(indices):
+        if i == 0:
+            spans.append((idx, 1))
+        elif idx == prev_end:
+            spans[-1] = (spans[-1][0], spans[-1][1] + 1)
+        else:
+            spans.append((idx - prev_end, 1))
+        prev_end = idx + 1
+    return spans
+
+
+def _span_indices(spans: list[tuple[int, int]]) -> list[int]:
+    out: list[int] = []
+    pos = 0
+    for off, length in spans:
+        pos += off
+        out.extend(range(pos, pos + length))
+        pos += length
+    return out
+
+
+def _enc_span(off: int, length: int) -> bytes:
+    # prompb.BucketSpan: offset=1 (sint32) length=2 (uint32)
+    return _sint(1, off, 32) + _vi(2, length)
+
+
+def _dec_span(data: bytes) -> tuple[int, int]:
+    off = length = 0
+    for f, _wt, v in _iter_fields(data):
+        if f == 1:
+            off = _unzz(v)
+        elif f == 2:
+            length = v
+    return off, length
+
+
+def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
+                            buckets: list[tuple[float, float]],
+                            schema: int | None) -> bytes:
+    """Our explicit-bound histogram model → prompb.Histogram (the FLOAT
+    flavor the reference streams on Query/QueryRange, thanos.go:274-277;
+    field numbers from prometheus prompb/types.proto, Apache-2.0):
+    count_float=2 sum=3 schema=4(sint32) zero_threshold=5
+    zero_count_float=7 negative_spans=8 negative_counts=10(packed)
+    positive_spans=11 positive_counts=13(packed) timestamp=15
+    custom_values=16(packed).
+
+    Exponential schemas invert the ingest mapping (promqltest_runner /
+    histograms.py): positive le = base^i → index i; negative stored le =
+    -(base^(i-1)) → index i; le == 0 → the zero bucket.  Custom bounds
+    (schema -53 / NULL) become custom_values + an overflow count.  The
+    zero threshold is not tracked by the engine model and is emitted as 0.
+    """
+    sch = CUSTOM_SCHEMA if schema is None else int(schema)
+    out = [_dbl(2, float(count)), _dbl(3, float(hsum)),
+           _sint(4, sch, 32)]
+    buckets = [(float(le), float(c)) for le, c in (buckets or [])]
+    if sch == CUSTOM_SCHEMA:
+        finite = [(le, c) for le, c in buckets if le != float("inf")]
+        overflow = sum(c for le, c in buckets if le == float("inf"))
+        counts = [c for _le, c in finite] + [overflow]
+        out.append(_ld(11, _enc_span(0, len(counts))))
+        out.append(_packed_dbl(13, counts))
+        out.append(_vi64(15, ts_ms))
+        out.append(_packed_dbl(16, [le for le, _c in finite]))
+        return b"".join(out)
+    base_log = 2.0 ** -sch  # log2(base); index i = log2(bound) / base_log
+    pos: list[tuple[int, float]] = []
+    neg: list[tuple[int, float]] = []
+    zero_count = 0.0
+    for le, c in buckets:
+        if le == 0.0:
+            zero_count += c
+        elif le == float("inf") or le == float("-inf"):
+            if c:
+                raise ValueError(
+                    "exponential histogram cannot carry a non-zero "
+                    "infinity bucket on the wire")
+        elif le > 0:
+            pos.append((round(math.log2(le) / base_log), c))
+        else:
+            neg.append((round(math.log2(-le) / base_log) + 1, c))
+    pos.sort()
+    neg.sort()
+    if zero_count:
+        out.append(_dbl(7, zero_count))
+    for field_span, field_cnt, side in ((8, 10, neg), (11, 13, pos)):
+        if side:
+            for off, length in _spans([i for i, _ in side]):
+                out.append(_ld(field_span, _enc_span(off, length)))
+            out.append(_packed_dbl(field_cnt, [c for _, c in side]))
+    out.append(_vi64(15, ts_ms))
+    return b"".join(out)
+
+
+def decode_histogram_sample(data: bytes) -> dict:
+    """prompb.Histogram → {ts, count, sum, buckets: [(le, count)...],
+    schema} in the engine's explicit-bound model (inverse of
+    encode_histogram_sample; int-flavor fields 1/6/9/12 also accepted)."""
+    h = {"ts": 0, "count": 0.0, "sum": 0.0, "schema": 0,
+         "zero_count": 0.0}
+    neg_spans: list[tuple[int, int]] = []
+    pos_spans: list[tuple[int, int]] = []
+    neg_counts: list[float] = []
+    pos_counts: list[float] = []
+    custom: list[float] | None = None
+    neg_deltas: list[int] = []
+    pos_deltas: list[int] = []
+    for f, wt, v in _iter_fields(data):
+        if f == 1:
+            h["count"] = float(v)
+        elif f == 2:
+            h["count"] = struct.unpack("<d", v)[0]
+        elif f == 3:
+            h["sum"] = struct.unpack("<d", v)[0]
+        elif f == 4:
+            h["schema"] = _unzz(v)
+        elif f == 6:
+            h["zero_count"] = float(v)
+        elif f == 7:
+            h["zero_count"] = struct.unpack("<d", v)[0]
+        elif f == 8:
+            neg_spans.append(_dec_span(v))
+        elif f == 9:
+            neg_deltas = [_unzz(u) for u in _unpack_varints(v)]
+        elif f == 10:
+            neg_counts = _unpack_dbl(v)
+        elif f == 11:
+            pos_spans.append(_dec_span(v))
+        elif f == 12:
+            pos_deltas = [_unzz(u) for u in _unpack_varints(v)]
+        elif f == 13:
+            pos_counts = _unpack_dbl(v)
+        elif f == 15:
+            h["ts"] = _to_i64(v)
+        elif f == 16:
+            custom = _unpack_dbl(v)
+    for deltas, counts in ((neg_deltas, neg_counts),
+                           (pos_deltas, pos_counts)):
+        if deltas and not counts:  # int flavor: delta-coded counts
+            run = 0
+            for d in deltas:
+                run += d
+                counts.append(float(run))
+    sch = h["schema"]
+    buckets: list[tuple[float, float]] = []
+    if custom is not None or sch == CUSTOM_SCHEMA:
+        cv = custom or []
+        for i, c in enumerate(pos_counts):
+            buckets.append((cv[i] if i < len(cv) else float("inf"), c))
+        if len(pos_counts) <= len(cv):
+            buckets.append((float("inf"), 0.0))
+        return {"ts": h["ts"], "count": h["count"], "sum": h["sum"],
+                "buckets": buckets, "schema": CUSTOM_SCHEMA}
+    base = 2.0 ** (2.0 ** -sch)
+    for idx, c in zip(_span_indices(neg_spans), neg_counts):
+        buckets.append((-(base ** (idx - 1)), c))
+    if h["zero_count"]:
+        buckets.append((0.0, h["zero_count"]))
+    for idx, c in zip(_span_indices(pos_spans), pos_counts):
+        buckets.append((base ** idx, c))
+    buckets.sort()
+    if not buckets or buckets[-1][0] != float("inf"):
+        buckets.append((float("inf"), 0.0))
+    return {"ts": h["ts"], "count": h["count"], "sum": h["sum"],
+            "buckets": buckets, "schema": sch}
+
+
+def _unpack_varints(data: bytes) -> list[int]:
+    out, val, shift = [], 0, 0
+    for b in data:
+        val |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            out.append(val)
+            val = shift = 0
+    return out
+
+
 def encode_time_series(labels: dict[str, str],
-                       samples: list[tuple[int, float]]) -> bytes:
-    # prompb.TimeSeries: labels=1 samples=2 (exemplars=3 histograms=4
-    # unused — the engine exports float samples); prompb.Sample: value=1
-    # (double) timestamp=2 (storepb/prompb/types.proto)
+                       samples: list[tuple[int, float]],
+                       histograms: list[bytes] | None = None) -> bytes:
+    # prompb.TimeSeries: labels=1 samples=2 exemplars=3 histograms=4;
+    # prompb.Sample: value=1 (double) timestamp=2; histograms carry
+    # pre-encoded prompb.Histogram payloads (encode_histogram_sample) —
+    # the reference streams them alongside float samples (thanos.go:274)
     out = [
         _ld(1, encode_label(k, v)) for k, v in sorted(labels.items())
     ]
     for ts, val in samples:
         out.append(_ld(2, _dbl(1, val) + _vi64(2, ts)))
+    for hmsg in histograms or []:
+        out.append(_ld(4, hmsg))
     return b"".join(out)
 
 
 def decode_time_series(data: bytes) -> dict:
     labels: dict[str, str] = {}
     samples: list[tuple[int, float]] = []
+    histograms: list[dict] = []
     for f, _wt, v in _iter_fields(data):
         if f == 1:
             k, val = decode_label(v)
@@ -108,7 +329,12 @@ def decode_time_series(data: bytes) -> dict:
                 elif sf == 2:
                     ts = _to_i64(sv)
             samples.append((ts, value))
-    return {"labels": labels, "samples": samples}
+        elif f == 4:
+            histograms.append(decode_histogram_sample(v))
+    out = {"labels": labels, "samples": samples}
+    if histograms:
+        out["histograms"] = histograms
+    return out
 
 
 # --------------------------------------------------------------- querypb
@@ -358,22 +584,68 @@ def decode_series_request(data: bytes) -> dict:
     return out
 
 
-CHUNK_XOR = 0  # storepb.Chunk.Encoding
+CHUNK_XOR = 0  # storepb.Chunk.Encoding (storepb/types.proto)
+CHUNK_HISTOGRAM = 1
+CHUNK_FLOAT_HISTOGRAM = 2
+
+
+def encode_histogram_chunk(samples: list[tuple[int, dict]]) -> bytes:
+    """FLOAT_HISTOGRAM chunk payload: a run of length-prefixed
+    prompb.Histogram messages (encode_histogram_sample), one per sample.
+
+    NOT the tsdb varbit histogram chunk (tsdb/chunkenc/histogram.go) — the
+    varbit compression is a storage-size detail; this payload carries the
+    identical information in the prompb representation the reference
+    itself streams on Query paths (thanos.go:274-277).  Documented interop
+    gap: a Prometheus chunk decoder cannot read it, the in-repo client
+    (decode_histogram_chunk) can."""
+    out = []
+    for ts, h in samples:
+        msg = encode_histogram_sample(int(ts), h["count"], h["sum"],
+                                      h["buckets"], h.get("schema"))
+        out.append(_uvarint(len(msg)) + msg)
+    return b"".join(out)
+
+
+def decode_histogram_chunk(data: bytes) -> list[tuple[int, dict]]:
+    out = []
+    i, n = 0, len(data)
+    while i < n:
+        ln, shift = 0, 0
+        while True:
+            if i >= n:
+                raise ValueError("truncated histogram chunk")
+            b = data[i]
+            i += 1
+            ln |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if i + ln > n:
+            raise ValueError("truncated histogram chunk message")
+        h = decode_histogram_sample(data[i:i + ln])
+        i += ln
+        out.append((h.pop("ts"), h))
+    return out
 
 
 def encode_series_response(*, labels: dict[str, str] | None = None,
-                           chunks: list[tuple[int, int, bytes]] | None = None,
+                           chunks: list[tuple] | None = None,
                            warning: str | None = None) -> bytes:
     # storepb.SeriesResponse oneof: series=1 warning=2 hints=3;
     # storepb.Series: labels=1 chunks=2; storepb.AggrChunk: min_time=1
-    # max_time=2 raw=3; storepb.Chunk: type=1 data=2
+    # max_time=2 raw=3; storepb.Chunk: type=1 data=2.  Chunk tuples are
+    # (mint, maxt, raw[, type]) — type defaults to XOR (0); the reference
+    # passes HISTOGRAM=1 / FLOAT_HISTOGRAM=2 through the same enum
+    # (thanos.go chunkEncToStoreEnc, storepb/types.proto)
     if warning is not None:
         return _ld(2, warning.encode())
     body = [_ld(1, encode_label(k, v))
             for k, v in sorted((labels or {}).items())]
-    for mint, maxt, raw in chunks or []:
-        # Chunk.type = XOR (0, proto3 default → omitted on the wire)
-        chk = _vi(1, CHUNK_XOR) + (_ld(2, raw) if raw else b"")
+    for chunk in chunks or []:
+        mint, maxt, raw = chunk[0], chunk[1], chunk[2]
+        ctype = chunk[3] if len(chunk) > 3 else CHUNK_XOR
+        chk = _vi(1, ctype) + (_ld(2, raw) if raw else b"")
         body.append(_ld(2, _vi64(1, mint) + _vi64(2, maxt) + _ld(3, chk)))
     return _ld(1, b"".join(body))
 

@@ -283,7 +283,18 @@ class ThanosGrpcServer:
                              if v is not None]
                     if chunk:
                         chunks.append((chunk[0][0], chunk[-1][0],
-                                       encode_xor_chunk(chunk)))
+                                       encode_xor_chunk(chunk),
+                                       pb.CHUNK_XOR))
+                # native-histogram samples ride FLOAT_HISTOGRAM chunks
+                # like the reference passes through (thanos.go:462-473)
+                hists = row.get("histograms", [])
+                for i in range(0, len(hists), CHUNK_SAMPLES):
+                    hc = [(int(ts), h) for ts, h in
+                          hists[i:i + CHUNK_SAMPLES]]
+                    if hc:
+                        chunks.append((hc[0][0], hc[-1][0],
+                                       pb.encode_histogram_chunk(hc),
+                                       pb.CHUNK_FLOAT_HISTOGRAM))
             out.append(pb.encode_series_response(labels=row["labels"],
                                                  chunks=chunks))
         out += [pb.encode_series_response(warning=w) for w in warns]
@@ -309,6 +320,27 @@ class ThanosGrpcServer:
         return [pb.encode_label_strings_response(values, warns)]
 
 
+def _prompb_hist(ts_sec: float, hj: dict) -> bytes:
+    """HTTP-shaped histogram object (api/http._hist_json) → prompb.Histogram
+    wire payload — the reference streams histograms alongside float samples
+    on Query/QueryRange (thanos.go:274-277, prompb.SamplesFromPromqlSamples).
+    The boundary 4-tuples rebuild the engine's explicit-bound model: the
+    upper bound IS the model's le, and the closed zero bucket maps to
+    le = 0."""
+    sch = int(hj.get("schema", -53))
+    bks: list[tuple[float, float]] = []
+    for rule, _lo, hi, c in hj.get("buckets", []):
+        hi_f, c_f = float(hi), float(c)
+        if rule == 3 and hi_f == 0.0:
+            bks.append((0.0, c_f))
+        else:
+            bks.append((hi_f, c_f))
+    bks.sort()
+    return pb.encode_histogram_sample(
+        int(float(ts_sec) * 1000), float(hj["count"]), float(hj["sum"]),
+        bks, None if sch == -53 else sch)
+
+
 def _query_result_messages(res: dict) -> list[bytes]:
     """HTTP-shaped query payload → streamed QueryResponse messages,
     mirroring the reference's send order: warnings, series, stats
@@ -320,17 +352,25 @@ def _query_result_messages(res: dict) -> list[bytes]:
     rtype = res.get("resultType")
     if rtype == "vector":
         for item in res.get("result", []):
-            ts_sec, val = item["value"]
+            samples, hists = [], []
+            if "histogram" in item:
+                ts_sec, hj = item["histogram"]
+                hists.append(_prompb_hist(ts_sec, hj))
+            else:
+                ts_sec, val = item["value"]
+                samples.append((int(ts_sec * 1000), float(val)))
             out.append(pb.encode_query_response(
                 timeseries=pb.encode_time_series(
-                    item["metric"],
-                    [(int(ts_sec * 1000), float(val))])))
+                    item["metric"], samples, histograms=hists)))
     elif rtype == "matrix":
         for item in res.get("result", []):
             samples = [(int(t * 1000), float(v))
-                       for t, v in item["values"]]
+                       for t, v in item.get("values", [])]
+            hists = [_prompb_hist(t, hj)
+                     for t, hj in item.get("histograms", [])]
             out.append(pb.encode_query_response(
-                timeseries=pb.encode_time_series(item["metric"], samples)))
+                timeseries=pb.encode_time_series(item["metric"], samples,
+                                                 histograms=hists)))
     elif rtype == "scalar":
         ts_sec, val = res["result"]
         out.append(pb.encode_query_response(

@@ -43,6 +43,43 @@ def _fmt_val(v: float) -> str:
     return repr(v) if v != int(v) else str(int(v))
 
 
+def _hist_json(h) -> dict:
+    """Collected hist struct → the Prometheus HTTP API histogram object:
+    {"count", "sum", "buckets": [[boundary_rule, lower, upper, count]...]}
+    (values as Prometheus-formatted strings; empty buckets omitted like
+    upstream).  boundary_rule: 0 = (lower, upper], 1 = [lower, upper),
+    3 = closed both (the zero bucket).  A "schema" int rides along as an
+    extension so the gRPC layer can rebuild exact bounds."""
+    sch = h["schema"]
+    sch_i = -53 if sch is None else int(sch)
+    bks = sorted((float(b["le"]), float(b["count"])) for b in h["buckets"])
+    out = []
+    if sch_i == -53:
+        prev = float("-inf")
+        for le, c in bks:
+            if c:
+                out.append([0, _fmt_val(prev), _fmt_val(le), _fmt_val(c)])
+            prev = le
+    else:
+        base = 2.0 ** (2.0 ** -sch_i)
+        for le, c in bks:
+            if not c:
+                continue
+            if le == 0.0:
+                # zero bucket; the engine model does not track the zero
+                # threshold, so the bound collapses to the point 0
+                out.append([3, "0", "0", _fmt_val(c)])
+            elif le > 0:
+                out.append([0, _fmt_val(le / base), _fmt_val(le),
+                            _fmt_val(c)])
+            else:
+                out.append([1, _fmt_val(le * base), _fmt_val(le),
+                            _fmt_val(c)])
+    return {"count": _fmt_val(float(h["count"])),
+            "sum": _fmt_val(float(h["sum"])),
+            "schema": sch_i, "buckets": out}
+
+
 def _parse_time(s: str | None, default_ms: int) -> int:
     if not s:
         return default_ms
@@ -215,12 +252,20 @@ class QueryAPI:
                     raise ValueError(
                         "vector cannot contain metrics with the same labelset")
                 seen.add(key)
+            has_hist = "hist" in res.df.columns
+            result = []
+            for r in rows:
+                item = {"metric": dict(r["labels"])}
+                if has_hist and r["hist"] is not None:
+                    # native-histogram sample: Prometheus API "histogram"
+                    # slot instead of "value" (value is the NaN carrier)
+                    item["histogram"] = [r["t"] / 1000.0,
+                                         _hist_json(r["hist"])]
+                else:
+                    item["value"] = [r["t"] / 1000.0, _fmt_val(r["value"])]
+                result.append(item)
             return self._with_annotations(
-                {"resultType": "vector",
-                 "result": [
-                     {"metric": dict(r["labels"]),
-                      "value": [r["t"] / 1000.0, _fmt_val(r["value"])]}
-                     for r in rows],
+                {"resultType": "vector", "result": result,
                  "stats": {"samples": scan_stats(ran)}}, res)
 
     def query_range(self, q: str, start_ms: int, end_ms: int,
@@ -237,6 +282,7 @@ class QueryAPI:
                                    for r in sorted(rows,
                                                    key=lambda r: r["t"])]}],
                      "stats": stats}, res)
+            has_hist = "hist" in res.df.columns
             series: dict = {}
             seen_points: set = set()
             for r in rows:
@@ -246,12 +292,21 @@ class QueryAPI:
                     raise ValueError(
                         "vector cannot contain metrics with the same labelset")
                 seen_points.add((r["sig"], r["t"]))
-                series.setdefault(r["sig"], {"metric": dict(r["labels"]),
-                                             "values": []})
-                series[r["sig"]]["values"].append(
-                    [r["t"] / 1000.0, _fmt_val(r["value"])])
+                s = series.setdefault(r["sig"],
+                                      {"metric": dict(r["labels"]),
+                                       "values": []})
+                if has_hist and r["hist"] is not None:
+                    s.setdefault("histograms", []).append(
+                        [r["t"] / 1000.0, _hist_json(r["hist"])])
+                else:
+                    s["values"].append(
+                        [r["t"] / 1000.0, _fmt_val(r["value"])])
             for s in series.values():
                 s["values"].sort(key=lambda v: v[0])
+                if "histograms" in s:
+                    s["histograms"].sort(key=lambda v: v[0])
+                    if not s["values"]:  # upstream omits the empty slot
+                        del s["values"]
             return self._with_annotations(
                 {"resultType": "matrix",
                  "result": [series[k] for k in sorted(series)],

@@ -152,14 +152,16 @@ class QueryServer:
         eng = self._api(replica_labels).engine
         matched = eng._matched(matchers, start_ms, end_ms)
         from thanos_parquet_gateway_spark.schema import canonical_sig
+        extra = ["hist"] if "hist" in matched.columns else []
         keyed = matched.select(canonical_sig("labels").alias("sig"),
-                               "labels", "ts", "value")
+                               "labels", "ts", "value", *extra)
         if skip_samples:
             return keyed.dropDuplicates(["sig"]).select("sig", "labels") \
                         .orderBy("sig")
         return (keyed.groupBy("sig")
                 .agg(F.first("labels").alias("labels"),
-                     F.array_sort(F.collect_list(F.struct("ts", "value")))
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "value", *extra)))
                       .alias("samples"))
                 .orderBy("sig"))
 
@@ -183,7 +185,21 @@ class QueryServer:
         for r in rows:
             item = {"labels": dict(r["labels"])}
             if not skip_samples:
-                item["samples"] = [[s["ts"], s["value"]] for s in r["samples"]]
+                has_hist = r["samples"] and "hist" in r["samples"][0]
+                item["samples"] = [
+                    [s["ts"], s["value"]] for s in r["samples"]
+                    if not (has_hist and s["hist"] is not None)]
+                if has_hist:
+                    hists = [
+                        [s["ts"], {
+                            "count": s["hist"]["count"],
+                            "sum": s["hist"]["sum"],
+                            "buckets": [(b["le"], b["count"])
+                                        for b in s["hist"]["buckets"]],
+                            "schema": s["hist"]["schema"],
+                        }] for s in r["samples"] if s["hist"] is not None]
+                    if hists:
+                        item["histograms"] = hists
             out.append(item)
         return out, warns
 

@@ -3569,6 +3569,51 @@ def grpc_series_export(spark, sf_dir):
                     lambda acc, s: acc + s["value"]).alias("value_sum"))
 
 
+@q("grpc_series_export_hist", f"""
+WITH {_SAMPLES},
+w AS (
+    SELECT shard, "user", ts, value FROM samples
+    WHERE name = 'click' AND ts >= {R_START} AND ts <= {T}
+)
+SELECT shard, "user",
+       CAST(count(*) AS BIGINT) AS n_hist,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE) AS count_sum,
+       CAST(sum(CAST(floor(value * 10) AS BIGINT)) AS DOUBLE) AS sum_sum
+FROM w GROUP BY shard, "user"
+""")
+def grpc_series_export_hist(spark, sf_dir):
+    """Series raw export of NATIVE-HISTOGRAM samples (reference passes
+    HISTOGRAM/FLOAT_HISTOGRAM chunks through Series, thanos.go:462-473):
+    click samples are lifted to deterministic NHCB histograms (count =
+    floor(100v), sum = floor(10v) — integral, so the float folds are
+    order-independent), exported through the same series_df path the gRPC
+    handler chunks, and reduced per series."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    from thanos_parquet_gateway_spark.promql.histograms import make_hist
+
+    s = samples_from_events(spark, sf_dir)
+    cnt = F.floor(F.col("value") * 100).cast("double")
+    tot = F.floor(F.col("value") * 10).cast("double")
+    buckets = F.array(
+        F.struct(F.lit(1.0).alias("le"), cnt.alias("count")),
+        F.struct(F.lit(float("inf")).alias("le"),
+                 F.lit(0.0).alias("count")))
+    hist = F.when(F.col("__name__") == "click",
+                  make_hist(cnt, tot, buckets, -53))
+    srv = QueryServer(s.withColumn("hist", hist), deterministic=True)
+    df = srv.series_df(["click"], R_START, T)
+    hs = F.filter("samples", lambda x: x["hist"].isNotNull())
+    return df.select(
+        _lbl("shard").alias("shard"), _lbl("user").alias("user"),
+        F.size(hs).cast("long").alias("n_hist"),
+        F.aggregate(hs, F.lit(0.0),
+                    lambda acc, x: acc + x["hist"]["count"])
+         .alias("count_sum"),
+        F.aggregate(hs, F.lit(0.0),
+                    lambda acc, x: acc + x["hist"]["sum"])
+         .alias("sum_sum"))
+
+
 @q("grpc_info", """
 SELECT CAST(user_id % 2 AS VARCHAR) AS stream,
        CASE WHEN user_id % 2 = 0 THEN 'zone-a' ELSE 'zone-b' END AS zone,
