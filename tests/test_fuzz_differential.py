@@ -936,3 +936,111 @@ def test_differential_fuzz(corpus):
                                 f"got {got[k]}, want {want[k]}")
     assert not failures, (f"{len(failures)}/{N_QUERIES} divergences:\n"
                           + "\n".join(failures[:25]))
+
+
+# -------------------------------------------------- grammar composer fuzz
+#
+# promqlsmith-style NESTED composition (reference db/db_test.go:1162-1190):
+# the template families above are leaves; combinators wrap them into
+# agg-over-binop, binop-of-aggs, filter-of-agg-of-rate, ... trees.  Every
+# node carries (promql, sql, label_cols) so the DuckDB oracle composes in
+# lockstep with the PromQL text.
+
+_COMPOSE_LEAVES = [_shape_selector, _shape_over_time, _shape_rate,
+                   _shape_irate, _shape_arith, _shape_cmp_filter]
+
+
+def _compose_vector(rng, t, depth):
+    """A (promql, sql) node whose SQL exposes (job, inst, v) — leaves are
+    full-labelset template families; MAP / FILTER / BIN keep the shape."""
+    if depth <= 0 or rng.random() < 0.35:
+        return rng.choice(_COMPOSE_LEAVES)(rng, t)
+    kind = rng.choice(["map", "filter", "bin", "setop"])
+    p1, s1 = _compose_vector(rng, t, depth - 1)
+    if kind == "map":
+        c = round(rng.uniform(0.5, 3), 3)
+        d = round(rng.uniform(-5, 5), 3)
+        return (f"({p1}) * {c} + {d}",
+                f"SELECT job, inst, v * {c} + {d} AS v FROM ({s1})")
+    if kind == "filter":
+        thr = rng.choice([0.0, 0.01, 1.0, 10.0, 50.0])
+        op, sop = rng.choice([(">", ">"), ("<=", "<="), (">=", ">=")])
+        return (f"({p1}) {op} {thr}",
+                f"SELECT job, inst, v FROM ({s1}) WHERE v {sop} {thr}")
+    p2, s2 = _compose_vector(rng, t, depth - 1)
+    if kind == "bin":
+        op = rng.choice(["+", "-", "*", "/"])
+        return (f"({p1}) {op} ({p2})",
+                f"SELECT l.job, l.inst, l.v {op} r.v AS v "
+                f"FROM ({s1}) l JOIN ({s2}) r USING (job, inst)")
+    op = rng.choice(["and", "unless"])
+    join = "SEMI" if op == "and" else "ANTI"
+    return (f"({p1}) {op} ({p2})",
+            f"SELECT l.job, l.inst, l.v FROM ({s1}) l "
+            f"{join} JOIN ({s2}) r ON l.job = r.job AND l.inst = r.inst")
+
+
+def _compose_tree(rng, t):
+    """Full composed case: a vector tree, optionally aggregated (by a
+    grouping label or globally), optionally post-mapped/filtered — the
+    agg-over-binop / binop-of-aggs families the flat shapes never reach."""
+    node = _compose_vector(rng, t, rng.choice([1, 2, 2, 3]))
+    roll = rng.random()
+    if roll < 0.25:
+        return node
+    op, sqlagg = rng.choice(AGGS)
+    if roll < 0.55:  # grouped agg over the tree
+        g = rng.choice(["job", "inst"])
+        p = f"{op} by ({g}) ({node[0]})"
+        s = f"SELECT {g}, {sqlagg} AS v FROM ({node[1]}) GROUP BY {g}"
+        if rng.random() < 0.5:  # binop of two grouped aggs
+            op2, sqlagg2 = rng.choice(AGGS)
+            n2 = _compose_vector(rng, t, rng.choice([1, 2]))
+            bop = rng.choice(["+", "-", "*"])
+            return (f"({p}) {bop} ({op2} by ({g}) ({n2[0]}))",
+                    f"SELECT l.{g}, l.v {bop} r.v AS v FROM ({s}) l JOIN "
+                    f"(SELECT {g}, {sqlagg2} AS v FROM ({n2[1]}) "
+                    f"GROUP BY {g}) r USING ({g})")
+        if rng.random() < 0.5:  # filter over the grouped agg
+            thr = rng.choice([0.0, 1.0, 25.0])
+            return (f"({p}) > {thr}",
+                    f"SELECT {g}, v FROM ({s}) WHERE v > {thr}")
+        return p, s
+    # global aggregate over the tree (scalar-shaped result); HAVING guards
+    # the SQL artifact where aggregating an empty set still emits one row
+    # (count -> 0) while PromQL's aggregate of an empty vector is absent
+    return (f"{op}({node[0]})",
+            f"SELECT {sqlagg} AS v FROM ({node[1]}) HAVING count(*) > 0")
+
+
+N_COMPOSED = 140
+
+
+def test_differential_fuzz_composed(corpus):
+    """Composed-grammar differential: nested trees of the template families
+    must match the equally-composed DuckDB oracle (VERDICT r7 #6)."""
+    eng, con = corpus
+    rng = random.Random(424242)
+    failures = []
+    for i in range(N_COMPOSED):
+        t = rng.randrange(50, 196) * S
+        promql, sql = _compose_tree(rng, t)
+        duck = con.execute(sql).fetchdf()
+        label_cols = [c for c in duck.columns if c != "v"]
+        want = _norm(duck.to_dict("records"), label_cols)
+        # a global aggregate of an empty vector is absent in PromQL but one
+        # NULL row in SQL — normalize both to empty
+        want = {k: v for k, v in want.items()
+                if not (v is None and not dict(k))}
+        got = _spark_result(eng, promql, t)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} @{t}: labelsets differ\n"
+                            f"  got : {sorted(map(sorted, got))}\n"
+                            f"  want: {sorted(map(sorted, want))}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} @{t} {dict(k)}: "
+                                f"got {got[k]}, want {want[k]}")
+    assert not failures, (f"{len(failures)}/{N_COMPOSED} divergences:\n"
+                          + "\n".join(failures[:20]))
