@@ -307,3 +307,41 @@ def test_scan_counters_on_range_query(spark, sf_dir):
     assert st["peakSamples"] > 0
     assert st["filesScanned"] > 0
     assert st["bytesScanned"] > 0
+
+
+def test_native_histogram_http_payload(spark):
+    """Hist-valued results surface in the Prometheus HTTP API shape: a
+    "histogram" slot (vector) / "histograms" array (matrix) with boundary-
+    rule bucket 4-tuples, never a NaN float "value"."""
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.api.http import QueryAPI
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    S = 1000
+    inf = float("inf")
+    h = (6.0, 9.0, [(0.0, 1.0), (1.0, 2.0), (4.0, 3.0), (inf, 0.0)], 0)
+    rows = [({"__name__": "hm", "job": "a"}, 10 * S, {"hist": h}),
+            ({"__name__": "fm", "job": "a"}, 10 * S, 2.5)]
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=60 * S,
+                       deterministic=True)
+    api = QueryAPI(eng)
+
+    res = api.query("hm", 20 * S)
+    (item,) = res["result"]
+    assert "value" not in item
+    t, hj = item["histogram"]
+    assert (t, hj["count"], hj["sum"]) == (20.0, "6", "9")
+    # zero bucket closed-both at 0; exponential buckets (lower, upper]
+    assert hj["buckets"] == [[3, "0", "0", "1"],
+                             [0, "0.5", "1", "2"],
+                             [0, "2", "4", "3"]]
+
+    # float metrics keep the plain value slot
+    res = api.query("fm", 20 * S)
+    assert res["result"][0]["value"] == [20.0, "2.5"]
+
+    # matrix: histograms array, empty values slot omitted
+    res = api.query_range("hm", 10 * S, 30 * S, 10 * S)
+    (item,) = res["result"]
+    assert "values" not in item and len(item["histograms"]) == 3
+    assert all(hj["count"] == "6" for _t, hj in item["histograms"])
