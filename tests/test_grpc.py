@@ -414,3 +414,78 @@ def test_native_histogram_over_wire(spark):
             ts = [m["timeseries"] for m in msgs if "timeseries" in m]
             assert ts and [h["count"] for h in ts[0]["histograms"]] == \
                 [7.0, 9.0, 9.0]
+
+
+RFC7541_C_VECTORS = [  # (plaintext, Appendix C Huffman ciphertext hex)
+    (b"www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),          # C.4.1
+    (b"no-cache", "a8eb10649cbf"),                              # C.4.2
+    (b"custom-key", "25a849e95ba97d7f"),                        # C.4.3
+    (b"custom-value", "25a849e95bb8e8b4bf"),                    # C.4.3
+    (b"302", "6402"),                                           # C.6.1
+    (b"private", "aec3771a4b"),                                 # C.6.1
+    (b"Mon, 21 Oct 2013 20:13:21 GMT",
+     "d07abe941054d444a8200595040b8166e082a62d1bff"),           # C.6.1
+    (b"Mon, 21 Oct 2013 20:13:22 GMT",
+     "d07abe941054d444a8200595040b8166e084a62d1bff"),           # C.6.3
+    (b"https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),
+    (b"307", "640eff"),                                         # C.6.2
+    (b"gzip", "9bd9ab"),                                        # C.6.3
+]
+
+
+def test_huffman_rfc7541_appendix_c_vectors():
+    """The reconstructed Appendix B table must reproduce the RFC's own
+    Appendix C example ciphertexts bit-exactly — this is what makes the
+    from-memory table trustworthy — and decode them back."""
+    from thanos_parquet_gateway_spark.api.hpack import (huffman_decode,
+                                                        huffman_encode)
+    for raw, want_hex in RFC7541_C_VECTORS:
+        assert huffman_encode(raw).hex() == want_hex, raw
+        assert huffman_decode(bytes.fromhex(want_hex)) == raw
+
+
+def test_huffman_table_properties_and_errors():
+    import pytest
+    from thanos_parquet_gateway_spark.api import hpack
+
+    # prefix-free: no verified code is a prefix of another
+    items = sorted(hpack.HUFFMAN_CODES.values(), key=lambda t: (t[1], t[0]))
+    for i, (c1, l1) in enumerate(items):
+        for c2, l2 in items[i + 1:]:
+            assert not (l2 >= l1 and (c2 >> (l2 - l1)) == c1), (c1, c2)
+    # full printable-ASCII round trip
+    s = bytes(range(0x20, 0x7F))
+    assert hpack.huffman_decode(hpack.huffman_encode(s)) == s
+    # symbols outside the verified subset fail loudly, never corrupt
+    with pytest.raises(hpack.HpackError, match="subset"):
+        hpack.huffman_encode(b"\x01")
+    with pytest.raises(hpack.HpackError, match="subset"):
+        # 30 one-bits = EOS-region prefix, not a verified code
+        hpack.huffman_decode(b"\xff\xff\xff\xff")
+    with pytest.raises(hpack.HpackError, match="padding"):
+        # '0' (00000) + 3 zero pad bits — padding must be all ones
+        hpack.huffman_decode(bytes([0b00000000]))
+
+
+def test_hpack_decodes_huffman_literal_blocks():
+    """A header block whose literals carry the H bit (what grpc-go sends)
+    must decode — RFC 7541 C.4.1: literal with incremental indexing,
+    static name :authority (idx 1), Huffman value 'www.example.com'."""
+    from thanos_parquet_gateway_spark.api.hpack import (Decoder,
+                                                        huffman_encode)
+
+    def hstr(raw: bytes) -> bytes:
+        enc = huffman_encode(raw)
+        assert len(enc) < 127
+        return bytes([0x80 | len(enc)]) + enc
+
+    block = bytes([0x41]) + hstr(b"www.example.com")      # C.4.1 exactly
+    assert bytes([0x41]) + hstr(b"www.example.com") == \
+        bytes.fromhex("418cf1e3c2e5f23a6ba0ab90f4ff")
+    dec = Decoder()
+    assert dec.decode(block) == [(":authority", "www.example.com")]
+    # Huffman name AND value (custom-key: custom-value, C.4.3 last entry)
+    block = bytes([0x40]) + hstr(b"custom-key") + hstr(b"custom-value")
+    assert dec.decode(block) == [("custom-key", "custom-value")]
+    # the dynamic table learned both; an indexed lookup now hits them
+    assert dec.decode(bytes([0x80 | 62])) == [("custom-key", "custom-value")]

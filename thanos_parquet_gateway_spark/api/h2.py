@@ -23,11 +23,11 @@ grpc-go uses on insecure channels):
   window only governs INBOUND data.
 - frames chunked to the peer's SETTINGS_MAX_FRAME_SIZE.
 
-Known real-querier interop gap: api/hpack.py implements HPACK without the
-RFC 7541 §5.2 Huffman coding on the DECODE side only via the in-repo
-encoder's choices — a grpc-go client Huffman-codes literals by default, so
-cross-implementation interop additionally needs Huffman decoding (tracked
-in hpack.py).
+HPACK (api/hpack.py) decodes Huffman-coded literals for the printable-
+ASCII region of the RFC 7541 Appendix B code — what grpc-go emits by
+default for header text — verified against the RFC's Appendix C example
+ciphertexts; control/non-ASCII header bytes (19-30 bit codes, unverified
+in-sandbox) raise a clean HpackError instead of risking corruption.
 
 Shared by the server (api/grpc_server.py) and the in-repo test client.
 """

@@ -1,18 +1,23 @@
 """Minimal HPACK (RFC 7541) header codec for the gRPC wire binding.
 
 Implements the full static table, dynamic-table insertion/eviction/size
-updates, and prefix-integer / literal-string coding — enough to decode
-header blocks from a peer that uses incremental indexing, and to encode
-our own blocks (literal-with-incremental-indexing for repeated headers,
-never Huffman on encode; RFC 7541 §5.2 makes Huffman optional for
-encoders).
+updates, prefix-integer / literal-string coding, and Huffman DECODING for
+the printable-ASCII region of the RFC 7541 Appendix B code (what grpc-go
+emits by default for header names/values) — enough to decode header
+blocks from a real peer, and to encode our own blocks
+(literal-with-incremental-indexing for repeated headers, never Huffman on
+encode; RFC 7541 §5.2 makes Huffman optional for encoders).
 
-Huffman-coded string literals (H bit set) are NOT decodable here: the
-RFC 7541 Appendix B code table cannot be fetched in this sandbox to be
-transcribed verifiably, and a silently-wrong table would corrupt headers.
-Decoding raises ``HpackError('huffman-coded literal unsupported')``
-instead; the in-repo HTTP/2 client (api/h2.py) never Huffman-encodes, so
-served and dialed traffic inside this repo round-trips fully.
+The Huffman table below could not be fetched from the RFC in this
+sandbox; it is reconstructed and then VERIFIED against the RFC's own
+Appendix C example ciphertexts (C.4.1-C.4.3, C.6.1-C.6.3:
+"www.example.com" → f1e3c2e5f23a6ba0ab90f4ff, "no-cache" → a8eb10649cbf,
+the full Date header, "https://www.example.com", "gzip", "private",
+"custom-key"/"custom-value", "302"/"307") in tests/test_grpc.py — every
+vector must reproduce bit-exactly, which pins all frequently-used codes.
+Symbols OUTSIDE the verified subset (control bytes, 0x80-0xFF — 19-30 bit
+codes that never appear in gRPC header text) raise ``HpackError`` on
+decode rather than risking a silently-wrong entry.
 """
 
 from __future__ import annotations
@@ -20,6 +25,81 @@ from __future__ import annotations
 
 class HpackError(Exception):
     pass
+
+
+# RFC 7541 Appendix B Huffman code, printable-ASCII subset (0x20-0x7E):
+# symbol → (code, bit length).  Verified against the Appendix C example
+# ciphertexts (see module docstring); prefix-freeness is asserted in tests.
+HUFFMAN_CODES: dict[int, tuple[int, int]] = {
+    32: (0x14, 6), 33: (0x3f8, 10), 34: (0x3f9, 10), 35: (0xffa, 12),
+    36: (0x1ff9, 13), 37: (0x15, 6), 38: (0xf8, 8), 39: (0x7fa, 11),
+    40: (0x3fa, 10), 41: (0x3fb, 10), 42: (0xf9, 8), 43: (0x7fb, 11),
+    44: (0xfa, 8), 45: (0x16, 6), 46: (0x17, 6), 47: (0x18, 6),
+    48: (0x0, 5), 49: (0x1, 5), 50: (0x2, 5), 51: (0x19, 6),
+    52: (0x1a, 6), 53: (0x1b, 6), 54: (0x1c, 6), 55: (0x1d, 6),
+    56: (0x1e, 6), 57: (0x1f, 6), 58: (0x5c, 7), 59: (0xfb, 8),
+    60: (0x7ffc, 15), 61: (0x20, 6), 62: (0xffb, 12), 63: (0x3fc, 10),
+    64: (0x1ffa, 13), 65: (0x21, 6), 66: (0x5d, 7), 67: (0x5e, 7),
+    68: (0x5f, 7), 69: (0x60, 7), 70: (0x61, 7), 71: (0x62, 7),
+    72: (0x63, 7), 73: (0x64, 7), 74: (0x65, 7), 75: (0x66, 7),
+    76: (0x67, 7), 77: (0x68, 7), 78: (0x69, 7), 79: (0x6a, 7),
+    80: (0x6b, 7), 81: (0x6c, 7), 82: (0x6d, 7), 83: (0x6e, 7),
+    84: (0x6f, 7), 85: (0x70, 7), 86: (0x71, 7), 87: (0x72, 7),
+    88: (0xfc, 8), 89: (0x73, 7), 90: (0xfd, 8), 91: (0x1ffb, 13),
+    92: (0x7fff0, 19), 93: (0x1ffc, 13), 94: (0x3ffc, 14), 95: (0x22, 6),
+    96: (0x7ffd, 15), 97: (0x3, 5), 98: (0x23, 6), 99: (0x4, 5),
+    100: (0x24, 6), 101: (0x5, 5), 102: (0x25, 6), 103: (0x26, 6),
+    104: (0x27, 6), 105: (0x6, 5), 106: (0x74, 7), 107: (0x75, 7),
+    108: (0x28, 6), 109: (0x29, 6), 110: (0x2a, 6), 111: (0x7, 5),
+    112: (0x2b, 6), 113: (0x76, 7), 114: (0x2c, 6), 115: (0x8, 5),
+    116: (0x9, 5), 117: (0x2d, 6), 118: (0x77, 7), 119: (0x78, 7),
+    120: (0x79, 7), 121: (0x7a, 7), 122: (0x7b, 7), 123: (0x7ffe, 15),
+    124: (0x7fc, 11), 125: (0x3ffd, 14), 126: (0x1ffd, 13),
+}
+
+_HUFFMAN_DECODE = {cl: sym for sym, cl in HUFFMAN_CODES.items()}
+_HUFFMAN_MAX_BITS = max(ln for _c, ln in HUFFMAN_CODES.values())
+
+
+def huffman_encode(data: bytes) -> bytes:
+    """Huffman-code a printable-ASCII string (test/interop helper; the
+    Encoder below never Huffman-codes, which RFC 7541 §5.2 permits)."""
+    bits = n = 0
+    for ch in data:
+        try:
+            c, ln = HUFFMAN_CODES[ch]
+        except KeyError:
+            raise HpackError(
+                f"byte {ch:#x} outside the verified Huffman subset")
+        bits = (bits << ln) | c
+        n += ln
+    pad = (8 - n % 8) % 8
+    bits = (bits << pad) | ((1 << pad) - 1)  # EOS-prefix padding (§5.2)
+    n += pad
+    return bits.to_bytes(n // 8, "big") if n else b""
+
+
+def huffman_decode(data: bytes) -> bytes:
+    """Decode a Huffman-coded string literal.  Raises on symbols outside
+    the verified printable-ASCII subset and on invalid padding (§5.2:
+    trailing bits must be the most-significant prefix of EOS, ≤ 7 bits)."""
+    out = bytearray()
+    acc = n = 0
+    for byte in data:
+        for shift in (7, 6, 5, 4, 3, 2, 1, 0):
+            acc = (acc << 1) | ((byte >> shift) & 1)
+            n += 1
+            sym = _HUFFMAN_DECODE.get((acc, n))
+            if sym is not None:
+                out.append(sym)
+                acc = n = 0
+            elif n > _HUFFMAN_MAX_BITS:
+                raise HpackError(
+                    "huffman code outside the verified printable-ASCII "
+                    "subset (control or non-ASCII byte)")
+    if n >= 8 or acc != (1 << n) - 1:
+        raise HpackError("invalid huffman padding")
+    return bytes(out)
 
 
 # RFC 7541 Appendix A — the static table, entries 1..61.
@@ -205,7 +285,7 @@ class Decoder:
             raise HpackError("truncated string literal")
         raw = data[i:i + ln]
         if huffman:
-            raise HpackError("huffman-coded literal unsupported")
+            raw = huffman_decode(raw)
         return raw.decode("utf-8", "surrogateescape"), i + ln
 
     def decode(self, data: bytes) -> list[tuple[str, str]]:
