@@ -77,6 +77,14 @@ def convert_samples(raw: DataFrame, out_path: str, *,
        .sortWithinPartitions("stream", "date", *SORT_COLS)
        .write.mode("overwrite")
        .option("maxRecordsPerFile", max_records_per_file)
+       # reference write shape (convert/convert.go:193-204,
+       # schema/schema.go:99-106): zstd-compressed pages, ~1M-row row
+       # groups x 6 per shard (= the 6M maxRecordsPerFile above), blooms
+       # on the two lookup keys.  parquet.block.size is bytes in Spark:
+       # 128 MiB aligns row-group boundaries with maxPartitionBytes so a
+       # scan task reads whole row groups at 100 TB.
+       .option("compression", "zstd")
+       .option("parquet.block.size", str(128 * 1024 * 1024))
        .option("parquet.bloom.filter.enabled#__name__", "true")
        .option("parquet.bloom.filter.enabled#series_hash", "true")
        .partitionBy("stream", "date")
@@ -187,6 +195,14 @@ def convert_streams(raws: dict[str, DataFrame], out_path: str, *,
        .sortWithinPartitions("stream", "date", *SORT_COLS)
        .write.mode("overwrite")
        .option("maxRecordsPerFile", max_records_per_file)
+       # reference write shape (convert/convert.go:193-204,
+       # schema/schema.go:99-106): zstd-compressed pages, ~1M-row row
+       # groups x 6 per shard (= the 6M maxRecordsPerFile above), blooms
+       # on the two lookup keys.  parquet.block.size is bytes in Spark:
+       # 128 MiB aligns row-group boundaries with maxPartitionBytes so a
+       # scan task reads whole row groups at 100 TB.
+       .option("compression", "zstd")
+       .option("parquet.block.size", str(128 * 1024 * 1024))
        .option("parquet.bloom.filter.enabled#__name__", "true")
        .option("parquet.bloom.filter.enabled#series_hash", "true")
        .partitionBy("stream", "date")
