@@ -1051,6 +1051,52 @@ def tpch_q19_disjunctive(spark, sf_dir):
                  F.count("*").alias("n_items")))
 
 
+@q("tpch_q22_dormant_capital", """
+WITH pos AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+           count(*) AS n
+    FROM customer WHERE c_acctbal > 0.0
+),
+eligible AS (
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * n > s
+),
+dormant AS (
+    SELECT e.* FROM eligible e
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = e.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM dormant GROUP BY c_nationkey
+""")
+def tpch_q22_dormant_capital(spark, sf_dir):
+    """TPC-H Q22 analogue (testdata has no c_phone, so nationkey plays the
+    country code): customers with above-average positive balances and no
+    RECENT orders (none since 1997-06-01 — all-time dormancy is empty at
+    small SF).  The correlated scalar average decorrelates into ONE global
+    aggregate broadcast back (exact decimal cross-multiplication
+    bal*n > sum — no float average on either engine, so the threshold can
+    never flip on summation order), and NOT EXISTS is a shuffle left-anti
+    join AQE may convert; the one-row aggregate is the only broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = (c.filter(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(F.col("c_acctbal").cast(_DEC)).alias("s"),
+                F.count("*").alias("n")))
+    elig = (c.join(F.broadcast(pos))
+            .filter(F.col("c_acctbal").cast(_DEC) * F.col("n") >
+                    F.col("s")))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= "1997-06-01").select("o_custkey"))
+    dormant = elig.join(o, elig.c_custkey == o.o_custkey, "left_anti")
+    return (dormant.groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                  .alias("totacctbal")))
+
+
 @q("rel_distinct_agg", """
 SELECT o_orderpriority,
        count(*) AS n_orders,
