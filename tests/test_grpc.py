@@ -489,3 +489,58 @@ def test_hpack_decodes_huffman_literal_blocks():
     assert dec.decode(block) == [("custom-key", "custom-value")]
     # the dynamic table learned both; an indexed lookup now hits them
     assert dec.decode(bytes([0x80 | 62])) == [("custom-key", "custom-value")]
+
+
+def test_histogram_codec_off_grid_and_sparse_nhcb():
+    """Code-review r8 regressions: (1) merged mixed-schema histograms have
+    bounds off any single exponential grid — encoding must fall back to
+    lossless custom bounds, never emit colliding span indices; (2) sparse
+    NHCB from a real peer maps counts through positive_spans, not
+    positionally; (3) saturated ±Inf bounds and huge peer indices must not
+    crash the codec."""
+    import math
+
+    from thanos_parquet_gateway_spark.api import grpc_pb as pb
+
+    inf = float("inf")
+    # (1) le-union of schema 0 and schema 1 grids, declared schema 0
+    bks = [(1.0, 2.0), (math.sqrt(2.0), 3.0), (2.0, 4.0), (inf, 0.0)]
+    d = pb.decode_histogram_sample(
+        pb.encode_histogram_sample(7, 9.0, 5.0, bks, 0))
+    assert d["schema"] == pb.CUSTOM_SCHEMA  # grid mismatch → custom
+    assert d["buckets"] == bks and d["count"] == 9.0
+
+    # (2) sparse NHCB: custom_values [1,2,3,4], spans (0,1)+(gap 2,1):
+    # counts a,b sit at indices 0 and 3 → bounds 1 and 4
+    msg = (pb._dbl(2, 5.0) + pb._dbl(3, 1.0) +
+           pb._sint(4, pb.CUSTOM_SCHEMA, 32) +
+           pb._ld(11, pb._enc_span(0, 1)) + pb._ld(11, pb._enc_span(2, 1)) +
+           pb._packed_dbl(13, [2.0, 3.0]) + pb._vi64(15, 9) +
+           pb._packed_dbl(16, [1.0, 2.0, 3.0, 4.0]))
+    d = pb.decode_histogram_sample(msg)
+    assert d["buckets"] == [(1.0, 2.0), (4.0, 3.0), (inf, 0.0)]
+
+    # (3a) non-zero +Inf bucket on an exponential grid → custom fallback
+    bks = [(1.0, 1.0), (inf, 2.0)]
+    d = pb.decode_histogram_sample(
+        pb.encode_histogram_sample(1, 3.0, 2.0, bks, 0))
+    assert d["schema"] == pb.CUSTOM_SCHEMA and d["buckets"] == bks
+
+    # (3b) peer-sent bucket index beyond double range decodes to +Inf,
+    # not OverflowError
+    msg = (pb._dbl(2, 1.0) + pb._dbl(3, 1.0) + pb._sint(4, 0, 32) +
+           pb._ld(11, pb._enc_span(2000, 1)) + pb._packed_dbl(13, [1.0]) +
+           pb._vi64(15, 1))
+    d = pb.decode_histogram_sample(msg)
+    assert d["buckets"][0][0] == inf
+
+
+def test_large_request_body_over_wire(served):
+    """First RPC with a request body over the 64 KiB default window must
+    not stall: the client drains the server's SETTINGS/WINDOW_UPDATE
+    preamble at connect time (code-review r8)."""
+    # one ~200 KiB matcher value → request body far beyond 65535 bytes
+    matchers = [("=", "__name__", "m"), ("!=", "blob", "v" * 200_000)]
+    res = served.series(matchers, 0, 60 * S, skip_chunks=True)
+    # the != matcher excludes nothing; the RPC itself must complete
+    assert len([m for m in res if "series" in m]) == 3

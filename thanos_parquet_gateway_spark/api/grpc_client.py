@@ -50,6 +50,17 @@ class ThanosGrpcClient:
         self.conn.send(PREFACE)
         self.conn.send_settings()
         self._next_stream = 1
+        # drain the server's connection preamble (SETTINGS + its big
+        # connection WINDOW_UPDATE) BEFORE the first call: this client is
+        # single-threaded, so a request body larger than the 64 KiB
+        # default window would otherwise block in send_data while the
+        # grants sit unread in the socket
+        for _ in range(2):
+            ftype, flags, fsid, payload = self.conn.read_frame()
+            if ftype == SETTINGS:
+                self.conn.handle_settings(flags, payload)
+            elif ftype == WINDOW_UPDATE:
+                self.conn.handle_window_update(fsid, payload)
 
     def close(self) -> None:
         self.conn.send_goaway()

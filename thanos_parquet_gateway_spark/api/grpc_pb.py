@@ -152,6 +152,32 @@ def _dec_span(data: bytes) -> tuple[int, int]:
     return off, length
 
 
+def _on_exponential_grid(buckets: list[tuple[float, float]],
+                         sch: int) -> bool:
+    """True iff every bound sits exactly on schema ``sch``'s grid (le =
+    base^i for positives, -(base^(i-1)) for negatives) with no index
+    collisions, and no non-zero ±Inf bucket exists."""
+    base_log = 2.0 ** -sch
+    pos_idx: set[int] = set()
+    neg_idx: set[int] = set()
+    for le, c in buckets:
+        if le == 0.0:
+            continue
+        if le == float("inf") or le == float("-inf"):
+            if c:
+                return False
+            continue
+        raw = math.log2(abs(le)) / base_log
+        idx = round(raw)
+        if abs(raw - idx) > 1e-9:
+            return False
+        side = pos_idx if le > 0 else neg_idx
+        if idx in side:
+            return False  # two bounds collapsing to one index
+        side.add(idx)
+    return True
+
+
 def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
                             buckets: list[tuple[float, float]],
                             schema: int | None) -> bytes:
@@ -170,9 +196,16 @@ def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
     zero threshold is not tracked by the engine model and is emitted as 0.
     """
     sch = CUSTOM_SCHEMA if schema is None else int(schema)
+    buckets = [(float(le), float(c)) for le, c in (buckets or [])]
+    if sch != CUSTOM_SCHEMA and not _on_exponential_grid(buckets, sch):
+        # merged mixed-schema histograms (h0+h1 keeps the le-union with
+        # schema = coalesce) and saturated ±Inf bounds don't sit on any
+        # single exponential grid — colliding indices would produce
+        # invalid negative span offsets.  Custom-bounds encoding carries
+        # the exact le set losslessly instead.
+        sch = CUSTOM_SCHEMA
     out = [_dbl(2, float(count)), _dbl(3, float(hsum)),
            _sint(4, sch, 32)]
-    buckets = [(float(le), float(c)) for le, c in (buckets or [])]
     if sch == CUSTOM_SCHEMA:
         finite = [(le, c) for le, c in buckets if le != float("inf")]
         overflow = sum(c for le, c in buckets if le == float("inf"))
@@ -190,10 +223,7 @@ def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
         if le == 0.0:
             zero_count += c
         elif le == float("inf") or le == float("-inf"):
-            if c:
-                raise ValueError(
-                    "exponential histogram cannot carry a non-zero "
-                    "infinity bucket on the wire")
+            pass  # grid check above guarantees count 0 here
         elif le > 0:
             pos.append((round(math.log2(le) / base_log), c))
         else:
@@ -263,20 +293,32 @@ def decode_histogram_sample(data: bytes) -> dict:
     sch = h["schema"]
     buckets: list[tuple[float, float]] = []
     if custom is not None or sch == CUSTOM_SCHEMA:
+        # sparse NHCB: spans map count positions onto custom_values
+        # indices (a real peer skips empty buckets via span gaps); absent
+        # spans mean the dense positional layout our encoder writes
         cv = custom or []
-        for i, c in enumerate(pos_counts):
-            buckets.append((cv[i] if i < len(cv) else float("inf"), c))
-        if len(pos_counts) <= len(cv):
+        idxs = (_span_indices(pos_spans) if pos_spans
+                else list(range(len(pos_counts))))
+        for idx, c in zip(idxs, pos_counts):
+            buckets.append((cv[idx] if idx < len(cv) else float("inf"), c))
+        if not buckets or buckets[-1][0] != float("inf"):
             buckets.append((float("inf"), 0.0))
         return {"ts": h["ts"], "count": h["count"], "sum": h["sum"],
                 "buckets": buckets, "schema": CUSTOM_SCHEMA}
-    base = 2.0 ** (2.0 ** -sch)
+    base_log = 2.0 ** -sch
+
+    def _bound(idx: int) -> float:
+        try:
+            return 2.0 ** (idx * base_log)
+        except OverflowError:  # peer-sent index beyond double range
+            return float("inf")
+
     for idx, c in zip(_span_indices(neg_spans), neg_counts):
-        buckets.append((-(base ** (idx - 1)), c))
+        buckets.append((-_bound(idx - 1), c))
     if h["zero_count"]:
         buckets.append((0.0, h["zero_count"]))
     for idx, c in zip(_span_indices(pos_spans), pos_counts):
-        buckets.append((base ** idx, c))
+        buckets.append((_bound(idx), c))
     buckets.sort()
     if not buckets or buckets[-1][0] != float("inf"):
         buckets.append((float("inf"), 0.0))

@@ -195,6 +195,7 @@ class ThanosGrpcServer:
     def _dispatch(self, conn: Conn, st: Stream) -> None:
         hdrs = dict(st.headers)
         path = hdrs.get(":path", "")
+        headers_sent = False
         try:
             msgs, _rest = split_grpc_frames(st.data)
             body = msgs[0] if msgs else b""
@@ -207,22 +208,35 @@ class ThanosGrpcServer:
                 (":status", "200"),
                 ("content-type", "application/grpc"),
             ])
+            headers_sent = True
             for msg in responses:
                 conn.send_data(st.id, grpc_frame(msg))
             conn.send_headers(st.id, [("grpc-status", "0")],
                               end_stream=True)
         except GrpcStatus as e:
-            self._send_error(conn, st.id, e.code, e.message)
+            self._send_error(conn, st.id, e.code, e.message, headers_sent)
         except QuotaExceeded as e:
-            self._send_error(conn, st.id, RESOURCE_EXHAUSTED, str(e))
+            self._send_error(conn, st.id, RESOURCE_EXHAUSTED, str(e),
+                             headers_sent)
         except Exception as e:  # eval errors → INTERNAL (thanos.go:262)
             self._send_error(conn, st.id, INTERNAL,
-                             f"query eval error: {e}")
+                             f"query eval error: {e}", headers_sent)
 
     @staticmethod
-    def _send_error(conn: Conn, sid: int, code: int, message: str) -> None:
-        # trailers-only gRPC error response
+    def _send_error(conn: Conn, sid: int, code: int, message: str,
+                    headers_sent: bool = False) -> None:
+        # trailers-only gRPC error response — unless the response already
+        # started, in which case the status must ride a proper TRAILER
+        # block (no pseudo-headers: RFC 7540 §8.1.2.1 makes :status in a
+        # trailer malformed, and a conformant peer would PROTOCOL_ERROR
+        # the stream instead of surfacing the grpc-status)
         try:
+            if headers_sent:
+                conn.send_headers(sid, [
+                    ("grpc-status", str(code)),
+                    ("grpc-message", message.replace("\n", " ")[:1024]),
+                ], end_stream=True)
+                return
             conn.send_headers(sid, [
                 (":status", "200"),
                 ("content-type", "application/grpc"),

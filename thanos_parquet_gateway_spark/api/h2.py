@@ -97,6 +97,9 @@ class Conn:
         self.peer_conn_window = DEFAULT_WINDOW
         self.peer_initial_window = DEFAULT_WINDOW
         self.stream_send_windows: dict[int, int] = {}
+        # highest released stream id: a straggler WINDOW_UPDATE for a
+        # finished stream must not re-insert (and so leak) its entry
+        self._released_watermark = 0
 
     # ----------------------------------------------------------- raw io
     def _recv_exact(self, n: int) -> bytes:
@@ -153,15 +156,19 @@ class Conn:
         with self.flow_cond:
             if stream_id == 0:
                 self.peer_conn_window += incr
-            else:
+            elif (stream_id in self.stream_send_windows
+                  or stream_id > self._released_watermark):
                 self.stream_send_windows[stream_id] = (
                     self.stream_send_windows.get(
                         stream_id, self.peer_initial_window) + incr)
+            # else: straggler update for a released stream — drop it
             self.flow_cond.notify_all()
 
     def release_stream(self, stream_id: int) -> None:
         with self.flow_cond:
             self.stream_send_windows.pop(stream_id, None)
+            self._released_watermark = max(self._released_watermark,
+                                           stream_id)
 
     # --------------------------------------------------------- sending
     def send_headers(self, stream_id: int, headers: list[tuple[str, str]],

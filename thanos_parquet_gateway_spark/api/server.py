@@ -57,28 +57,39 @@ class QueryServer:
         # distinct lookbacks must not grow the cache (and its Spark plans)
         # without bound for the life of the server.
         from collections import OrderedDict
+        import threading
         self._apis: OrderedDict[tuple, QueryAPI] = OrderedDict()
         self._apis_max = 32
+        # gRPC dispatch is one thread per stream: lookup/insert/evict must
+        # be atomic or concurrent requests race move_to_end vs popitem
+        self._apis_lock = threading.Lock()
 
     def _api(self, replica_labels: list[str] | None,
              lookback_ms: int | None = None) -> QueryAPI:
         lb = lookback_ms or self.lookback_ms
         key = (tuple(sorted(replica_labels or ())), lb)
-        if key not in self._apis:
-            eng = PromQLEngine(self.samples,
-                               lookback_ms=lb,
-                               deterministic=self.deterministic,
-                               replica_labels=list(key[0]) or None,
-                               ext_labels=self.ext_labels,
-                               streams=self.streams)
-            self._apis[key] = QueryAPI(eng, self.max_concurrent,
-                                       row_quota=self.row_quota,
-                                       byte_quota=self.byte_quota)
+        with self._apis_lock:
+            api = self._apis.get(key)
+            if api is not None:
+                self._apis.move_to_end(key)
+                return api
+        # build outside the lock (plan construction is driver-heavy); a
+        # concurrent builder of the same key just loses the insert race
+        eng = PromQLEngine(self.samples,
+                           lookback_ms=lb,
+                           deterministic=self.deterministic,
+                           replica_labels=list(key[0]) or None,
+                           ext_labels=self.ext_labels,
+                           streams=self.streams)
+        api = QueryAPI(eng, self.max_concurrent,
+                       row_quota=self.row_quota,
+                       byte_quota=self.byte_quota)
+        with self._apis_lock:
+            api = self._apis.setdefault(key, api)
+            self._apis.move_to_end(key)
             while len(self._apis) > self._apis_max:
                 self._apis.popitem(last=False)  # evict least-recently-used
-        else:
-            self._apis.move_to_end(key)
-        return self._apis[key]
+        return api
 
     # ------------------------------------------------------------------ Info
     def info_df(self) -> DataFrame:

@@ -55,6 +55,29 @@ def prepare_samples(raw: DataFrame, stream: str = "0") -> DataFrame:
     return df
 
 
+def _sorted_partitioned_write(df: DataFrame, out_path: str,
+                              max_records_per_file: int) -> None:
+    """The one conversion write shape (reference convert/convert.go:193-204
+    + schema/schema.go:99-106): partition columns lead the sort so the
+    parquet writer sees rows already clustered by (stream, date) and does
+    NOT inject its own partition sort (which would destroy the (__name__,
+    series_hash, ts) page ordering); zstd-compressed pages, ~1M-row row
+    groups x 6 per shard (= the 6M default maxRecordsPerFile), bloom
+    filters on the two lookup keys.  parquet.block.size is bytes in Spark:
+    128 MiB aligns row-group boundaries with maxPartitionBytes so a scan
+    task reads whole row groups at 100 TB."""
+    (df.repartitionByRange("stream", "date", "__name__", "series_hash")
+       .sortWithinPartitions("stream", "date", *SORT_COLS)
+       .write.mode("overwrite")
+       .option("maxRecordsPerFile", max_records_per_file)
+       .option("compression", "zstd")
+       .option("parquet.block.size", str(128 * 1024 * 1024))
+       .option("parquet.bloom.filter.enabled#__name__", "true")
+       .option("parquet.bloom.filter.enabled#series_hash", "true")
+       .partitionBy("stream", "date")
+       .parquet(out_path))
+
+
 def convert_samples(raw: DataFrame, out_path: str, *,
                     stream: str = "0",
                     max_records_per_file: int = 6_000_000,
@@ -70,25 +93,7 @@ def convert_samples(raw: DataFrame, out_path: str, *,
         # vertical-merge dedup across overlapping inputs
         # (reference convert/merge.go:15-121 → one dropDuplicates)
         df = df.dropDuplicates(["series_hash", "ts"])
-    # partition columns lead the sort so the parquet writer sees rows already
-    # clustered by (stream, date) and does NOT inject its own partition sort
-    # (which would destroy the (__name__, series_hash, ts) page ordering)
-    (df.repartitionByRange("stream", "date", "__name__", "series_hash")
-       .sortWithinPartitions("stream", "date", *SORT_COLS)
-       .write.mode("overwrite")
-       .option("maxRecordsPerFile", max_records_per_file)
-       # reference write shape (convert/convert.go:193-204,
-       # schema/schema.go:99-106): zstd-compressed pages, ~1M-row row
-       # groups x 6 per shard (= the 6M maxRecordsPerFile above), blooms
-       # on the two lookup keys.  parquet.block.size is bytes in Spark:
-       # 128 MiB aligns row-group boundaries with maxPartitionBytes so a
-       # scan task reads whole row groups at 100 TB.
-       .option("compression", "zstd")
-       .option("parquet.block.size", str(128 * 1024 * 1024))
-       .option("parquet.bloom.filter.enabled#__name__", "true")
-       .option("parquet.bloom.filter.enabled#series_hash", "true")
-       .partitionBy("stream", "date")
-       .parquet(out_path))
+    _sorted_partitioned_write(df, out_path, max_records_per_file)
     write_label_stats(raw.sparkSession, out_path)
     return _finish_conversion(raw.sparkSession, out_path)
 
@@ -191,22 +196,7 @@ def convert_streams(raws: dict[str, DataFrame], out_path: str, *,
         df = df.unionByName(d, allowMissingColumns=True)
     if dedup:
         df = df.dropDuplicates(["stream", "series_hash", "ts"])
-    (df.repartitionByRange("stream", "date", "__name__", "series_hash")
-       .sortWithinPartitions("stream", "date", *SORT_COLS)
-       .write.mode("overwrite")
-       .option("maxRecordsPerFile", max_records_per_file)
-       # reference write shape (convert/convert.go:193-204,
-       # schema/schema.go:99-106): zstd-compressed pages, ~1M-row row
-       # groups x 6 per shard (= the 6M maxRecordsPerFile above), blooms
-       # on the two lookup keys.  parquet.block.size is bytes in Spark:
-       # 128 MiB aligns row-group boundaries with maxPartitionBytes so a
-       # scan task reads whole row groups at 100 TB.
-       .option("compression", "zstd")
-       .option("parquet.block.size", str(128 * 1024 * 1024))
-       .option("parquet.bloom.filter.enabled#__name__", "true")
-       .option("parquet.bloom.filter.enabled#series_hash", "true")
-       .partitionBy("stream", "date")
-       .parquet(out_path))
+    _sorted_partitioned_write(df, out_path, max_records_per_file)
     write_stream_descriptors(df.sparkSession, out_path, ext_labels)
     write_label_stats(df.sparkSession, out_path)
     return _finish_conversion(df.sparkSession, out_path)

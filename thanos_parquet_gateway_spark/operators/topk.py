@@ -54,16 +54,21 @@ _TARGET_BUFFER_BYTES = 4 << 20
 
 
 def _adaptive_buckets(df: DataFrame) -> int:
-    """Size phase-0 sub-bucketing from Catalyst's optimized-plan statistics
-    (driver-side, no job).  Returns 1 (skip the extra aggregation stage)
-    when an input split is estimated to fit the target buffer, scaling up
-    to ``_PHASE0_BUCKETS`` as per-split bytes grow — at 100 TB the estimate
+    """Size phase-0 sub-bucketing from the LEAF relations' catalog
+    statistics (driver-side, no job, and — unlike probing
+    ``optimizedPlan().stats()`` — no extra Catalyst optimization run per
+    top-k compile).  Summing raw scan sizes over-estimates the aggregated
+    input, which errs toward MORE sub-bucketing: the safe direction.
+    Returns 1 (the extra aggregation stage fuses away) when an input split
+    is estimated to fit the target buffer, scaling up to
+    ``_PHASE0_BUCKETS`` as per-split bytes grow — at 100 TB the estimate
     saturates and full sub-bucketing is always on.  Estimation errors only
     trade shuffle-stage overhead against buffer size; the result set is
     exact either way."""
     try:
-        est = int(str(df._jdf.queryExecution().optimizedPlan()
-                      .stats().sizeInBytes()))
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
+                  for i in range(leaves.size()))
         par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     except Exception:
         return _PHASE0_BUCKETS  # stats unavailable: keep the safe bound
