@@ -1044,3 +1044,83 @@ def test_differential_fuzz_composed(corpus):
                                 f"got {got[k]}, want {want[k]}")
     assert not failures, (f"{len(failures)}/{N_COMPOSED} divergences:\n"
                           + "\n".join(failures[:20]))
+
+
+# ------------------------------------------- composed RANGE-grammar fuzz
+#
+# The instant composer above, lifted to range evaluation: every node's SQL
+# exposes (t, job, inst, v), combinators join/group per step, so nested
+# trees are verified at EVERY grid point against the lockstep DuckDB grid.
+
+_RCOMPOSE_LEAVES = [_rshape_selector, _rshape_over_time, _rshape_rate]
+
+
+def _rcompose_vector(rng, start, end, step, depth):
+    if depth <= 0 or rng.random() < 0.4:
+        return rng.choice(_RCOMPOSE_LEAVES)(rng, start, end, step)
+    kind = rng.choice(["map", "filter", "bin", "setop"])
+    p1, s1 = _rcompose_vector(rng, start, end, step, depth - 1)
+    if kind == "map":
+        c = round(rng.uniform(0.5, 3), 3)
+        d = round(rng.uniform(-5, 5), 3)
+        return (f"({p1}) * {c} + {d}",
+                f"SELECT t, job, inst, v * {c} + {d} AS v FROM ({s1})")
+    if kind == "filter":
+        thr = rng.choice([0.0, 0.01, 1.0, 10.0])
+        return (f"({p1}) > {thr}",
+                f"SELECT t, job, inst, v FROM ({s1}) WHERE v > {thr}")
+    p2, s2 = _rcompose_vector(rng, start, end, step, depth - 1)
+    if kind == "bin":
+        op = rng.choice(["+", "-", "*"])
+        return (f"({p1}) {op} ({p2})",
+                f"SELECT l.t, l.job, l.inst, l.v {op} r.v AS v "
+                f"FROM ({s1}) l JOIN ({s2}) r USING (t, job, inst)")
+    op = rng.choice(["and", "unless"])
+    join = "SEMI" if op == "and" else "ANTI"
+    return (f"({p1}) {op} ({p2})",
+            f"SELECT l.t, l.job, l.inst, l.v FROM ({s1}) l {join} JOIN "
+            f"({s2}) r ON l.t = r.t AND l.job = r.job AND l.inst = r.inst")
+
+
+def _rcompose_tree(rng, start, end, step):
+    node = _rcompose_vector(rng, start, end, step, rng.choice([1, 2, 2]))
+    if rng.random() < 0.45:
+        op, sqlagg = rng.choice(AGGS)
+        g = rng.choice(["job", "inst"])
+        return (f"{op} by ({g}) ({node[0]})",
+                f"SELECT t, {g}, {sqlagg} AS v FROM ({node[1]}) "
+                f"GROUP BY t, {g}")
+    return node
+
+
+N_RCOMPOSED = 50
+
+
+def test_differential_fuzz_range_composed(corpus):
+    """Nested range-query trees per grid step vs the lockstep DuckDB
+    oracle — the range-eval counterpart of the composed instant fuzz."""
+    eng, con = corpus
+    rng = random.Random(909090)
+    failures = []
+    for i in range(N_RCOMPOSED):
+        start = rng.randrange(50, 120) * S
+        step = rng.choice([10, 20]) * S
+        end = start + 3 * step
+        promql, sql = _rcompose_tree(rng, start, end, step)
+        duck = con.execute(sql).fetchdf()
+        label_cols = [c for c in duck.columns if c not in ("v", "t")]
+        want = {}
+        for r in duck.to_dict("records"):
+            key = frozenset((c, str(r[c])) for c in label_cols)
+            want[(key, r["t"])] = r["v"]
+        got = _spark_range_result(eng, promql, start, end, step)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} [{start},{end},{step}]: "
+                            f"keys differ: got {len(got)}, want {len(want)}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} {k}: got {got[k]}, "
+                                f"want {want[k]}")
+    assert not failures, (f"{len(failures)}/{N_RCOMPOSED} divergences:\n"
+                          + "\n".join(failures[:15]))
