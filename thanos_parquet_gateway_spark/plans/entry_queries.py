@@ -2995,6 +2995,43 @@ def sim_lsh_topk(spark, sf_dir):
                                planes=_PLANES, k=5)
 
 
+@q("events_trending_topk", """
+WITH day_counts AS (
+    SELECT epoch_ms(ts) // 86400000 AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT day, event_type, n,
+           row_number() OVER (PARTITION BY day
+                              ORDER BY n DESC, event_type) AS rk
+    FROM day_counts
+)
+SELECT day, event_type, n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""")
+def events_trending_topk(spark, sf_dir):
+    """Per-day trending event types: grouped top-k over a windowed count —
+    the shared two-phase grouped_topk (operators/topk.py) in a plain
+    analytics shape (not PromQL, not similarity).  The oracle ranks with a
+    window; the engine never does — the per-day input is the aggregated
+    count table, so even a million days ranks without a single-partition
+    stage.  Ties break on event_type, deterministic both sides."""
+    from thanos_parquet_gateway_spark.operators.topk import grouped_topk
+
+    e = load_table(spark, sf_dir, "events")
+    counts = (e.groupBy((F.col("ts_ms") / DAY).cast("long").alias("day"),
+                        "event_type")
+              .agg(F.count("*").alias("n")))
+    key = F.struct((-F.col("n")).alias("__ord"),
+                   F.col("event_type").alias("event_type"),
+                   F.col("n").alias("n"))
+    ranked = grouped_topk(counts, ["day"], key, 3)
+    return ranked.select(
+        "day", F.col("__x.event_type").alias("event_type"),
+        F.col("__x.n").alias("n"),
+        (F.col("__pos") + 1).cast("long").alias("rk"))
+
+
 @q("events_hopping_window", f"""
 SELECT w AS wstart, event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
