@@ -249,3 +249,321 @@ def _read_vdelta(r: _BitReader, prev_bits: int, leading: int,
     sigbits = 64 - leading - trailing
     xor = r.read_bits(sigbits) << trailing
     return prev_bits ^ xor, leading, trailing
+
+
+# ---------------------------------------------------------------------------
+# Prometheus FloatHistogram varbit chunk
+# (prometheus/tsdb/chunkenc/float_histogram.go + varbit.go +
+# histogram_meta.go; the reference streams these bytes unchanged on Series,
+# reference api/grpc/thanos.go:462-473 chunkEncToStoreEnc).
+#
+# Chunk layout:
+#   bytes 0-1  big-endian uint16 sample count
+#   byte  2    counter-reset hint in the top 2 bits (00 unknown, 01 not-
+#              reset, 10 counter-reset, 11 gauge); low 6 bits unused
+#   bitstream  (starts at byte 3):
+#     layout:  zero threshold (1 or 9 bytes), schema (varbit int),
+#              positive spans, negative spans — each span list is a varbit
+#              uint count then per-span varbit uint LENGTH, varbit int
+#              OFFSET
+#     sample 0: t varbit int; count/zeroCount/sum raw 64-bit float bits;
+#              each positive then negative bucket raw 64 bits
+#     sample 1: tDelta varbit uint; every float field XOR-coded with its
+#              own leading/trailing window (same ladder as the XOR chunk)
+#     sample 2+: tDod varbit int; floats XOR-coded as above
+#
+# Reconstruction notes (fail-loud policy): this is a from-memory rebuild of
+# the public Go source verified by encode->decode round-trips and
+# hand-computed golden bytes (tests/test_grpc.py) — no upstream golden
+# vectors exist in-sandbox.  Two deliberately conservative choices:
+#   * varbit uint bucket selection uses the strict bound v < 2**n, never
+#     emitting an all-zero payload for a non-zero value; any bucket large
+#     enough decodes identically upstream, so a boundary difference is
+#     size-only, never value.
+#   * custom-bounds layouts (schema -53, putCustomBound) are NOT
+#     reconstructed — encode raises ValueError and callers ship those
+#     samples in the private prompb payload instead (grpc_pb.py).
+# ---------------------------------------------------------------------------
+
+_CUSTOM_BUCKETS_SCHEMA = -53
+
+COUNTER_RESET_UNKNOWN = 0b00000000
+COUNTER_RESET_NOT = 0b01000000
+COUNTER_RESET_HINT = 0b10000000
+COUNTER_RESET_GAUGE = 0b11000000
+
+_VARBIT_BUCKETS = ((0b10, 2, 3), (0b110, 3, 6), (0b1110, 4, 9),
+                   (0b11110, 5, 12), (0b111110, 6, 18),
+                   (0b1111110, 7, 25), (0b11111110, 8, 56))
+
+
+def _put_varbit_int(w: _BitWriter, val: int) -> None:
+    if val == 0:
+        w.write_bit(0)
+        return
+    for prefix, plen, sz in _VARBIT_BUCKETS:
+        if _bit_range(val, sz):
+            w.write_bits(prefix, plen)
+            w.write_bits(val & ((1 << sz) - 1), sz)
+            return
+    w.write_bits(0b11111111, 8)
+    w.write_bits(val & 0xFFFFFFFFFFFFFFFF, 64)
+
+
+def _put_varbit_uint(w: _BitWriter, val: int) -> None:
+    if val < 0:
+        raise ValueError("varbit uint cannot encode negative values")
+    if val == 0:
+        w.write_bit(0)
+        return
+    for prefix, plen, sz in _VARBIT_BUCKETS:
+        if val < (1 << sz):  # strict: never an all-zero non-zero payload
+            w.write_bits(prefix, plen)
+            w.write_bits(val, sz)
+            return
+    w.write_bits(0b11111111, 8)
+    w.write_bits(val, 64)
+
+
+_VARBIT_SZ = {0b10: 3, 0b110: 6, 0b1110: 9, 0b11110: 12, 0b111110: 18,
+              0b1111110: 25, 0b11111110: 56}
+
+
+def _read_varbit_prefix(r: _BitReader) -> int:
+    d = 0
+    for _ in range(8):
+        d <<= 1
+        if r.read_bit() == 0:
+            break
+        d |= 1
+    return d
+
+
+def _read_varbit_int(r: _BitReader) -> int:
+    d = _read_varbit_prefix(r)
+    if d == 0:
+        return 0
+    if d == 0b11111111:
+        raw = r.read_bits(64)
+        return raw - (1 << 64) if raw >= (1 << 63) else raw
+    sz = _VARBIT_SZ[d]
+    raw = r.read_bits(sz)
+    # value 1 << (sz-1) stays positive (asymmetric bitRange), above it is
+    # negative two's complement in sz bits — same as the XOR dod ladder
+    return raw if raw <= (1 << (sz - 1)) else raw - (1 << sz)
+
+
+def _read_varbit_uint(r: _BitReader) -> int:
+    d = _read_varbit_prefix(r)
+    if d == 0:
+        return 0
+    if d == 0b11111111:
+        return r.read_bits(64)
+    return r.read_bits(_VARBIT_SZ[d])
+
+
+def _put_zero_threshold(w: _BitWriter, threshold: float) -> None:
+    # histogram_meta.go putZeroThreshold: 0 -> one zero byte; powers of two
+    # 2^-243..2^10 -> exponent+243 in one byte (default 2^-128 -> 116);
+    # anything else -> 0xFF + raw float64 bits
+    import math
+    if threshold == 0:
+        w.write_byte(0)
+        return
+    frac, exp = math.frexp(threshold)
+    if frac != 0.5 or exp < -242 or exp > 11:
+        w.write_byte(255)
+        w.write_bits(_f2b(threshold), 64)
+        return
+    w.write_byte(exp + 243)
+
+
+def _read_zero_threshold(r: _BitReader) -> float:
+    import math
+    b = r.read_byte()
+    if b == 0:
+        return 0.0
+    if b == 255:
+        return _b2f(r.read_bits(64))
+    return math.ldexp(0.5, b - 243)
+
+
+def _put_spans(w: _BitWriter, spans: list[tuple[int, int]]) -> None:
+    # histogram_meta.go putHistogramChunkLayoutSpans: count, then per span
+    # Length (varbit uint) before Offset (varbit int)
+    _put_varbit_uint(w, len(spans))
+    for off, length in spans:
+        _put_varbit_uint(w, length)
+        _put_varbit_int(w, off)
+
+
+def _read_spans(r: _BitReader) -> list[tuple[int, int]]:
+    n = _read_varbit_uint(r)
+    out = []
+    for _ in range(n):
+        length = _read_varbit_uint(r)
+        off = _read_varbit_int(r)
+        out.append((off, length))
+    return out
+
+
+def encode_float_histogram_chunk(
+        samples: list[dict], *,
+        counter_reset: int = COUNTER_RESET_UNKNOWN) -> bytes:
+    """Encode native float-histogram samples into one varbit chunk.
+
+    Each sample dict: ``ts`` (ms), ``count``, ``zero_count``, ``sum``
+    (floats), ``schema`` (int), ``zero_threshold`` (float), ``pos`` /
+    ``neg`` — sparse ``[(bucket_index, count), ...]``.  All samples must
+    share one exponential schema and zero threshold (the Prometheus
+    appender cuts a new chunk otherwise); bucket layouts may differ — the
+    encoder writes the union layout and zero-fills, which is exactly what
+    tsdb chunk recoding does on layout expansion.
+    """
+    if not samples:
+        raise ValueError("empty float-histogram chunk")
+    if len(samples) > 0xFFFF:
+        raise ValueError("chunk holds at most 65535 samples")
+    schema = samples[0]["schema"]
+    zthresh = samples[0].get("zero_threshold", 0.0)
+    if schema == _CUSTOM_BUCKETS_SCHEMA:
+        raise ValueError(
+            "custom-bounds (schema -53) varbit layout is not "
+            "reconstruction-verified; ship prompb payloads instead")
+    for s in samples:
+        if s["schema"] != schema:
+            raise ValueError("mixed schemas in one chunk")
+        if s.get("zero_threshold", 0.0) != zthresh:
+            raise ValueError("mixed zero thresholds in one chunk")
+    pos_idx = sorted({i for s in samples for i, _ in s["pos"]})
+    neg_idx = sorted({i for s in samples for i, _ in s["neg"]})
+
+    def _dense(sparse: list, idxs: list[int]) -> list[float]:
+        m = dict(sparse)
+        return [float(m.get(i, 0.0)) for i in idxs]
+
+    w = _BitWriter()
+    w.write_bits(len(samples), 16)
+    w.write_byte(counter_reset & 0b11000000)
+    _put_zero_threshold(w, zthresh)
+    _put_varbit_int(w, schema)
+    _put_spans(w, _hist_spans(pos_idx))
+    _put_spans(w, _hist_spans(neg_idx))
+
+    prev_t = prev_td = 0
+    # per-field XOR state: (prev_bits, leading, trailing)
+    nfields = 3 + len(pos_idx) + len(neg_idx)
+    state = [(0, 0xFF, 0)] * nfields
+    for i, s in enumerate(samples):
+        t = int(s["ts"])
+        vals = ([float(s["count"]), float(s.get("zero_count", 0.0)),
+                 float(s["sum"])]
+                + _dense(s["pos"], pos_idx) + _dense(s["neg"], neg_idx))
+        if i == 0:
+            _put_varbit_int(w, t)
+            for j, v in enumerate(vals):
+                bits = _f2b(v)
+                w.write_bits(bits, 64)
+                state[j] = (bits, 0xFF, 0)
+        else:
+            td = t - prev_t
+            if td < 0:
+                raise ValueError("timestamps must be ascending")
+            if i == 1:
+                _put_varbit_uint(w, td)
+            else:
+                _put_varbit_int(w, td - prev_td)
+            prev_td = td
+            for j, v in enumerate(vals):
+                prev_bits, lead, trail = state[j]
+                bits = _f2b(v)
+                lead, trail = _write_vdelta(w, prev_bits, bits, lead, trail)
+                state[j] = (bits, lead, trail)
+        prev_t = t
+    return bytes(w.buf)
+
+
+def _hist_spans(indices: list[int]) -> list[tuple[int, int]]:
+    """Sorted bucket indices -> histogram.Span (offset, length) runs; the
+    first offset is absolute, later offsets are gaps from the previous
+    span's end (model/histogram Span semantics, same as prompb)."""
+    spans: list[tuple[int, int]] = []
+    prev_end = 0
+    for i, idx in enumerate(indices):
+        if i == 0:
+            spans.append((idx, 1))
+        elif idx == prev_end:
+            spans[-1] = (spans[-1][0], spans[-1][1] + 1)
+        else:
+            spans.append((idx - prev_end, 1))
+        prev_end = idx + 1
+    return spans
+
+
+def _span_indices(spans: list[tuple[int, int]]) -> list[int]:
+    out: list[int] = []
+    pos = 0
+    for off, length in spans:
+        pos += off
+        out.extend(range(pos, pos + length))
+        pos += length
+    return out
+
+
+def decode_float_histogram_chunk(data: bytes) -> list[dict]:
+    """Inverse of encode_float_histogram_chunk.  Returns sample dicts with
+    the chunk's dense layout (zero-count buckets included, as the upstream
+    iterator yields them) plus ``counter_reset`` on each sample."""
+    if len(data) < 3:
+        raise ValueError(
+            f"float-histogram chunk too short: {len(data)} bytes "
+            "(need >= 3 for the count + reset-hint header)")
+    n = (data[0] << 8) | data[1]
+    reset = data[2] & 0b11000000
+    r = _BitReader(data, 24)
+    zthresh = _read_zero_threshold(r)
+    schema = _read_varbit_int(r)
+    if schema == _CUSTOM_BUCKETS_SCHEMA:
+        raise ValueError("custom-bounds varbit chunk layout is not "
+                         "reconstruction-verified")
+    pos_idx = _span_indices(_read_spans(r))
+    neg_idx = _span_indices(_read_spans(r))
+    nfields = 3 + len(pos_idx) + len(neg_idx)
+    out: list[dict] = []
+    t = td = 0
+    state = [(0, 0, 0)] * nfields
+    for i in range(n):
+        if i == 0:
+            t = _read_varbit_int(r)
+            vals = []
+            for j in range(nfields):
+                bits = r.read_bits(64)
+                state[j] = (bits, 0, 0)
+                vals.append(_b2f(bits))
+        elif i == 1:
+            td = _read_varbit_uint(r)
+            t += td
+            vals = _read_xor_fields(r, state)
+        else:
+            td += _read_varbit_int(r)
+            t += td
+            vals = _read_xor_fields(r, state)
+        np = len(pos_idx)
+        out.append({
+            "ts": t, "count": vals[0], "zero_count": vals[1],
+            "sum": vals[2], "schema": schema, "zero_threshold": zthresh,
+            "pos": list(zip(pos_idx, vals[3:3 + np])),
+            "neg": list(zip(neg_idx, vals[3 + np:])),
+            "counter_reset": reset,
+        })
+    return out
+
+
+def _read_xor_fields(r: _BitReader, state: list) -> list[float]:
+    vals = []
+    for j in range(len(state)):
+        prev_bits, lead, trail = state[j]
+        bits, lead, trail = _read_vdelta(r, prev_bits, lead, trail)
+        state[j] = (bits, lead, trail)
+        vals.append(_b2f(bits))
+    return vals

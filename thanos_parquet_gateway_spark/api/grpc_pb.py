@@ -195,15 +195,8 @@ def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
     (schema -53 / NULL) become custom_values + an overflow count.  The
     zero threshold is not tracked by the engine model and is emitted as 0.
     """
-    sch = CUSTOM_SCHEMA if schema is None else int(schema)
+    sch = effective_schema(buckets, schema)
     buckets = [(float(le), float(c)) for le, c in (buckets or [])]
-    if sch != CUSTOM_SCHEMA and not _on_exponential_grid(buckets, sch):
-        # merged mixed-schema histograms (h0+h1 keeps the le-union with
-        # schema = coalesce) and saturated ±Inf bounds don't sit on any
-        # single exponential grid — colliding indices would produce
-        # invalid negative span offsets.  Custom-bounds encoding carries
-        # the exact le set losslessly instead.
-        sch = CUSTOM_SCHEMA
     out = [_dbl(2, float(count)), _dbl(3, float(hsum)),
            _sint(4, sch, 32)]
     if sch == CUSTOM_SCHEMA:
@@ -215,6 +208,41 @@ def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
         out.append(_vi64(15, ts_ms))
         out.append(_packed_dbl(16, [le for le, _c in finite]))
         return b"".join(out)
+    zero_count, pos, neg = _grid_parts(buckets, sch)
+    if zero_count:
+        out.append(_dbl(7, zero_count))
+    for field_span, field_cnt, side in ((8, 10, neg), (11, 13, pos)):
+        if side:
+            for off, length in _spans([i for i, _ in side]):
+                out.append(_ld(field_span, _enc_span(off, length)))
+            out.append(_packed_dbl(field_cnt, [c for _, c in side]))
+    out.append(_vi64(15, ts_ms))
+    return b"".join(out)
+
+
+def effective_schema(buckets: list[tuple[float, float]],
+                     schema: int | None) -> int:
+    """The schema a sample actually encodes under: its own exponential
+    schema when every bound sits on that grid, else CUSTOM_SCHEMA.
+    Merged mixed-schema histograms (h0+h1 keeps the le-union with schema =
+    coalesce) and saturated ±Inf bounds don't sit on any single
+    exponential grid — colliding indices would produce invalid negative
+    span offsets; custom-bounds encoding carries the exact le set
+    losslessly instead."""
+    sch = CUSTOM_SCHEMA if schema is None else int(schema)
+    bks = [(float(le), float(c)) for le, c in (buckets or [])]
+    if sch != CUSTOM_SCHEMA and not _on_exponential_grid(bks, sch):
+        sch = CUSTOM_SCHEMA
+    return sch
+
+
+def _grid_parts(buckets: list[tuple[float, float]], sch: int
+                ) -> tuple[float, list, list]:
+    """Explicit-bound buckets on schema ``sch``'s grid → (zero_count,
+    pos [(index, count)...] sorted, neg [(index, count)...] sorted).
+    Positive le = base^i → index i; negative stored le = -(base^(i-1)) →
+    index i; le == 0 → the zero bucket; ±Inf carries count 0 by the grid
+    check and is dropped."""
     base_log = 2.0 ** -sch  # log2(base); index i = log2(bound) / base_log
     pos: list[tuple[int, float]] = []
     neg: list[tuple[int, float]] = []
@@ -230,15 +258,7 @@ def encode_histogram_sample(ts_ms: int, count: float, hsum: float,
             neg.append((round(math.log2(-le) / base_log) + 1, c))
     pos.sort()
     neg.sort()
-    if zero_count:
-        out.append(_dbl(7, zero_count))
-    for field_span, field_cnt, side in ((8, 10, neg), (11, 13, pos)):
-        if side:
-            for off, length in _spans([i for i, _ in side]):
-                out.append(_ld(field_span, _enc_span(off, length)))
-            out.append(_packed_dbl(field_cnt, [c for _, c in side]))
-    out.append(_vi64(15, ts_ms))
-    return b"".join(out)
+    return zero_count, pos, neg
 
 
 def decode_histogram_sample(data: bytes) -> dict:
@@ -629,18 +649,49 @@ def decode_series_request(data: bytes) -> dict:
 CHUNK_XOR = 0  # storepb.Chunk.Encoding (storepb/types.proto)
 CHUNK_HISTOGRAM = 1
 CHUNK_FLOAT_HISTOGRAM = 2
+# Private encoding for custom-bounds (NHCB) histogram chunks: a run of
+# length-prefixed prompb.Histogram messages.  The varbit custom-values
+# chunk layout is not reconstruction-verified in-sandbox, and tagging a
+# non-varbit payload with the standard FLOAT_HISTOGRAM enum would make
+# conformant Store API peers mis-decode it — an out-of-range enum makes
+# them skip the chunk instead (proto3 open enums).
+CHUNK_PROMPB_FLOAT_HISTOGRAM = 255
 
 
 def encode_histogram_chunk(samples: list[tuple[int, dict]]) -> bytes:
-    """FLOAT_HISTOGRAM chunk payload: a run of length-prefixed
-    prompb.Histogram messages (encode_histogram_sample), one per sample.
+    """FLOAT_HISTOGRAM chunk payload in the real tsdb varbit format
+    (chunkenc.encode_float_histogram_chunk; prometheus tsdb/chunkenc/
+    float_histogram.go), byte-compatible with what the reference passes
+    through on Series (thanos.go:462-473 chunkEncToStoreEnc).
 
-    NOT the tsdb varbit histogram chunk (tsdb/chunkenc/histogram.go) — the
-    varbit compression is a storage-size detail; this payload carries the
-    identical information in the prompb representation the reference
-    itself streams on Query paths (thanos.go:274-277).  Documented interop
-    gap: a Prometheus chunk decoder cannot read it, the in-repo client
-    (decode_histogram_chunk) can."""
+    Samples are the engine's explicit-bound model ``(ts, {count, sum,
+    buckets, schema})``; every sample must sit on one shared exponential
+    schema grid — callers split runs with split_histogram_chunks, which
+    routes custom-bounds samples to the prompb payload instead."""
+    from . import chunkenc
+    native = []
+    for ts, h in samples:
+        sch = effective_schema(h["buckets"], h.get("schema"))
+        if sch == CUSTOM_SCHEMA:
+            raise ValueError("custom-bounds sample in a varbit chunk; "
+                             "use split_histogram_chunks")
+        bks = [(float(le), float(c)) for le, c in (h["buckets"] or [])]
+        zero_count, pos, neg = _grid_parts(bks, sch)
+        native.append({"ts": int(ts), "count": float(h["count"]),
+                       "zero_count": zero_count, "sum": float(h["sum"]),
+                       "schema": sch, "zero_threshold": 0.0,
+                       "pos": pos, "neg": neg})
+    if len({s["schema"] for s in native}) > 1:
+        raise ValueError("mixed schemas in a varbit chunk; "
+                         "use split_histogram_chunks")
+    return chunkenc.encode_float_histogram_chunk(native)
+
+
+def encode_prompb_histogram_chunk(samples: list[tuple[int, dict]]) -> bytes:
+    """CHUNK_PROMPB_FLOAT_HISTOGRAM payload: a run of length-prefixed
+    prompb.Histogram messages (encode_histogram_sample), one per sample —
+    carries custom-bounds (NHCB) histograms losslessly where the varbit
+    layout is unavailable (see CHUNK_PROMPB_FLOAT_HISTOGRAM)."""
     out = []
     for ts, h in samples:
         msg = encode_histogram_sample(int(ts), h["count"], h["sum"],
@@ -649,7 +700,75 @@ def encode_histogram_chunk(samples: list[tuple[int, dict]]) -> bytes:
     return b"".join(out)
 
 
-def decode_histogram_chunk(data: bytes) -> list[tuple[int, dict]]:
+def split_histogram_chunks(samples: list[tuple[int, dict]],
+                           max_samples: int = 120) -> list[tuple]:
+    """Engine-model histogram samples → storepb chunk tuples
+    ``(min_time, max_time, payload, encoding)``: consecutive runs sharing
+    one exponential schema become varbit FLOAT_HISTOGRAM chunks (the
+    Prometheus appender likewise cuts a chunk on schema change), and
+    custom-bounds runs become private prompb-payload chunks."""
+    chunks: list[tuple] = []
+    run: list[tuple[int, dict]] = []
+    run_sch: int | None = None
+
+    def _flush() -> None:
+        if not run:
+            return
+        if run_sch == CUSTOM_SCHEMA:
+            payload = encode_prompb_histogram_chunk(run)
+            enc = CHUNK_PROMPB_FLOAT_HISTOGRAM
+        else:
+            payload = encode_histogram_chunk(run)
+            enc = CHUNK_FLOAT_HISTOGRAM
+        chunks.append((run[0][0], run[-1][0], payload, enc))
+        run.clear()
+
+    for ts, h in samples:
+        sch = effective_schema(h["buckets"], h.get("schema"))
+        if run and (sch != run_sch or len(run) >= max_samples):
+            _flush()
+        run_sch = sch
+        run.append((int(ts), h))
+    _flush()
+    return chunks
+
+
+def decode_histogram_chunk(data: bytes,
+                           ctype: int = CHUNK_FLOAT_HISTOGRAM
+                           ) -> list[tuple[int, dict]]:
+    """Chunk payload → engine-model ``(ts, {count, sum, buckets, schema})``
+    samples; dispatches on the storepb encoding enum."""
+    if ctype == CHUNK_PROMPB_FLOAT_HISTOGRAM:
+        return _decode_prompb_histogram_chunk(data)
+    if ctype != CHUNK_FLOAT_HISTOGRAM:
+        raise ValueError(f"unsupported histogram chunk encoding {ctype}")
+    from . import chunkenc
+    out = []
+    for s in chunkenc.decode_float_histogram_chunk(data):
+        sch = s["schema"]
+        base_log = 2.0 ** -sch
+        buckets: list[tuple[float, float]] = []
+        for idx, c in s["neg"]:
+            try:
+                buckets.append((-(2.0 ** ((idx - 1) * base_log)), c))
+            except OverflowError:  # peer index beyond double range
+                buckets.append((float("-inf"), c))
+        if s["zero_count"]:
+            buckets.append((0.0, s["zero_count"]))
+        for idx, c in s["pos"]:
+            try:
+                buckets.append((2.0 ** (idx * base_log), c))
+            except OverflowError:  # peer index beyond double range
+                buckets.append((float("inf"), c))
+        buckets.sort()
+        if not buckets or buckets[-1][0] != float("inf"):
+            buckets.append((float("inf"), 0.0))
+        out.append((s["ts"], {"count": s["count"], "sum": s["sum"],
+                              "buckets": buckets, "schema": sch}))
+    return out
+
+
+def _decode_prompb_histogram_chunk(data: bytes) -> list[tuple[int, dict]]:
     out = []
     i, n = 0, len(data)
     while i < n:

@@ -299,16 +299,14 @@ class ThanosGrpcServer:
                         chunks.append((chunk[0][0], chunk[-1][0],
                                        encode_xor_chunk(chunk),
                                        pb.CHUNK_XOR))
-                # native-histogram samples ride FLOAT_HISTOGRAM chunks
-                # like the reference passes through (thanos.go:462-473)
-                hists = row.get("histograms", [])
-                for i in range(0, len(hists), CHUNK_SAMPLES):
-                    hc = [(int(ts), h) for ts, h in
-                          hists[i:i + CHUNK_SAMPLES]]
-                    if hc:
-                        chunks.append((hc[0][0], hc[-1][0],
-                                       pb.encode_histogram_chunk(hc),
-                                       pb.CHUNK_FLOAT_HISTOGRAM))
+                # native-histogram samples ride varbit FLOAT_HISTOGRAM
+                # chunks like the reference passes through
+                # (thanos.go:462-473); custom-bounds runs fall back to the
+                # private prompb payload under an out-of-range enum
+                hists = [(int(ts), h) for ts, h in
+                         row.get("histograms", [])]
+                chunks += pb.split_histogram_chunks(
+                    hists, max_samples=CHUNK_SAMPLES)
             out.append(pb.encode_series_response(labels=row["labels"],
                                                  chunks=chunks))
         out += [pb.encode_series_response(warning=w) for w in warns]
