@@ -748,3 +748,110 @@ def test_split_histogram_chunks_schema_runs():
     # max_samples cuts runs too
     many = [(i * 1000, exp) for i in range(5)]
     assert len(pb.split_histogram_chunks(many, max_samples=2)) == 3
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 flow-control hardening (RFC 7540 §6.9) + dispatch bounding
+# ---------------------------------------------------------------------------
+
+def test_window_update_counts_for_active_stream_after_release():
+    """A WINDOW_UPDATE for a still-active lower-id stream must count even
+    after a higher-id stream was released: liveness is tracked by explicit
+    registration, not inferred from the released-id watermark (which would
+    silently drop the grant and under-count the send budget)."""
+    import socket
+    import struct
+
+    from thanos_parquet_gateway_spark.api import h2
+
+    a, b = socket.socketpair()
+    try:
+        conn = h2.Conn(a)
+        conn.register_stream(1)   # active, has not sent DATA yet
+        conn.register_stream(3)
+        conn.release_stream(3)    # watermark now 3 > stream 1
+        conn.handle_window_update(1, struct.pack(">I", 1000))
+        assert conn.stream_send_windows[1] == 65535 + 1000
+        # a straggler for the RELEASED stream still must not re-insert
+        conn.handle_window_update(3, struct.pack(">I", 1000))
+        assert 3 not in conn.stream_send_windows
+    finally:
+        a.close(); b.close()
+
+
+def test_window_update_zero_increment_and_31bit_cap():
+    """§6.9: increment 0 is a protocol error; §6.9.1: windows never exceed
+    2^31-1, so a misbehaving peer can't accumulate an unbounded budget."""
+    import socket
+    import struct
+
+    import pytest
+
+    from thanos_parquet_gateway_spark.api import h2
+
+    a, b = socket.socketpair()
+    try:
+        conn = h2.Conn(a)
+        with pytest.raises(h2.H2Error, match="increment 0"):
+            conn.handle_window_update(0, struct.pack(">I", 0))
+        for _ in range(3):  # conn window clamps at the ceiling
+            conn.handle_window_update(0, struct.pack(">I", 0x7FFFFFFF))
+        assert conn.peer_conn_window == h2.MAX_WINDOW
+        conn.register_stream(1)
+        for _ in range(3):  # stream window clamps too
+            conn.handle_window_update(1, struct.pack(">I", 0x7FFFFFFF))
+        assert conn.stream_send_windows[1] == h2.MAX_WINDOW
+    finally:
+        a.close(); b.close()
+
+
+def test_dispatch_cap_refuses_excess_streams(spark):
+    """A peer flooding one connection with streams gets
+    RST_STREAM(REFUSED_STREAM) beyond the per-connection handler cap
+    instead of minting unbounded threads; refused is safe-to-retry
+    (§8.1.4) and already-admitted streams still complete."""
+    import struct
+    import threading
+
+    from thanos_parquet_gateway_spark.api import QueryServer, h2
+    from thanos_parquet_gateway_spark.api.grpc_server import ThanosGrpcServer
+
+    rows = [({"__name__": "m", "job": "a"}, 10 * S, 1.0)]
+    qs = QueryServer(make_samples(spark, rows), lookback_ms=60 * S,
+                     deterministic=True)
+    srv = ThanosGrpcServer(qs)
+    srv.MAX_CONN_DISPATCH = 1
+    gate = threading.Event()
+    orig = srv._dispatch
+
+    def blocked(conn, st):
+        gate.wait(20)
+        return orig(conn, st)
+
+    srv._dispatch = blocked
+    import socket
+    with srv:
+        sock = socket.create_connection((srv.host, srv.port), timeout=20)
+        conn = h2.Conn(sock)
+        conn.send(h2.PREFACE)
+        conn.send_settings()
+        req = [(":method", "POST"), (":scheme", "http"),
+               (":path", "/thanos.info.Info/Info"),
+               (":authority", "t"), ("content-type", "application/grpc"),
+               ("te", "trailers")]
+        for sid in (1, 3):  # both fully sent before any handler finishes
+            conn.send_headers(sid, req)
+            conn.send_data(sid, h2.grpc_frame(b""), end_stream=True)
+        rst = {}
+        ends = set()
+        while 3 not in rst or 1 not in ends:
+            ftype, flags, fsid, payload = conn.read_frame()
+            if ftype == h2.RST_STREAM:
+                rst[fsid] = struct.unpack(">I", payload[:4])[0]
+                gate.set()  # release the admitted stream's handler
+            elif ftype in (h2.HEADERS, h2.DATA) and \
+                    flags & h2.FLAG_END_STREAM:
+                ends.add(fsid)
+        assert rst == {3: 0x7}  # REFUSED_STREAM, only for the excess one
+        assert 1 in ends        # the admitted stream completed normally
+        sock.close()

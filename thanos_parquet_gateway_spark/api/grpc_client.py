@@ -81,6 +81,7 @@ class ThanosGrpcClient:
         non-zero grpc-status."""
         sid = self._next_stream
         self._next_stream += 2
+        self.conn.register_stream(sid)
         self.conn.send_headers(sid, [
             (":method", "POST"),
             (":scheme", "http"),

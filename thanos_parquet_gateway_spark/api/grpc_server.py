@@ -30,6 +30,7 @@ uses — so a querier-side chunkenc decode sees the shape it expects.
 from __future__ import annotations
 
 import socket
+import struct
 import threading
 
 from thanos_parquet_gateway_spark.api import grpc_pb as pb
@@ -48,6 +49,7 @@ from thanos_parquet_gateway_spark.api.h2 import (
     SETTINGS,
     WINDOW_UPDATE,
     Conn,
+    H2Error,
     Stream,
     grpc_frame,
     pack_frame,
@@ -134,6 +136,8 @@ class ThanosGrpcServer:
                     return
                 elif ftype == HEADERS:
                     st = streams.setdefault(sid, Stream(sid))
+                    conn.register_stream(sid)  # WINDOW_UPDATEs count
+                    # from stream open, not from our first DATA send
                     st.header_block += strip_priority(
                         flags, strip_padding(flags, payload))
                     if flags & FLAG_END_HEADERS:
@@ -167,6 +171,10 @@ class ThanosGrpcServer:
                     streams.pop(sid, None)
                     conn.release_stream(sid)
                 # PRIORITY / PUSH_PROMISE: bookkeeping only
+        except H2Error:
+            # peer protocol violation (e.g. WINDOW_UPDATE increment 0):
+            # GOAWAY PROTOCOL_ERROR and drop the connection (§5.4.1)
+            conn.send_goaway(code=0x1)
         except (ConnectionError, OSError):
             pass
         finally:
@@ -179,16 +187,33 @@ class ThanosGrpcServer:
                 pass
 
     # ---------------------------------------------------------- dispatch
+    #: per-connection concurrent handler-thread cap: beyond it new streams
+    #: are refused with RST_STREAM(REFUSED_STREAM) — a safe-to-retry code
+    #: (§8.1.4) — instead of letting one peer mint unbounded threads ahead
+    #: of the QueryAPI concurrency limiter
+    MAX_CONN_DISPATCH = 32
+
     def _spawn_dispatch(self, conn: Conn, st: Stream) -> None:
         """Run the handler off the read loop: a large response can block in
         send_data until the peer's WINDOW_UPDATEs arrive, and those are
         only processed if the read loop stays free (grpc-go serves handlers
         from per-stream goroutines for the same reason)."""
+        if not hasattr(conn, "_dispatch_sem"):  # read loop only: no race
+            conn._dispatch_sem = threading.BoundedSemaphore(
+                self.MAX_CONN_DISPATCH)
+        sem = conn._dispatch_sem
+        if not sem.acquire(blocking=False):
+            conn.send(pack_frame(RST_STREAM, 0, st.id,
+                                 struct.pack(">I", 0x7)))  # REFUSED_STREAM
+            conn.release_stream(st.id)
+            return
+
         def run() -> None:
             try:
                 self._dispatch(conn, st)
             finally:
                 conn.release_stream(st.id)
+                sem.release()
 
         threading.Thread(target=run, daemon=True).start()
 

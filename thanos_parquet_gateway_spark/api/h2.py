@@ -59,6 +59,7 @@ SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 DEFAULT_MAX_FRAME = 16384
 BIG_WINDOW = (1 << 30)
 DEFAULT_WINDOW = 65535  # RFC 7540 §6.9.2 initial flow-control window
+MAX_WINDOW = (1 << 31) - 1  # §6.9.1 flow-control window ceiling
 
 #: a peer that stops draining entirely (no WINDOW_UPDATE while we hold
 #: pending DATA) is broken or gone; fail the send instead of hanging the
@@ -149,20 +150,41 @@ class Conn:
         self.send(pack_frame(SETTINGS, FLAG_ACK, 0, b""))
 
     def handle_window_update(self, stream_id: int, payload: bytes) -> None:
-        """Grow the peer's advertised receive capacity (our send budget)."""
+        """Grow the peer's advertised receive capacity (our send budget).
+
+        A zero increment is a protocol error (§6.9) and windows are
+        clamped at 2^31-1 (§6.9.1) so a misbehaving peer can't accumulate
+        an unbounded budget."""
         if len(payload) < 4:
             return
         incr = struct.unpack(">I", payload[:4])[0] & 0x7FFFFFFF
+        if incr == 0:
+            raise H2Error("WINDOW_UPDATE with increment 0 (RFC 7540 §6.9)")
         with self.flow_cond:
             if stream_id == 0:
-                self.peer_conn_window += incr
+                self.peer_conn_window = min(
+                    self.peer_conn_window + incr, MAX_WINDOW)
             elif (stream_id in self.stream_send_windows
                   or stream_id > self._released_watermark):
-                self.stream_send_windows[stream_id] = (
+                # active streams always have an entry (register_stream at
+                # open); the watermark guard only screens ids never seen —
+                # a straggler for a released stream must not re-insert
+                # (and so leak) its entry
+                self.stream_send_windows[stream_id] = min(
                     self.stream_send_windows.get(
-                        stream_id, self.peer_initial_window) + incr)
-            # else: straggler update for a released stream — drop it
+                        stream_id, self.peer_initial_window) + incr,
+                    MAX_WINDOW)
             self.flow_cond.notify_all()
+
+    def register_stream(self, stream_id: int) -> None:
+        """Record a stream as open the moment it exists, so its
+        WINDOW_UPDATEs count even before the first DATA send (liveness is
+        tracked explicitly, not inferred from the released watermark)."""
+        with self.flow_cond:
+            if stream_id > self._released_watermark or \
+                    stream_id in self.stream_send_windows:
+                self.stream_send_windows.setdefault(
+                    stream_id, self.peer_initial_window)
 
     def release_stream(self, stream_id: int) -> None:
         with self.flow_cond:
