@@ -855,3 +855,51 @@ def test_dispatch_cap_refuses_excess_streams(spark):
         assert rst == {3: 0x7}  # REFUSED_STREAM, only for the excess one
         assert 1 in ends        # the admitted stream completed normally
         sock.close()
+
+
+def test_huffman_gap_is_receive_only_and_fails_loud():
+    """The Huffman coverage boundary, pinned exhaustively: every byte
+    outside the verified printable-ASCII region raises on encode, the
+    HPACK Encoder never emits Huffman at all (RFC 7541 §5.2 allows that),
+    so binary header values round-trip — the gap is receive-only — and
+    adversarial Huffman-flagged bitstreams either decode to verified
+    symbols or raise HpackError, never corrupt."""
+    import random
+
+    import pytest
+
+    from thanos_parquet_gateway_spark.api import hpack
+
+    # 1. exhaustive: the verified region is exactly 0x20..0x7E
+    assert set(hpack.HUFFMAN_CODES) == set(range(0x20, 0x7F))
+    for b in list(range(0x00, 0x20)) + list(range(0x7F, 0x100)):
+        with pytest.raises(hpack.HpackError, match="subset"):
+            hpack.huffman_encode(bytes([b]))
+
+    # 2. receive-only: our Encoder ships every string literal with the H
+    # bit CLEAR, so values the Huffman subset can't express still
+    # round-trip through a full encode/decode
+    enc, dec = hpack.Encoder(), hpack.Decoder()
+    binary_val = bytes(range(256)).decode("latin-1")
+    headers = [("x-bin", binary_val), ("grpc-status-details-bin", "\x00\x9f")]
+    assert dec.decode(enc.encode(headers)) == headers
+    block = enc.encode([("x-new-name-é", "v")])  # fresh literal
+    # every length octet in a literal must have the Huffman bit clear;
+    # cheap structural check: the name length prefix byte of the literal
+    # (first byte after the 0x40 literal-with-indexing opcode)
+    assert block[0] == 0x40 and not block[1] & 0x80
+
+    # 3. adversarial bitstreams: seeded random payloads flagged as
+    # Huffman either yield verified symbols or fail loudly
+    rng = random.Random(7541)
+    decoded = errors = 0
+    for _ in range(300):
+        payload = bytes(rng.randrange(256)
+                        for _ in range(rng.randrange(1, 12)))
+        try:
+            out = hpack.huffman_decode(payload)
+            decoded += 1
+            assert all(0x20 <= ch <= 0x7E for ch in out)
+        except hpack.HpackError:
+            errors += 1
+    assert decoded and errors  # both outcomes exercised
