@@ -345,3 +345,46 @@ def test_native_histogram_http_payload(spark):
     (item,) = res["result"]
     assert "values" not in item and len(item["histograms"]) == 3
     assert all(hj["count"] == "6" for _t, hj in item["histograms"])
+
+
+def test_row_quota_never_materializes_full_result(spark, sf_dir):
+    """Reference parity for incremental reservation (limits/limit.go:66-93
+    reserves DURING materialization): a query whose result is far larger
+    than the quota must 400 after pulling at most quota+1 rows to the
+    driver — the rejection must not first materialize the full result.
+    Proven by spying on every driver collect() during the rejected call."""
+    import pytest as _pytest
+    try:  # Spark 4: the runtime class lives under sql.classic
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover — older Spark
+        from pyspark.sql import DataFrame
+
+    from thanos_parquet_gateway_spark.api.http import QueryAPI, QuotaExceeded
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    t = 1704412800000
+    full = len(eng.query_instant("click", t).df.collect())
+    assert full > 6  # the quota is exceeded mid-stream, not at the edge
+
+    api = QueryAPI(eng, row_quota=2)
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    DataFrame.collect = spy
+    try:
+        with _pytest.raises(QuotaExceeded):
+            api.query("click", t)
+    finally:
+        DataFrame.collect = orig
+    assert collected, "quota path never collected?"
+    assert max(collected) <= 2 + 1, (
+        f"driver saw {max(collected)} rows for a 2-row quota "
+        f"(full result is {full})")
