@@ -1124,3 +1124,178 @@ def test_differential_fuzz_range_composed(corpus):
                                 f"want {want[k]}")
     assert not failures, (f"{len(failures)}/{N_RCOMPOSED} divergences:\n"
                           + "\n".join(failures[:15]))
+
+
+# ----------------------------------------------- randomized matcher fuzz
+#
+# promqlsmith also randomizes the MATCHERS and call arguments themselves
+# (reference db/db_test.go:1129-1205 draws rnd label sets / matcher ops /
+# function args); the families above use a fixed matcher template list and
+# a corpus where every series carries every label.  This suite draws
+# seeded-random matcher sets — equality/negation/regex/empty-match
+# `=~".*"` / empty-value `=""` / value-absent "nope" — over a corpus with
+# an OPTIONAL label (some series carry no `zone`), so the PromQL
+# missing-label-is-empty-string rule is exercised on both match and
+# grouping paths, plus random numeric arguments for clamp*/round.
+
+ZONES = ("z1", "z2")
+
+
+@pytest.fixture(scope="module")
+def corpus_ml(spark):
+    """Corpus with an optional `zone` label (absent on ~1/3 of series)."""
+    rng = random.Random(20250815)
+    rows = []
+    for metric in METRICS:
+        for job in JOBS:
+            for inst in INSTS:
+                zone = rng.choice((None,) + ZONES)
+                lbl = {"__name__": metric, "job": job, "inst": inst}
+                if zone is not None:
+                    lbl["zone"] = zone
+                v = 0.0
+                for i in range(20):
+                    v += rng.uniform(0.001, 5)
+                    rows.append((lbl, i * 10 * S, round(v, 6)))
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=LOOKBACK,
+                       deterministic=True)
+
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        [(lbl["__name__"], lbl["job"], lbl["inst"], lbl.get("zone", ""),
+          ts, v) for lbl, ts, v in rows],
+        columns=["name", "job", "inst", "zone", "ts", "value"])
+    con.register("mlsamples", pdf)
+    return eng, con
+
+
+_ML_LABELS = (("job", JOBS), ("inst", INSTS), ("zone", ZONES))
+
+
+def _rand_matcher_set(rng) -> tuple[str, str]:
+    """Random matcher fragment + equivalent SQL predicate.  The SQL side
+    matches against the stored value with missing-as-'' (PromQL's
+    missing-label-is-empty-string rule; the corpus stores '' for absent
+    zone).  Regexes are RE2-compatible in both engines and fully anchored
+    on both sides (PromQL anchors; DuckDB regexp_full_match anchors)."""
+    terms, preds = [], []
+    for label, values in _ML_LABELS:
+        if rng.random() < 0.45:
+            continue
+        op = rng.choice(("=", "!=", "=~", "!~"))
+        if op in ("=", "!="):
+            val = rng.choice(tuple(values) + ("", "nope"))
+            terms.append(f'{label}{op}"{val}"')
+            preds.append(f"{label} {'=' if op == '=' else '<>'} '{val}'")
+        else:
+            pat = rng.choice(
+                (".*", ".+", "", "nope",
+                 "|".join(rng.sample(list(values),
+                                     rng.randint(1, len(values)))),
+                 values[0][0] + ".*", "[a-z][0-9]", f"({values[0]})?"))
+            terms.append(f'{label}{op}"{pat}"')
+            neg = "NOT " if op == "!~" else ""
+            preds.append(f"{neg}regexp_full_match({label}, '{pat}')")
+    return ", ".join(terms), " AND ".join(preds) if preds else "TRUE"
+
+
+def _ml_sel_sql(metric: str, pred: str, t: int) -> str:
+    return f"""
+    SELECT job, inst, zone, arg_max(value, ts) AS v
+    FROM mlsamples
+    WHERE name = '{metric}' AND {pred}
+      AND ts > {t - LOOKBACK} AND ts <= {t}
+    GROUP BY job, inst, zone"""
+
+
+def _ml_shape(rng, t) -> tuple[str, str, list[str]]:
+    """One random case: selector / over_time / by-grouped agg (including
+    grouping BY the optional label) / clamp-round with random arguments.
+    Returns (promql, sql, label_cols)."""
+    metric = rng.choice(METRICS)
+    frag, pred = _rand_matcher_set(rng)
+    sel = f"{metric}{{{frag}}}" if frag else metric
+    base = _ml_sel_sql(metric, pred, t)
+    roll = rng.random()
+    if roll < 0.25:  # plain selector
+        return (sel, f"SELECT job, inst, zone, v FROM ({base})",
+                ["job", "inst", "zone"])
+    if roll < 0.45:  # *_over_time with a random window
+        fn, sqlagg = rng.choice(OVER_TIME)
+        w = rng.choice(WINDOWS)
+        return (f"{fn}({sel}[{w}s])",
+                f"""SELECT job, inst, zone, {sqlagg} AS v
+                    FROM mlsamples
+                    WHERE name = '{metric}' AND {pred}
+                      AND ts > {t - w * 1000} AND ts <= {t}
+                    GROUP BY job, inst, zone""",
+                ["job", "inst", "zone"])
+    if roll < 0.7:  # aggregate grouped by a random label (incl. optional)
+        op, sqlagg = rng.choice(AGGS)
+        g = rng.choice(["job", "inst", "zone"])
+        return (f"{op} by ({g}) ({sel})",
+                f"SELECT {g}, {sqlagg} AS v FROM ({base}) GROUP BY {g}",
+                [g])
+    # clamp*/round with randomized numeric arguments
+    fn = rng.choice(("clamp", "clamp_min", "clamp_max", "round"))
+    if fn == "clamp":
+        lo = round(rng.uniform(0, 30), 3)
+        hi = round(rng.uniform(lo, 80), 3)
+        p = f"clamp({sel}, {lo}, {hi})"
+        expr = f"least(greatest(v, {lo}), {hi})"
+    elif fn == "clamp_min":
+        lo = round(rng.uniform(-10, 40), 3)
+        p = f"clamp_min({sel}, {lo})"
+        expr = f"greatest(v, {lo})"
+    elif fn == "clamp_max":
+        hi = round(rng.uniform(-10, 40), 3)
+        p = f"clamp_max({sel}, {hi})"
+        expr = f"least(v, {hi})"
+    else:
+        to = rng.choice((1.0, 0.5, 2.0, 0.001, 10.0))
+        inv = 1.0 / to  # mirror funcRound's inverse-multiplier form
+        p = f"round({sel}, {to})"
+        expr = f"floor(v * {inv!r} + 0.5) / {inv!r}"
+    return (p, f"SELECT job, inst, zone, {expr} AS v FROM ({base})",
+            ["job", "inst", "zone"])
+
+
+def _norm_ml(rows, label_cols):
+    """Like _norm but drops empty-valued labels: PromQL labelsets never
+    carry a label with value '' (missing zone ≡ '')."""
+    out = {}
+    for r in rows:
+        key = frozenset((c, str(r[c])) for c in label_cols if r[c] != "")
+        out[key] = r["v"]
+    return out
+
+
+N_ML_QUERIES = 160
+
+
+def test_differential_fuzz_random_matchers(corpus_ml):
+    """Seeded random matcher sets + random call arguments over the
+    optional-label corpus must match DuckDB on every case."""
+    eng, con = corpus_ml
+    rng = random.Random(991199)
+    failures = []
+    for i in range(N_ML_QUERIES):
+        t = rng.randrange(50, 196) * S
+        promql, sql, label_cols = _ml_shape(rng, t)
+        duck = con.execute(sql).fetchdf()
+        want = _norm_ml(duck.to_dict("records"), label_cols)
+        got = _spark_result(eng, promql, t)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} @{t}: labelsets differ\n"
+                            f"  got : {sorted(map(sorted, got))}\n"
+                            f"  want: {sorted(map(sorted, want))}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} @{t} {dict(k)}: "
+                                f"got {got[k]}, want {want[k]}")
+    assert not failures, (f"{len(failures)}/{N_ML_QUERIES} divergences:\n"
+                          + "\n".join(failures[:25]))
