@@ -157,6 +157,44 @@ def main():
                           n: round(t1[n] / times[n], 1)
                           for n in t1 if times.get(n)}}
 
+    # Second decade: the three heaviest sf0.1->sf1 scalers again at 100x
+    # sf0.1 (tools/gen_sf1.py /root/testdata/sf0.1 .bench/sf10 100 —
+    # gitignored).  Two measured decades make the 100x-design claim
+    # empirical: per-decade growth should stay <= ~linear (10x data ->
+    # <=10x wall), and sub-linear growth at decade 1 that turns super-
+    # linear at decade 2 is exactly the scale cliff this rung exists to
+    # catch.  Only the heavy scalers run — the full set at sf10 would
+    # dominate bench wall-clock for queries already proven flat.
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench", "sf10"))
+    heavy = ("promql_instant_sum", "sim_topk", "dedup_lsh")
+    if os.path.isdir(sf10_dir) and "sf1" in out:
+        b10 = {n: f for n, f in make_benches(spark, sf10_dir).items()
+               if n in heavy}
+        sf10_load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+        t10: dict[str, float] = {}
+        sf10_pass_totals = []
+        for _ in range(2):
+            pass_times = {}
+            for name, fn in b10.items():
+                t0 = time.perf_counter()
+                fn()
+                pass_times[name] = round(time.perf_counter() - t0, 3)
+                t10[name] = round(min(t10.get(name, float("inf")),
+                                      pass_times[name]), 3)
+            sf10_pass_totals.append(round(sum(pass_times.values()), 3))
+        sf10_load_end = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
+        t1q = out["sf1"]["queries"]
+        out["sf10"] = {"sf": 10.0, "queries": t10,
+                       "total": round(sum(t10.values()), 3),
+                       "pass_totals": sf10_pass_totals,
+                       "loadavg_1m": [sf10_load_start, sf10_load_end],
+                       "scale_vs_sf1": {
+                           n: round(t10[n] / t1q[n], 1)
+                           for n in t10 if t1q.get(n)}}
+
     print(json.dumps(out))
 
 
