@@ -486,8 +486,17 @@ class Compiler:
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms)
             win = (base.filter((F.col("ts") > at - rng) & (F.col("ts") <= at)))
+            # @ is a per-step offset of (t - at) (upstream
+            # setOffsetForAtModifier converts @ to exactly that): shift the
+            # window samples into the step frame so every (t - range, t]
+            # boundary computation downstream — the rate family's
+            # extrapolation anchors above all — sees the anchored window
+            # as if it ended at t.  ts_of_*/timestamp subtract the shift
+            # back when exposing timestamps (functions.py).
             out = (win.crossJoin(F.broadcast(self.grid_df()))
-                   .select("t", "sig", "labels", "ts", "value", *hist_cols))
+                   .select("t", "sig", "labels",
+                           (F.col("ts") + (F.col("t") - F.lit(at)))
+                           .alias("ts"), "value", *hist_cols))
             return RangeVector(out, rng)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), rng)))
         return RangeVector(exploded.select("t", "sig", "labels", "ts", "value",
@@ -523,8 +532,13 @@ class Compiler:
         if sq.at_ms is not None:
             at = self._resolve_at(sq.at_ms)
             win = pts.filter((F.col("ts") > at - sq.range_ms) & (F.col("ts") <= at))
+            # same per-step re-anchor as the @ matrix selector: window
+            # points move into the step frame so (t - range, t] boundary
+            # math (rate extrapolation) is anchored at the @ time
             out = (win.crossJoin(F.broadcast(self.grid_df()))
-                   .select("t", "sig", "labels", "ts", "value"))
+                   .select("t", "sig", "labels",
+                           (F.col("ts") + (F.col("t") - F.lit(at)))
+                           .alias("ts"), "value"))
             return RangeVector(out, sq.range_ms)
         exploded = pts.withColumn(
             "t", F.explode(self._serve_steps(F.col("ts"), sq.range_ms)))

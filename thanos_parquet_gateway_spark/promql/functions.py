@@ -167,15 +167,19 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         g = _collect_window(rv)
         val = _OVER_TIME[fn](F.col("arr"))
         if fn.startswith("ts_of_"):
-            # window points live in the offset-shifted frame; the exposed
-            # timestamp is the original one (upstream matrix points keep
-            # their raw T under offset)
+            # window points live in the shifted evaluation frame (static
+            # offset at the selector base + the per-step @ re-anchor in the
+            # matrix/subquery paths); the exposed timestamp is the ORIGINAL
+            # one (upstream matrix points keep their raw T)
             arg = call.args[0]
-            off = (arg.selector.offset_ms
-                   if isinstance(arg, A.MatrixSelector)
-                   else getattr(arg, "offset_ms", 0))
+            sel = arg.selector if isinstance(arg, A.MatrixSelector) else arg
+            off = getattr(sel, "offset_ms", 0) or 0
             if off:
                 val = val - F.lit(off / 1000.0)
+            at_ms = getattr(sel, "at_ms", None)
+            if at_ms is not None:
+                at = c._resolve_at(at_ms)
+                val = val - (F.col("t") - F.lit(at)).cast(D) / 1000.0
     out = g.select("t", "sig", "labels",
                    F.lit(None).cast("long").alias("sample_ts"),
                    val.alias("value"))
