@@ -567,3 +567,198 @@ def _read_xor_fields(r: _BitReader, state: list) -> list[float]:
         state[j] = (bits, lead, trail)
         vals.append(_b2f(bits))
     return vals
+
+
+# ---------------------------------------------------------------------------
+# Prometheus integer-Histogram varbit chunk
+# (prometheus/tsdb/chunkenc/histogram.go — the CHUNK_HISTOGRAM=1 storepb
+# encoding; the reference passes these bytes through on Series exactly like
+# the float flavor, api/grpc/thanos.go:462-473).  Same 3-byte header and
+# layout block as the float chunk; the per-sample fields differ:
+#
+#   sample 0: t varbit int; count varbit uint; zeroCount varbit uint;
+#             sum raw 64-bit float; each bucket as varbit int of the
+#             model's INTRA-sample delta vector (model/histogram
+#             Histogram.{Positive,Negative}Buckets are deltas to the
+#             previous bucket)
+#   sample 1: tDelta varbit uint; count/zeroCount/bucket fields as varbit
+#             int DELTAS vs sample 0; sum XOR-coded
+#   sample 2+: tDod varbit int; count/zeroCount/bucket fields as varbit
+#             int DELTA-OF-DELTAS; sum XOR-coded
+#
+# This module's API takes/returns ABSOLUTE integer bucket counts; the
+# intra-sample delta conversion is internal.  Same reconstruction caveats
+# as the float codec (encode->decode round-trips + hand-computed goldens;
+# custom-bounds layouts fail loudly).
+# ---------------------------------------------------------------------------
+
+
+def _intra_deltas(vals: list[int]) -> list[int]:
+    out, prev = [], 0
+    for v in vals:
+        out.append(v - prev)
+        prev = v
+    return out
+
+
+def _intra_undeltas(deltas: list[int]) -> list[int]:
+    out, run = [], 0
+    for d in deltas:
+        run += d
+        out.append(run)
+    return out
+
+
+def encode_histogram_chunk_int(
+        samples: list[dict], *,
+        counter_reset: int = COUNTER_RESET_UNKNOWN) -> bytes:
+    """Encode native INTEGER histogram samples into one varbit chunk.
+
+    Sample dicts carry ``ts``, ``count``, ``zero_count`` (ints), ``sum``
+    (float), ``schema``, ``zero_threshold``, and sparse ``pos`` / ``neg``
+    ``[(bucket_index, int_count), ...]`` with ABSOLUTE counts.  All
+    samples must share one exponential schema and zero threshold; layouts
+    union with zero-fill like the float encoder."""
+    if not samples:
+        raise ValueError("empty histogram chunk")
+    if len(samples) > 0xFFFF:
+        raise ValueError("chunk holds at most 65535 samples")
+    schema = samples[0]["schema"]
+    zthresh = samples[0].get("zero_threshold", 0.0)
+    if schema == _CUSTOM_BUCKETS_SCHEMA:
+        raise ValueError(
+            "custom-bounds (schema -53) varbit layout is not "
+            "reconstruction-verified")
+    for s in samples:
+        if s["schema"] != schema:
+            raise ValueError("mixed schemas in one chunk")
+        if s.get("zero_threshold", 0.0) != zthresh:
+            raise ValueError("mixed zero thresholds in one chunk")
+    pos_idx = sorted({i for s in samples for i, _ in s["pos"]})
+    neg_idx = sorted({i for s in samples for i, _ in s["neg"]})
+
+    def _dense(sparse: list, idxs: list[int]) -> list[int]:
+        m = dict(sparse)
+        return [int(m.get(i, 0)) for i in idxs]
+
+    w = _BitWriter()
+    w.write_bits(len(samples), 16)
+    w.write_byte(counter_reset & 0b11000000)
+    _put_zero_threshold(w, zthresh)
+    _put_varbit_int(w, schema)
+    _put_spans(w, _hist_spans(pos_idx))
+    _put_spans(w, _hist_spans(neg_idx))
+
+    prev_t = prev_td = 0
+    prev_ints: list[int] = []       # count, zeroCount, bucket deltas
+    prev_int_deltas: list[int] = []  # their previous inter-sample deltas
+    sum_state = (0, 0xFF, 0)
+    for i, s in enumerate(samples):
+        t = int(s["ts"])
+        ints = ([int(s["count"]), int(s.get("zero_count", 0))]
+                + _intra_deltas(_dense(s["pos"], pos_idx))
+                + _intra_deltas(_dense(s["neg"], neg_idx)))
+        if i == 0:
+            _put_varbit_int(w, t)
+            _put_varbit_uint(w, ints[0])
+            _put_varbit_uint(w, ints[1])
+            sum_bits = _f2b(float(s["sum"]))
+            w.write_bits(sum_bits, 64)
+            sum_state = (sum_bits, 0xFF, 0)
+            for v in ints[2:]:
+                _put_varbit_int(w, v)
+            prev_int_deltas = [0] * len(ints)
+        else:
+            td = t - prev_t
+            if td < 0:
+                raise ValueError("timestamps must be ascending")
+            deltas = [v - p for v, p in zip(ints, prev_ints)]
+            if i == 1:
+                _put_varbit_uint(w, td)
+                _put_varbit_int(w, deltas[0])
+                _put_varbit_int(w, deltas[1])
+                pb, lead, trail = sum_state
+                sb = _f2b(float(s["sum"]))
+                lead, trail = _write_vdelta(w, pb, sb, lead, trail)
+                sum_state = (sb, lead, trail)
+                for d in deltas[2:]:
+                    _put_varbit_int(w, d)
+            else:
+                _put_varbit_int(w, td - prev_td)
+                _put_varbit_int(w, deltas[0] - prev_int_deltas[0])
+                _put_varbit_int(w, deltas[1] - prev_int_deltas[1])
+                pb, lead, trail = sum_state
+                sb = _f2b(float(s["sum"]))
+                lead, trail = _write_vdelta(w, pb, sb, lead, trail)
+                sum_state = (sb, lead, trail)
+                for d, pd in zip(deltas[2:], prev_int_deltas[2:]):
+                    _put_varbit_int(w, d - pd)
+            prev_td = td
+            prev_int_deltas = deltas
+        prev_t = t
+        prev_ints = ints
+    return bytes(w.buf)
+
+
+def decode_histogram_chunk_int(data: bytes) -> list[dict]:
+    """Inverse of encode_histogram_chunk_int: sample dicts with ABSOLUTE
+    integer bucket counts over the chunk's dense layout."""
+    if len(data) < 3:
+        raise ValueError(
+            f"histogram chunk too short: {len(data)} bytes "
+            "(need >= 3 for the count + reset-hint header)")
+    n = (data[0] << 8) | data[1]
+    reset = data[2] & 0b11000000
+    r = _BitReader(data, 24)
+    zthresh = _read_zero_threshold(r)
+    schema = _read_varbit_int(r)
+    if schema == _CUSTOM_BUCKETS_SCHEMA:
+        raise ValueError("custom-bounds varbit chunk layout is not "
+                         "reconstruction-verified")
+    pos_idx = _span_indices(_read_spans(r))
+    neg_idx = _span_indices(_read_spans(r))
+    nints = 2 + len(pos_idx) + len(neg_idx)
+    out: list[dict] = []
+    t = td = 0
+    ints: list[int] = []
+    int_deltas: list[int] = [0] * nints
+    sum_state = (0, 0, 0)
+    for i in range(n):
+        if i == 0:
+            t = _read_varbit_int(r)
+            ints = [_read_varbit_uint(r), _read_varbit_uint(r)]
+            sum_bits = r.read_bits(64)
+            sum_state = (sum_bits, 0, 0)
+            ints += [_read_varbit_int(r)
+                     for _ in range(nints - 2)]
+        else:
+            if i == 1:
+                td = _read_varbit_uint(r)
+                int_deltas = ([_read_varbit_int(r), _read_varbit_int(r)])
+                pb, lead, trail = sum_state
+                sum_bits, lead, trail = _read_vdelta(r, pb, lead, trail)
+                sum_state = (sum_bits, lead, trail)
+                int_deltas += [_read_varbit_int(r)
+                               for _ in range(nints - 2)]
+            else:
+                td += _read_varbit_int(r)
+                dd = [_read_varbit_int(r), _read_varbit_int(r)]
+                pb, lead, trail = sum_state
+                sum_bits, lead, trail = _read_vdelta(r, pb, lead, trail)
+                sum_state = (sum_bits, lead, trail)
+                dd += [_read_varbit_int(r) for _ in range(nints - 2)]
+                int_deltas = [p + d for p, d in zip(int_deltas, dd)]
+            t += td
+            ints = [v + d for v, d in zip(ints, int_deltas)]
+        np_ = len(pos_idx)
+        pos_abs = _intra_undeltas(ints[2:2 + np_])
+        neg_abs = _intra_undeltas(ints[2 + np_:])
+        out.append({
+            "ts": t, "count": ints[0], "zero_count": ints[1],
+            "sum": _b2f(sum_state[0]), "schema": schema,
+            "zero_threshold": zthresh,
+            "pos": list(zip(pos_idx, pos_abs)),
+            "neg": list(zip(neg_idx, neg_abs)),
+            "counter_reset": reset,
+        })
+    return out

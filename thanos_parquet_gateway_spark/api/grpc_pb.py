@@ -740,30 +740,34 @@ def decode_histogram_chunk(data: bytes,
     samples; dispatches on the storepb encoding enum."""
     if ctype == CHUNK_PROMPB_FLOAT_HISTOGRAM:
         return _decode_prompb_histogram_chunk(data)
-    if ctype != CHUNK_FLOAT_HISTOGRAM:
+    if ctype not in (CHUNK_FLOAT_HISTOGRAM, CHUNK_HISTOGRAM):
         raise ValueError(f"unsupported histogram chunk encoding {ctype}")
     from . import chunkenc
     out = []
-    for s in chunkenc.decode_float_histogram_chunk(data):
+    native = (chunkenc.decode_histogram_chunk_int(data)
+              if ctype == CHUNK_HISTOGRAM
+              else chunkenc.decode_float_histogram_chunk(data))
+    for s in native:
         sch = s["schema"]
         base_log = 2.0 ** -sch
         buckets: list[tuple[float, float]] = []
         for idx, c in s["neg"]:
             try:
-                buckets.append((-(2.0 ** ((idx - 1) * base_log)), c))
+                buckets.append((-(2.0 ** ((idx - 1) * base_log)), float(c)))
             except OverflowError:  # peer index beyond double range
-                buckets.append((float("-inf"), c))
+                buckets.append((float("-inf"), float(c)))
         if s["zero_count"]:
-            buckets.append((0.0, s["zero_count"]))
+            buckets.append((0.0, float(s["zero_count"])))
         for idx, c in s["pos"]:
             try:
-                buckets.append((2.0 ** (idx * base_log), c))
+                buckets.append((2.0 ** (idx * base_log), float(c)))
             except OverflowError:  # peer index beyond double range
-                buckets.append((float("inf"), c))
+                buckets.append((float("inf"), float(c)))
         buckets.sort()
         if not buckets or buckets[-1][0] != float("inf"):
             buckets.append((float("inf"), 0.0))
-        out.append((s["ts"], {"count": s["count"], "sum": s["sum"],
+        out.append((s["ts"], {"count": float(s["count"]),
+                              "sum": float(s["sum"]),
                               "buckets": buckets, "schema": sch}))
     return out
 
