@@ -2642,6 +2642,66 @@ def promql_at(spark, sf_dir):
     return r.df.select(_lbl("shard").alias("shard"), "value")
 
 
+@q("promql_at_rate", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+win AS (
+    SELECT CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value
+    FROM events_ms e
+    WHERE e.event_type = 'click'
+      AND e.ts > {A_MS - 2 * DAY} AND e.ts <= {A_MS}
+),
+w2 AS (
+    SELECT *, lag(value) OVER (PARTITION BY "user" ORDER BY ts, value) AS pv
+    FROM win
+),
+agg AS (
+    SELECT "user", count(*) AS n,
+           CAST(min(ts) AS BIGINT) AS first_t, CAST(max(ts) AS BIGINT) AS last_t,
+           first(value ORDER BY ts, value) AS first_v,
+           last(value ORDER BY ts, value) AS last_v,
+           list_reduce(list_prepend(0.0,
+               list(CASE WHEN value < pv THEN pv ELSE 0.0 END ORDER BY ts, value)),
+               (a, b) -> a + b) AS corr
+    FROM w2 GROUP BY "user"
+),
+ex AS (
+    SELECT "user", n, first_t, last_t,
+           (last_v - first_v) + corr AS delta,
+           CAST(first_t - {A_MS - 2 * DAY} AS DOUBLE) / 1000.0 AS dur_start,
+           CAST({A_MS} - last_t AS DOUBLE) / 1000.0 AS dur_end,
+           CAST(last_t - first_t AS DOUBLE) / 1000.0 AS sampled,
+           first_v
+    FROM agg WHERE n >= 2
+),
+ex2 AS (
+    SELECT *, sampled / (CAST(n AS DOUBLE) - 1) AS avg_dur,
+           CASE WHEN dur_start >= (sampled / (CAST(n AS DOUBLE) - 1)) * 1.1
+                THEN (sampled / (CAST(n AS DOUBLE) - 1)) / 2
+                ELSE dur_start END AS dur_start_c
+    FROM ex
+),
+ex3 AS (
+    SELECT "user", delta,
+           (sampled
+            + CASE WHEN delta > 0 AND first_v >= 0
+                        AND sampled * (first_v / delta) < dur_start_c
+                   THEN sampled * (first_v / delta) ELSE dur_start_c END
+            + CASE WHEN dur_end >= avg_dur * 1.1 THEN avg_dur / 2 ELSE dur_end END)
+           / sampled AS factor
+    FROM ex2
+)
+SELECT "user", delta * factor / {2 * DAY / 1000.0} AS value FROM ex3
+""")
+def promql_at_rate(spark, sf_dir):
+    """rate() under an @ anchor: the extrapolation range is (at-2d, at]
+    regardless of the outer eval time (upstream setOffsetForAtModifier
+    turns @ into an offset; the r9 anchor fix).  The oracle computes the
+    full extrapolatedRate at the anchor independently."""
+    r = _engine(spark, sf_dir).query_instant(
+        f"rate(click[2d] @ {A_MS // 1000})", T)
+    return r.df.select(_lbl("user").alias("user"), "value")
+
+
 @q("promql_subquery", f"""
 WITH {_SAMPLES},
 sgrid AS (SELECT unnest(generate_series({T - 6 * DAY}, {T}, {DAY})) AS g),
