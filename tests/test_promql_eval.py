@@ -658,3 +658,29 @@ def test_round_to_zero_is_nan_everywhere(spark):
     # sanity: plain round still behaves
     r = vec(eng.query_instant("round(m)", 25 * S))
     assert sorted(r.values()) == [3.0, 30.0]
+
+
+def test_count_values_denormal_shortest_roundtrip(spark):
+    """Go strconv.FormatFloat('f', -1, 64) parity at the floating-point
+    extremes: the value label carries SHORTEST-roundtrip digits in fixed
+    notation — min denormal prints ...0005 (not Java 17's 49 mantissa),
+    max double 17976931348623157 + 292 zeros, min normal the full
+    22250738585072014 tail.  Closes the divergence carried since r5."""
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    S = 1000
+    vals = {"a": 5e-324, "b": 1.7976931348623157e308,
+            "c": 2.2250738585072014e-308}
+    rows = [({"__name__": "den", "i": k}, 60 * S, v)
+            for k, v in vals.items()]
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300 * S,
+                       deterministic=True)
+    res = eng.query_instant('count_values("v", den)', 120 * S)
+    want = {"0." + "0" * 323 + "5",
+            "17976931348623157" + "0" * 292,
+            "0." + "0" * 307 + "22250738585072014"}
+    got = {dict(r["labels"])["v"] for r in res.df.collect()}
+    assert got == want
+    # every label round-trips to its source double
+    assert {float(s) for s in got} == set(vals.values())

@@ -745,21 +745,34 @@ class Compiler:
                     F.regexp_replace(c.cast("string"), "0+$", ""),
                     "\\.$", "")
 
-            # extreme magnitudes: Java "d.dddEn" → fixed notation.  The
-            # mantissa keeps one digit before the dot, so for |v| >= 1e38
-            # (exp >= 38 > frac length) fixed = sign+digits+zero padding,
-            # and for 0 < |v| < 1e-20 (exp <= -21) fixed = sign + "0." +
-            # (-exp-1) zeros + digits (trailing mantissa zeros trimmed —
-            # they're positionally significant only in the big case, where
-            # padding absorbs them into an identical string).
-            js = v.cast("string")
+            # extreme magnitudes (|v| >= 1e38 or < 1e-20): rebuild Go's
+            # fixed notation with SHORTEST-roundtrip digits.  Java 17's
+            # Double.toString guarantees round-trip but not minimal digits
+            # (e.g. 4.9E-324 where Go prints 5e-324), so instead of its
+            # mantissa, pick the fewest-significant-digits printf("%e")
+            # rendering that still parses back to the same double — the
+            # same shortest-that-roundtrips rule strconv.FormatFloat
+            # implements (Ryū); %.16e (17 sig digits) always round-trips,
+            # so the filter is never empty.  Cold path: only the extreme
+            # branches below evaluate it.
             sign = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
-            mant = F.regexp_extract(js, r"(\d(?:\.\d+)?)E", 1)
-            expn = F.regexp_extract(js, r"E(-?\d+)$", 1).cast("int")
+            cands = F.array(*[F.format_string(f"%.{k}e", F.abs(v))
+                              for k in range(17)])
+            best = F.element_at(
+                F.filter(cands, lambda s: s.try_cast("double") == F.abs(v)),
+                1)
+            mant = F.regexp_extract(best, r"(\d(?:\.\d+)?)e", 1)
+            expn = F.regexp_extract(best, r"e([+-]\d+)$", 1).cast("int")
             digits = F.regexp_replace(mant, r"\.", "")
-            fraclen = F.length(mant) - 2
+            # %e keeps exactly one digit before the dot → fraction length
+            # is len(digits) - 1; for |v| >= 1e38 (exp >= 38 >= fraclen)
+            # fixed = sign+digits+zero padding, for 0 < |v| < 1e-20
+            # (exp <= -21) fixed = sign + "0." + (-exp-1) zeros + digits
+            # (trailing mantissa zeros trimmed — a shortest winner can
+            # still carry one, e.g. "%.1e" beating "%.0e" on a tie).
             big_fixed = F.concat(
-                sign, digits, F.repeat(F.lit("0"), expn - fraclen))
+                sign, digits,
+                F.repeat(F.lit("0"), expn - (F.length(digits) - 1)))
             small_fixed = F.concat(
                 sign, F.lit("0."), F.repeat(F.lit("0"), -expn - 1),
                 F.regexp_replace(digits, "0+$", ""))
