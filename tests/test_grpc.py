@@ -983,3 +983,36 @@ def test_integer_histogram_chunk_golden_and_roundtrip():
                 "buckets": [(1.0, 3.0), (float("inf"), 0.0)]}),
         (1001, {"count": 4.0, "sum": 3.0, "schema": 0,
                 "buckets": [(1.0, 4.0), (float("inf"), 0.0)]})]
+
+
+def test_series_samples_decodes_all_chunk_encodings(spark):
+    """Client convenience mirroring a querier: series_samples() decodes
+    XOR float chunks, varbit FLOAT_HISTOGRAM chunks and the private NHCB
+    prompb chunks from one Series stream."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    from thanos_parquet_gateway_spark.api.grpc_client import ThanosGrpcClient
+    from thanos_parquet_gateway_spark.api.grpc_server import ThanosGrpcServer
+
+    inf = float("inf")
+    h = (7.0, 11.5, [(1.0, 3.0), (4.0, 4.0), (inf, 0.0)], 0)
+    hc = (6.0, 3.0, [(0.1, 2.0), (0.5, 3.0), (inf, 1.0)], -53)
+    rows = [({"__name__": "f", "job": "a"}, 10 * S, 1.5),
+            ({"__name__": "f", "job": "a"}, 20 * S, 2.5),
+            ({"__name__": "hx", "job": "a"}, 10 * S, {"hist": h}),
+            ({"__name__": "hx", "job": "a"}, 20 * S, {"hist": hc})]
+    qs = QueryServer(make_samples(spark, rows), lookback_ms=60 * S,
+                     deterministic=True)
+    with ThanosGrpcServer(qs) as srv:
+        with ThanosGrpcClient(srv.host, srv.port) as cli:
+            got = {tuple(sorted(r["labels"].items())): r
+                   for r in cli.series_samples(
+                       [("=~", "__name__", "f|hx")], 0, 60 * S)}
+            fkey = (("__name__", "f"), ("job", "a"))
+            hkey = (("__name__", "hx"), ("job", "a"))
+            assert got[fkey]["samples"] == [(10 * S, 1.5), (20 * S, 2.5)]
+            assert got[fkey]["histograms"] == []
+            hs = got[hkey]["histograms"]
+            # schema change mid-series cut two chunks (varbit + NHCB);
+            # both decode back to the exact bucket model in order
+            assert [(t, hh["schema"], hh["buckets"]) for t, hh in hs] == \
+                [(10 * S, 0, h[2]), (20 * S, -53, hc[2])]

@@ -167,6 +167,35 @@ class ThanosGrpcClient:
             without_replica_labels=without_replica_labels, limit=limit))
         return [pb.decode_series_response(m) for m in msgs]
 
+    def series_samples(self, matchers: list[tuple[str, str, str]],
+                       min_time: int, max_time: int, **kw
+                       ) -> list[dict]:
+        """Series with every chunk decoded — what a querier does with the
+        stream (reference querier side of thanos.go:462-473).  Returns
+        ``[{labels, samples: [(ts, float)...], histograms: [(ts, h)...]}]``;
+        streamed warning frames are skipped (use ``series()`` for the raw
+        frames).  Handles every chunk encoding the wire can carry: XOR
+        (0), integer HISTOGRAM (1), varbit FLOAT_HISTOGRAM (2) and the
+        private prompb NHCB fallback (255)."""
+        from thanos_parquet_gateway_spark.api.chunkenc import (
+            decode_xor_chunk,
+        )
+        out = []
+        for m in self.series(matchers, min_time, max_time, **kw):
+            if "series" not in m:
+                continue
+            s = m["series"]
+            samples: list[tuple[int, float]] = []
+            hists: list[tuple[int, dict]] = []
+            for c in s["chunks"]:
+                if c["type"] == pb.CHUNK_XOR:
+                    samples += decode_xor_chunk(c["data"])
+                else:
+                    hists += pb.decode_histogram_chunk(c["data"], c["type"])
+            out.append({"labels": s["labels"], "samples": samples,
+                        "histograms": hists})
+        return out
+
     def label_names(self, start: int, end: int, *,
                     matchers: list[tuple[str, str, str]] | None = None,
                     limit: int = 0) -> dict:
