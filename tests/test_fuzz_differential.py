@@ -1299,3 +1299,76 @@ def test_differential_fuzz_random_matchers(corpus_ml):
                                 f"got {got[k]}, want {want[k]}")
     assert not failures, (f"{len(failures)}/{N_ML_QUERIES} divergences:\n"
                           + "\n".join(failures[:25]))
+
+
+def _ml_range_shape(rng, start, end, step) -> tuple[str, str, list[str]]:
+    """Range-query case with seeded-random matchers over the
+    optional-label corpus: selector / over_time / agg-by (incl. the
+    optional label) evaluated on a DuckDB grid."""
+    metric = rng.choice(METRICS)
+    frag, pred = _rand_matcher_set(rng)
+    sel = f"{metric}{{{frag}}}" if frag else metric
+    grid = (f"grid AS (SELECT unnest(generate_series({start}, {end}, "
+            f"{step})) AS t)")
+    inst = f"""
+    SELECT g.t, job, inst, zone, arg_max(value, ts) AS v
+    FROM grid g JOIN mlsamples m
+      ON m.name = '{metric}' AND {pred.replace('regexp_full_match(', 'regexp_full_match(m.')
+                                      .replace('job ', 'm.job ')
+                                      .replace('inst ', 'm.inst ')
+                                      .replace('zone ', 'm.zone ')}
+     AND m.ts > g.t - {LOOKBACK} AND m.ts <= g.t
+    GROUP BY g.t, job, inst, zone"""
+    roll = rng.random()
+    if roll < 0.35:
+        return (sel, f"WITH {grid} SELECT t, job, inst, zone, v "
+                     f"FROM ({inst})", ["job", "inst", "zone"])
+    if roll < 0.65:
+        fn, sqlagg = rng.choice(OVER_TIME)
+        w = rng.choice(WINDOWS)
+        win = f"""
+        SELECT g.t, job, inst, zone, {sqlagg} AS v
+        FROM grid g JOIN mlsamples m
+          ON m.name = '{metric}' AND {pred.replace('regexp_full_match(', 'regexp_full_match(m.')
+                                          .replace('job ', 'm.job ')
+                                          .replace('inst ', 'm.inst ')
+                                          .replace('zone ', 'm.zone ')}
+         AND m.ts > g.t - {w * 1000} AND m.ts <= g.t
+        GROUP BY g.t, job, inst, zone"""
+        return (f"{fn}({sel}[{w}s])", f"WITH {grid} {win}",
+                ["job", "inst", "zone"])
+    op, sqlagg = rng.choice(AGGS)
+    g = rng.choice(["job", "inst", "zone"])
+    return (f"{op} by ({g}) ({sel})",
+            f"WITH {grid} SELECT t, {g}, {sqlagg} AS v FROM ({inst}) "
+            f"GROUP BY t, {g}", [g])
+
+
+def test_differential_fuzz_random_matchers_range(corpus_ml):
+    """Range-query flavor of the randomized matcher fuzz: 60 seeded cases
+    over the optional-label corpus, per-step equality vs DuckDB."""
+    eng, con = corpus_ml
+    rng = random.Random(424242)
+    failures = []
+    for i in range(60):
+        start = rng.randrange(50, 120) * S
+        step = rng.choice([10, 20]) * S
+        end = start + 3 * step
+        promql, sql, label_cols = _ml_range_shape(rng, start, end, step)
+        duck = con.execute(sql).fetchdf()
+        want = {}
+        for r in duck.to_dict("records"):
+            key = frozenset((c, str(r[c])) for c in label_cols
+                            if c != "t" and r[c] != "")
+            want[(key, r["t"])] = r["v"]
+        got = _spark_range_result(eng, promql, start, end, step)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} [{start},{end},{step}]: "
+                            f"keys differ: got {len(got)}, want {len(want)}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} {k}: got {got[k]}, "
+                                f"want {want[k]}")
+    assert not failures, (f"{len(failures)}/60 divergences:\n"
+                          + "\n".join(failures[:20]))
