@@ -3055,6 +3055,103 @@ def sim_lsh_topk(spark, sf_dir):
                                planes=_PLANES, k=5)
 
 
+@q("events_retention_cohorts", """
+WITH days AS (
+    SELECT user_id, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+    FROM events GROUP BY 1, 2
+),
+cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size
+          FROM cohorts GROUP BY 1)
+SELECT c.cohort_day, d.day - c.cohort_day AS day_k,
+       CAST(count(DISTINCT d.user_id) AS DOUBLE) AS active_users,
+       CAST(count(DISTINCT d.user_id) AS DOUBLE)
+           / CAST(s.cohort_size AS DOUBLE) AS retention_rate
+FROM days d JOIN cohorts c USING (user_id)
+JOIN sizes s ON s.cohort_day = c.cohort_day
+GROUP BY c.cohort_day, day_k, s.cohort_size
+""")
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users bucketed by first-activity day; day_k rows
+    carry how many (and what fraction) were active k days later.  Scale
+    shape: two user-keyed aggregations that SHARE one hash partitioning
+    (distinct day-activity, then min-day cohort), a user-keyed join that
+    reuses it, and a final small (cohort, k) aggregate — the cohort-size
+    side is a per-day aggregate (<= days rows) joined broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    days = (e.select("user_id",
+                     (F.col("ts_ms") / F.lit(86_400_000))
+                     .cast("long").alias("day"))
+            .distinct())
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = (cohorts.groupBy("cohort_day")
+             .agg(F.count("*").alias("cohort_size")))
+    joined = (days.join(cohorts, "user_id")
+              .select("user_id", "cohort_day",
+                      (F.col("day") - F.col("cohort_day")).alias("day_k")))
+    out = (joined.groupBy("cohort_day", "day_k")
+           .agg(F.countDistinct("user_id").cast("double")
+                .alias("active_users"))
+           .join(F.broadcast(sizes), "cohort_day")
+           .select("cohort_day", "day_k", "active_users",
+                   (F.col("active_users") /
+                    F.col("cohort_size").cast("double"))
+                   .alias("retention_rate")))
+    return out
+
+
+@q("events_funnel_conversion", """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+           FROM events),
+views AS (
+    SELECT v.user_id, v.ts_ms, v.event_id,
+           CAST(floor(v.ts_ms / 86400000) AS BIGINT) AS day,
+           EXISTS (SELECT 1 FROM e c
+                   WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                     AND c.ts_ms > v.ts_ms
+                     AND c.ts_ms <= v.ts_ms + 3600000) AS converted
+    FROM e v WHERE v.event_type = 'view'
+)
+SELECT day, CAST(count(*) AS DOUBLE) AS views,
+       CAST(count(*) FILTER (WHERE converted) AS DOUBLE) AS conversions,
+       CAST(count(*) FILTER (WHERE converted) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS conversion_rate
+FROM views GROUP BY day
+""")
+def events_funnel_conversion(spark, sf_dir):
+    """Funnel step conversion: per day, the fraction of view events
+    followed by a click from the same user within one hour.  Scale shape:
+    NOT a range join — one user-keyed window pass computes each view's
+    next click time (min over the following click timestamps), so the
+    whole funnel costs a single user-partitioned sort shared with every
+    other per-user operator, then a tiny per-day aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    base = (e.filter(F.col("event_type").isin("view", "click"))
+            .select("user_id", "event_type", "ts_ms", "event_id"))
+    # next click at-or-after each row, exclusive of the row itself:
+    # min(click ts) over the frame AFTER the current row in (ts, id) order
+    w = (W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+         .rowsBetween(1, W.unboundedFollowing))
+    nxt = base.withColumn(
+        "next_click_ts",
+        F.min(F.when(F.col("event_type") == "click",
+                     F.col("ts_ms"))).over(w))
+    views = (nxt.filter(F.col("event_type") == "view")
+             .select((F.col("ts_ms") / F.lit(86_400_000))
+                     .cast("long").alias("day"),
+                     (F.col("next_click_ts").isNotNull() &
+                      (F.col("next_click_ts") > F.col("ts_ms")) &
+                      (F.col("next_click_ts") <= F.col("ts_ms") +
+                       F.lit(3_600_000))).alias("converted")))
+    return (views.groupBy("day")
+            .agg(F.count("*").cast("double").alias("views"),
+                 F.sum(F.when(F.col("converted"), 1).otherwise(0))
+                 .cast("double").alias("conversions"))
+            .select("day", "views", "conversions",
+                    (F.col("conversions") / F.col("views"))
+                    .alias("conversion_rate")))
+
+
 @q("events_trending_topk", """
 WITH day_counts AS (
     SELECT epoch_ms(ts) // 86400000 AS day, event_type, count(*) AS n
