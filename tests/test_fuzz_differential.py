@@ -1372,3 +1372,67 @@ def test_differential_fuzz_random_matchers_range(corpus_ml):
                                 f"want {want[k]}")
     assert not failures, (f"{len(failures)}/60 divergences:\n"
                           + "\n".join(failures[:20]))
+
+
+def _ml_match_shape(rng, t) -> tuple[str, str, list[str]]:
+    """Random vector-matching case over the optional-label corpus:
+    aggregated one-to-one matching on a random label subset, or
+    many-to-one group_left against a grouped RHS, with on()/ignoring()
+    chosen randomly (ignoring = the complement on this fixed label
+    alphabet, which is exactly upstream's semantics: a missing label
+    matches the empty string)."""
+    m_a, m_b = rng.sample(list(METRICS), 2)
+    labels = ["job", "inst", "zone"]
+    on = rng.sample(labels, rng.randint(1, 2))
+    rest = [x for x in labels if x not in on]
+    op = rng.choice(["+", "-", "*"])
+    a = _ml_sel_sql(m_a, "TRUE", t)
+    b = _ml_sel_sql(m_b, "TRUE", t)
+    onl = ", ".join(on)
+    spell = (f"on({onl})" if rng.random() < 0.5
+             else f"ignoring({', '.join(rest)})")
+    if rng.random() < 0.5:
+        # one-to-one between two aggregates grouped by the match labels
+        ag1, sq1 = rng.choice(AGGS)
+        ag2, sq2 = rng.choice(AGGS)
+        p = (f"{ag1} by ({onl}) ({m_a}) {op} {spell} "
+             f"{ag2} by ({onl}) ({m_b})")
+        sql = (f"SELECT {', '.join('l.' + c for c in on)}, l.v {op} r.v AS v "
+               f"FROM (SELECT {onl}, {sq1} AS v FROM ({a}) GROUP BY {onl}) l "
+               f"JOIN (SELECT {onl}, {sq2} AS v FROM ({b}) GROUP BY {onl}) r "
+               f"USING ({onl})")
+        return p, sql, on
+    # many-to-one: full LHS labelset against a grouped RHS
+    ag, sq = rng.choice(AGGS)
+    p = f"{m_a} {op} {spell} group_left {ag} by ({onl}) ({m_b})"
+    sql = (f"SELECT l.job, l.inst, l.zone, l.v {op} r.v AS v FROM ({a}) l "
+           f"JOIN (SELECT {onl}, {sq} AS v FROM ({b}) GROUP BY {onl}) r "
+           f"USING ({onl})")
+    return p, sql, ["job", "inst", "zone"]
+
+
+def test_differential_fuzz_random_matching(corpus_ml):
+    """80 seeded vector-matching cases: random on()/ignoring() label
+    subsets (including the optional label, exercising the
+    missing-label-is-empty-string matching rule), one-to-one and
+    group_left shapes, vs DuckDB joins."""
+    eng, con = corpus_ml
+    rng = random.Random(31337)
+    failures = []
+    for i in range(80):
+        t = rng.randrange(50, 196) * S
+        promql, sql, label_cols = _ml_match_shape(rng, t)
+        duck = con.execute(sql).fetchdf()
+        want = _norm_ml(duck.to_dict("records"), label_cols)
+        got = _spark_result(eng, promql, t)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} @{t}: labelsets differ\n"
+                            f"  got : {sorted(map(sorted, got))[:6]}\n"
+                            f"  want: {sorted(map(sorted, want))[:6]}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} @{t} {dict(k)}: "
+                                f"got {got[k]}, want {want[k]}")
+    assert not failures, (f"{len(failures)}/80 divergences:\n"
+                          + "\n".join(failures[:20]))
