@@ -3074,30 +3074,36 @@ GROUP BY c.cohort_day, day_k, s.cohort_size
 def events_retention_cohorts(spark, sf_dir):
     """Cohort retention: users bucketed by first-activity day; day_k rows
     carry how many (and what fraction) were active k days later.  Scale
-    shape: two user-keyed aggregations that SHARE one hash partitioning
-    (distinct day-activity, then min-day cohort), a user-keyed join that
-    reuses it, and a final small (cohort, k) aggregate — the cohort-size
-    side is a per-day aggregate (<= days rows) joined broadcast."""
+    shape: ONE user-keyed shuffle — collect_set(day) aggregates with
+    map-side partials and is bounded by the calendar (<= days-in-range
+    entries per user), the cohort day is array_min over that set, and
+    day_k rows explode from it so the per-(cohort, k) count needs no
+    distinct (each (user, day) is unique by construction).  The cohort
+    size is the k=0 row of the same tiny aggregate, read back via a
+    cohort-partitioned window — one events scan, one wide shuffle."""
     e = load_table(spark, sf_dir, "events")
-    days = (e.select("user_id",
-                     (F.col("ts_ms") / F.lit(86_400_000))
-                     .cast("long").alias("day"))
-            .distinct())
-    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    sizes = (cohorts.groupBy("cohort_day")
-             .agg(F.count("*").alias("cohort_size")))
-    joined = (days.join(cohorts, "user_id")
-              .select("user_id", "cohort_day",
-                      (F.col("day") - F.col("cohort_day")).alias("day_k")))
-    out = (joined.groupBy("cohort_day", "day_k")
-           .agg(F.countDistinct("user_id").cast("double")
-                .alias("active_users"))
-           .join(F.broadcast(sizes), "cohort_day")
-           .select("cohort_day", "day_k", "active_users",
-                   (F.col("active_users") /
-                    F.col("cohort_size").cast("double"))
-                   .alias("retention_rate")))
-    return out
+    per_user = (e.select("user_id",
+                         (F.col("ts_ms") / F.lit(86_400_000))
+                         .cast("long").alias("day"))
+                .groupBy("user_id")
+                .agg(F.collect_set("day").alias("days")))
+    exploded = (per_user
+                .select(F.array_min("days").alias("cohort_day"),
+                        F.explode("days").alias("day"))
+                .select("cohort_day",
+                        (F.col("day") - F.col("cohort_day"))
+                        .alias("day_k")))
+    counts = (exploded.groupBy("cohort_day", "day_k")
+              .agg(F.count("*").cast("double").alias("active_users")))
+    # cohort size = the k=0 row of the SAME tiny aggregate; a
+    # cohort-partitioned window avoids re-deriving (and re-scanning) the
+    # counts subtree for a join side — one events scan total
+    size = F.max(F.when(F.col("day_k") == 0,
+                        F.col("active_users"))).over(
+        W.partitionBy("cohort_day"))
+    return (counts
+            .select("cohort_day", "day_k", "active_users",
+                    (F.col("active_users") / size).alias("retention_rate")))
 
 
 @q("events_funnel_conversion", """
