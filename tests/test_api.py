@@ -388,3 +388,34 @@ def test_row_quota_never_materializes_full_result(spark, sf_dir):
     assert max(collected) <= 2 + 1, (
         f"driver saw {max(collected)} rows for a 2-row quota "
         f"(full result is {full})")
+
+
+def test_label_endpoint_row_quotas(spark, sf_dir):
+    """Per-endpoint metadata quotas (reference LabelNamesRowCountQuota /
+    LabelValuesRowCountQuota, api/http/query.go:130-140): exceeding the
+    operator quota is a hard rejection, while the client limit still
+    truncates with a warning below it; the quota probe never pulls more
+    than quota+1 rows."""
+    import pytest as _pytest
+
+    from thanos_parquet_gateway_spark.api.http import QueryAPI, QuotaExceeded
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    t0, t1 = 1704067200000, 1706486400000
+    api = QueryAPI(eng, label_values_row_quota=3, label_names_row_quota=50)
+    with _pytest.raises(QuotaExceeded, match="3-row quota"):
+        api.label_values("user", None, t0, t1)      # >3 distinct users
+    with _pytest.raises(QuotaExceeded, match="3-row quota"):
+        api.label_values("shard", None, t0, t1)     # 8 shards > 3
+    # a quota the cardinality fits passes untouched (5 metric names)
+    api_ok = QueryAPI(eng, label_values_row_quota=10)
+    vals, warns = api_ok.label_values("__name__", None, t0, t1)
+    assert 0 < len(vals) <= 10 and warns == []
+    names, warns = api.labels(None, t0, t1)          # few label names
+    assert names and warns == []
+    # client limit truncates WITH warning under a satisfied quota
+    names2, warns2 = api.labels(None, t0, t1, limit=1)
+    assert len(names2) == 1 and warns2

@@ -178,11 +178,18 @@ class QueryAPI:
     """
 
     def __init__(self, engine: PromQLEngine, max_concurrent: int = 100,
-                 row_quota: int = 0, byte_quota: int = 0):
+                 row_quota: int = 0, byte_quota: int = 0,
+                 label_names_row_quota: int = 0,
+                 label_values_row_quota: int = 0):
         self.engine = engine
         self.sem = threading.Semaphore(max_concurrent)
         self.row_quota = row_quota
         self.byte_quota = byte_quota
+        # per-endpoint metadata quotas, mirroring the reference's
+        # LabelNamesRowCountQuota / LabelValuesRowCountQuota options
+        # (api/http/query.go:130-140 wired to internal/limits Quota)
+        self.label_names_row_quota = label_names_row_quota
+        self.label_values_row_quota = label_values_row_quota
 
     def _admit(self, df):
         if self.byte_quota:
@@ -313,11 +320,24 @@ class QueryAPI:
                  "stats": stats}, res)
 
     # -- metadata endpoints: (data, warnings) pairs ----------------------
-    def _limited(self, df, limit: int):
+    def _limited(self, df, limit: int, quota: int = 0):
         """Collect limit+1 rows; report truncation as a warning instead of
         silently clipping (reference search/materialize.go:53-58,
-        db/db.go:339-347)."""
+        db/db.go:339-347).  ``quota`` is the operator-set per-endpoint row
+        ceiling (reference LabelNames/LabelValuesRowCountQuota): exceeding
+        it is a 400 resource_exhausted, unlike the client ``limit`` which
+        truncates with a warning — and the quota probe pulls at most
+        quota+1 rows, never the full result."""
         self._admit(df)
+        if quota:
+            rows = df.limit(quota + 1).collect()
+            if len(rows) > quota:
+                raise QuotaExceeded(
+                    f"resource exhausted (metadata result exceeds the "
+                    f"{quota}-row quota)")
+            if limit and len(rows) > limit:
+                return rows[:limit], [WARN_TRUNCATED]
+            return rows, []
         if not limit:
             return df.collect(), []
         rows = df.limit(limit + 1).collect()
@@ -328,28 +348,34 @@ class QueryAPI:
     def series(self, match: list[str], start_ms: int, end_ms: int,
                limit: int = 0) -> tuple[list[dict], list[str]]:
         rows, warns = self._limited(
-            self.engine.series(match, start_ms, end_ms), limit)
+            self.engine.series(match, start_ms, end_ms), limit,
+            quota=self.row_quota)
         return [dict(r["labels"]) for r in rows], warns
 
     def labels(self, match: list[str] | None, start_ms: int, end_ms: int,
                limit: int = 0) -> tuple[list[str], list[str]]:
         rows, warns = self._limited(
-            self.engine.label_names(match, start_ms, end_ms), limit)
+            self.engine.label_names(match, start_ms, end_ms), limit,
+            quota=self.label_names_row_quota)
         return [r["name"] for r in rows], warns
 
     def label_values(self, name: str, match: list[str] | None, start_ms: int,
                      end_ms: int, limit: int = 0) -> tuple[list[str], list[str]]:
         rows, warns = self._limited(
-            self.engine.label_values(name, match, start_ms, end_ms), limit)
+            self.engine.label_values(name, match, start_ms, end_ms), limit,
+            quota=self.label_values_row_quota)
         return [r["value"] for r in rows], warns
 
 
 class PromHTTPServer:
     def __init__(self, engine: PromQLEngine, port: int = 9090,
                  max_concurrent: int = 100, row_quota: int = 0,
-                 byte_quota: int = 0):
+                 byte_quota: int = 0, label_names_row_quota: int = 0,
+                 label_values_row_quota: int = 0):
         self.api = QueryAPI(engine, max_concurrent, row_quota=row_quota,
-                            byte_quota=byte_quota)
+                            byte_quota=byte_quota,
+                            label_names_row_quota=label_names_row_quota,
+                            label_values_row_quota=label_values_row_quota)
         api = self.api
 
         class Handler(BaseHTTPRequestHandler):
