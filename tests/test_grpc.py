@@ -1016,3 +1016,25 @@ def test_series_samples_decodes_all_chunk_encodings(spark):
             # both decode back to the exact bucket model in order
             assert [(t, hh["schema"], hh["buckets"]) for t, hh in hs] == \
                 [(10 * S, 0, h[2]), (20 * S, -53, hc[2])]
+
+
+def test_label_values_quota_over_grpc(spark):
+    """Label quota hits map to gRPC RESOURCE_EXHAUSTED (8) like the
+    reference's quota error mapping (thanos.go:260)."""
+    from thanos_parquet_gateway_spark.api import QueryServer
+    from thanos_parquet_gateway_spark.api.grpc_client import (GrpcError,
+                                                              ThanosGrpcClient)
+    from thanos_parquet_gateway_spark.api.grpc_server import ThanosGrpcServer
+
+    rows = [({"__name__": "m", "job": str(i)}, 10 * S, float(i))
+            for i in range(6)]
+    qs = QueryServer(make_samples(spark, rows), lookback_ms=60 * S,
+                     deterministic=True, label_values_row_quota=3)
+    with ThanosGrpcServer(qs) as srv:
+        with ThanosGrpcClient(srv.host, srv.port) as cli:
+            with pytest.raises(GrpcError) as ei:
+                cli.label_values("job", 0, 60 * S)
+            assert ei.value.code == 8  # RESOURCE_EXHAUSTED
+            # label NAMES are under a separate (unset) quota
+            names = cli.label_names(0, 60 * S)
+            assert names["values"] == ["__name__", "job"]

@@ -39,7 +39,9 @@ class QueryServer:
                  lookback_ms: int = 300_000,
                  deterministic: bool = False,
                  max_concurrent: int = 100,
-                 row_quota: int = 0, byte_quota: int = 0):
+                 row_quota: int = 0, byte_quota: int = 0,
+                 label_names_row_quota: int = 0,
+                 label_values_row_quota: int = 0):
         self.samples = samples
         self.streams = streams
         self.ext_labels = ext_labels
@@ -48,6 +50,8 @@ class QueryServer:
         self.max_concurrent = max_concurrent
         self.row_quota = row_quota
         self.byte_quota = byte_quota
+        self.label_names_row_quota = label_names_row_quota
+        self.label_values_row_quota = label_values_row_quota
         # one (engine, api) per distinct (replica-label set, lookback),
         # built lazily — the reference builds a DBQueryable per request
         # (thanos.go:135-147) and threads the per-request LookbackDelta
@@ -83,7 +87,9 @@ class QueryServer:
                            streams=self.streams)
         api = QueryAPI(eng, self.max_concurrent,
                        row_quota=self.row_quota,
-                       byte_quota=self.byte_quota)
+                       byte_quota=self.byte_quota,
+                       label_names_row_quota=self.label_names_row_quota,
+                       label_values_row_quota=self.label_values_row_quota)
         with self._apis_lock:
             api = self._apis.setdefault(key, api)
             self._apis.move_to_end(key)
