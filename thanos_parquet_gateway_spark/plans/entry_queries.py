@@ -3134,10 +3134,14 @@ def events_funnel_conversion(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     base = (e.filter(F.col("event_type").isin("view", "click"))
             .select("user_id", "event_type", "ts_ms", "event_id"))
-    # next click at-or-after each row, exclusive of the row itself:
-    # min(click ts) over the frame AFTER the current row in (ts, id) order
-    w = (W.partitionBy("user_id").orderBy("ts_ms", "event_id")
-         .rowsBetween(1, W.unboundedFollowing))
+    # next click STRICTLY after each row's timestamp: a RANGE frame
+    # starting at ts+1 excludes every same-ts row, matching the oracle's
+    # `c.ts_ms > v.ts_ms` exactly.  (A ROWS frame ordered by (ts, id) is
+    # wrong under timestamp ties: a same-ts click sorting after the view
+    # becomes the min, fails the strict guard, and masks a later
+    # in-window click — confirmed wrong answer at ms-resolution scale.)
+    w = (W.partitionBy("user_id").orderBy("ts_ms")
+         .rangeBetween(1, W.unboundedFollowing))
     nxt = base.withColumn(
         "next_click_ts",
         F.min(F.when(F.col("event_type") == "click",
@@ -3146,7 +3150,6 @@ def events_funnel_conversion(spark, sf_dir):
              .select((F.col("ts_ms") / F.lit(86_400_000))
                      .cast("long").alias("day"),
                      (F.col("next_click_ts").isNotNull() &
-                      (F.col("next_click_ts") > F.col("ts_ms")) &
                       (F.col("next_click_ts") <= F.col("ts_ms") +
                        F.lit(3_600_000))).alias("converted")))
     return (views.groupBy("day")
