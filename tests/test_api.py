@@ -419,3 +419,47 @@ def test_label_endpoint_row_quotas(spark, sf_dir):
     # client limit truncates WITH warning under a satisfied quota
     names2, warns2 = api.labels(None, t0, t1, limit=1)
     assert len(names2) == 1 and warns2
+
+
+def test_default_metadata_row_quota(spark, sf_dir):
+    """Unconfigured metadata endpoints no longer collect unbounded (round-9
+    verdict #6): with no operator quota and no client limit, a
+    large-but-finite default quota backstops the collect — small data
+    passes untouched, oversized results become a 400 resource_exhausted
+    instead of a driver OOM, and 0 restores the reference's UnlimitedQuota
+    parity behavior."""
+    import pytest as _pytest
+
+    from thanos_parquet_gateway_spark.api.http import (
+        DEFAULT_METADATA_ROW_QUOTA, QueryAPI, QuotaExceeded)
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    eng = PromQLEngine(samples_from_events(spark, sf_dir),
+                       lookback_ms=7 * 86400_000, deterministic=True)
+    t0, t1 = 1704067200000, 1706486400000
+    # defaults: everything here is far below 1e6 rows, so unconfigured
+    # endpoints keep working exactly as before
+    api = QueryAPI(eng)
+    assert api.default_metadata_row_quota == DEFAULT_METADATA_ROW_QUOTA
+    names, warns = api.labels(None, t0, t1)
+    assert names and warns == []
+    vals, warns = api.label_values("shard", None, t0, t1)
+    assert vals and warns == []
+    # a tiny default proves the backstop actually fires on the same calls
+    api_tiny = QueryAPI(eng, default_metadata_row_quota=2)
+    with _pytest.raises(QuotaExceeded, match="2-row quota"):
+        api_tiny.label_values("shard", None, t0, t1)   # 8 shards > 2
+    # ...but a client limit below it still truncates-with-warning (the
+    # default only backstops the no-limit path)
+    vals2, warns2 = api_tiny.label_values("shard", None, t0, t1, limit=1)
+    assert len(vals2) == 1 and warns2
+    # explicit quotas win over the default
+    api_q = QueryAPI(eng, label_values_row_quota=50,
+                     default_metadata_row_quota=2)
+    vals3, warns3 = api_q.label_values("shard", None, t0, t1)
+    assert len(vals3) > 2 and warns3 == []
+    # 0 restores reference UnlimitedQuota parity (unbounded collect)
+    api_off = QueryAPI(eng, default_metadata_row_quota=0)
+    vals4, _ = api_off.label_values("shard", None, t0, t1)
+    assert len(vals4) == len(vals3)

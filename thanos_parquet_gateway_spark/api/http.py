@@ -91,6 +91,13 @@ def _parse_time(s: str | None, default_ms: int) -> int:
                    .timestamp() * 1000)
 
 
+# large-but-finite backstop for metadata endpoints when the operator sets no
+# quota and the client sends no limit (round-9 verdict #6): big enough that
+# no legitimate label/series listing hits it, small enough that a forgotten
+# knob yields a 400 resource_exhausted instead of a driver OOM
+DEFAULT_METADATA_ROW_QUOTA = 1_000_000
+
+
 class QuotaExceeded(RuntimeError):
     """Per-query resource quota hit (reference internal/limits/limit.go:66-93:
     Quota.Reserve; surfaced with errorType=resource_exhausted like the
@@ -180,7 +187,8 @@ class QueryAPI:
     def __init__(self, engine: PromQLEngine, max_concurrent: int = 100,
                  row_quota: int = 0, byte_quota: int = 0,
                  label_names_row_quota: int = 0,
-                 label_values_row_quota: int = 0):
+                 label_values_row_quota: int = 0,
+                 default_metadata_row_quota: int = DEFAULT_METADATA_ROW_QUOTA):
         self.engine = engine
         self.sem = threading.Semaphore(max_concurrent)
         self.row_quota = row_quota
@@ -190,6 +198,12 @@ class QueryAPI:
         # (api/http/query.go:130-140 wired to internal/limits Quota)
         self.label_names_row_quota = label_names_row_quota
         self.label_values_row_quota = label_values_row_quota
+        # backstop when an operator configures NO quota and the client sends
+        # NO limit: the reference defaults to UnlimitedQuota, but an
+        # unbounded metadata collect is a driver OOM at 100x scale — degrade
+        # to a 400 at a large-but-finite ceiling instead.  Pass 0 to restore
+        # the reference's truly-unlimited behavior.
+        self.default_metadata_row_quota = default_metadata_row_quota
 
     def _admit(self, df):
         if self.byte_quota:
@@ -327,8 +341,13 @@ class QueryAPI:
         ceiling (reference LabelNames/LabelValuesRowCountQuota): exceeding
         it is a 400 resource_exhausted, unlike the client ``limit`` which
         truncates with a warning — and the quota probe pulls at most
-        quota+1 rows, never the full result."""
+        quota+1 rows, never the full result.  With NO quota and NO limit,
+        ``default_metadata_row_quota`` backstops the otherwise-unbounded
+        collect (the reference's UnlimitedQuota default would OOM the
+        driver at scale; 0 restores it)."""
         self._admit(df)
+        if not quota and not limit:
+            quota = self.default_metadata_row_quota
         if quota:
             rows = df.limit(quota + 1).collect()
             if len(rows) > quota:
@@ -371,11 +390,13 @@ class PromHTTPServer:
     def __init__(self, engine: PromQLEngine, port: int = 9090,
                  max_concurrent: int = 100, row_quota: int = 0,
                  byte_quota: int = 0, label_names_row_quota: int = 0,
-                 label_values_row_quota: int = 0):
+                 label_values_row_quota: int = 0,
+                 default_metadata_row_quota: int = DEFAULT_METADATA_ROW_QUOTA):
         self.api = QueryAPI(engine, max_concurrent, row_quota=row_quota,
                             byte_quota=byte_quota,
                             label_names_row_quota=label_names_row_quota,
-                            label_values_row_quota=label_values_row_quota)
+                            label_values_row_quota=label_values_row_quota,
+                            default_metadata_row_quota=default_metadata_row_quota)
         api = self.api
 
         class Handler(BaseHTTPRequestHandler):

@@ -41,7 +41,8 @@ class QueryServer:
                  max_concurrent: int = 100,
                  row_quota: int = 0, byte_quota: int = 0,
                  label_names_row_quota: int = 0,
-                 label_values_row_quota: int = 0):
+                 label_values_row_quota: int = 0,
+                 default_metadata_row_quota: int | None = None):
         self.samples = samples
         self.streams = streams
         self.ext_labels = ext_labels
@@ -52,6 +53,7 @@ class QueryServer:
         self.byte_quota = byte_quota
         self.label_names_row_quota = label_names_row_quota
         self.label_values_row_quota = label_values_row_quota
+        self.default_metadata_row_quota = default_metadata_row_quota
         # one (engine, api) per distinct (replica-label set, lookback),
         # built lazily — the reference builds a DBQueryable per request
         # (thanos.go:135-147) and threads the per-request LookbackDelta
@@ -89,7 +91,10 @@ class QueryServer:
                        row_quota=self.row_quota,
                        byte_quota=self.byte_quota,
                        label_names_row_quota=self.label_names_row_quota,
-                       label_values_row_quota=self.label_values_row_quota)
+                       label_values_row_quota=self.label_values_row_quota,
+                       **({} if self.default_metadata_row_quota is None else
+                          {"default_metadata_row_quota":
+                           self.default_metadata_row_quota}))
         with self._apis_lock:
             api = self._apis.setdefault(key, api)
             self._apis.move_to_end(key)
