@@ -1038,3 +1038,61 @@ def test_label_values_quota_over_grpc(spark):
             # label NAMES are under a separate (unset) quota
             names = cli.label_names(0, 60 * S)
             assert names["values"] == ["__name__", "job"]
+
+
+def test_conformant_peer_skips_nhcb_private_enum(spark):
+    """A CONFORMANT Store API client (proto3 open enums: values outside
+    the storepb Chunk.Encoding range are preserved but unrecognized) must
+    SKIP the private NHCB enum-255 chunks without error and without ever
+    feeding their prompb payload to a varbit decoder — losing only the
+    NHCB series data, exactly the documented containment posture
+    (grpc_pb.py CHUNK_PROMPB_FLOAT_HISTOGRAM; reference thanos.go:462-473
+    passes real chunks for every encoding instead)."""
+    from math import inf
+
+    from thanos_parquet_gateway_spark.api import grpc_pb as pb
+    from thanos_parquet_gateway_spark.api.chunkenc import decode_xor_chunk
+    from thanos_parquet_gateway_spark.api.grpc_client import ThanosGrpcClient
+    from thanos_parquet_gateway_spark.api.grpc_server import ThanosGrpcServer
+    from thanos_parquet_gateway_spark.api.server import QueryServer
+    from tests.conftest import make_samples
+
+    S = 1000
+    hexp = (7.0, 11.5, [(-2.0, 1.0), (0.0, 2.0), (1.0, 3.0), (4.0, 1.0),
+                        (inf, 0.0)], 0)                      # exponential
+    hnhcb = (6.0, 3.0, [(0.1, 2.0), (0.5, 3.0), (inf, 1.0)], -53)  # NHCB
+    rows = [({"__name__": "mix", "kind": "exp"}, 10 * S, {"hist": hexp}),
+            ({"__name__": "mix", "kind": "nhcb"}, 10 * S, {"hist": hnhcb}),
+            ({"__name__": "mix", "kind": "float"}, 10 * S, 5.0)]
+    qs = QueryServer(make_samples(spark, rows), lookback_ms=60 * S,
+                     deterministic=True)
+
+    # the conformant-decoder model: standard enums decode, anything else
+    # is skipped whole (never raises, never touches the payload)
+    KNOWN = {pb.CHUNK_XOR, pb.CHUNK_HISTOGRAM, pb.CHUNK_FLOAT_HISTOGRAM}
+
+    def conformant_decode(chunk):
+        if chunk["type"] not in KNOWN:
+            return None  # unrecognized encoding -> skip
+        if chunk["type"] == pb.CHUNK_XOR:
+            return decode_xor_chunk(chunk["data"])
+        return pb.decode_histogram_chunk(chunk["data"], chunk["type"])
+
+    with ThanosGrpcServer(qs) as srv:
+        with ThanosGrpcClient(srv.host, srv.port) as cli:
+            res = cli.series([("=", "__name__", "mix")], 0, 60 * S)
+    series = [m["series"] for m in res if "series" in m]
+    assert len(series) == 3
+    decoded, skipped = [], []
+    for s in series:
+        kind = dict(s["labels"])["kind"]
+        for c in s["chunks"]:
+            out = conformant_decode(c)
+            (skipped if out is None else decoded).append((kind, out))
+    # exactly the NHCB chunk is lost; everything else decodes cleanly
+    assert [k for k, _ in skipped] == ["nhcb"]
+    got = dict(decoded)
+    assert got["float"] == [(10 * S, 5.0)]
+    (t, h), = got["exp"]
+    assert (t, h["count"], h["sum"], h["schema"]) == (10 * S, 7.0, 11.5, 0)
+    assert h["buckets"] == hexp[2]
