@@ -3895,6 +3895,134 @@ def flagship(spark: SparkSession) -> DataFrame:
     return r.df.select("t", F.element_at("labels", "shard").alias("shard"), "value")
 
 
+# =====================================================================
+# Streaming operators under the batch oracle gate (round-9 verdict #8):
+# each runs the REAL Structured Streaming job (availableNow drain over a
+# parquet drop dir, checkpointed, append sink) and returns the sink as a
+# DataFrame whose deterministic projection a DuckDB oracle can reproduce.
+# =====================================================================
+
+def _stream_tmp(prefix: str) -> str:
+    import tempfile
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+@q("stream_dedup_docs", """
+SELECT DISTINCT md5(text) AS content_hash FROM documents
+""")
+def stream_dedup_docs(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark,
+    streaming/convert_stream.py): every document is ingested TWICE inside
+    the watermark horizon; the drained sink must carry exactly one row per
+    content hash.  The oracle checks the hash set — which arrival survives
+    is arrival-order dependent, so doc_id stays out of the projection."""
+    from thanos_parquet_gateway_spark.streaming import stream_dedup
+    root = _stream_tmp("stream_dedup_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = 1_704_067_200_000
+    twice = docs.union(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    (twice.withColumn("ts", F.lit(t0) + F.col("doc_id") % 60_000)
+     .write.parquet(f"{root}/in"))
+    job = stream_dedup(spark, f"{root}/in", f"{root}/out", f"{root}/ckpt")
+    job.awaitTermination(300)
+    return spark.read.parquet(f"{root}/out").select("content_hash")
+
+
+@q("stream_rollup_samples", """
+WITH s AS (
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start,
+           '[{"key":"__name__","value":"' || event_type ||
+           '"},{"key":"user","value":"' || CAST(user_id AS VARCHAR) ||
+           '"}]' AS sig,
+           floor(value) AS v
+    FROM events
+)
+SELECT window_start, sig, count(*) AS n_samples, sum(v) AS sum_value
+FROM s GROUP BY window_start, sig
+""")
+def stream_rollup_samples(spark, sf_dir):
+    """Watermarked tumbling rollup (streaming/convert_stream.py
+    stream_rollup, 1h windows / 2h watermark) drained with availableNow; a
+    far-future sentinel sample advances the watermark so every real window
+    finalizes into the append sink.  Values are floored to integer-valued
+    doubles so the streaming partial-agg sum is order-independent exact
+    (conftest gotcha: never hash-compare a parallel float SUM)."""
+    from thanos_parquet_gateway_spark.streaming import stream_rollup
+    root = _stream_tmp("stream_rollup_")
+    flush_ts = 1_748_736_000_000  # 2025-06-01, >> any event + watermark
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        F.create_map(F.lit("__name__"), F.col("event_type"),
+                     F.lit("user"),
+                     F.col("user_id").cast("string")).alias("labels"),
+        F.col("ts_ms").alias("ts"),
+        F.floor("value").cast("double").alias("value"))
+    sentinel = spark.range(1).select(
+        F.create_map(F.lit("__name__"), F.lit("__flush__")).alias("labels"),
+        F.lit(flush_ts).alias("ts"), F.lit(0.0).alias("value"))
+    raw.union(sentinel).write.parquet(f"{root}/in")
+    job = stream_rollup(spark, f"{root}/in", f"{root}/out", f"{root}/ckpt")
+    job.awaitTermination(300)
+    return (spark.read.parquet(f"{root}/out")
+            .filter(F.col("window_start") < flush_ts - 2 * 3_600_000)
+            .select("window_start", "sig", "n_samples", "sum_value"))
+
+
+@q("stream_sessionize_events", """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_us
+    FROM events
+),
+tagged AS (
+    SELECT user_id, ts_us,
+           sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM e
+)
+SELECT user_id, min(ts_us) AS session_start_us,
+       max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events
+FROM tagged GROUP BY user_id, sid
+""")
+def stream_sessionize_events(spark, sf_dir):
+    """Native session_window streaming sessionization (streaming/sessions.py,
+    30-min gap): drain the real events, then append a far-future sentinel
+    event and drain again — append mode holds still-open tail sessions in
+    state until the watermark passes them (same two-drain flush as
+    tests/test_convert.py).  The oracle rebuilds sessions with the lag/
+    cumulative-sum construction; session end = last event + gap, full
+    microsecond precision."""
+    from thanos_parquet_gateway_spark.streaming import stream_sessionize
+    root = _stream_tmp("stream_sessionize_")
+    e = load_table(spark, sf_dir, "events")
+    (e.select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+              "user_id", "event_type", "value")
+     .write.parquet(f"{root}/in"))
+    job = stream_sessionize(spark, f"{root}/in", f"{root}/out",
+                            f"{root}/ckpt", watermark="0 seconds")
+    job.awaitTermination(300)
+    sentinel_user = -1
+    spark.range(1).select(
+        F.lit(0).cast("long").alias("event_id"),
+        F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(sentinel_user).cast("long").alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value")).write.mode("append").parquet(f"{root}/in")
+    job = stream_sessionize(spark, f"{root}/in", f"{root}/out",
+                            f"{root}/ckpt", watermark="0 seconds")
+    job.awaitTermination(300)
+    return (spark.read.parquet(f"{root}/out")
+            .filter(F.col("user_id") != sentinel_user)
+            .select("user_id",
+                    F.unix_micros("session_start").alias("session_start_us"),
+                    F.unix_micros("session_end").alias("session_end_us"),
+                    "n_events"))
+
+
 # ---------------------------------------------------------- driver window
 # The driver's CORRECTNESS gate compares the FIRST 50 registry entries (in
 # dict order) against their DuckDB oracles each round.  Registration order
