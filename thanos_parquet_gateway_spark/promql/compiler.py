@@ -424,10 +424,14 @@ class Compiler:
         return df.select(*cols)
 
     def _resolve_at(self, at_ms: int) -> int:
+        # start()/end() resolve against the TOP-LEVEL query range, even
+        # inside subqueries (upstream preprocesses @ before evaluation) —
+        # anchor_* fall back to this compiler's own range when it is the
+        # top level, and carry the outer range when it is a subquery grid
         if at_ms == -1:
-            return self.p.start_ms
+            return self.p.anchor_start_ms
         if at_ms == -2:
-            return self.p.end_ms
+            return self.p.anchor_end_ms
         return at_ms
 
     def _vector_selector(self, vs: A.VectorSelector) -> InstantVector:
@@ -516,7 +520,11 @@ class Compiler:
         inner = Compiler(self.samples,
                          EvalParams(inner_start, inner_end, sub_step,
                                     p.lookback_ms, p.deterministic,
-                                    p.subquery_step_ms),
+                                    p.subquery_step_ms,
+                                    # inner @ start()/end() keep resolving
+                                    # against the top-level query range
+                                    at_start_ms=p.anchor_start_ms,
+                                    at_end_ms=p.anchor_end_ms),
                          self.ext_labels)
         inner_res = inner.compile(sq.expr)
         if isinstance(inner_res, (float, ScalarV)):

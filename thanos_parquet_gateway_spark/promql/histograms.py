@@ -225,11 +225,15 @@ def _cum_at(hist: Column, x: Column) -> Column:
 
 def hist_fraction(lo: float, hi: float, hist: Column) -> Column:
     """histogram_fraction(lo, hi, h): estimated fraction of observations in
-    [lo, hi] via interpolated cumulative counts.  NaN bounds → NaN
-    (upstream histogramFraction)."""
+    [lo, hi] via interpolated cumulative counts.  NaN bounds → NaN; an
+    empty/inverted interval (lower >= upper) → 0 on a non-empty histogram
+    (upstream histogramFraction guards, promql/quantile.go — previously the
+    inverted case leaked a negative cum difference)."""
     if math.isnan(lo) or math.isnan(hi):
         return F.lit(float("nan"))
     total = hist["count"]
+    if lo >= hi:
+        return F.when(total == 0, F.lit(float("nan"))).otherwise(F.lit(0.0))
     frac = (_cum_at(hist, F.lit(float(hi))) - _cum_at(hist, F.lit(float(lo)))) / total
     return F.when(total == 0, F.lit(float("nan"))).otherwise(frac)
 

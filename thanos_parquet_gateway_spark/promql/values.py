@@ -20,6 +20,21 @@ class EvalParams:
     lookback_ms: int = 300_000  # reference default (api/http/query.go:160)
     deterministic: bool = False  # order-stable folds for oracle comparison
     subquery_step_ms: int = 60_000
+    # @ start()/end() anchors: upstream PREPROCESSES these against the
+    # top-level query range (promql engine.go setOffsetForAtModifier path),
+    # so a subquery's inner compiler must resolve them against the OUTER
+    # query, not its own inner grid.  None = this IS the top-level query
+    # (anchors are start_ms/end_ms themselves).
+    at_start_ms: int | None = None
+    at_end_ms: int | None = None
+
+    @property
+    def anchor_start_ms(self) -> int:
+        return self.start_ms if self.at_start_ms is None else self.at_start_ms
+
+    @property
+    def anchor_end_ms(self) -> int:
+        return self.end_ms if self.at_end_ms is None else self.at_end_ms
 
 
 @dataclass

@@ -1591,6 +1591,48 @@ def gen_count_values() -> str:
          count(series, lambda l, v: (("g", ff(v)),)))
     emit('count_values by (i) ("val", m)',
          count(series, lambda l, v: (("i", l["i"]), ("val", ff(v)))))
+    # extreme-magnitude + denormal blocks were appended by hand in r9 and
+    # round-10 folded them into the generator so regeneration is stable
+    lines += [
+        "# ---- extreme-magnitude value labels: Go FormatFloat('f', -1, 64)"
+        " fixed",
+        "# notation (shortest-roundtrip digits, never scientific) —"
+        " reconstructed",
+        "# from Java's scientific string at |v| >= 1e38 and < 1e-20"
+        " (compiler",
+        "# count_values vstr; closes the divergence carried since r5)",
+        "",
+        "clear",
+        "load 5m",
+        "\text{i=\"a\"} 1e38",
+        "\text{i=\"b\"} -1e38",
+        "\text{i=\"c\"} 1.2345678901234568e+41",
+        "\text{i=\"d\"} 1e-21",
+        "\text{i=\"e\"} -3.25e-25",
+        "",
+        'eval instant at 1m count_values("v", ext)',
+        "\t{v=\"100000000000000000000000000000000000000\"} 1",
+        "\t{v=\"-100000000000000000000000000000000000000\"} 1",
+        "\t{v=\"123456789012345680000000000000000000000000\"} 1",
+        "\t{v=\"0.000000000000000000001\"} 1",
+        "\t{v=\"-0.000000000000000000000000325\"} 1",
+        "",
+        "# ---- denormal extremes: shortest-roundtrip digits like Go"
+        " (5e-324, not",
+        "# Java 17's 4.9E-324 mantissa) — closes the last formatting"
+        " divergence",
+        "# carried since r5",
+        "",
+        "clear",
+        "load 5m",
+        "\tden{i=\"a\"} 5e-324",
+        "\tden{i=\"b\"} 1.7976931348623157e308",
+        "\tden{i=\"c\"} 2.2250738585072014e-308",
+        "",
+        'eval instant at 1m count(count_values("v", den) and'
+        ' count_values("v", den))',
+        "\t{} 3",
+    ]
     return "\n".join(lines)
 
 
@@ -2590,8 +2632,450 @@ def gen_nhcb() -> str:
     return "\n".join(lines)
 
 
+def gen_fraction_edges() -> str:
+    """histogram_fraction BOUNDARY blocks over exponential-schema native
+    histograms (round-9 verdict #7): bounds exactly on bucket edges, the
+    zero-bucket edge, inverted/empty intervals (upstream histogramFraction:
+    lower >= upper -> 0), NaN bounds -> NaN, and infinite bounds.  Same
+    independent cum model as gen_native_quantile (engine-proven), plus the
+    upstream guards."""
+    def buckets_of(schema, offset, bks, z, n_offset=0, n_bks=()):
+        base = 2.0 ** (2.0 ** -schema)
+        out = []
+        for p, c in enumerate(n_bks):
+            i = n_offset + p
+            out.append((-(base ** i), -(base ** (i - 1)), float(c)))
+        out.sort()
+        if z:
+            out.append((0.0, 0.0, z))
+        for p, c in enumerate(bks):
+            out.append((base ** (offset + p - 1), base ** (offset + p),
+                        float(c)))
+        last = out[-1][1] if out else 0.0
+        out.append((last, math.inf, 0.0))
+        return out
+
+    def cum_at(bks, total, x):
+        cum = []
+        run = 0.0
+        for lo, le, c in bks:
+            run += c
+            cum.append((lo, le, run))
+        idx = next((i for i, (_, le, _) in enumerate(cum) if le >= x), None)
+        if idx is None or x == math.inf:
+            return total
+        lower = cum[idx][0]
+        count_lo = 0.0 if idx == 0 else cum[idx - 1][2]
+        upper, count_hi = cum[idx][1], cum[idx][2]
+        frac = 0.0 if upper == lower else (x - lower) / (upper - lower)
+        frac = min(max(frac, 0.0), 1.0)
+        return count_lo + (count_hi - count_lo) * frac
+
+    def fraction(h, lo, hi):
+        if math.isnan(lo) or math.isnan(hi):
+            return math.nan
+        if lo >= hi:
+            return 0.0  # upstream histogramFraction inverted/empty guard
+        bks, total = grid(h), total_of(h)
+        return (cum_at(bks, total, hi) - cum_at(bks, total, lo)) / total
+
+    HISTS = {
+        "zero": dict(schema=0, offset=0, bks=[2, 2], z=3.0, sum=7.0),
+        "mixed": dict(schema=0, offset=0, bks=[2, 1], z=1.0, sum=-3.0,
+                      n_offset=0, n_bks=[3, 2]),
+        "neg_only": dict(schema=0, offset=0, bks=[], z=0.0, sum=-20.0,
+                         n_offset=1, n_bks=[4, 1]),
+        "basic": dict(schema=0, offset=0, bks=[2, 3, 1], z=0.0, sum=14.0),
+        "sparse": dict(schema=0, offset=1, bks=[0, 0, 5], z=0.0, sum=55.0),
+    }
+
+    def total_of(h):
+        return h["z"] + sum(h["bks"]) + sum(h.get("n_bks", []))
+
+    def grid(h):
+        return buckets_of(h["schema"], h["offset"], h["bks"], h["z"],
+                          h.get("n_offset", 0), h.get("n_bks", ()))
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — histogram_fraction",
+             "# boundary blocks: bucket-edge bounds, zero-bucket edges,",
+             "# inverted/empty intervals (upstream: lower >= upper -> 0),",
+             "# NaN and infinite bounds.",
+             "", "load 10s"]
+    for case, h in HISTS.items():
+        zb = f" z_bucket:{fmt(h['z'])}" if h["z"] else ""
+        pos = (f" offset:{h['offset']} buckets:["
+               + " ".join(fmt(float(b)) for b in h["bks"]) + "]"
+               if h["bks"] else "")
+        neg = (f" n_offset:{h['n_offset']} n_buckets:["
+               + " ".join(fmt(float(b)) for b in h["n_bks"]) + "]"
+               if h.get("n_bks") else "")
+        lines.append(
+            f"\tnh{{case=\"{case}\"}} {{{{schema:{h['schema']} "
+            f"count:{fmt(total_of(h))} sum:{fmt(h['sum'])}{zb}"
+            f"{pos}{neg}}}}}x30")
+    lines.append("")
+
+    def fb(v):
+        if math.isnan(v):
+            return "NaN"
+        if v == math.inf:
+            return "Inf"
+        if v == -math.inf:
+            return "-Inf"
+        return fmt(v)
+
+    BOUNDS = [
+        # exact bucket edges of the schema-0 grid (base 2)
+        (0.5, 1.0), (1.0, 2.0), (0.5, 2.0), (2.0, 4.0),
+        # zero-bucket edges: intervals ending/starting exactly at 0
+        (-1.0, 0.0), (0.0, 0.5), (-0.25, 0.25), (0.0, math.inf),
+        (-math.inf, 0.0),
+        # interior (interpolated) bounds
+        (0.75, 1.5), (-1.5, 1.5),
+        # full / half-infinite coverage
+        (-math.inf, math.inf), (-2.0, math.inf), (-math.inf, -1.0),
+        # empty and inverted intervals -> 0 (upstream guard)
+        (0.0, 0.0), (1.0, 1.0), (2.0, 1.0), (math.inf, -math.inf),
+        (math.inf, math.inf),
+        # NaN bounds -> NaN
+        (math.nan, 1.0), (1.0, math.nan),
+    ]
+    for lo, hi in BOUNDS:
+        lines.append(f"eval instant at 200s "
+                     f"histogram_fraction({fb(lo)}, {fb(hi)}, nh)")
+        for case, h in HISTS.items():
+            lines.append(f"\t{{case=\"{case}\"}} {fmt(fraction(h, lo, hi))}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def gen_nhcb_fraction() -> str:
+    """histogram_fraction boundary blocks over NHCB (schema -53,
+    custom_values) histograms: bounds exactly ON custom bounds, below the
+    first bound (classic rules: no mass below 0 / below the first bound's
+    interpolation anchor), beyond the last finite bound (the +Inf overflow
+    carries no finite-x mass), inverted/NaN bounds.  Classic cum model from
+    gen_nhcb (engine-proven) + the upstream guards."""
+    CASES = {
+        "web": ([0.1, 0.5, 1.0, 5.0], [5, 3, 1, 1, 0], 4.0),
+        "overflow": ([1.0, 2.0], [2, 3, 5], 40.0),
+        "negbound": ([-2.0, 1.0, 3.0], [1, 4, 2], 6.0),
+        "single": ([10.0], [7], 21.0),
+    }
+
+    def grid(cv, cnts):
+        bks = [(cv[i], float(cnts[i])) for i in range(len(cv))]
+        bks.append((math.inf,
+                    float(cnts[len(cv)]) if len(cnts) > len(cv) else 0.0))
+        return bks
+
+    def cum_at(bks, total, x):
+        cum, run = [], 0.0
+        for le, c in bks:
+            run += c
+            cum.append((le, run))
+        idx = next((i for i, (le, _) in enumerate(cum) if le >= x), None)
+        if idx is None or x == math.inf:
+            return total
+        if x <= 0.0:
+            return 0.0
+        lower = 0.0 if idx == 0 else cum[idx - 1][0]
+        count_lo = 0.0 if idx == 0 else cum[idx - 1][1]
+        upper, count_hi = cum[idx]
+        frac = 0.0 if upper == lower else (x - lower) / (upper - lower)
+        frac = min(max(frac, 0.0), 1.0)
+        return count_lo + (count_hi - count_lo) * frac
+
+    def fraction(cv, cnts, lo, hi):
+        if math.isnan(lo) or math.isnan(hi):
+            return math.nan
+        if lo >= hi:
+            return 0.0
+        bks = grid(cv, cnts)
+        total = sum(c for _, c in bks)
+        return (cum_at(bks, total, hi) - cum_at(bks, total, lo)) / total
+
+    def fb(v):
+        if math.isnan(v):
+            return "NaN"
+        if v == math.inf:
+            return "Inf"
+        if v == -math.inf:
+            return "-Inf"
+        return fmt(v)
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — NHCB",
+             "# histogram_fraction boundary blocks: bounds on/below/beyond",
+             "# the custom bounds, overflow bucket, inverted/NaN bounds.",
+             "", "load 10s"]
+    for case, (cv, cnts, s) in CASES.items():
+        lines.append(
+            f"\tch{{case=\"{case}\"}} {{{{schema:-53 "
+            f"count:{fmt(float(sum(cnts)))} sum:{fmt(s)} "
+            f"custom_values:[{' '.join(fmt(v) for v in cv)}] "
+            f"buckets:[{' '.join(fmt(float(c)) for c in cnts)}]}}}}x30")
+    lines.append("")
+    BOUNDS = [
+        # exactly on custom bounds
+        (0.1, 0.5), (0.5, 1.0), (0.1, 5.0), (1.0, 2.0),
+        # below the first bound / starting at 0
+        (0.0, 0.1), (0.0, 0.05), (0.0, 1.0),
+        # negative bounds (classic: no mass at x <= 0)
+        (-3.0, -1.0), (-2.0, 1.0), (-math.inf, 0.0),
+        # interior interpolation
+        (0.25, 0.75), (1.5, 4.0),
+        # beyond the last finite bound: overflow carries no finite-x mass
+        (5.0, 100.0), (2.0, 100.0), (10.0, math.inf), (0.0, math.inf),
+        (-math.inf, math.inf),
+        # inverted / empty -> 0; NaN -> NaN
+        (0.5, 0.5), (5.0, 0.1), (math.nan, 1.0), (1.0, math.nan),
+    ]
+    for lo, hi in BOUNDS:
+        lines.append(f"eval instant at 200s "
+                     f"histogram_fraction({fb(lo)}, {fb(hi)}, ch)")
+        for case, (cv, cnts, s) in CASES.items():
+            lines.append(
+                f"\t{{case=\"{case}\"}} {fmt(fraction(cv, cnts, lo, hi))}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _sq_points(end: int, rng: int, step: int) -> list[int]:
+    """Subquery evaluation points: absolute multiples of step in
+    (end-rng, end] (upstream engine.go subquery alignment)."""
+    first = (end - rng) // step * step
+    while first <= end - rng:
+        first += step
+    return list(range(first, end + 1, step))
+
+
+def gen_at_subq3() -> str:
+    """Three-way @ start()/end() x subquery x offset interactions in RANGE
+    queries — where start() != end() (round-9 verdict #7: the r9 @-anchor
+    bug lived in a two-way gap; range queries add the third axis).  Sample
+    values = index, so every expectation is a sum/count over an explicit
+    point list."""
+    gs = [(i * 10_000, float(i)) for i in range(91)]
+
+    def ival(p, shift=0, pin=None):
+        q = pin if pin is not None else p - shift
+        return instant(gs, q)
+
+    def sq(end, rng, step, shift=0, pin=None):
+        out = []
+        for p in _sq_points(end, rng, step):
+            v = ival(p, shift, pin)
+            if v is not None:
+                out.append(v)
+        return out
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — @ start()/end() x",
+             "# subquery x offset three-way interactions in range queries",
+             "# (start != end): outer @ anchors the subquery end, outer",
+             "# offset then shifts it, inner offset/@ shift or pin every",
+             "# evaluation point.",
+             "", "load 10s",
+             "\tg " + " ".join(fmt(v) for _, v in gs), ""]
+
+    A, B, S = 300_000, 600_000, 100_000   # range grid 300s..600s step 100s
+    grid_ts = list(range(A, B + 1, S))
+
+    def emit_range(expr, vals_per_step):
+        lines.append(f"eval range from 300s to 600s step 100s {expr}")
+        cells = " ".join("_" if v is None else fmt(v)
+                         for v in vals_per_step)
+        lines.append(f"\t{{}} {cells}")
+        lines.append("")
+
+    def agg(vals, op):
+        if not vals:
+            return None
+        if op == "sum":
+            return sum(vals)
+        if op == "count":
+            return float(len(vals))
+        if op == "min":
+            return min(vals)
+        return max(vals)
+
+    # outer @ start()/end() + outer offset: anchor constant across steps
+    for anchor_fn, anchor in (("start()", A), ("end()", B)):
+        for off_s in (0, 50):
+            off = off_s * 1000
+            osfx = f" offset {off_s}s" if off_s else ""
+            vals = sq(anchor - off, 100_000, 30_000)
+            emit_range(f"sum_over_time(g[100s:30s] @ {anchor_fn}{osfx})",
+                       [agg(vals, 'sum')] * len(grid_ts))
+            emit_range(f"count_over_time(g[100s:30s] @ {anchor_fn}{osfx})",
+                       [agg(vals, 'count')] * len(grid_ts))
+
+    # inner offset under an outer @: every point shifted, anchor pinned
+    vals = sq(B, 100_000, 30_000, shift=30_000)
+    emit_range("sum_over_time((g offset 30s)[100s:30s] @ end())",
+               [agg(vals, 'sum')] * len(grid_ts))
+
+    # inner offset + outer offset + outer @ start(): all three at once
+    vals = sq(A - 40_000, 100_000, 20_000, shift=20_000)
+    emit_range("sum_over_time((g offset 20s)[100s:20s] @ start() offset 40s)",
+               [agg(vals, 'sum')] * len(grid_ts))
+
+    # inner @ start() pins every point; outer window still moves with t
+    emit_range("sum_over_time((g @ start())[100s:30s])",
+               [agg([v for v in (ival(p, pin=A)
+                                 for p in _sq_points(t, 100_000, 30_000))
+                     if v is not None], 'sum') for t in grid_ts])
+
+    # inner @ end() x outer offset: pinned value, moving (shifted) window
+    emit_range("count_over_time((g @ end())[100s:30s] offset 50s)",
+               [agg([v for v in (ival(p, pin=B)
+                                 for p in _sq_points(t - 50_000, 100_000,
+                                                     30_000))
+                     if v is not None], 'count') for t in grid_ts])
+
+    # moving subquery with outer offset only (control row: varies by step)
+    emit_range("max_over_time(g[100s:30s] offset 50s)",
+               [agg(sq(t - 50_000, 100_000, 30_000), 'max')
+                for t in grid_ts])
+
+    # nested subquery with outer @ end() + offset
+    def nested(end):
+        outer = []
+        for p in _sq_points(end, 90_000, 30_000):
+            iv = sq(p, 60_000, 20_000)
+            if iv:
+                outer.append(min(iv))
+        return outer
+    vals = nested(B - 30_000)
+    emit_range("max_over_time(min_over_time(g[60s:20s])[90s:30s]"
+               " @ end() offset 30s)",
+               [agg(vals, 'max')] * len(grid_ts))
+
+    # instant parity: at an instant query start() == end() == eval time
+    for t_s in (305, 605):
+        t = t_s * 1000
+        for anchor_fn in ("start()", "end()"):
+            vals = sq(t - 50_000, 100_000, 30_000)
+            lines.append(f"eval instant at {t_s}s "
+                         f"sum_over_time(g[100s:30s] @ {anchor_fn}"
+                         f" offset 50s)")
+            lines.append(f"\t{{}} {fmt(sum(vals))}")
+            lines.append("")
+    return "\n".join(lines)
+
+
+def gen_rate_at_range() -> str:
+    """rate/increase/delta x @ x offset x subquery inside RANGE queries:
+    the extrapolation anchor must follow the resolved @ time per step (the
+    r9 two-way fix, now crossed with the range-query start()/end() axis).
+    Counter value = 2*i at 10s spacing, so extrapolated_rate() computes
+    every expectation."""
+    cs = [(i * 10_000, 2.0 * i) for i in range(91)]
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — rate family x @",
+             "# start()/end() x offset x subquery in range queries:",
+             "# extrapolation anchored at the resolved @ time per step.",
+             "", "load 10s",
+             "\tc " + " ".join(fmt(v) for _, v in cs), ""]
+
+    A, B, S = 300_000, 600_000, 100_000
+    grid_ts = list(range(A, B + 1, S))
+
+    def emit_range(expr, vals):
+        lines.append(f"eval range from 300s to 600s step 100s {expr}")
+        lines.append("\t{} " + " ".join("_" if v is None else fmt(v)
+                                        for v in vals))
+        lines.append("")
+
+    def r(anchor, rng, kind):
+        w = window(cs, anchor, rng)
+        return extrapolated_rate(w, anchor, rng,
+                                 kind in ("rate", "increase"),
+                                 kind == "rate")
+
+    # range selector x @ start()/end() x offset: constant across steps
+    for kind in ("rate", "increase", "delta"):
+        for anchor_fn, anchor in (("start()", A), ("end()", B)):
+            v = r(anchor - 50_000, 100_000, kind)
+            emit_range(f"{kind}(c[100s] @ {anchor_fn} offset 50s)",
+                       [v] * len(grid_ts))
+
+    # moving control rows (no @): anchor follows the step
+    for kind in ("rate", "increase"):
+        emit_range(f"{kind}(c[100s] offset 50s)",
+                   [r(t - 50_000, 100_000, kind) for t in grid_ts])
+
+    # rate over a SUBQUERY x @/offset: points at absolute 20s multiples,
+    # extrapolation over those points in the anchored window
+    def sq_rate(anchor, rng, step, kind):
+        pts = [(p, instant(cs, p)) for p in _sq_points(anchor, rng, step)]
+        pts = [(p, v) for p, v in pts if v is not None]
+        return extrapolated_rate(pts, anchor, rng,
+                                 kind in ("rate", "increase"),
+                                 kind == "rate")
+
+    for kind in ("rate", "increase"):
+        v = sq_rate(B, 100_000, 20_000, kind)
+        emit_range(f"{kind}(c[100s:20s] @ end())", [v] * len(grid_ts))
+        v = sq_rate(A - 40_000, 100_000, 20_000, kind)
+        emit_range(f"{kind}(c[100s:20s] @ start() offset 40s)",
+                   [v] * len(grid_ts))
+        emit_range(f"{kind}(c[100s:20s] offset 20s)",
+                   [sq_rate(t - 20_000, 100_000, 20_000, kind)
+                    for t in grid_ts])
+    return "\n".join(lines)
+
+
+def gen_holt3() -> str:
+    """double_exponential_smoothing PARAMETER edges (round-9 verdict #7):
+    sf/tf at the extremes of (0,1), two-sample windows (the minimum), a
+    constant series (trend 0), a strictly decreasing series, and a step
+    jump.  Upstream recurrence re-derived in holt_winters()."""
+    n = 60
+    SERIES = {
+        "const": [5.0] * (n + 1),
+        "dec": [100.0 - 1.5 * k for k in range(n + 1)],
+        "jump": [10.0 + (200.0 if k >= 30 else 0.0) + 0.5 * k
+                 for k in range(n + 1)],
+        "wavy": [20.0 + 8.0 * math.sin(k / 3.0) for k in range(n + 1)],
+    }
+    lines = ["# GENERATED by tools/gen_promqltest.py — smoothing parameter",
+             "# edges: sf/tf near 0 and 1, minimum (two-sample) windows,",
+             "# zero-trend and step-jump series.",
+             "", "load 10s"]
+    for case, vs in SERIES.items():
+        lines.append(f"\ths{{case=\"{case}\"}} "
+                     + " ".join(fmt(v) for v in vs))
+    lines.append("")
+    t_s = 500
+    t = t_s * 1000
+    for ws in (20, 60, 300):
+        for sf, tf in ((0.0001, 0.0001), (0.0001, 0.9999),
+                       (0.9999, 0.0001), (0.9999, 0.9999),
+                       (0.5, 0.0001), (0.0001, 0.5)):
+            lines.append(
+                f"eval instant at {t_s}s "
+                f"double_exponential_smoothing(hs[{ws}s], {fmt(sf)}, "
+                f"{fmt(tf)})")
+            for case, vs in SERIES.items():
+                samples = [(k * 10_000, v) for k, v in enumerate(vs)]
+                wv = [v for _, v in window(samples, t, ws * 1000)]
+                lines.append(f"\t{{case=\"{case}\"}} "
+                             f"{fmt(holt_winters(wv, sf, tf))}")
+            lines.append("")
+    # single-sample window: fewer than two points -> empty result
+    lines.append(f"eval instant at {t_s}s "
+                 f"double_exponential_smoothing(hs[10s], 0.5, 0.5)")
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_nhcb.test": gen_nhcb,
+    "gen_fraction_edges.test": gen_fraction_edges,
+    "gen_nhcb_fraction.test": gen_nhcb_fraction,
+    "gen_at_subq3.test": gen_at_subq3,
+    "gen_rate_at_range.test": gen_rate_at_range,
+    "gen_holt3.test": gen_holt3,
     "gen_functions.test": gen_functions,
     "gen_binops.test": gen_binops,
     "gen_agg.test": gen_agg,
