@@ -2739,6 +2739,8 @@ def gen_fraction_edges() -> str:
         (math.inf, math.inf),
         # NaN bounds -> NaN
         (math.nan, 1.0), (1.0, math.nan),
+        # sub-bucket and multi-bucket interpolated spans
+        (0.25, 0.5), (4.0, 8.0), (0.5, 4.0), (-4.0, -0.5), (-1.0, 1.0),
     ]
     for lo, hi in BOUNDS:
         lines.append(f"eval instant at 200s "
@@ -2829,6 +2831,8 @@ def gen_nhcb_fraction() -> str:
         (-math.inf, math.inf),
         # inverted / empty -> 0; NaN -> NaN
         (0.5, 0.5), (5.0, 0.1), (math.nan, 1.0), (1.0, math.nan),
+        # more custom-bound straddles and sub-first-bound spans
+        (0.1, 1.0), (0.5, 3.0), (3.0, 5.0), (0.05, 0.1), (2.0, 3.0),
     ]
     for lo, hi in BOUNDS:
         lines.append(f"eval instant at 200s "
@@ -3046,9 +3050,9 @@ def gen_holt3() -> str:
         lines.append(f"\ths{{case=\"{case}\"}} "
                      + " ".join(fmt(v) for v in vs))
     lines.append("")
-    t_s = 500
-    t = t_s * 1000
-    for ws in (20, 60, 300):
+    for t_s in (350, 500):
+      t = t_s * 1000
+      for ws in (20, 60, 300):
         for sf, tf in ((0.0001, 0.0001), (0.0001, 0.9999),
                        (0.9999, 0.0001), (0.9999, 0.9999),
                        (0.5, 0.0001), (0.0001, 0.5)):
@@ -3063,8 +3067,8 @@ def gen_holt3() -> str:
                              f"{fmt(holt_winters(wv, sf, tf))}")
             lines.append("")
     # single-sample window: fewer than two points -> empty result
-    lines.append(f"eval instant at {t_s}s "
-                 f"double_exponential_smoothing(hs[10s], 0.5, 0.5)")
+    lines.append("eval instant at 500s "
+                 "double_exponential_smoothing(hs[10s], 0.5, 0.5)")
     lines.append("")
     return "\n".join(lines)
 
