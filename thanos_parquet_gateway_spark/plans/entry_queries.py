@@ -3969,6 +3969,54 @@ def stream_rollup_samples(spark, sf_dir):
             .select("window_start", "sig", "n_samples", "sum_value"))
 
 
+@q("stream_running_increase", """
+WITH s AS (
+    SELECT '[{"key":"__name__","value":"' || event_type ||
+           '"},{"key":"user","value":"' || CAST(user_id AS VARCHAR) ||
+           '"}]' AS sig,
+           epoch_ms(ts) AS ts, max(floor(value)) AS value
+    FROM events GROUP BY 1, 2
+),
+d AS (
+    SELECT sig, ts, value,
+           lag(value) OVER (PARTITION BY sig ORDER BY ts) AS pv
+    FROM s
+)
+SELECT sig, ts, value,
+       sum(CASE WHEN pv IS NULL THEN 0
+                WHEN value < pv THEN value
+                ELSE value - pv END)
+         OVER (PARTITION BY sig ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_increase
+FROM d
+""")
+def stream_running_increase_q(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-series reset-corrected running increase.
+    The cumulative sum is a SEQUENTIAL per-series fold in ts order on both
+    sides, and values are floored to integer-valued doubles, so the oracle
+    window sum is bit-identical.  Input is pre-deduped per (sig, ts) (max
+    value) — the operator's late/duplicate-skip is batch-order dependent —
+    and written as one file so the availableNow drain sees one in-order
+    batch."""
+    from thanos_parquet_gateway_spark.streaming import stream_running_increase
+    root = _stream_tmp("stream_runinc_")
+    e = load_table(spark, sf_dir, "events")
+    raw = (e.groupBy(
+        F.create_map(F.lit("__name__"), F.col("event_type"),
+                     F.lit("user"),
+                     F.col("user_id").cast("string")).alias("labels"),
+        F.col("ts_ms").alias("ts"))
+        .agg(F.max(F.floor("value").cast("double")).alias("value")))
+    raw.coalesce(1).write.parquet(f"{root}/in")
+    job = stream_running_increase(spark, f"{root}/in", f"{root}/out",
+                                  f"{root}/ckpt")
+    job.awaitTermination(300)
+    return (spark.read.parquet(f"{root}/out")
+            .select("sig", "ts", "value", "cum_increase"))
+
+
 @q("stream_sessionize_events", """
 WITH e AS (
     SELECT user_id, epoch_us(ts) AS ts_us, event_id,

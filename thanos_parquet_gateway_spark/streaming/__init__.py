@@ -8,3 +8,7 @@ from thanos_parquet_gateway_spark.streaming.sessions import (  # noqa: F401
     batch_equivalent_sessions,
     stream_sessionize,
 )
+from thanos_parquet_gateway_spark.streaming.stateful import (  # noqa: F401
+    batch_running_increase,
+    stream_running_increase,
+)
