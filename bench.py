@@ -173,6 +173,15 @@ def main():
     if os.path.isdir(sf10_dir) and "sf1" in out:
         b10 = {n: f for n, f in make_benches(spark, sf10_dir).items()
                if n in heavy}
+        # Let the box settle before the decade-2 reading (round-9 verdict
+        # #5: the r9 sf10 block ran at loadavg 7.9-9.1 left over from the
+        # sf0.1+sf1 rungs and read 4.0x/decade where idle runs read ~1.3x).
+        # 1-min loadavg decays ~exp(-t/60): a bounded wait to <1.0 costs at
+        # most 4 idle minutes and makes the committed number defensible.
+        if hasattr(os, "getloadavg"):
+            deadline = time.time() + 240
+            while os.getloadavg()[0] >= 1.0 and time.time() < deadline:
+                time.sleep(5)
         sf10_load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
         t10: dict[str, float] = {}
         sf10_pass_totals = []

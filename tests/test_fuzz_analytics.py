@@ -35,6 +35,7 @@ ANALYTICS = [
     "events_asof_join",
     "events_retention_cohorts",
     "events_funnel_conversion",
+    "events_funnel3_steps",
     "events_trending_topk",
     "events_hopping_window",
 ]

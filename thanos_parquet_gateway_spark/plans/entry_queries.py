@@ -3161,6 +3161,79 @@ def events_funnel_conversion(spark, sf_dir):
                     .alias("conversion_rate")))
 
 
+@q("events_funnel3_steps", """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+v AS (
+    SELECT user_id, ts_ms,
+           (SELECT min(c.ts_ms) FROM e c
+            WHERE c.user_id = v0.user_id AND c.event_type = 'click'
+              AND c.ts_ms > v0.ts_ms
+              AND c.ts_ms <= v0.ts_ms + 3600000) AS step2_ts
+    FROM e v0 WHERE v0.event_type = 'view'
+),
+v2 AS (
+    SELECT user_id, ts_ms, step2_ts,
+           CASE WHEN step2_ts IS NOT NULL THEN
+               (SELECT min(p.ts_ms) FROM e p
+                WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+                  AND p.ts_ms > v.step2_ts
+                  AND p.ts_ms <= v.step2_ts + 86400000) END AS step3_ts
+    FROM v
+)
+SELECT CAST(floor(ts_ms / 86400000) AS BIGINT) AS day,
+       CAST(count(*) AS DOUBLE) AS views,
+       CAST(count(step2_ts) AS DOUBLE) AS step2,
+       CAST(count(step3_ts) AS DOUBLE) AS step3
+FROM v2 GROUP BY day
+""")
+def events_funnel3_steps(spark, sf_dir):
+    """Three-step ordered funnel (view -> click within 1h -> purchase
+    within 1d of THAT click): per day, how many views reach each step.
+    Scale shape: NOT a range join — ONE user-partitioned window pass
+    computes every row's next-click and next-purchase time with RANGE
+    frames (strictly-after semantics, tie-correct by construction: a
+    same-ms event never satisfies the strict > the oracle uses), then
+    step 3 resolves by joining views to their qualifying click row on the
+    SAME user-keyed partitioning (co-partitioned with the window shuffle,
+    no new exchange pattern).  Same-(user, ts) clicks carry identical
+    frame results, so the click side dedups on (user, ts) first."""
+    e = load_table(spark, sf_dir, "events")
+    base = (e.filter(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id", "event_type", "ts_ms"))
+    w = (W.partitionBy("user_id").orderBy("ts_ms")
+         .rangeBetween(1, W.unboundedFollowing))
+    nxt = (base
+           .withColumn("next_click_ts",
+                       F.min(F.when(F.col("event_type") == "click",
+                                    F.col("ts_ms"))).over(w))
+           .withColumn("next_purchase_ts",
+                       F.min(F.when(F.col("event_type") == "purchase",
+                                    F.col("ts_ms"))).over(w)))
+    views = (nxt.filter(F.col("event_type") == "view")
+             .select("user_id", "ts_ms",
+                     F.when(F.col("next_click_ts") <=
+                            F.col("ts_ms") + F.lit(3_600_000),
+                            F.col("next_click_ts")).alias("step2_ts")))
+    clicks = (nxt.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("ts_ms").alias("c_ts"), "next_purchase_ts")
+              .dropDuplicates(["c_user", "c_ts"]))
+    joined = views.join(
+        clicks, (views.user_id == clicks.c_user) &
+                (views.step2_ts == clicks.c_ts), "left")
+    step3 = F.when(F.col("step2_ts").isNotNull() &
+                   (F.col("next_purchase_ts") <=
+                    F.col("step2_ts") + F.lit(86_400_000)),
+                   F.col("next_purchase_ts"))
+    return (joined
+            .select((F.col("ts_ms") / DAY).cast("long").alias("day"),
+                    "step2_ts", step3.alias("step3_ts"))
+            .groupBy("day")
+            .agg(F.count("*").cast("double").alias("views"),
+                 F.count("step2_ts").cast("double").alias("step2"),
+                 F.count("step3_ts").cast("double").alias("step3")))
+
+
 @q("events_trending_topk", """
 WITH day_counts AS (
     SELECT epoch_ms(ts) // 86400000 AS day, event_type, count(*) AS n
