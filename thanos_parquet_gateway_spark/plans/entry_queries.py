@@ -3189,14 +3189,18 @@ FROM v2 GROUP BY day
 def events_funnel3_steps(spark, sf_dir):
     """Three-step ordered funnel (view -> click within 1h -> purchase
     within 1d of THAT click): per day, how many views reach each step.
-    Scale shape: NOT a range join — ONE user-partitioned window pass
-    computes every row's next-click and next-purchase time with RANGE
-    frames (strictly-after semantics, tie-correct by construction: a
-    same-ms event never satisfies the strict > the oracle uses), then
-    step 3 resolves by joining views to their qualifying click row on the
-    SAME user-keyed partitioning (co-partitioned with the window shuffle,
-    no new exchange pattern).  Same-(user, ts) clicks carry identical
-    frame results, so the click side dedups on (user, ts) first."""
+    Scale shape: NOT a range join — user-partitioned window passes compute
+    next-click and next-purchase times with RANGE frames (strictly-after
+    semantics, tie-correct by construction: a same-ms event never
+    satisfies the strict > the oracle uses), then step 3 resolves by an
+    equi-join of views to their qualifying click row.  Plan audit
+    (.explain): Catalyst prunes each branch's window to its one measure
+    (two user-keyed shuffles of the filtered events), and the join
+    broadcasts the click side at test scale / SMJs on (user_id, ts) at
+    scale — bounded by the events shuffle that any per-user operator
+    already pays, never all-pairs.  Same-(user, ts) clicks carry
+    identical frame results, so the click side dedups on (user, ts)
+    first."""
     e = load_table(spark, sf_dir, "events")
     base = (e.filter(F.col("event_type").isin("view", "click", "purchase"))
             .select("user_id", "event_type", "ts_ms"))
