@@ -100,12 +100,20 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     partitioned; only queries move.  Ties break by corpus id (deterministic).
     Ranking is the two-phase partial top-k (``_topk_per_query``) — no
     per-query single-reducer window.
-    Returns (query_id, rank, vec_id, cos_sim)."""
-    j = embeddings.crossJoin(F.broadcast(queries))
+    Returns (query_id, rank, vec_id, cos_sim).
+
+    Norms are hoisted OUT of the pair loop: the corpus norm is computed
+    once per row before the join and the query norm once per query, so
+    each (row, query) pair costs ONE fold (the dot product) instead of
+    three — same sequential folds, bit-identical cosine."""
+    emb_n = embeddings.withColumn("__norm", norm(F.col(vec_col)))
+    q_n = queries.withColumn("__qnorm", norm(F.col(query_vec_col)))
+    j = emb_n.crossJoin(F.broadcast(q_n))
     scored = j.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
+        (dot(F.col(vec_col), F.col(query_vec_col))
+         / (F.col("__norm") * F.col("__qnorm"))).alias("cos_sim"))
     return _topk_per_query(scored, k, "cos_sim", descending=True,
                            payload_cols=("cos_sim",))
 
@@ -128,14 +136,17 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
     path; recall grows with fewer planes / multi-probe).
     Returns (query_id, rank, vec_id, cos_sim)."""
     emb_b = embeddings.withColumn(
-        "__bucket", hyperplane_signature(F.col(vec_col), planes))
+        "__bucket", hyperplane_signature(F.col(vec_col), planes)) \
+        .withColumn("__norm", norm(F.col(vec_col)))
     q_b = queries.withColumn(
-        "__bucket", hyperplane_signature(F.col(query_vec_col), planes))
+        "__bucket", hyperplane_signature(F.col(query_vec_col), planes)) \
+        .withColumn("__qnorm", norm(F.col(query_vec_col)))
     j = emb_b.join(F.broadcast(q_b), "__bucket")
     scored = j.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"))
+        (dot(F.col(vec_col), F.col(query_vec_col))
+         / (F.col("__norm") * F.col("__qnorm"))).alias("cos_sim"))
     return _topk_per_query(scored, k, "cos_sim", descending=True,
                            payload_cols=("cos_sim",))
 
@@ -539,13 +550,17 @@ def semantic_dedup(embeddings: DataFrame, k_clusters: int = 8,
     for _ in range(lloyd_iters):
         cents = _lloyd_step(e, cents, exact_means=exact_means)
     assigned = _probe(e, "v", 1, _cents_to_arr(cents))
+    # norm hoisted out of the pairwise loop: one fold per INPUT row, not
+    # one per pair (same sequential fold, bit-identical cosine)
+    assigned = assigned.withColumn("__n", norm(F.col("v")))
     a = assigned.select("cell", F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"))
+                        F.col("v").alias("va"), F.col("__n").alias("__na"))
     b = assigned.select("cell", F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"))
+                        F.col("v").alias("vb"), F.col("__n").alias("__nb"))
     drops = (a.join(b, "cell")
              .filter(F.col("id_a") < F.col("id_b"))
-             .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+             .filter((dot(F.col("va"), F.col("vb"))
+                      / (F.col("__na") * F.col("__nb"))) >= threshold)
              .select(F.col("id_b").alias("vec_id"))
              .distinct()
              .withColumn("__drop", F.lit(True)))
@@ -577,28 +592,38 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     comparable compute to brute force, at which point IVF-style clustering
     is the better scale path (see ``lsh_topk`` for the search-side variant).
     """
-    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    e = (embeddings.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v"))
+         # norm hoisted out of the pair loop: one fold per input row
+         .withColumn("__n", norm(F.col("v"))))
     if all_pairs:
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("__n").alias("__na"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("__n").alias("__nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif planes is not None:
         e = e.withColumn("__bucket", hyperplane_signature(F.col("v"), planes))
-        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__bucket")
-        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__bucket")
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("__n").alias("__na"), "__bucket")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("__n").alias("__nb"), "__bucket")
         pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         keys = F.array(*[rademacher_signature(F.col("v"), bits_per_band,
                                               seed=seed * 1009 + k)
                          for k in range(bands)])
-        kb = e.select("id", "v", F.posexplode(keys).alias("band", "key"))
+        kb = e.select("id", "v", "__n",
+                      F.posexplode(keys).alias("band", "key"))
         a = kb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                      "band", "key")
+                      F.col("__n").alias("__na"), "band", "key")
         b = kb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                      "band", "key")
+                      F.col("__n").alias("__nb"), "band", "key")
         pairs = (a.join(b, ["band", "key"])
                  .filter(F.col("id_a") < F.col("id_b"))
                  .dropDuplicates(["id_a", "id_b"]))
-    return (pairs.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+    return (pairs.withColumn("cos_sim",
+                             dot(F.col("va"), F.col("vb"))
+                             / (F.col("__na") * F.col("__nb")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
