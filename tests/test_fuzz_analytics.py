@@ -18,7 +18,7 @@ registry query runs through the PRODUCTION path — ``__spark_entry__``
 ``queries()`` on the parquet dir vs its own ``oracle_sql()`` on DuckDB —
 so this is the same gate the driver runs, pointed at adversarial data.
 
-15 seeded corpora x 7 analytics shapes = 105 differential cases.
+25 seeded corpora x 8 analytics shapes = 200 differential cases.
 """
 
 from __future__ import annotations
@@ -45,7 +45,7 @@ DAY = 86_400_000
 HOUR = 3_600_000
 BASE = 1_704_067_200_000  # 2024-01-01 UTC, matches the testdata epoch era
 
-N_CORPORA = 15
+N_CORPORA = 25
 
 
 def _gen_corpus(seed: int) -> pd.DataFrame:
@@ -102,6 +102,18 @@ def _gen_corpus(seed: int) -> pd.DataFrame:
             later = t0 + (rng.randrange(1, HOUR) if rng.random() < 0.5
                           else HOUR + rng.randrange(1, DAY))
             add(uid, later, "click")
+            # third funnel step: purchase at the click's same ms, exactly
+            # on the 1d window edge, or past it (events_funnel3_steps
+            # boundary semantics: strictly after, inclusive end)
+            r = rng.random()
+            if r < 0.3:
+                add(uid, later, "purchase")          # same-ms tie
+            elif r < 0.6:
+                add(uid, later + DAY, "purchase")     # exactly on the edge
+            elif r < 0.8:
+                add(uid, later + DAY + 1, "purchase")  # one ms past it
+            else:
+                add(uid, later + rng.randrange(1, DAY), "purchase")
 
     df = pd.DataFrame(rows, columns=["event_id", "ts_ms", "user_id",
                                      "event_type", "value"])
