@@ -2954,6 +2954,19 @@ def gen_at_subq3() -> str:
                " @ end() offset 30s)",
                [agg(vals, 'max')] * len(grid_ts))
 
+    # plain RANGE selectors (no subquery) under @ x offset in the same
+    # range query: window = actual samples in (anchor-R, anchor]
+    def win_vals(anchor, rng):
+        return [v for _, v in window(gs, anchor, rng)]
+
+    for anchor_fn, anchor in (("start()", A), ("end()", B)):
+        vals = win_vals(anchor - 50_000, 100_000)
+        emit_range(f"sum_over_time(g[100s] @ {anchor_fn} offset 50s)",
+                   [agg(vals, 'sum')] * len(grid_ts))
+        vals = win_vals(anchor, 100_000)
+        emit_range(f"min_over_time(g[100s] @ {anchor_fn})",
+                   [agg(vals, 'min')] * len(grid_ts))
+
     # instant parity: at an instant query start() == end() == eval time
     for t_s in (305, 605):
         t = t_s * 1000
