@@ -3039,6 +3039,27 @@ def gen_rate_at_range() -> str:
         emit_range(f"{kind}(c[100s:20s] offset 20s)",
                    [sq_rate(t - 20_000, 100_000, 20_000, kind)
                     for t in grid_ts])
+
+    # irate/idelta (last-two-samples family) under the same anchors:
+    # value depends only on the final two window samples, so a wrong
+    # anchor shows up as the wrong pair being picked
+    def ir(anchor, rng, kind):
+        w = window(cs, anchor, rng)
+        if len(w) < 2:
+            return None
+        (t0, v0), (t1, v1) = w[-2], w[-1]
+        if kind == "idelta":
+            return v1 - v0
+        dv = v1 if v1 < v0 else v1 - v0  # counter reset -> use raw value
+        return dv / ((t1 - t0) / 1000.0)
+
+    for kind in ("irate", "idelta"):
+        for anchor_fn, anchor in (("start()", A), ("end()", B)):
+            v = ir(anchor - 30_000, 60_000, kind)
+            emit_range(f"{kind}(c[60s] @ {anchor_fn} offset 30s)",
+                       [v] * len(grid_ts))
+        emit_range(f"{kind}(c[60s] offset 30s)",
+                   [ir(t - 30_000, 60_000, kind) for t in grid_ts])
     return "\n".join(lines)
 
 
