@@ -2966,6 +2966,12 @@ def gen_at_subq3() -> str:
         vals = win_vals(anchor, 100_000)
         emit_range(f"min_over_time(g[100s] @ {anchor_fn})",
                    [agg(vals, 'min')] * len(grid_ts))
+        # order-statistic folds pick their sample set from the anchored
+        # window: wrong anchor -> wrong quantile/median input
+        emit_range(f"quantile_over_time(0.25, g[100s] @ {anchor_fn})",
+                   [quantile(0.25, vals)] * len(grid_ts))
+        emit_range(f"mad_over_time(g[100s] @ {anchor_fn})",
+                   [mad(vals)] * len(grid_ts))
 
     # instant parity: at an instant query start() == end() == eval time
     for t_s in (305, 605):
