@@ -534,9 +534,14 @@ class Compiler:
         if not isinstance(inner_res, InstantVector):
             raise PromQLCompileError("expected instant vector in subquery")
         iv = inner_res
+        # native-histogram samples ride through subquery points like they
+        # do through matrix selectors (upstream evaluates subqueries over
+        # histogram series; previously the hist column was dropped here and
+        # fn(h[R:step]) lost its histograms)
+        hist_cols = ["hist"] if "hist" in iv.df.columns else []
         pts = iv.df.select("sig", "labels",
                            (F.col("t") + F.lit(sq.offset_ms)).alias("ts"),
-                           "value")
+                           "value", *hist_cols)
         if sq.at_ms is not None:
             at = self._resolve_at(sq.at_ms)
             win = pts.filter((F.col("ts") > at - sq.range_ms) & (F.col("ts") <= at))
@@ -546,11 +551,12 @@ class Compiler:
             out = (win.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
                            (F.col("ts") + (F.col("t") - F.lit(at)))
-                           .alias("ts"), "value"))
+                           .alias("ts"), "value", *hist_cols))
             return RangeVector(out, sq.range_ms)
         exploded = pts.withColumn(
             "t", F.explode(self._serve_steps(F.col("ts"), sq.range_ms)))
-        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value"),
+        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value",
+                                           *hist_cols),
                            sq.range_ms)
 
     def compile_vector(self, node: A.Node) -> InstantVector:

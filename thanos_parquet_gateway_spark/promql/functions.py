@@ -154,6 +154,73 @@ def _selector_name(node: A.Node) -> str | None:
     return None
 
 
+# over_time functions with a native-histogram result path (upstream
+# functions.go: sum/avg fold histograms bucket-wise, last/first return the
+# histogram sample itself; the REST ignore histogram samples)
+_OVER_TIME_HIST = ("sum_over_time", "avg_over_time",
+                   "last_over_time", "first_over_time")
+
+
+def _over_time_hist(c: Compiler, rv: RangeVector, fn: str) -> InstantVector:
+    """sum/avg/last/first_over_time over a range vector carrying native
+    histograms.  Float-only windows keep the scalar folds; histogram-only
+    windows fold bucket-wise (le-keyed union add; avg scales by 1/n);
+    MIXED windows: sum/avg drop the element (Prometheus emits a warning
+    and skips), last/first pick the overall latest/earliest sample of
+    either kind (mixed is fine there upstream)."""
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+
+    g = hgroup(
+        rv.df, "sig",
+        F.array_sort(F.collect_list(
+            F.when(F.col("hist").isNull(),
+                   F.struct(F.col("ts").alias("o"),
+                            F.col("value").alias("v"))))).alias("arr"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("hist").isNotNull(),
+                   F.struct(F.col("ts").alias("o"),
+                            F.col("hist").alias("h"))))).alias("harr"),
+        F.first("labels").alias("labels"))
+    arr, harr = F.col("arr"), F.col("harr")
+    nf, nh = F.size(arr), F.size(harr)
+    is_float = (nf >= 1) & (nh == 0)
+    is_hist = (nh >= 1) & (nf == 0)
+
+    # try_element_at everywhere: either array is empty on single-kind
+    # windows, and plain element_at raises on out-of-bounds
+    def hist_sum():
+        first = F.try_element_at(harr, F.lit(1))["h"]
+        rest = F.slice(harr, 2, F.greatest(nh - 1, F.lit(0)))
+        return F.aggregate(rest, first, lambda acc, x: H.merge_two(acc, x["h"]))
+
+    if fn in ("sum_over_time", "avg_over_time"):
+        g = g.filter(is_float | is_hist)  # mixed window: skipped (upstream warns)
+        hval = hist_sum()
+        if fn == "avg_over_time":
+            hval = H.scale_hist(hval, F.lit(1.0) / nh.cast(D))
+        fval = (folds.fold_sum(arr) if fn == "sum_over_time"
+                else folds.fold_avg(arr))
+    else:  # last/first_over_time: overall extreme sample of either kind
+        pos = F.lit(-1) if fn == "last_over_time" else F.lit(1)
+        f_ts = F.coalesce(F.try_element_at(arr, pos)["o"], F.lit(-(2 ** 62)))
+        h_ts = F.coalesce(F.try_element_at(harr, pos)["o"], F.lit(-(2 ** 62)))
+        pick_hist = ((h_ts >= f_ts) & (nh > 0) if fn == "last_over_time"
+                     else (nf == 0) | ((nh > 0) & (h_ts <= f_ts)))
+        is_hist = pick_hist
+        is_float = ~pick_hist
+        hval = F.try_element_at(harr, pos)["h"]
+        fval = F.try_element_at(arr, pos)["v"]
+    out = g.select(
+        "t", "sig", "labels",
+        F.lit(None).cast("long").alias("sample_ts"),
+        F.when(is_float, fval).otherwise(NAN()).alias("value"),
+        F.when(is_hist, hval).otherwise(H.null_hist()).alias("hist"))
+    if fn != "last_over_time":
+        out = _drop_name(out)
+    return _iv(out)
+
+
 def _over_time(c: Compiler, call: A.Call) -> InstantVector:
     fn = call.func
     if fn == "quantile_over_time":
@@ -164,6 +231,8 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         val = folds.fold_quantile(F.col("arr"), F.lit(q))
     else:
         rv = _range_arg(c, call, 0)
+        if fn in _OVER_TIME_HIST and "hist" in rv.df.columns:
+            return _over_time_hist(c, rv, fn)
         g = _collect_window(rv)
         val = _OVER_TIME[fn](F.col("arr"))
         if fn.startswith("ts_of_"):

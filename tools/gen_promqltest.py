@@ -3113,8 +3113,73 @@ def gen_holt3() -> str:
     return "\n".join(lines)
 
 
+def gen_hist_overtime() -> str:
+    """sum/avg/last/first_over_time over native-histogram windows (upstream
+    functions.go: sum/avg fold histograms bucket-wise, last/first return
+    the sample itself; mixed float+histogram windows are skipped by
+    sum/avg, picked by recency/kind for last/first).  Two-bucket schema-0
+    histograms with count k and sum 3k make every expectation linear."""
+    n = 10
+    # hist k: count 3k, sum 3k, buckets [k, 2k] at les 1,2 (schema 0)
+    def lit(k):
+        return (f"{{{{schema:0 count:{fmt(3.0 * k)} sum:{fmt(3.0 * k)} "
+                f"buckets:[{fmt(float(k))} {fmt(2.0 * k)}]}}}}")
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — *_over_time over",
+             "# native-histogram windows: sum/avg fold bucket-wise,",
+             "# last/first return the sample, mixed windows skip (sum/avg)",
+             "# or pick by recency (last/first).",
+             "", "load 1m",
+             "\thg " + " ".join(lit(k + 1) for k in range(n + 1)),
+             "\tmixed 5 " + lit(4) + " 9", ""]
+
+    # window (5m, 10m] at 10m: hists k=6..10 (samples at 6m..10m)
+    ks = list(range(7, 12))  # k values: sample i carries k=i+1; i=6..10
+    tot = sum(ks)
+    for expr, count in (
+            ("histogram_count(sum_over_time(hg[5m]))", 3.0 * tot),
+            ("histogram_sum(sum_over_time(hg[5m]))", 3.0 * tot),
+            ("histogram_count(avg_over_time(hg[5m]))", 3.0 * tot / len(ks)),
+            ("histogram_count(last_over_time(hg[5m]))", 3.0 * ks[-1]),
+            ("histogram_count(first_over_time(hg[5m]))", 3.0 * ks[0]),
+            # subquery with 1m step lands exactly on the samples
+            ("histogram_count(sum_over_time(hg[5m:1m]))", 3.0 * tot),
+            # @-anchored subquery: window (0, 5m] -> k=1..6
+            ("histogram_count(sum_over_time(hg[5m:1m] @ 300))",
+             3.0 * sum(range(2, 7)))):
+        lines.append(f"eval instant at 10m {expr}")
+        lines.append(f"\t{{}} {fmt(count)}")
+        lines.append("")
+    # histogram_quantile over the summed window: total count 3*tot,
+    # buckets tot@le1 + 2tot@le2; median rank 1.5tot falls in (1,2]
+    lines.append("eval instant at 10m "
+                 "histogram_quantile(0.5, sum_over_time(hg[5m]))")
+    med = 1.0 + (1.5 * tot - tot) / (2.0 * tot)
+    lines.append(f"\t{{}} {fmt(med)}")
+    lines.append("")
+    # mixed window (floats at 0m/2m, hist at 1m): sum/avg skip the series
+    lines.append("eval instant at 2m sum_over_time(mixed[3m])")
+    lines.append("")
+    lines.append("eval instant at 2m avg_over_time(mixed[3m])")
+    lines.append("")
+    # ...last picks the float 9 @2m, first the float 5 @0m
+    lines.append("eval instant at 2m last_over_time(mixed[3m])")
+    lines.append("\tmixed 9")
+    lines.append("")
+    lines.append("eval instant at 2m first_over_time(mixed[3m])")
+    lines.append("\t{} 5")
+    lines.append("")
+    # window ending ON the hist sample: last is the histogram
+    lines.append("eval instant at 1m "
+                 "histogram_count(last_over_time(mixed[2m]))")
+    lines.append(f"\t{{}} {fmt(12.0)}")
+    lines.append("")
+    return "\n".join(lines)
+
+
 FILES = {
     "gen_nhcb.test": gen_nhcb,
+    "gen_hist_overtime.test": gen_hist_overtime,
     "gen_fraction_edges.test": gen_fraction_edges,
     "gen_nhcb_fraction.test": gen_nhcb_fraction,
     "gen_at_subq3.test": gen_at_subq3,
