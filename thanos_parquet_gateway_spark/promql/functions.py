@@ -521,6 +521,54 @@ def _counts_fold(arr: Column, mode: str) -> Column:
     return F.aggregate(arr, acc0, merge)["n"]
 
 
+def _counts_hist(c: Compiler, rv: RangeVector, mode: str) -> InstantVector:
+    """resets/changes over windows that may carry native histograms
+    (upstream funcResets/funcChanges): samples of both kinds iterate in
+    one time-ordered sequence; a float→histogram or histogram→float type
+    switch counts for BOTH functions; histogram pairs use DetectReset
+    (resets) / Equals (changes); float pairs keep the scalar rules."""
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+
+    g = hgroup(
+        rv.df, "sig",
+        F.array_sort(F.collect_list(F.struct(
+            F.col("ts").alias("o"), F.col("value").alias("v"),
+            F.col("hist").alias("h")))).alias("marr"),
+        F.first("labels").alias("labels"))
+    marr = F.col("marr")
+    acc0 = F.struct(F.lit(False).alias("init"),
+                    F.lit(None).cast(D).alias("pv"),
+                    H.null_hist().alias("ph"),
+                    F.lit(0.0).alias("n"))
+
+    def merge(a, x):
+        bothf = a["ph"].isNull() & x["h"].isNull()
+        bothh = a["ph"].isNotNull() & x["h"].isNotNull()
+        flip = ~bothf & ~bothh
+        if mode == "resets":
+            hit_f = (~F.isnan(x["v"]) & ~F.isnan(a["pv"])
+                     & (x["v"] < a["pv"]))
+            hit_h = H.detect_reset(a["ph"], x["h"])
+        else:
+            both_nan = F.isnan(x["v"]) & F.isnan(a["pv"])
+            hit_f = (((x["v"] != a["pv"]) | F.isnan(x["v"])
+                      | F.isnan(a["pv"])) & ~both_nan)
+            hit_h = ~a["ph"].eqNullSafe(x["h"])
+        hit = a["init"] & (flip
+                           | (bothf & F.coalesce(hit_f, F.lit(False)))
+                           | (bothh & F.coalesce(hit_h, F.lit(False))))
+        return F.struct(F.lit(True).alias("init"),
+                        x["v"].alias("pv"), x["h"].alias("ph"),
+                        (a["n"] + F.when(hit, 1.0).otherwise(0.0)).alias("n"))
+
+    val = F.aggregate(marr, acc0, merge)["n"]
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   val.alias("value"))
+    return _iv(_drop_name(out))
+
+
 def _linreg(arr: Column, intercept_t: Column):
     """Least-squares slope/intercept with x = (ts - intercept_t) seconds
     (Prometheus linearRegression), sequential folds."""
@@ -889,6 +937,8 @@ def dispatch(c: Compiler, call: A.Call):
         return _double_exp_smoothing(c, call)
     if fn in ("resets", "changes"):
         rv = _range_arg(c, call)
+        if "hist" in rv.df.columns:
+            return _counts_hist(c, rv, fn)
         g = _collect_window(rv)
         val = _counts_fold(F.col("arr"), fn)
         out = g.select("t", "sig", "labels",

@@ -3174,6 +3174,29 @@ def gen_hist_overtime() -> str:
                  "histogram_count(last_over_time(mixed[2m]))")
     lines.append(f"\t{{}} {fmt(12.0)}")
     lines.append("")
+    # resets/changes over native-histogram windows (upstream funcResets/
+    # funcChanges): histogram pairs use DetectReset/Equals; a float<->hist
+    # type switch counts for BOTH.  hr: counts 3,9,12,3,15 -> one reset
+    # (12->3), four changes.  mixed (5, hist, 9): two type switches.
+    lines.append("# resets/changes: DetectReset/Equals on histogram pairs;")
+    lines.append("# type switches count for both")
+    lines.append("clear")
+    lines.append("load 1m")
+    lines.append("\thr " + " ".join(lit(k) for k in (1, 3, 4, 1, 5)))
+    lines.append("\tmixed 5 " + lit(4) + " 9")
+    lines.append("")
+    lines.append("eval instant at 4m resets(hr[5m])")
+    lines.append("\t{} 1")
+    lines.append("")
+    lines.append("eval instant at 4m changes(hr[5m])")
+    lines.append("\t{} 4")
+    lines.append("")
+    lines.append("eval instant at 2m resets(mixed[3m])")
+    lines.append("\t{} 2")
+    lines.append("")
+    lines.append("eval instant at 2m changes(mixed[3m])")
+    lines.append("\t{} 2")
+    lines.append("")
     return "\n".join(lines)
 
 
