@@ -93,6 +93,55 @@ def _collect_window(rv: RangeVector):
                   F.first("labels").alias("labels"))
 
 
+# over_time/regression functions that IGNORE native-histogram samples:
+# upstream computes over the window's floats only, emits NO sample for a
+# histogram-only window, and adds
+# annotations.NewHistogramIgnoredInMixedRangeInfo when a window carries
+# both kinds (Prometheus 3.x functions.go funcMinOverTime / funcDeriv /
+# funcPredictLinear / funcDoubleExponentialSmoothing / ...)
+_HIST_IGNORE = frozenset((
+    "min_over_time", "max_over_time", "stddev_over_time", "stdvar_over_time",
+    "mad_over_time", "quantile_over_time",
+    "ts_of_max_over_time", "ts_of_min_over_time"))
+
+
+def _collect_window_floats(c: Compiler, rv: RangeVector, min_n: int = 1):
+    """_collect_window for the histogram-IGNORING functions when the range
+    vector carries a hist column: histogram samples drop from the fold
+    array, windows with fewer than ``min_n`` float samples drop entirely
+    (upstream emits no output row), and a window holding BOTH kinds
+    registers the upstream mixed-range info annotation as a data probe
+    (read only when annotations are requested — not on the query hot
+    path)."""
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+    g = hgroup(
+        rv.df, "sig",
+        F.array_sort(F.collect_list(F.when(
+            F.col("hist").isNull(),
+            F.struct(F.col("ts").alias("o"),
+                     F.col("value").alias("v"))))).alias("arr"),
+        F.count(F.col("hist")).alias("__nh"),  # count() skips NULLs
+        F.first("labels").alias("labels"))
+    g = g.filter(F.size("arr") >= min_n)
+    c.add_data_probe(
+        g.filter(F.col("__nh") > 0).limit(1).select(
+            F.lit("info").alias("kind"),
+            F.concat(F.lit("ignored histograms in a range containing both "
+                           "floats and histograms for metric name \""),
+                     F.coalesce(F.col("labels")["__name__"], F.lit("")),
+                     F.lit("\"")).alias("msg")))
+    return g.drop("__nh")
+
+
+def _window_floats(c: Compiler, rv: RangeVector, min_n: int = 1):
+    """Dispatch: float-only collection (+ mixed-range info probe) when the
+    range vector can carry histograms, the plain collect otherwise."""
+    if "hist" in rv.df.columns:
+        return _collect_window_floats(c, rv, min_n)
+    g = _collect_window(rv)
+    return g.filter(F.size("arr") >= min_n) if min_n > 1 else g
+
+
 _OVER_TIME = {
     "sum_over_time": lambda arr: folds.fold_sum(arr),
     "avg_over_time": lambda arr: folds.fold_avg(arr),
@@ -227,13 +276,14 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         q = _scalar_lit(c, call, 0)
         _warn_quantile(c, q)
         rv = _range_arg(c, call, 1)
-        g = _collect_window(rv)
+        g = _window_floats(c, rv)
         val = folds.fold_quantile(F.col("arr"), F.lit(q))
     else:
         rv = _range_arg(c, call, 0)
         if fn in _OVER_TIME_HIST and "hist" in rv.df.columns:
             return _over_time_hist(c, rv, fn)
-        g = _collect_window(rv)
+        g = (_window_floats(c, rv) if fn in _HIST_IGNORE
+             else _collect_window(rv))
         val = _OVER_TIME[fn](F.col("arr"))
         if fn.startswith("ts_of_"):
             # window points live in the shifted evaluation frame (static
@@ -479,7 +529,7 @@ def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
     if not 0 < tf < 1:
         raise PromQLCompileError(
             f"invalid trend factor. Expected: 0 < tf < 1, got: {tf:g}")
-    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    g = _window_floats(c, rv, min_n=2)
     arr = F.col("arr")
     first_v = F.element_at(arr, 1)["v"]
     second_v = F.element_at(arr, 2)["v"]
@@ -590,7 +640,7 @@ def _linreg(arr: Column, intercept_t: Column):
 
 def _deriv(c: Compiler, call: A.Call) -> InstantVector:
     rv = _range_arg(c, call)
-    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    g = _window_floats(c, rv, min_n=2)
     slope, _ = _linreg(F.col("arr"), F.element_at(F.col("arr"), 1)["o"])
     out = g.select("t", "sig", "labels",
                    F.lit(None).cast("long").alias("sample_ts"),
@@ -601,7 +651,7 @@ def _deriv(c: Compiler, call: A.Call) -> InstantVector:
 def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
     rv = _range_arg(c, call, 0)
     dur = _scalar_lit(c, call, 1)
-    g = _collect_window(rv).filter(F.size("arr") >= 2)
+    g = _window_floats(c, rv, min_n=2)
     slope, intercept = _linreg(F.col("arr"), F.col("t"))
     val = intercept + slope * F.lit(float(dur))
     out = g.select("t", "sig", "labels",

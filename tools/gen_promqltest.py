@@ -3197,6 +3197,44 @@ def gen_hist_overtime() -> str:
     lines.append("eval instant at 2m changes(mixed[3m])")
     lines.append("\t{} 2")
     lines.append("")
+    # histogram-IGNORING family (upstream functions.go funcMinOverTime/
+    # funcDeriv/...): computed over floats only, hist-only windows emit NO
+    # sample, mixed windows add NewHistogramIgnoredInMixedRangeInfo;
+    # count/present_over_time and ts_of_last count BOTH kinds.
+    _info = ("\texpect info msg ignored histograms in a range containing "
+             "both floats and histograms for metric name \"m\"")
+    lines.append("# hist-ignoring family: floats only, hist-only windows")
+    lines.append("# drop, mixed windows add the mixed-range info")
+    lines.append("clear")
+    lines.append("load 1m")
+    lines.append("\tm{c=\"both\"} 1 " + lit(4) + " 3")
+    lines.append("\tm{c=\"h\"} " + " ".join(lit(k) for k in (4, 5, 6)))
+    lines.append("\tm{c=\"f\"} 1 2 3")
+    lines.append("")
+    for expr, both, fl in (
+            ("min_over_time(m[4m])", 1.0, 1.0),
+            ("max_over_time(m[4m])", 3.0, 3.0),
+            ("stddev_over_time(m[4m])", 1.0, 0.816496580927726),
+            ("stdvar_over_time(m[4m])", 1.0, 2.0 / 3.0),
+            ("mad_over_time(m[4m])", 1.0, 1.0),
+            ("quantile_over_time(0.5, m[4m])", 2.0, 2.0),
+            # floats at 0s/120s (both) vs 0/60/120 (f): same slope 1/60
+            ("deriv(m[4m])", 1.0 / 60.0, 1.0 / 60.0),
+            ("ts_of_max_over_time(m[4m])", 120.0, 120.0),
+            ("ts_of_min_over_time(m[4m])", 0.0, 0.0)):
+        lines.append(f"eval instant at 3m {expr}")
+        lines.append(_info)
+        lines.append(f"\t{{c=\"both\"}} {fmt(both)}")
+        lines.append(f"\t{{c=\"f\"}} {fmt(fl)}")
+        lines.append("")
+    for expr, vals in (
+            ("count_over_time(m[4m])", (3.0, 3.0, 3.0)),
+            ("present_over_time(m[4m])", (1.0, 1.0, 1.0)),
+            ("ts_of_last_over_time(m[4m])", (120.0, 120.0, 120.0))):
+        lines.append(f"eval instant at 3m {expr}")
+        for c_, v in zip(("both", "h", "f"), vals):
+            lines.append(f"\t{{c=\"{c_}\"}} {fmt(v)}")
+        lines.append("")
     return "\n".join(lines)
 
 
