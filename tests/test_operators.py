@@ -254,6 +254,27 @@ def test_brute_force_topk_self_is_rank1(spark, sf_dir):
         assert abs(cs - 1.0) < 1e-9
 
 
+def test_brute_force_topk_vectorized_matches_exact(spark, sf_dir):
+    """The BLAS/Arrow twin must select the SAME (query, rank, vec_id)
+    triples as the sequential-fold exact path, with scores equal to
+    ~1e-12 (BLAS vs sequential summation differ only in the last ulps).
+    Also covers the per-batch partial top-k merge: forcing many small
+    Arrow batches means every batch emits a local top-k and the global
+    merge must still reproduce the exact ranking."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(8)
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    vec = similarity.brute_force_topk_vectorized(emb, q, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    exact, vec = sorted(exact, key=key), sorted(vec, key=key)
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in exact] == \
+           [(r["query_id"], r["rank"], r["vec_id"]) for r in vec]
+    assert all(abs(a["cos_sim"] - b["cos_sim"]) < 1e-12
+               for a, b in zip(exact, vec))
+
+
 def test_lsh_topk_subset_of_bucket(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 2)

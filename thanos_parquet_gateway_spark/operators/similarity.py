@@ -118,6 +118,77 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                            payload_cols=("cos_sim",))
 
 
+def brute_force_topk_vectorized(
+        embeddings: DataFrame, queries: DataFrame, k: int = 5,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec") -> DataFrame:
+    """Arrow-batched BLAS brute-force cosine top-k — the throughput twin of
+    :func:`brute_force_topk` (same plan shape, same result contract).
+
+    The query set is small by contract (it is broadcast in the exact
+    variant); here it collects once to the driver and ships to every task
+    as a dense float64 matrix.  Each Arrow batch of the corpus scores via
+    ONE ``M @ Q.T`` matmul (vectorized, BLAS) and emits only its local
+    top-k rows per query, so the shuffle into the global merge carries at
+    most batches × k × queries rows — constant in corpus size, identical
+    to the exact path's two-phase bound.  The local selection uses the
+    SAME ordering key as ``_topk_per_query`` (NaN first under DESC, ties
+    by vec_id) so a locally-dropped row can never win globally.
+
+    Exactness caveat: BLAS/pairwise summation differs from the sequential
+    double fold in the final ulps (~1e-15 relative on unit-norm vectors),
+    so reported scores are not bit-identical to the fold path — round the
+    output (e.g. ``F.round("cos_sim", 6)``) when comparing against a
+    sequential-fold oracle.  A zero-norm corpus vector scores NaN here
+    (0/0 in IEEE) where the JVM fold yields NULL (x/0.0 in non-ANSI
+    Spark); both sort deterministically but differently — filter zero
+    norms upstream if that corner matters."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Q, qn))
+
+    def score(batches):
+        qids_, Q_, qn_ = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            vids = pdf[id_col].to_numpy()
+            n = np.sqrt((M * M).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (M @ Q_.T) / np.outer(n, qn_)
+            kk = min(k, len(vids))
+            parts = []
+            for j in range(len(qids_)):
+                s = S[:, j]
+                nan = np.isnan(s)
+                # _topk_per_query DESC key: (disc: NaN 0 < finite 1,
+                # ord: -score, vec_id) — lexsort keys last-to-first
+                top = np.lexsort(
+                    (vids, np.where(nan, 0.0, -s),
+                     np.where(nan, 0, 1)))[:kk]
+                parts.append(pd.DataFrame(
+                    {"query_id": qids_[j], "vec_id": vids[top],
+                     "cos_sim": s[top]}))
+            yield pd.concat(parts, ignore_index=True)
+
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType())])
+    cand = embeddings.select(id_col, vec_col).mapInPandas(score, schema)
+    return _topk_per_query(cand, k, "cos_sim", descending=True,
+                           payload_cols=("cos_sim",))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-sketch LSH bucket key: bit i = (vec · plane_i) >= 0."""
     bits = [F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,

@@ -1930,6 +1930,35 @@ def sim_topk_cosine(spark, sf_dir):
     return similarity.brute_force_topk(emb, _query_vectors(spark, sf_dir), k=5)
 
 
+@q("sim_topk_vectorized", f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           {_DOT} / ({_NORM_E} * {_NORM_Q}) AS cos_sim
+    FROM embeddings e, embeddings q
+    WHERE q.vec_id < 3
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, round(cos_sim, 6) AS cos_sim
+FROM r WHERE rank <= 5
+""")
+def sim_topk_vectorized(spark, sf_dir):
+    """Arrow-batched BLAS brute-force cosine top-k — the throughput twin of
+    sim_topk_cosine (one float64 matmul per Arrow batch, per-batch partial
+    top-k, constant-size merge).  BLAS summation differs from the
+    sequential fold by ~1e-16, so the reported score is rounded to 6
+    decimals on BOTH sides (Spark F.round and DuckDB round are both
+    half-away-from-zero); selection/ranking uses the raw scores and is
+    verified identical to the exact path (test_operators)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk_vectorized(
+        emb, _query_vectors(spark, sf_dir), k=5)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
 @q("sim_near_dup", f"""
 WITH pairs AS (
     SELECT e.vec_id AS id_a, q.vec_id AS id_b,
