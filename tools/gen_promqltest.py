@@ -2986,6 +2986,129 @@ def gen_at_subq3() -> str:
     return "\n".join(lines)
 
 
+def gen_nested_subq() -> str:
+    """NESTED subqueries (fn(fn(sel[R:S])[R:S]), up to three levels) x
+    offset x @ at every level, in range queries — the round-10 @-in-
+    subquery bug class lived in exactly this kind of compiler recursion
+    (EvalParams threading through nested compiles); this file pins the
+    whole nesting axis.  Sample value = index, so each level's fold is a
+    min/max/sum over an explicit point list."""
+    gs = [(i * 10_000, float(i)) for i in range(91)]
+
+    def ival(p, shift=0, pin=None):
+        q = pin if pin is not None else p - shift
+        return instant(gs, q)
+
+    def sq(end, rng, step, shift=0, pin=None):
+        out = []
+        for p in _sq_points(end, rng, step):
+            v = ival(p, shift, pin)
+            if v is not None:
+                out.append(v)
+        return out
+
+    A, B, S = 300_000, 600_000, 100_000
+    grid_ts = list(range(A, B + 1, S))
+    lines = ["# GENERATED by tools/gen_promqltest.py — nested subqueries",
+             "# (two and three levels) x offset x @ at each level in",
+             "# range queries: the subquery compiler recursion must",
+             "# re-anchor every level independently.",
+             "", "load 10s",
+             "\tg " + " ".join(fmt(v) for _, v in gs), ""]
+
+    def emit_range(expr, vals_per_step):
+        lines.append(f"eval range from 300s to 600s step 100s {expr}")
+        cells = " ".join("_" if v is None else fmt(v)
+                         for v in vals_per_step)
+        lines.append(f"\t{{}} {cells}")
+        lines.append("")
+
+    def inner_min(p, *, shift=0, pin_inner=None):
+        iv = sq(p, 60_000, 20_000, shift=shift, pin=pin_inner)
+        return min(iv) if iv else None
+
+    def nested_pts(end, fn_inner):
+        """(point, value) list of the outer [90s:30s] subquery whose inner
+        expr evaluates via fn_inner(point)."""
+        out = []
+        for p in _sq_points(end, 90_000, 30_000):
+            v = fn_inner(p)
+            if v is not None:
+                out.append((p, v))
+        return out
+
+    # 1. both levels moving
+    emit_range("max_over_time(min_over_time(g[60s:20s])[90s:30s])",
+               [max((v for _, v in nested_pts(t, inner_min)), default=None)
+                for t in grid_ts])
+
+    # 2. inner offset shifts every innermost point
+    emit_range("max_over_time(min_over_time((g offset 10s)[60s:20s])"
+               "[90s:30s])",
+               [max((v for _, v in nested_pts(
+                    t, lambda p: inner_min(p, shift=10_000))), default=None)
+                for t in grid_ts])
+
+    # 3. outer offset shifts the OUTER subquery window only
+    emit_range("max_over_time(min_over_time(g[60s:20s])[90s:30s]"
+               " offset 50s)",
+               [max((v for _, v in nested_pts(t - 50_000, inner_min)),
+                    default=None)
+                for t in grid_ts])
+
+    # 4. inner subquery @-pinned at start(): inner fold constant, outer
+    # point count still moves with the (aligned) outer grid
+    c = inner_min(A)
+    emit_range("sum_over_time(min_over_time(g[60s:20s] @ start())"
+               "[90s:30s])",
+               [c * len(_sq_points(t, 90_000, 30_000)) for t in grid_ts])
+
+    # 5. outer subquery @-pinned at end(): whole nest constant per step
+    vend = [v for _, v in nested_pts(B, inner_min)]
+    emit_range("sum_over_time(min_over_time(g[60s:20s])[90s:30s] @ end())",
+               [sum(vend)] * len(grid_ts))
+
+    # 6. three levels, all moving: innermost max over [40s:10s]
+    def lvl1_max(p2):
+        iv = sq(p2, 40_000, 10_000)
+        return max(iv) if iv else None
+
+    def lvl2_min(p):
+        vs = [lvl1_max(p2) for p2 in _sq_points(p, 60_000, 20_000)]
+        vs = [v for v in vs if v is not None]
+        return min(vs) if vs else None
+    emit_range("sum_over_time(min_over_time(max_over_time(g[40s:10s])"
+               "[60s:20s])[90s:30s])",
+               [sum(v for _, v in nested_pts(t, lvl2_min)) or None
+                for t in grid_ts])
+
+    # 7. rate over a nested subquery: extrapolation over the outer point
+    # grid (the point values are monotone, so no reset correction fires)
+    def inner_max(p):
+        iv = sq(p, 60_000, 20_000)
+        return max(iv) if iv else None
+    emit_range("rate(max_over_time(g[60s:20s])[90s:30s])",
+               [extrapolated_rate(nested_pts(t, inner_max), t, 90_000,
+                                  True, True) for t in grid_ts])
+
+    # 8. deriv over a nested subquery: least squares over the point grid
+    emit_range("deriv(min_over_time(g[60s:20s])[90s:30s])",
+               [linear_regression(nested_pts(t, inner_min),
+                                  nested_pts(t, inner_min)[0][0])[0]
+                for t in grid_ts])
+
+    # 9. instant parity for the deepest shape
+    for t_s in (305, 600):
+        t = t_s * 1000
+        vals = [v for _, v in nested_pts(t, lvl2_min)]
+        lines.append(f"eval instant at {t_s}s "
+                     "sum_over_time(min_over_time(max_over_time(g[40s:10s])"
+                     "[60s:20s])[90s:30s])")
+        lines.append(f"\t{{}} {fmt(sum(vals))}")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def gen_rate_at_range() -> str:
     """rate/increase/delta x @ x offset x subquery inside RANGE queries:
     the extrapolation anchor must follow the resolved @ time per step (the
@@ -3244,6 +3367,7 @@ FILES = {
     "gen_fraction_edges.test": gen_fraction_edges,
     "gen_nhcb_fraction.test": gen_nhcb_fraction,
     "gen_at_subq3.test": gen_at_subq3,
+    "gen_nested_subq.test": gen_nested_subq,
     "gen_rate_at_range.test": gen_rate_at_range,
     "gen_holt3.test": gen_holt3,
     "gen_functions.test": gen_functions,
