@@ -929,3 +929,39 @@ def test_mix_corpus_budgets_and_determinism(spark):
         sorted(r["doc_id"] for r in out)
     with pytest.raises(ValueError):
         sampling.mix_corpus(df, {})
+
+
+def test_hll_distinct_rollup_accuracy_and_mergeability(spark, sf_dir):
+    """Mergeable HLL rollup (operators/sketches.py): (a) the merged
+    estimate lands within the sketch's error envelope of the exact
+    distinct count (lg_k=12 → ~1.6% stderr; assert 5%), (b) merging the
+    per-day sketches equals sketching the whole window directly (register
+    max-folds are associative), and (c) the estimate is partitioning-
+    invariant (register folds are order-insensitive)."""
+    from thanos_parquet_gateway_spark.operators import sketches
+
+    e = load_table(spark, sf_dir, "events")
+    merged = {r["event_type"]: r for r in
+              sketches.distinct_rollup(e, "user_id",
+                                       by=("event_type",)).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(merged) == set(exact)
+    for et, n in exact.items():
+        est = merged[et]["approx_distinct"]
+        assert abs(est - n) <= 0.05 * n, (et, est, n)
+    # (b) union-of-daily == direct whole-window sketch
+    direct = {r["event_type"]: r["approx_distinct"] for r in
+              e.groupBy("event_type")
+               .agg(F.hll_sketch_estimate(
+                   F.hll_sketch_agg(F.col("user_id").cast("string"),
+                                    F.lit(sketches.DEFAULT_LG_K)))
+                    .cast("double").alias("approx_distinct")).collect()}
+    for et in exact:
+        assert merged[et]["approx_distinct"] == direct[et], et
+    # (c) partitioning invariance
+    re8 = {r["event_type"]: r["approx_distinct"] for r in
+           sketches.distinct_rollup(e.repartition(8), "user_id",
+                                    by=("event_type",)).collect()}
+    assert re8 == {et: merged[et]["approx_distinct"] for et in merged}

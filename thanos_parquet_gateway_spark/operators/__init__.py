@@ -7,5 +7,6 @@ from thanos_parquet_gateway_spark.operators import (  # noqa: F401
     dedup,
     sampling,
     similarity,
+    sketches,
     text,
 )

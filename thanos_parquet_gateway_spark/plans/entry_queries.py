@@ -19,6 +19,7 @@ from thanos_parquet_gateway_spark.operators import (
     dedup,
     sampling,
     similarity,
+    sketches,
     text,
 )
 from thanos_parquet_gateway_spark.operators.multimodal import (
@@ -3265,6 +3266,26 @@ def events_funnel3_steps(spark, sf_dir):
             .agg(F.count("*").cast("double").alias("views"),
                  F.count("step2_ts").cast("double").alias("step2"),
                  F.count("step3_ts").cast("double").alias("step3")))
+
+
+@q("events_hll_distinct_users")  # rows-only: HLL estimates are not
+# reproducible by an independent SQL engine (DuckDB's
+# approx_count_distinct is a different sketch); accuracy vs exact counts
+# and the union-mergeability invariant are pinned by tests/test_operators
+def events_hll_distinct_users(spark, sf_dir):
+    """Mergeable distinct-count rollup (operators/sketches.py): one HLL
+    sketch of user_id per (day, event_type), merged across days per
+    event_type WITHOUT re-reading raw events — the store-sketches-once,
+    merge-forever pattern that replaces count(distinct) at 100 TB.  The
+    daily layer shuffles one ~KB binary per group per map partition; the
+    merge layer shuffles one binary per (day, event_type).  Deterministic:
+    HLL registers are max-folds, insensitive to row order/partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    return (sketches.distinct_rollup(e, "user_id", by=("event_type",))
+            .select("event_type",
+                    F.col("days_observed").cast("long").alias("days_observed"),
+                    "approx_distinct")
+            .orderBy("event_type"))
 
 
 @q("events_trending_topk", """
