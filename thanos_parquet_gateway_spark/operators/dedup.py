@@ -41,12 +41,22 @@ def shingles(words_col, n: int = 3) -> "F.Column":
 
 def shingle_rows(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", shingle_n: int = 3,
-                 parallelism: int | None = None) -> DataFrame:
-    """Distinct word n-gram shingles as rows (doc_id, shingle) — the corpus
-    hot path.  Codegen-only plan: posexplode words → lead() window → concat →
-    dropDuplicates (map-side partial dedup).  The explicit repartition spreads
-    work when the source has few input splits; the window reuses that same
-    doc_id partitioning, so it adds only an in-partition sort.
+                 parallelism: int | None = None,
+                 distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles as rows (doc_id, shingle) — the corpus hot
+    path.  Codegen-only plan: posexplode words → lead() window → concat →
+    dropDuplicates (map-side partial dedup).  The explicit repartition
+    spreads work when the source has few input splits; the window reuses
+    that same doc_id partitioning, so it adds only an in-partition sort.
+
+    ``distinct=False`` skips the dropDuplicates — callers whose downstream
+    fold is DUPLICATE-INVARIANT (minhash: min over a multiset equals min
+    over its set) should pass it, because the dedup is a full shuffle of
+    the exploded shingle rows on (doc_id, shingle) — the widest exchange
+    in the whole LSH plan — and without it a following groupBy(doc_id)
+    reuses the repartition's partitioning with no exchange at all.
+    Set-semantics callers (Jaccard counts, duplicate_spans) keep the
+    default.
 
     ``parallelism`` defaults to cluster cores — right for a CPU-bound stage
     locally; on a large cluster pass a count scaled to input size
@@ -61,11 +71,11 @@ def shingle_rows(docs: DataFrame, text_col: str = "text",
     leads = [F.lead("w", i).over(win).alias(f"w{i}")
              for i in range(1, shingle_n)]
     led = words.select("doc_id", F.col("w"), *leads)
-    return (led.filter(F.col(f"w{shingle_n - 1}").isNotNull())
-            .select("doc_id",
-                    F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, shingle_n)])
-                    .alias("shingle"))
-            .dropDuplicates(["doc_id", "shingle"]))
+    out = (led.filter(F.col(f"w{shingle_n - 1}").isNotNull())
+           .select("doc_id",
+                   F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, shingle_n)])
+                   .alias("shingle")))
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -163,7 +173,11 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         # minhash columns directly; the bucket equivalence classes are
         # identical to the row path (same per-seed minhashes, keys differ
         # only in representation) — asserted by test_lsh_wide_path_matches.
-        sh = shingle_rows(docs, text_col, id_col, shingle_n)
+        # distinct=False: min() is duplicate-invariant, so skipping the
+        # shingle dedup drops the widest shuffle in the plan and lets the
+        # groupBy(doc_id) reuse the repartition's partitioning exchange-free
+        # (values unchanged — same assert covers it).
+        sh = shingle_rows(docs, text_col, id_col, shingle_n, distinct=False)
         mins = sh.groupBy("doc_id").agg(*[
             F.min(F.xxhash64(F.lit(s), "shingle")).alias(f"h{s}")
             for s in range(num_hashes)])

@@ -67,19 +67,28 @@ def main() -> int:
         FROM events e, reps r
     """, "events")
 
-    # replica text: deterministic per-replica word PERMUTATION keyed on
-    # (word, position, replica) — replicas are fresh documents, not
-    # near-duplicates of the source.  The position in the key matters:
-    # hashing the word alone would sort duplicate words into runs
-    # ("the the the …") shared by every shuffled doc, creating massive
-    # cross-document shingle overlap and an LSH bucket explosion.
+    # replica text: per-replica word SUFFIX + deterministic permutation
+    # keyed on (word, position, replica) — replicas are fresh documents,
+    # not near-duplicates of the source.  The suffix is what guarantees
+    # freshness: a permutation alone leaves REPETITIVE docs ("a a a a")
+    # byte-identical across replicas, and those collisions grow the LSH
+    # candidate-pair count QUADRATICALLY in the replication factor
+    # (observed: 48.6k pairs at 10x vs 4.7M at 100x ≈ C(100,2)/C(10,2))
+    # — a rung generated that way measures the data artifact, not the
+    # engine.  Suffixing every word remaps the whole shingle vocabulary
+    # per replica (zero cross-replica overlap) while preserving each
+    # replica's INTERNAL dup structure (both members of a planted dup
+    # pair get the same transformation), so the corpus scales linearly
+    # like a real one.  The position in the permutation key still
+    # matters: hashing the word alone would sort duplicate words into
+    # runs shared by every shuffled doc.
     shuf = """array_to_string(list_transform(list_sort(
         list_transform(
             list_zip(string_split(d.text, ' '),
                      range(1, len(string_split(d.text, ' ')) + 1)),
             p -> {'h': hash(p[1] || '#' || CAST(p[2] AS VARCHAR) ||
                             '#' || CAST(r.r AS VARCHAR)),
-                  'w': p[1]})),
+                  'w': p[1] || '~' || CAST(r.r AS VARCHAR)})),
         s -> s.w), ' ')"""
     copy(f"""
         SELECT d.doc_id + r.r * (SELECT max(doc_id)+1 FROM documents)
