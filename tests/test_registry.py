@@ -6,8 +6,22 @@ hand-curated list — round-3 advice."""
 from thanos_parquet_gateway_spark.plans import entry_queries as eq
 
 
+# entries with NO DuckDB oracle by construction (the driver records a
+# rows-only check for these; everything else must stay oracle-gated)
+ROWS_ONLY = {
+    # HLL estimates: register max-folds no independent SQL engine replicates
+    "events_hll_distinct_users",
+}
+
+
 def test_queries_and_oracles_aligned():
-    assert list(eq.QUERIES) == list(eq.ORACLES)
+    rows_only = set(eq.QUERIES) - set(eq.ORACLES)
+    assert rows_only == ROWS_ONLY, (
+        "every registry query needs a DuckDB oracle unless it is in the "
+        f"documented rows-only set; undocumented: {rows_only - ROWS_ONLY}, "
+        f"stale: {ROWS_ONLY - rows_only}")
+    # oracle iteration order mirrors the rotation order of QUERIES
+    assert list(eq.ORACLES) == [n for n in eq.QUERIES if n in eq.ORACLES]
 
 
 def test_window_order_is_oldest_green_first():
