@@ -66,6 +66,24 @@ def make_benches(spark, sf_dir: str) -> dict:
     }
 
 
+def _converged_min(fn, min_reps: int = 3, max_reps: int = 7) -> float:
+    """Back-to-back reps of one query until the latest rep CONFIRMS the
+    best time (within ±15%), min/max bounded; returns the min.  A rep
+    still improving >15% keeps going (tiered-JIT warmup tail), and a
+    GC/JIT/noise spike far above the best doesn't end the loop early —
+    the same rule the sf0.1 block has always used, shared by the scale
+    rungs because a single interleaved run is hostage to noise bursts."""
+    runs = []
+    for i in range(max_reps):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+        if i >= min_reps - 1 and (0.85 * min(runs[:-1]) <= runs[-1]
+                                  <= 1.15 * min(runs[:-1])):
+            break
+    return round(min(runs), 3)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
@@ -139,6 +157,14 @@ def main():
         # set (not back-to-back reruns of one query — a contention burst
         # then poisons both runs), per-query min across passes, pass totals
         # + load averages recorded so a contended rung is self-evident.
+        # Fresh session per scale rung (see the sf10 block for the measured
+        # rationale): the per-decade ratios must compare like-for-like, not
+        # a garbage-laden session at one rung against a fresh one at the
+        # next.
+        spark.stop()
+        spark = get_spark("bench-sf1")
+        load_table(spark, sf1_dir, "lineitem").limit(1) \
+            .write.format("noop").mode("overwrite").save()
         b1 = make_benches(spark, sf1_dir)
         sf1_load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
         t1: dict[str, float] = {}
@@ -146,9 +172,7 @@ def main():
         for _ in range(2):
             pass_times = {}
             for name, fn in b1.items():
-                t0 = time.perf_counter()
-                fn()
-                pass_times[name] = round(time.perf_counter() - t0, 3)
+                pass_times[name] = _converged_min(fn)
                 t1[name] = round(min(t1.get(name, float("inf")),
                                      pass_times[name]), 3)
             sf1_pass_totals.append(round(sum(pass_times.values()), 3))
@@ -175,6 +199,21 @@ def main():
                      ".bench", "sf10"))
     heavy = ("promql_instant_sum", "sim_topk", "dedup_lsh")
     if os.path.isdir(sf10_dir) and "sf1" in out:
+        # Fresh session for decade 2: by this point the bench JVM has run
+        # several hundred jobs (7-rep x 12-query x 2-pass sf0.1 + sf1), and
+        # accumulated shuffle files + py4j-held lineage (ContextCleaner
+        # frees them only after Python GC drops the refs) distort the big
+        # runs 5-10x — measured r10: dedup_lsh sf10 58s in-session vs 9s in
+        # a fresh session on the same idle box, same code, same data.  The
+        # rung exists to measure the ENGINE's decade-2 scaling, not the
+        # harness's garbage; a real deployment does not run 400 benchmark
+        # jobs through one driver before serving a query.
+        spark.stop()
+        import gc
+        gc.collect()
+        spark = get_spark("bench-sf10")
+        load_table(spark, sf10_dir, "lineitem").limit(1) \
+            .write.format("noop").mode("overwrite").save()
         b10 = {n: f for n, f in make_benches(spark, sf10_dir).items()
                if n in heavy}
         # Let the box settle before the decade-2 reading (round-9 verdict
@@ -189,12 +228,16 @@ def main():
         sf10_load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else None
         t10: dict[str, float] = {}
         sf10_pass_totals = []
+        # 2 passes on the fresh JVM, each query measured by the same
+        # reps-until-converged rule as the sf0.1 block: single interleaved
+        # runs at this scale are hostage to host-level noise bursts
+        # (measured r10: the SAME dedup_lsh plan on the SAME idle guest
+        # read 3.6s back-to-back and 205s as a one-shot after a different
+        # query — steal% and GC logs ruled out guest-side causes)
         for _ in range(2):
             pass_times = {}
             for name, fn in b10.items():
-                t0 = time.perf_counter()
-                fn()
-                pass_times[name] = round(time.perf_counter() - t0, 3)
+                pass_times[name] = _converged_min(fn)
                 t10[name] = round(min(t10.get(name, float("inf")),
                                       pass_times[name]), 3)
             sf10_pass_totals.append(round(sum(pass_times.values()), 3))
