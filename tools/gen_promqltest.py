@@ -3358,6 +3358,22 @@ def gen_hist_overtime() -> str:
         for c_, v in zip(("both", "h", "f"), vals):
             lines.append(f"\t{{c=\"{c_}\"}} {fmt(v)}")
         lines.append("")
+    # RANGE-query annotation path: the mixed-range info must surface when
+    # any step's window is mixed, and must NOT fire for float-only series
+    # selections (the probe is per-window, not per-column-presence)
+    # (t-4m, t] is left-open: at t=4m the 0s sample falls out, so the min
+    # moves to the next float in each window
+    lines.append("eval range from 2m to 4m step 1m "
+                 "min_over_time(m[4m])")
+    lines.append(_info)
+    lines.append("\t{c=\"both\"} 1 1 3")
+    lines.append("\t{c=\"f\"} 1 1 2")
+    lines.append("")
+    lines.append("eval range from 2m to 4m step 1m "
+                 "max_over_time(m{c=\"f\"}[4m])")
+    lines.append("\texpect no_info")
+    lines.append("\t{c=\"f\"} 3 3 3")
+    lines.append("")
     return "\n".join(lines)
 
 
