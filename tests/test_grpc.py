@@ -452,23 +452,34 @@ def test_huffman_table_properties_and_errors():
     import pytest
     from thanos_parquet_gateway_spark.api import hpack
 
-    # prefix-free: no verified code is a prefix of another
-    items = sorted(hpack.HUFFMAN_CODES.values(), key=lambda t: (t[1], t[0]))
+    # the full table covers all 256 byte symbols + EOS
+    assert set(hpack.HUFFMAN_FULL) == set(range(257))
+    # prefix-free: no code is a prefix of another (sorted by length,
+    # only longer codes can extend shorter ones)
+    items = sorted(hpack.HUFFMAN_FULL.values(), key=lambda t: (t[1], t[0]))
     for i, (c1, l1) in enumerate(items):
         for c2, l2 in items[i + 1:]:
             assert not (l2 >= l1 and (c2 >> (l2 - l1)) == c1), (c1, c2)
-    # full printable-ASCII round trip
-    s = bytes(range(0x20, 0x7F))
+    # complete canonical code: Kraft sum exactly 1, EOS = 30 one-bits
+    assert sum(1 << (30 - ln) for _c, ln in items) == 1 << 30
+    assert hpack.HUFFMAN_FULL[hpack.EOS] == ((1 << 30) - 1, 30)
+    # the canonical derivation agrees with the RFC-ciphertext-pinned
+    # printable subset on every overlapping symbol
+    for sym, cl in hpack.HUFFMAN_CODES.items():
+        assert hpack.HUFFMAN_FULL[sym] == cl, sym
+    # full 256-symbol round trip
+    s = bytes(range(256))
     assert hpack.huffman_decode(hpack.huffman_encode(s)) == s
-    # symbols outside the verified subset fail loudly, never corrupt
-    with pytest.raises(hpack.HpackError, match="subset"):
-        hpack.huffman_encode(b"\x01")
-    with pytest.raises(hpack.HpackError, match="subset"):
-        # 30 one-bits = EOS-region prefix, not a verified code
+    # a complete EOS code in the payload is a decoding error (§5.2)
+    with pytest.raises(hpack.HpackError, match="EOS"):
         hpack.huffman_decode(b"\xff\xff\xff\xff")
     with pytest.raises(hpack.HpackError, match="padding"):
         # '0' (00000) + 3 zero pad bits — padding must be all ones
         hpack.huffman_decode(bytes([0b00000000]))
+    with pytest.raises(hpack.HpackError, match="padding"):
+        # a full byte of EOS-prefix padding is also an error (§5.2:
+        # padding strictly longer than 7 bits MUST be rejected)
+        hpack.huffman_decode(hpack.huffman_encode(b"ab") + b"\xff")
 
 
 def test_hpack_decodes_huffman_literal_blocks():
@@ -857,28 +868,30 @@ def test_dispatch_cap_refuses_excess_streams(spark):
         sock.close()
 
 
-def test_huffman_gap_is_receive_only_and_fails_loud():
-    """The Huffman coverage boundary, pinned exhaustively: every byte
-    outside the verified printable-ASCII region raises on encode, the
-    HPACK Encoder never emits Huffman at all (RFC 7541 §5.2 allows that),
-    so binary header values round-trip — the gap is receive-only — and
-    adversarial Huffman-flagged bitstreams either decode to verified
-    symbols or raise HpackError, never corrupt."""
+def test_huffman_full_alphabet_and_plain_encoder():
+    """Full-alphabet Huffman coverage (the r9 printable-ASCII gap is
+    closed): every byte symbol encodes and decodes, including control
+    bytes and 0x80-0xFF; the HPACK Encoder still never emits Huffman
+    (RFC 7541 §5.2 allows that), so binary header values round-trip as
+    plain literals; adversarial Huffman-flagged bitstreams either decode
+    or raise HpackError, never corrupt."""
     import random
-
-    import pytest
 
     from thanos_parquet_gateway_spark.api import hpack
 
-    # 1. exhaustive: the verified region is exactly 0x20..0x7E
-    assert set(hpack.HUFFMAN_CODES) == set(range(0x20, 0x7F))
-    for b in list(range(0x00, 0x20)) + list(range(0x7F, 0x100)):
-        with pytest.raises(hpack.HpackError, match="subset"):
-            hpack.huffman_encode(bytes([b]))
+    # 1. exhaustive per-symbol round trip, and code lengths match the
+    # RFC's published ranges (5-bit shortest; ≥19 bits outside printable)
+    for b in range(256):
+        raw = bytes([b, b, b])
+        assert hpack.huffman_decode(hpack.huffman_encode(raw)) == raw
+        ln = hpack.HUFFMAN_FULL[b][1]
+        # 5-bit shortest; \n \r and 0x16 share EOS's 30-bit length
+        assert 5 <= ln <= (30 if b in (10, 13, 22) else 28)
+        if b < 0x20 or b > 0x7E:
+            assert ln >= 13, b  # rare symbols carry long codes
 
-    # 2. receive-only: our Encoder ships every string literal with the H
-    # bit CLEAR, so values the Huffman subset can't express still
-    # round-trip through a full encode/decode
+    # 2. the Encoder ships every string literal with the H bit CLEAR,
+    # so binary values round-trip through a full encode/decode
     enc, dec = hpack.Encoder(), hpack.Decoder()
     binary_val = bytes(range(256)).decode("latin-1")
     headers = [("x-bin", binary_val), ("grpc-status-details-bin", "\x00\x9f")]
@@ -890,19 +903,24 @@ def test_huffman_gap_is_receive_only_and_fails_loud():
     assert block[0] == 0x40 and not block[1] & 0x80
 
     # 3. adversarial bitstreams: seeded random payloads flagged as
-    # Huffman either yield verified symbols or fail loudly
+    # Huffman either decode (the code is complete, so any prefix-valid
+    # bit string maps to SOME symbols) or fail loudly on padding/EOS
     rng = random.Random(7541)
     decoded = errors = 0
     for _ in range(300):
         payload = bytes(rng.randrange(256)
                         for _ in range(rng.randrange(1, 12)))
         try:
-            out = hpack.huffman_decode(payload)
+            hpack.huffman_decode(payload)
             decoded += 1
-            assert all(0x20 <= ch <= 0x7E for ch in out)
         except hpack.HpackError:
             errors += 1
     assert decoded and errors  # both outcomes exercised
+
+    # 4. seeded random full-alphabet strings round-trip
+    for _ in range(200):
+        s = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 48)))
+        assert hpack.huffman_decode(hpack.huffman_encode(s)) == s
 
 
 def test_integer_histogram_chunk_golden_and_roundtrip():

@@ -1,23 +1,39 @@
 """Minimal HPACK (RFC 7541) header codec for the gRPC wire binding.
 
 Implements the full static table, dynamic-table insertion/eviction/size
-updates, prefix-integer / literal-string coding, and Huffman DECODING for
-the printable-ASCII region of the RFC 7541 Appendix B code (what grpc-go
-emits by default for header names/values) — enough to decode header
-blocks from a real peer, and to encode our own blocks
-(literal-with-incremental-indexing for repeated headers, never Huffman on
-encode; RFC 7541 §5.2 makes Huffman optional for encoders).
+updates, prefix-integer / literal-string coding, and Huffman coding for
+the FULL RFC 7541 Appendix B alphabet (all 256 byte symbols + EOS) —
+enough to decode header blocks from any conformant peer, and to encode
+our own blocks (literal-with-incremental-indexing for repeated headers,
+never Huffman on encode; RFC 7541 §5.2 makes Huffman optional for
+encoders).
 
-The Huffman table below could not be fetched from the RFC in this
-sandbox; it is reconstructed and then VERIFIED against the RFC's own
-Appendix C example ciphertexts (C.4.1-C.4.3, C.6.1-C.6.3:
-"www.example.com" → f1e3c2e5f23a6ba0ab90f4ff, "no-cache" → a8eb10649cbf,
-the full Date header, "https://www.example.com", "gzip", "private",
-"custom-key"/"custom-value", "302"/"307") in tests/test_grpc.py — every
-vector must reproduce bit-exactly, which pins all frequently-used codes.
-Symbols OUTSIDE the verified subset (control bytes, 0x80-0xFF — 19-30 bit
-codes that never appear in gRPC header text) raise ``HpackError`` on
-decode rather than risking a silently-wrong entry.
+The Huffman table could not be fetched from the RFC in this sandbox; it
+is reconstructed and then VERIFIED three independent ways, all of which
+must hold or the module fails loudly at import:
+
+1. RFC 7541's code is CANONICAL: codes are fully determined by the
+   per-symbol bit LENGTHS (sorted by (length, symbol), each code is
+   ``(prev + 1) << (len - prev_len)``).  Only ``_HUFFMAN_LENGTHS`` below
+   is remembered data; every code is derived, so a wrong code can only
+   come from a wrong length.
+2. The code must be COMPLETE: the Kraft sum ``Σ 2^(30 - len)`` over all
+   257 symbols must equal exactly ``2^30``, and the final (EOS, 30-bit)
+   code must be all ones (``0x3fffffff``).  Any single wrong length
+   breaks one of these.
+3. The derived codes for the printable-ASCII region must bit-match
+   ``HUFFMAN_CODES`` below, which is pinned by the RFC's own Appendix C
+   example ciphertexts (C.4.1-C.4.3, C.6.1-C.6.3: "www.example.com" →
+   f1e3c2e5f23a6ba0ab90f4ff, "no-cache" → a8eb10649cbf, the full Date
+   header, "https://www.example.com", "gzip", "private",
+   "custom-key"/"custom-value", "302"/"307") in tests/test_grpc.py —
+   real RFC-supplied interop vectors, not self-derived ones.
+
+Residual risk: two compensating length errors among symbols outside the
+RFC-example subset (control bytes / 0x80-0xFF) would survive checks 1-2;
+a networked round should diff ``_HUFFMAN_LENGTHS`` against the RFC text.
+Per §5.2 the decoder treats a complete EOS code in the payload and
+invalid padding as decoding errors.
 """
 
 from __future__ import annotations
@@ -26,6 +42,68 @@ from __future__ import annotations
 class HpackError(Exception):
     pass
 
+
+# RFC 7541 Appendix B per-symbol code LENGTHS for all 257 symbols
+# (bytes 0..255 + EOS).  This is the only remembered table data — the
+# codes themselves are derived canonically below and cross-checked
+# against the RFC-ciphertext-pinned printable subset (module docstring).
+_HUFFMAN_LENGTHS: tuple[int, ...] = (
+    # 0x00-0x1f (control bytes)
+    13, 23, 28, 28, 28, 28, 28, 28, 28, 24, 30, 28, 28, 30, 28, 28,
+    28, 28, 28, 28, 28, 28, 30, 28, 28, 28, 28, 28, 28, 28, 28, 28,
+    # 0x20-0x3f
+    6, 10, 10, 12, 13, 6, 8, 11, 10, 10, 8, 11, 8, 6, 6, 6,
+    5, 5, 5, 6, 6, 6, 6, 6, 6, 6, 7, 8, 15, 6, 12, 10,
+    # 0x40-0x5f
+    13, 6, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7,
+    7, 7, 7, 7, 7, 7, 7, 7, 8, 7, 8, 13, 19, 13, 14, 6,
+    # 0x60-0x7f
+    15, 5, 6, 5, 6, 5, 6, 6, 6, 5, 7, 7, 6, 6, 6, 5,
+    6, 7, 6, 5, 5, 6, 7, 7, 7, 7, 7, 15, 11, 14, 13, 28,
+    # 0x80-0x9f
+    20, 22, 20, 20, 22, 22, 22, 23, 22, 23, 23, 23, 23, 23, 24, 23,
+    24, 24, 22, 23, 24, 23, 23, 23, 23, 21, 22, 23, 22, 23, 23, 24,
+    # 0xa0-0xbf
+    22, 21, 20, 22, 22, 23, 23, 21, 23, 22, 22, 24, 21, 22, 23, 23,
+    21, 21, 22, 21, 23, 22, 23, 23, 20, 22, 22, 22, 23, 22, 22, 23,
+    # 0xc0-0xdf
+    26, 26, 20, 19, 22, 23, 22, 25, 26, 26, 26, 27, 27, 26, 24, 25,
+    19, 21, 26, 27, 27, 26, 27, 24, 21, 21, 26, 26, 28, 27, 27, 27,
+    # 0xe0-0xff
+    20, 24, 20, 21, 22, 21, 21, 23, 22, 22, 25, 25, 24, 24, 26, 23,
+    26, 27, 26, 26, 27, 27, 27, 27, 27, 28, 27, 27, 27, 27, 27, 26,
+    # 256 = EOS
+    30,
+)
+
+EOS = 256
+
+
+def _derive_canonical(lengths: tuple[int, ...]) -> dict[int, tuple[int, int]]:
+    """Derive the canonical code for each symbol from its bit length
+    (RFC 7541's Appendix B table IS the canonical code over these
+    lengths) and verify completeness; fail loudly on any inconsistency."""
+    if len(lengths) != 257:
+        raise AssertionError("huffman length table must have 257 entries")
+    kraft = sum(1 << (30 - ln) for ln in lengths)
+    if kraft != 1 << 30:
+        raise AssertionError(f"huffman code not complete: kraft={kraft:#x}")
+    code = 0
+    prev_len = 0
+    out: dict[int, tuple[int, int]] = {}
+    for sym in sorted(range(257), key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        if prev_len:
+            code = (code + 1) << (ln - prev_len)
+        prev_len = ln
+        out[sym] = (code, ln)
+    if out[EOS] != ((1 << 30) - 1, 30):
+        raise AssertionError("huffman EOS code must be 30 one-bits")
+    return out
+
+
+# symbol → (code, bit length), all 257 symbols, canonically derived.
+HUFFMAN_FULL: dict[int, tuple[int, int]] = _derive_canonical(_HUFFMAN_LENGTHS)
 
 # RFC 7541 Appendix B Huffman code, printable-ASCII subset (0x20-0x7E):
 # symbol → (code, bit length).  Verified against the Appendix C example
@@ -57,20 +135,25 @@ HUFFMAN_CODES: dict[int, tuple[int, int]] = {
     124: (0x7fc, 11), 125: (0x3ffd, 14), 126: (0x1ffd, 13),
 }
 
-_HUFFMAN_DECODE = {cl: sym for sym, cl in HUFFMAN_CODES.items()}
-_HUFFMAN_MAX_BITS = max(ln for _c, ln in HUFFMAN_CODES.values())
+# Cross-check 3 (module docstring): the canonically-derived codes must
+# bit-match the RFC-example-pinned printable-ASCII subset.
+for _sym, _cl in HUFFMAN_CODES.items():
+    if HUFFMAN_FULL[_sym] != _cl:
+        raise AssertionError(
+            f"derived huffman code for {_sym:#x} {HUFFMAN_FULL[_sym]} "
+            f"!= RFC-example-pinned {_cl}")
+
+_HUFFMAN_DECODE = {cl: sym for sym, cl in HUFFMAN_FULL.items()}
+_HUFFMAN_MAX_BITS = 30
 
 
 def huffman_encode(data: bytes) -> bytes:
-    """Huffman-code a printable-ASCII string (test/interop helper; the
-    Encoder below never Huffman-codes, which RFC 7541 §5.2 permits)."""
+    """Huffman-code a string literal over the full Appendix B alphabet
+    (test/interop helper; the Encoder below never Huffman-codes, which
+    RFC 7541 §5.2 permits)."""
     bits = n = 0
     for ch in data:
-        try:
-            c, ln = HUFFMAN_CODES[ch]
-        except KeyError:
-            raise HpackError(
-                f"byte {ch:#x} outside the verified Huffman subset")
+        c, ln = HUFFMAN_FULL[ch]
         bits = (bits << ln) | c
         n += ln
     pad = (8 - n % 8) % 8
@@ -80,9 +163,10 @@ def huffman_encode(data: bytes) -> bytes:
 
 
 def huffman_decode(data: bytes) -> bytes:
-    """Decode a Huffman-coded string literal.  Raises on symbols outside
-    the verified printable-ASCII subset and on invalid padding (§5.2:
-    trailing bits must be the most-significant prefix of EOS, ≤ 7 bits)."""
+    """Decode a Huffman-coded string literal over the full Appendix B
+    alphabet.  Raises on a complete EOS code in the payload and on
+    invalid padding (§5.2: trailing bits must be the most-significant
+    prefix of EOS, ≤ 7 bits — both MUST be treated as decoding errors)."""
     out = bytearray()
     acc = n = 0
     for byte in data:
@@ -91,12 +175,12 @@ def huffman_decode(data: bytes) -> bytes:
             n += 1
             sym = _HUFFMAN_DECODE.get((acc, n))
             if sym is not None:
+                if sym == EOS:
+                    raise HpackError("EOS code in huffman payload")
                 out.append(sym)
                 acc = n = 0
             elif n > _HUFFMAN_MAX_BITS:
-                raise HpackError(
-                    "huffman code outside the verified printable-ASCII "
-                    "subset (control or non-ASCII byte)")
+                raise HpackError("invalid huffman code")
     if n >= 8 or acc != (1 << n) - 1:
         raise HpackError("invalid huffman padding")
     return bytes(out)
