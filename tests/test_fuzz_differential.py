@@ -873,6 +873,151 @@ RSHAPES = [_rshape_selector, _rshape_agg, _rshape_over_time, _rshape_rate,
 N_RANGE_QUERIES = 60
 
 
+# ------------------------------------------ range modifiers (offset / @)
+#
+# The r9 and r10 engine bugs both lived on the @/offset axis (@-anchor
+# extrapolation, @-in-subquery grid resolution) — yet no fuzz family
+# randomized those modifiers.  These shapes lift the range families with
+# random offset / @ modifiers; the DuckDB oracle shifts (offset) or fixes
+# (@) the per-step window end expression in lockstep.
+
+def _mod_window(rng):
+    """Pick a random modifier; return (promql suffix, SQL window-end expr
+    in terms of the grid row g.t)."""
+    kind = rng.choice(["offset", "at", "offset_at"])
+    o = rng.choice([10, 30, 50])
+    anchor = rng.randrange(60, 190) * S
+    if kind == "offset":
+        return f" offset {o}s", f"g.t - {o * 1000}"
+    if kind == "at":
+        return f" @ {anchor // S}", f"{anchor}"
+    # @ anchors first, then offset shifts: window end = T - offset
+    return f" offset {o}s @ {anchor // S}", f"{anchor - o * 1000}"
+
+
+def _rshape_selector_mod(rng, start, end, step):
+    """Instant selector with offset/@ per grid step (lookback shifted)."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    mod, te = _mod_window(rng)
+    sql = f"""
+    SELECT g.t, s.job, s.inst, arg_max(s.value, s.ts) AS v
+    FROM ({_grid_sql(start, end, step)}) g
+    JOIN samples s ON s.ts > ({te}) - {LOOKBACK} AND s.ts <= ({te})
+    WHERE s.name = '{metric}' AND {sqlp}
+    GROUP BY g.t, s.job, s.inst"""
+    return f"{sel}{mod}", sql
+
+
+def _rshape_over_time_mod(rng, start, end, step):
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlagg = rng.choice(OVER_TIME)
+    w = rng.choice(WINDOWS)
+    mod, te = _mod_window(rng)
+    base = f"""
+    SELECT g.t, s.job, s.inst, s.ts, s.value
+    FROM ({_grid_sql(start, end, step)}) g
+    JOIN samples s ON s.ts > ({te}) - {w * 1000} AND s.ts <= ({te})
+    WHERE s.name = '{metric}' AND {sqlp}"""
+    return (f"{fn}({sel}[{w}s]{mod})",
+            f"SELECT t, job, inst, {sqlagg} AS v FROM ({base}) "
+            f"GROUP BY t, job, inst")
+
+
+def _rshape_rate_mod(rng, start, end, step):
+    """rate/increase/delta with offset/@ — the full extrapolation
+    arithmetic (_rshape_rate) evaluated against a shifted/fixed window
+    end `te` instead of the grid time itself."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    kind = rng.choice(["rate", "increase", "delta"])
+    w = rng.choice(WINDOWS)
+    mod, te = _mod_window(rng)
+    counter = kind in ("rate", "increase")
+    corr = ("sum(CASE WHEN value < pv THEN pv ELSE 0 END)" if counter
+            else "0")
+    zero_clamp = """
+        CASE WHEN delta > 0 AND first_v >= 0
+                  AND sampled * first_v / delta < dur_start1
+             THEN sampled * first_v / delta ELSE dur_start1 END""" if counter \
+        else "dur_start1"
+    per_s = f" / {w}.0" if kind == "rate" else ""
+    sql = f"""
+    WITH w AS (
+        SELECT g.t, ({te}) AS te, s.job, s.inst, s.ts, s.value,
+               lag(s.value) OVER (PARTITION BY g.t, s.job, s.inst
+                                  ORDER BY s.ts) AS pv
+        FROM ({_grid_sql(start, end, step)}) g
+        JOIN samples s ON s.ts > ({te}) - {w * 1000} AND s.ts <= ({te})
+        WHERE s.name = '{metric}' AND {sqlp}
+    ),
+    agg AS (
+        SELECT t, te, job, inst,
+               arg_min(value, ts) AS first_v,
+               arg_max(value, ts) - arg_min(value, ts) + {corr} AS delta,
+               (min(ts) - (te - {w * 1000})) / 1000.0 AS dur_start,
+               (te - max(ts)) / 1000.0 AS dur_end,
+               (max(ts) - min(ts)) / 1000.0 AS sampled,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM w GROUP BY t, te, job, inst HAVING count(*) >= 2
+    ),
+    ex AS (
+        SELECT t, job, inst, delta, sampled, dur_end, first_v,
+               sampled / (n - 1) * 1.1 AS thresh,
+               sampled / (n - 1) / 2 AS half,
+               CASE WHEN dur_start >= sampled / (n - 1) * 1.1
+                    THEN sampled / (n - 1) / 2 ELSE dur_start END AS dur_start1
+        FROM agg
+    )
+    SELECT t, job, inst,
+           delta * ((sampled + ({zero_clamp})
+                     + CASE WHEN dur_end >= thresh THEN half ELSE dur_end END)
+                    / sampled){per_s} AS v
+    FROM ex"""
+    return f"{kind}({sel}[{w}s]{mod})", sql
+
+
+def _rshape_subquery_range(rng, start, end, step):
+    """fn(sel[w:ss]) over a range grid — inner steps are ABSOLUTE
+    multiples of ss (upstream promql/engine.go subquery alignment: first
+    multiple of the inner step >= start - offset - range), evaluated as a
+    GLOBAL inner grid each outer step then windows over; optional offset."""
+    metric = rng.choice(METRICS)
+    pm, sqlp = rng.choice(MATCHERS)
+    sel = f"{metric}{{{pm}}}" if pm else metric
+    fn, sqlagg = rng.choice(OVER_TIME)
+    w = rng.choice([60, 100, 120])
+    ss = rng.choice([15, 30])        # inner step, seconds
+    o = rng.choice([0, 0, 30])       # subquery offset, seconds
+    off = f" offset {o}s" if o else ""
+    iss = ss * 1000
+    lo = start - o * 1000 - w * 1000
+    istart = -((-lo) // iss) * iss   # ceil to a multiple of ss
+    iend = end - o * 1000
+    inner = f"""
+    SELECT ig.it, s.job, s.inst, arg_max(s.value, s.ts) AS value
+    FROM (SELECT unnest(generate_series({istart}, {iend}, {iss})) AS it) ig
+    JOIN samples s ON s.ts > ig.it - {LOOKBACK} AND s.ts <= ig.it
+    WHERE s.name = '{metric}' AND {sqlp}
+    GROUP BY ig.it, s.job, s.inst"""
+    sql = f"""
+    SELECT g.t, ip.job, ip.inst, {sqlagg.replace('ts', 'it')} AS v
+    FROM ({_grid_sql(start, end, step)}) g
+    JOIN ({inner}) ip ON ip.it > g.t - {o * 1000} - {w * 1000}
+                      AND ip.it <= g.t - {o * 1000}
+    GROUP BY g.t, ip.job, ip.inst"""
+    return f"{fn}({sel}[{w}s:{ss}s]{off})", sql
+
+
+MOD_RSHAPES = [_rshape_selector_mod, _rshape_over_time_mod,
+               _rshape_rate_mod, _rshape_subquery_range]
+N_MODIFIER_QUERIES = 80
+
+
 def _spark_range_result(eng, promql, start, end, step):
     res = eng.query_range(promql, start, end, step)
     out = {}
@@ -911,6 +1056,38 @@ def test_differential_fuzz_range(corpus):
                                 f"want {want[k]}")
     assert not failures, (f"{len(failures)}/{N_RANGE_QUERIES} divergences:\n"
                           + "\n".join(failures[:25]))
+
+
+def test_differential_fuzz_range_modifiers(corpus):
+    """offset/@/subquery randomized range differential — the axis where
+    the r9 (@-anchor extrapolation) and r10 (@-in-subquery grid) bugs
+    lived, previously covered only by hand-built corpus files."""
+    eng, con = corpus
+    rng = random.Random(909090)
+    failures = []
+    for i in range(N_MODIFIER_QUERIES):
+        shape = rng.choice(MOD_RSHAPES)
+        start = rng.randrange(50, 120) * S
+        step = rng.choice([10, 20]) * S
+        end = start + 4 * step
+        promql, sql = shape(rng, start, end, step)
+        duck = con.execute(sql).fetchdf()
+        label_cols = [c for c in duck.columns if c not in ("v", "t")]
+        want = {}
+        for r in duck.to_dict("records"):
+            key = frozenset((c, str(r[c])) for c in label_cols)
+            want[(key, r["t"])] = r["v"]
+        got = _spark_range_result(eng, promql, start, end, step)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} [{start},{end},{step}]: keys "
+                            f"differ: got {len(got)}, want {len(want)}")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} {k}: got {got[k]}, "
+                                f"want {want[k]}")
+    assert not failures, (f"{len(failures)}/{N_MODIFIER_QUERIES} "
+                          "divergences:\n" + "\n".join(failures[:25]))
 
 
 def test_differential_fuzz(corpus):
