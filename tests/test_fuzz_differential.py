@@ -230,11 +230,12 @@ def _shape_ts_of(rng, t):
     pm, sqlp = rng.choice(MATCHERS)
     sel = f"{metric}{{{pm}}}" if pm else metric
     fn = rng.choice(["ts_of_max_over_time", "ts_of_min_over_time",
-                     "ts_of_last_over_time"])
+                     "ts_of_last_over_time", "ts_of_first_over_time"])
     w = rng.choice(WINDOWS)
     base = _win_sql(metric, sqlp, t, w)
-    if fn == "ts_of_last_over_time":
-        inner = f"SELECT job, inst, max(ts) / 1000.0 AS v FROM ({base}) " \
+    if fn in ("ts_of_last_over_time", "ts_of_first_over_time"):
+        ext = "max" if fn == "ts_of_last_over_time" else "min"
+        inner = f"SELECT job, inst, {ext}(ts) / 1000.0 AS v FROM ({base}) " \
                 f"GROUP BY job, inst"
     else:
         order = "value DESC" if fn == "ts_of_max_over_time" else "value ASC"
@@ -802,11 +803,12 @@ def _rshape_ts_of(rng, start, end, step):
     pm, sqlp = rng.choice(MATCHERS)
     sel = f"{metric}{{{pm}}}" if pm else metric
     fn = rng.choice(["ts_of_max_over_time", "ts_of_min_over_time",
-                     "ts_of_last_over_time"])
+                     "ts_of_last_over_time", "ts_of_first_over_time"])
     w = rng.choice(WINDOWS)
     base = _rwin_sql(metric, sqlp, start, end, step, w)
-    if fn == "ts_of_last_over_time":
-        sql = f"SELECT t, job, inst, max(ts) / 1000.0 AS v FROM ({base}) " \
+    if fn in ("ts_of_last_over_time", "ts_of_first_over_time"):
+        ext = "max" if fn == "ts_of_last_over_time" else "min"
+        sql = f"SELECT t, job, inst, {ext}(ts) / 1000.0 AS v FROM ({base}) " \
               f"GROUP BY t, job, inst"
     else:
         order = "value DESC" if fn == "ts_of_max_over_time" else "value ASC"

@@ -163,6 +163,7 @@ _OVER_TIME = {
     # branch upstream), and NaN candidates never beat a real extreme (the
     # ~isnan(x) mask — Spark would otherwise order NaN above every double).
     "ts_of_last_over_time": lambda arr: F.element_at(arr, -1)["o"].cast(D) / 1000.0,
+    "ts_of_first_over_time": lambda arr: F.element_at(arr, 1)["o"].cast(D) / 1000.0,
     "ts_of_max_over_time": lambda arr: _fold_ts_of(arr, "max"),
     "ts_of_min_over_time": lambda arr: _fold_ts_of(arr, "min"),
 }

@@ -440,6 +440,10 @@ def gen_overtime() -> str:
         lines.append(f"eval instant at {t // 1000}s ts_of_last_over_time(g[90s])")
         lines.append(f"\t{{}} {fmt(w[-1][0] / 1000)}")
         lines.append("")
+        lines.append(f"eval instant at {t // 1000}s "
+                     "ts_of_first_over_time(g[90s])")
+        lines.append(f"\t{{}} {fmt(w[0][0] / 1000)}")
+        lines.append("")
     return "\n".join(lines)
 
 
@@ -2458,6 +2462,11 @@ def gen_time_vec() -> str:
     for k in ts:
         lines.append(f"\t{{d=\"{k}\"}} 400")
     lines.append("")
+    lines.append("eval instant at 505s "
+                 "ts_of_first_over_time(dt[60s] offset 100s)")
+    for k in ts:
+        lines.append(f"\t{{d=\"{k}\"}} 350")
+    lines.append("")
     lines.append("eval instant at 505s timestamp(dt @ 250)")
     for k in ts:
         lines.append(f"\t{{d=\"{k}\"}} 250")
@@ -3353,7 +3362,8 @@ def gen_hist_overtime() -> str:
     for expr, vals in (
             ("count_over_time(m[4m])", (3.0, 3.0, 3.0)),
             ("present_over_time(m[4m])", (1.0, 1.0, 1.0)),
-            ("ts_of_last_over_time(m[4m])", (120.0, 120.0, 120.0))):
+            ("ts_of_last_over_time(m[4m])", (120.0, 120.0, 120.0)),
+            ("ts_of_first_over_time(m[4m])", (0.0, 0.0, 0.0))):
         lines.append(f"eval instant at 3m {expr}")
         for c_, v in zip(("both", "h", "f"), vals):
             lines.append(f"\t{{c=\"{c_}\"}} {fmt(v)}")
