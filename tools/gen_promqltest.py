@@ -2474,6 +2474,80 @@ def gen_time_vec() -> str:
     return "\n".join(lines)
 
 
+def gen_ts_of_subq() -> str:
+    """ts_of_* through SUBQUERIES x offset x @: subquery points carry the
+    inner GRID timestamps (upstream engine.go — the inner evaluator's step
+    times, not the raw sample times), and the ts_of family must expose
+    those timestamps in the OUTER frame under offset/@ re-anchoring.
+    Expected values from an independent inner-grid walk (ceil-aligned
+    absolute multiples of the inner step, left-open outer window,
+    lookback-carried inner points)."""
+    S = 1000
+    n = 6
+    vals_m = [float(i) for i in range(n)]          # monotonic
+    vals_v = [3.0, 2.0, 1.0, 0.5, 1.5, 2.5]        # v-shaped
+    sams = {"m": [(i * 60 * S, vals_m[i]) for i in range(n)],
+            "vv": [(i * 60 * S, vals_v[i]) for i in range(n)]}
+    LOOK = 300_000
+
+    def inner_points(name, te, R, ss):
+        pts = []
+        lo = te - R
+        pt = -((-lo) // ss) * ss      # ceil to a multiple of ss
+        while pt <= te:
+            if pt > lo:               # left-open outer window
+                win = [(ts, v) for ts, v in sams[name]
+                       if pt - LOOK < ts <= pt]
+                if win:
+                    pts.append((pt, win[-1][1]))
+            pt += ss
+        return pts
+
+    def expect(fn, pts):
+        assert pts, fn
+        if fn == "ts_of_last_over_time":
+            return pts[-1][0]
+        if fn == "ts_of_first_over_time":
+            return pts[0][0]
+        if fn == "ts_of_max_over_time":      # last tied extreme wins
+            return max(pts, key=lambda pv: (pv[1], pv[0]))[0]
+        return min(pts, key=lambda pv: (pv[1], -pv[0]))[0]
+
+    lines = ["# GENERATED by tools/gen_promqltest.py — ts_of_* through",
+             "# subqueries x offset x @ (inner grid timestamps exposed in",
+             "# the outer frame; independent grid-walk expectations).",
+             "", "load 1m"]
+    lines.append("\tm " + " ".join(fmt(v) for v in vals_m))
+    lines.append("\tvv " + " ".join(fmt(v) for v in vals_v))
+    lines.append("")
+    R, ss = 240_000, 60_000
+    fns = ["ts_of_first_over_time", "ts_of_last_over_time",
+           "ts_of_max_over_time", "ts_of_min_over_time"]
+    mods = [("", lambda t: t),
+            (" offset 2m", lambda t: t - 120_000),
+            (" @ 240", lambda t: 240_000),
+            (" offset 1m @ 270", lambda t: 270_000 - 60_000)]
+    t = 300_000
+    for name in ("m", "vv"):
+        for fn in fns:
+            for mod, te_of in mods:
+                want = expect(fn, inner_points(name, te_of(t), R, ss))
+                lines.append(f"eval instant at {t // 1000}s "
+                             f"{fn}({name}[4m:1m]{mod})")
+                lines.append(f"\t{{}} {fmt(want / 1000)}")
+                lines.append("")
+    for name in ("m", "vv"):
+        for fn in fns[:2]:
+            for mod, te_of in mods[:2]:
+                wants = [expect(fn, inner_points(name, te_of(tt), R, ss))
+                         for tt in (240_000, 270_000, 300_000)]
+                lines.append("eval range from 240s to 300s step 30s "
+                             f"{fn}({name}[4m:1m]{mod})")
+                lines.append("\t{} " + " ".join(fmt(w / 1000) for w in wants))
+                lines.append("")
+    return "\n".join(lines)
+
+
 def gen_scalar_fns() -> str:
     """scalar() cardinality rules (1 series → value, else NaN), vector(),
     and absent() equality-matcher label decoration."""
@@ -3433,6 +3507,7 @@ FILES = {
     "gen_subquery2.test": gen_subquery2,
     "gen_time_vec.test": gen_time_vec,
     "gen_scalar_fns.test": gen_scalar_fns,
+    "gen_ts_of_subq.test": gen_ts_of_subq,
 }
 
 
