@@ -243,3 +243,56 @@ def test_native_histogram_binop_differential(spark):
                         f"{probe % shape} {j}: got {g}, want {want}")
     assert not failures, (f"{len(failures)} divergences:\n"
                           + "\n".join(failures[:15]))
+
+
+def test_native_histogram_agg_differential(spark):
+    """sum/avg/count grouped aggregations over native histograms vs the
+    Python merge oracle (upstream aggregations fold FloatHistogram.Add
+    bucket-wise; avg scales the merged histogram by 1/n; count emits a
+    FLOAT).  Randomized group memberships — the corpus pins fixed cases,
+    this pins the fold against arbitrary bucket layouts."""
+    import functools
+
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    rng = random.Random(909009)
+    hists = _gen(rng, 18)
+    ordered = sorted(hists.items())
+    rows = [({"__name__": "hm", "job": j, "g": f"g{i % 3}"}, T0, {"hist": h})
+            for i, (j, h) in enumerate(ordered)]
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True)
+    groups = {}
+    for i, (_j, h) in enumerate(ordered):
+        groups.setdefault(f"g{i % 3}", []).append(h)
+
+    def collect_g(promql):
+        res = eng.query_instant(promql, T0 + 1000)
+        return {dict(r["labels"]).get("g"): r["value"]
+                for r in res.df.collect()}
+
+    failures = []
+    probes = [("histogram_count(%s)", lambda h: h[0]),
+              ("histogram_sum(%s)", lambda h: h[1]),
+              ("histogram_quantile(0.5, %s)",
+               lambda h: o_quantile(0.5, h[0], h[2]))]
+    for agg, fold in (
+            ("sum by (g) (hm)",
+             lambda hs: functools.reduce(o_merge, hs)),
+            ("avg by (g) (hm)",
+             lambda hs: o_scale(functools.reduce(o_merge, hs),
+                                1.0 / len(hs)))):
+        for probe, extract in probes:
+            got = collect_g(probe % f"({agg})")
+            for g, hs in groups.items():
+                want = extract(fold(hs))
+                gv = got.get(g)
+                if gv is None or not _close(gv, want):
+                    failures.append(
+                        f"{probe % agg} {g}: got {gv}, want {want}")
+    got = collect_g("count by (g) (hm)")
+    for g, hs in groups.items():
+        if not _close(got.get(g), float(len(hs))):
+            failures.append(f"count by (g) {g}: got {got.get(g)}, "
+                            f"want {len(hs)}")
+    assert not failures, (f"{len(failures)} divergences:\n"
+                          + "\n".join(failures[:15]))
