@@ -4,6 +4,7 @@ api/http/query.go:194-277,536-564) driven through a real socket."""
 from __future__ import annotations
 
 import json
+import re
 import urllib.request
 
 import pytest
@@ -463,3 +464,34 @@ def test_default_metadata_row_quota(spark, sf_dir):
     api_off = QueryAPI(eng, default_metadata_row_quota=0)
     vals4, _ = api_off.label_values("shard", None, t0, t1)
     assert len(vals4) == len(vals3)
+
+
+def test_internal_api_endpoints(server):
+    """Reference cmd/config.go:183-191 internal API: /-/healthy and
+    /-/ready answer plain "OK"; /metrics exposes request/error counters
+    in Prometheus text exposition format (shared port here — the
+    reference uses a second listener, one process either way)."""
+    import urllib.error
+
+    for path in ("/-/healthy", "/-/ready"):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}{path}") as r:
+            assert r.status == 200
+            assert r.read() == b"OK"
+
+    # drive one success and one error, then read the counters back
+    _get(server, "/api/v1/query?query=sum(m)&time=40")
+    try:
+        _get(server, "/api/v1/query?query=sum(m&time=40")  # parse error
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics") as r:
+        assert r.status == 200
+        assert "version=0.0.4" in r.headers["Content-Type"]
+        text = r.read().decode()
+    assert "# TYPE pqg_http_requests_total counter" in text
+    m = re.search(r'pqg_http_requests_total\{endpoint="/api/v1/query"\} '
+                  r'(\d+)', text)
+    assert m and int(m.group(1)) >= 2
+    assert re.search(r'pqg_http_errors_total\{type="execution"\} \d+', text)

@@ -398,6 +398,18 @@ class PromHTTPServer:
                             label_values_row_quota=label_values_row_quota,
                             default_metadata_row_quota=default_metadata_row_quota)
         api = self.api
+        # Internal-API surface (reference cmd/config.go:183-191 serves
+        # /-/healthy, /-/ready and /metrics on a separate internal port;
+        # here they share the query port — one listener in-process).
+        # Counters are plain ints under a lock, rendered in Prometheus
+        # text exposition format by /metrics.
+        self._counters: dict[tuple[str, str], int] = {}
+        self._counters_lock = threading.Lock()
+        counters, counters_lock = self._counters, self._counters_lock
+
+        def _count(name: str, label: str) -> None:
+            with counters_lock:
+                counters[(name, label)] = counters.get((name, label), 0) + 1
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -427,9 +439,45 @@ class PromHTTPServer:
             def do_GET(self):  # noqa: N802
                 self.do_POST()
 
+            def _send_text(self, body: bytes, code: int = 200,
+                           ctype: str = "text/plain; charset=utf-8"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_POST(self):  # noqa: N802
                 try:
                     u = urlparse(self.path)
+                    if u.path in ("/-/healthy", "/-/ready"):
+                        # reference cmd/config.go:183-191: plain "OK"
+                        self._send_text(b"OK")
+                        return
+                    if u.path == "/metrics":
+                        with counters_lock:
+                            items = sorted(counters.items())
+                        lines = [
+                            "# HELP pqg_http_requests_total HTTP requests "
+                            "by endpoint.",
+                            "# TYPE pqg_http_requests_total counter"]
+                        lines += [
+                            f'pqg_http_requests_total{{endpoint="{lb}"}} {v}'
+                            for (name, lb), v in items
+                            if name == "requests"]
+                        lines += [
+                            "# HELP pqg_http_errors_total HTTP error "
+                            "responses by type.",
+                            "# TYPE pqg_http_errors_total counter"]
+                        lines += [
+                            f'pqg_http_errors_total{{type="{lb}"}} {v}'
+                            for (name, lb), v in items if name == "errors"]
+                        self._send_text(("\n".join(lines) + "\n").encode(),
+                                        ctype="text/plain; version=0.0.4; "
+                                              "charset=utf-8")
+                        return
+                    if u.path.startswith("/api/"):
+                        _count("requests", u.path)
                     qs = parse_qs(u.query)
                     if self.headers.get("Content-Length"):
                         n = int(self.headers["Content-Length"])
@@ -495,10 +543,12 @@ class PromHTTPServer:
                 except QuotaExceeded as e:
                     # reference maps resource-exhausted to HTTP 400 with
                     # errorType=resource_exhausted (api/http/query.go:188,216)
+                    _count("errors", "resource_exhausted")
                     self._send({"status": "error",
                                 "errorType": "resource_exhausted",
                                 "error": str(e)}, 400)
                 except Exception as e:  # noqa: BLE001
+                    _count("errors", "execution")
                     self._send({"status": "error", "errorType": "execution",
                                 "error": str(e)}, 422)
 
