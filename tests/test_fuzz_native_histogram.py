@@ -296,3 +296,78 @@ def test_native_histogram_agg_differential(spark):
                             f"want {len(hs)}")
     assert not failures, (f"{len(failures)} divergences:\n"
                           + "\n".join(failures[:15]))
+
+
+def test_native_histogram_rate_differential(spark):
+    """rate/increase over monotone native-histogram counters vs the
+    Python extrapolation oracle (upstream extrapolatedRate: bucket-wise
+    delta scaled by the extrapolated-window factor; the zero-clamp
+    branch is guarded by len(samples.Floats) > 0 so it does NOT apply
+    to histogram samples).  Randomized layouts/spacings — the corpus
+    pins fixed reset/boundary cases, this pins the factor arithmetic."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    rng = random.Random(515099)
+    series = {}
+    rows = []
+    for i in range(8):
+        k = rng.randrange(2, 5)
+        les = sorted(rng.sample(BOUNDS, k)) + [INF]
+        counts = [float(rng.randrange(0, 4)) for _ in les]
+        total = round(rng.uniform(0, 10), 3)
+        pts = []
+        t0 = rng.choice([0, 30_000])
+        for step in range(6):
+            ts = t0 + step * 60_000
+            pts.append((ts, (sum(counts), total, list(zip(les, counts)))))
+            counts = [cc + rng.randrange(0, 5) for cc in counts]
+            total = round(total + rng.uniform(0, 8), 3)
+        series[f"j{i}"] = pts
+        rows += [({"__name__": "hm", "job": f"j{i}"}, ts, {"hist": h})
+                 for ts, h in pts]
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                       deterministic=True)
+
+    def oracle(pts, t, w_ms, is_rate):
+        lo, hi = t - w_ms, t
+        win = [(ts, h) for ts, h in pts if lo < ts <= hi]
+        if len(win) < 2:
+            return None
+        (t1, h1), (t2, h2) = win[0], win[-1]
+        delta = o_merge(h2, h1, -1.0)
+        dur_start = (t1 - lo) / 1000.0
+        dur_end = (hi - t2) / 1000.0
+        sampled = (t2 - t1) / 1000.0
+        avg = sampled / (len(win) - 1)
+        if dur_start >= avg * 1.1:
+            dur_start = avg / 2
+        if dur_end >= avg * 1.1:
+            dur_end = avg / 2
+        factor = (sampled + dur_start + dur_end) / sampled
+        if is_rate:
+            factor /= w_ms / 1000.0
+        return o_scale(delta, factor)
+
+    failures = []
+    T = 310_000
+    for w_s in (150, 240, 310):
+        for fn, is_rate in (("rate", True), ("increase", False)):
+            for probe, extract in (
+                    ("histogram_count(%s)", lambda h: h[0]),
+                    ("histogram_sum(%s)", lambda h: h[1]),
+                    ("histogram_quantile(0.7, %s)",
+                     lambda h: o_quantile(0.7, h[0], h[2]))):
+                q = probe % f"{fn}(hm[{w_s}s])"
+                res = eng.query_instant(q, T)
+                got = {dict(r["labels"])["job"]: r["value"]
+                       for r in res.df.collect()}
+                for j, pts in series.items():
+                    want_h = oracle(pts, T, w_s * 1000, is_rate)
+                    want = None if want_h is None else extract(want_h)
+                    g = got.get(j)
+                    if want is None:
+                        if g is not None:
+                            failures.append(f"{q} {j}: got {g}, want absent")
+                    elif g is None or not _close(g, want):
+                        failures.append(f"{q} {j}: got {g}, want {want}")
+    assert not failures, (f"{len(failures)} divergences:\n"
+                          + "\n".join(failures[:15]))
