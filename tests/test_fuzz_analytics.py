@@ -24,6 +24,7 @@ so this is the same gate the driver runs, pointed at adversarial data.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import pandas as pd
@@ -45,7 +46,7 @@ DAY = 86_400_000
 HOUR = 3_600_000
 BASE = 1_704_067_200_000  # 2024-01-01 UTC, matches the testdata epoch era
 
-N_CORPORA = 25
+N_CORPORA = int(os.environ.get("FUZZ_N_CORPORA", "25"))
 
 
 def _gen_corpus(seed: int) -> pd.DataFrame:

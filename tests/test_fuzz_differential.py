@@ -13,6 +13,7 @@ the expectation comes from a different query engine.
 from __future__ import annotations
 
 import math
+import os
 import random
 
 import pytest
@@ -710,7 +711,7 @@ SHAPES = [_shape_selector, _shape_agg, _shape_quantile, _shape_arith,
           _shape_ts_of, _shape_duration_expr, _shape_param_scalar,
           _shape_at, _shape_absent, _shape_changes_resets, _shape_deriv]
 
-N_QUERIES = 300
+N_QUERIES = int(os.environ.get("FUZZ_N_QUERIES", "300"))
 
 
 def _norm(rows, label_cols):
@@ -872,7 +873,7 @@ def _rshape_rate(rng, start, end, step):
 
 RSHAPES = [_rshape_selector, _rshape_agg, _rshape_over_time, _rshape_rate,
            _rshape_ts_of]
-N_RANGE_QUERIES = 60
+N_RANGE_QUERIES = int(os.environ.get("FUZZ_N_RANGE", "60"))
 
 
 # ------------------------------------------ range modifiers (offset / @)
@@ -1017,7 +1018,7 @@ def _rshape_subquery_range(rng, start, end, step):
 
 MOD_RSHAPES = [_rshape_selector_mod, _rshape_over_time_mod,
                _rshape_rate_mod, _rshape_subquery_range]
-N_MODIFIER_QUERIES = 80
+N_MODIFIER_QUERIES = int(os.environ.get("FUZZ_N_MODIFIER", "80"))
 
 
 def _spark_range_result(eng, promql, start, end, step):
@@ -1192,7 +1193,7 @@ def _compose_tree(rng, t):
             f"SELECT {sqlagg} AS v FROM ({node[1]}) HAVING count(*) > 0")
 
 
-N_COMPOSED = 140
+N_COMPOSED = int(os.environ.get("FUZZ_N_COMPOSED", "140"))
 
 
 def test_differential_fuzz_composed(corpus):
@@ -1272,7 +1273,7 @@ def _rcompose_tree(rng, start, end, step):
     return node
 
 
-N_RCOMPOSED = 50
+N_RCOMPOSED = int(os.environ.get("FUZZ_N_RCOMPOSED", "50"))
 
 
 def test_differential_fuzz_range_composed(corpus):
