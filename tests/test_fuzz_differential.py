@@ -1232,7 +1232,12 @@ def test_differential_fuzz_composed(corpus):
 # exposes (t, job, inst, v), combinators join/group per step, so nested
 # trees are verified at EVERY grid point against the lockstep DuckDB grid.
 
-_RCOMPOSE_LEAVES = [_rshape_selector, _rshape_over_time, _rshape_rate]
+# modifier/subquery shapes compose too: they expose the same
+# (t, job, inst, v) node schema, so offset/@/subquery leaves get fuzzed
+# INSIDE nested trees (agg-over-binop-of-offset-rate etc.)
+_RCOMPOSE_LEAVES = [_rshape_selector, _rshape_over_time, _rshape_rate,
+                    _rshape_selector_mod, _rshape_over_time_mod,
+                    _rshape_rate_mod, _rshape_subquery_range]
 
 
 def _rcompose_vector(rng, start, end, step, depth):
