@@ -1114,3 +1114,49 @@ def test_conformant_peer_skips_nhcb_private_enum(spark):
     (t, h), = got["exp"]
     assert (t, h["count"], h["sum"], h["schema"]) == (10 * S, 7.0, 11.5, 0)
     assert h["buckets"] == hexp[2]
+
+
+def test_send_headers_splits_continuation_frames():
+    """RFC 7540 §4.2/§6.10: a header block larger than the peer's
+    SETTINGS_MAX_FRAME_SIZE must be sent as HEADERS + CONTINUATION
+    frames (one oversized frame is a FRAME_SIZE_ERROR connection kill) —
+    END_STREAM on the HEADERS frame, END_HEADERS only on the final
+    CONTINUATION, every payload within the limit, and the concatenated
+    block HPACK-decodes to the original headers."""
+    import socket
+
+    from thanos_parquet_gateway_spark.api import h2, hpack
+
+    a, b = socket.socketpair()
+    sender, receiver = h2.Conn(a), h2.Conn(b)
+    sender.max_frame = 2048  # as if the peer advertised a small limit
+    big = "x" * 9000  # plain literal > 4 frames at 2048
+    headers = [(":status", "200"), ("grpc-status-message", big),
+               ("content-type", "application/grpc")]
+    sender.send_headers(1, headers, end_stream=True)
+
+    frames = []
+    while True:
+        ftype, flags, sid, data = receiver.read_frame()
+        frames.append((ftype, flags, sid, data))
+        if ftype in (h2.HEADERS, h2.CONTINUATION) and \
+                flags & h2.FLAG_END_HEADERS:
+            break
+    assert len(frames) >= 3
+    assert frames[0][0] == h2.HEADERS
+    assert frames[0][1] & h2.FLAG_END_STREAM
+    assert not frames[0][1] & h2.FLAG_END_HEADERS
+    for ftype, flags, sid, data in frames[1:]:
+        assert ftype == h2.CONTINUATION and sid == 1
+    for _ftype, _flags, _sid, data in frames:
+        assert len(data) <= 2048
+    assert all(not f[1] & h2.FLAG_END_HEADERS for f in frames[:-1])
+    block = b"".join(f[3] for f in frames)
+    assert hpack.Decoder().decode(block) == headers
+
+    # small blocks still go out as ONE HEADERS frame with END_HEADERS
+    sender.send_headers(3, [(":status", "200")])
+    ftype, flags, sid, data = receiver.read_frame()
+    assert (ftype, sid) == (h2.HEADERS, 3)
+    assert flags & h2.FLAG_END_HEADERS and not flags & h2.FLAG_END_STREAM
+    a.close(); b.close()

@@ -195,13 +195,31 @@ class Conn:
     # --------------------------------------------------------- sending
     def send_headers(self, stream_id: int, headers: list[tuple[str, str]],
                      end_stream: bool = False) -> None:
-        flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
+        es = FLAG_END_STREAM if end_stream else 0
         with self.wlock:
             # encode INSIDE the write lock: the HPACK dynamic table and the
             # on-wire HEADERS order must agree when handler threads
             # interleave responses on one connection
             block = self.henc.encode(headers)
-            self.sock.sendall(pack_frame(HEADERS, flags, stream_id, block))
+            limit = self.max_frame
+            if len(block) <= limit:
+                self.sock.sendall(pack_frame(HEADERS, FLAG_END_HEADERS | es,
+                                             stream_id, block))
+                return
+            # RFC 7540 §4.2: a frame above SETTINGS_MAX_FRAME_SIZE is a
+            # FRAME_SIZE_ERROR connection error — an oversized block (e.g.
+            # a long grpc-status-message) must continue in CONTINUATION
+            # frames (§6.10): END_STREAM on the HEADERS frame, END_HEADERS
+            # only on the final CONTINUATION, all sent back-to-back under
+            # the write lock (§4.3: no interleaving on the connection)
+            chunks = [block[i:i + limit]
+                      for i in range(0, len(block), limit)]
+            out = [pack_frame(HEADERS, es, stream_id, chunks[0])]
+            out += [pack_frame(CONTINUATION, 0, stream_id, c)
+                    for c in chunks[1:-1]]
+            out.append(pack_frame(CONTINUATION, FLAG_END_HEADERS,
+                                  stream_id, chunks[-1]))
+            self.sock.sendall(b"".join(out))
 
     def _acquire_send_quota(self, stream_id: int, want: int) -> int:
         """Block until the peer's connection AND stream windows admit at
