@@ -1160,3 +1160,31 @@ def test_send_headers_splits_continuation_frames():
     assert (ftype, sid) == (h2.HEADERS, 3)
     assert flags & h2.FLAG_END_HEADERS and not flags & h2.FLAG_END_STREAM
     a.close(); b.close()
+
+
+def test_settings_max_frame_size_range_enforced():
+    """RFC 7540 §6.5.2: SETTINGS_MAX_FRAME_SIZE outside 2^14..2^24-1 is a
+    PROTOCOL_ERROR — and a tiny value would break the CONTINUATION
+    chunker, so the conn fails loud instead of mis-framing."""
+    import socket
+    import struct
+
+    import pytest
+
+    from thanos_parquet_gateway_spark.api import h2
+
+    for bad in (0, 100, 16_383, 16_777_216):
+        a, b = socket.socketpair()
+        conn = h2.Conn(a)
+        payload = struct.pack(">HI", h2.SETTINGS_MAX_FRAME_SIZE, bad)
+        with pytest.raises(h2.H2Error, match="6.5.2"):
+            conn.handle_settings(0, payload)
+        a.close(); b.close()
+    # boundary values are accepted
+    for ok in (16_384, 16_777_215):
+        a, b = socket.socketpair()
+        conn = h2.Conn(a)
+        conn.handle_settings(0, struct.pack(
+            ">HI", h2.SETTINGS_MAX_FRAME_SIZE, ok))
+        assert conn.max_frame == ok
+        a.close(); b.close()

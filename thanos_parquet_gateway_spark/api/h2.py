@@ -137,6 +137,13 @@ class Conn:
         for off in range(0, len(payload) - 5, 6):
             ident, value = struct.unpack(">HI", payload[off:off + 6])
             if ident == SETTINGS_MAX_FRAME_SIZE:
+                # §6.5.2: legal range is 2^14..2^24-1; outside it is a
+                # PROTOCOL_ERROR.  Accepting a tiny/zero value would also
+                # break the CONTINUATION chunker (step 0) and the DATA
+                # quota loop, so fail loud like the zero-increment case.
+                if not 16_384 <= value <= 16_777_215:
+                    raise H2Error(f"SETTINGS_MAX_FRAME_SIZE {value} outside "
+                                  "2^14..2^24-1 (RFC 7540 §6.5.2)")
                 self.max_frame = value
             elif ident == SETTINGS_INITIAL_WINDOW_SIZE:
                 # §6.9.2: adjusts every open stream's SEND window by the
