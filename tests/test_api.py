@@ -495,3 +495,49 @@ def test_internal_api_endpoints(server):
                   r'(\d+)', text)
     assert m and int(m.group(1)) >= 2
     assert re.search(r'pqg_http_errors_total\{type="execution"\} \d+', text)
+
+
+def test_metrics_endpoint_cardinality_and_escaping(server):
+    """/metrics must not echo raw client paths as label values: arbitrary
+    /api/* paths (404s, label-values names, quote/backslash injection)
+    collapse into bounded buckets so a scraper can't be corrupted and the
+    counter map can't grow without bound on a long-running server."""
+    import urllib.error
+    import urllib.parse
+
+    # a 404 path with exposition-hostile characters, and two distinct
+    # dynamic label-values paths
+    hostile = "/api/x" + urllib.parse.quote('"y\\z')
+    for path in (hostile, "/api/v1/label/aaa/values",
+                 "/api/v1/label/bbb/values", "/api/nope1", "/api/nope2"):
+        try:
+            _get(server, path)
+        except urllib.error.HTTPError as e:
+            assert e.code in (404, 422)
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics") as r:
+        text = r.read().decode()
+    # raw paths never appear; dynamic + unknown paths share fixed buckets
+    assert "x\"y" not in text and "nope1" not in text and "aaa" not in text
+    m = re.search(
+        r'pqg_http_requests_total\{endpoint="/api/v1/label/:name/values"\}'
+        r' (\d+)', text)
+    assert m and int(m.group(1)) >= 2
+    m = re.search(r'pqg_http_requests_total\{endpoint="other"\} (\d+)', text)
+    assert m and int(m.group(1)) >= 3
+    # every exposed label value is exposition-clean
+    for val in re.findall(r'\{[a-z]+="([^"]*)"\}', text):
+        assert '"' not in val and "\\" not in val and "\n" not in val
+
+
+def test_internal_endpoints_drain_post_body(server):
+    """/-/healthy, /-/ready and /metrics must read the request body before
+    responding — unread Content-Length bytes become a request-smuggling
+    desync if the server is ever switched to HTTP/1.1 keep-alive."""
+    body = b"x" * 70000  # larger than one drain chunk
+    for path in ("/-/healthy", "/-/ready", "/metrics"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}", data=body)
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            r.read()

@@ -121,6 +121,22 @@ def test_adaptive_buckets_scales_with_estimate(spark):
         FakeDF([100 * (1 << 40)], sess)) == _PHASE0_BUCKETS
 
 
+def test_adaptive_buckets_private_api_still_works(spark, sf_dir):
+    """Pin the private-API probe itself (operators/topk.py uses
+    ``df._jdf.queryExecution().analyzed().collectLeaves()`` +
+    ``stats().sizeInBytes()``).  The except-path fallback is SAFE but
+    silently disables adaptive fusing; this test exercises the exact
+    py4j chain directly so a Spark upgrade that changes any link fails
+    LOUDLY here instead of degrading every top-k plan unnoticed."""
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    assert leaves.size() >= 1, "collectLeaves() shape changed"
+    est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
+              for i in range(leaves.size()))
+    # a parquet scan always carries a finite positive catalog estimate
+    assert 0 < est < (1 << 62), f"sizeInBytes() shape changed: {est}"
+
+
 def test_adaptive_buckets_fails_closed_without_stats(spark):
     """If the JVM stats probe throws, keep the safe full sub-bucketing:
     wrong-but-safe beats unbounded collect_list buffers."""

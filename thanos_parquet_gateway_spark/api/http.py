@@ -411,6 +411,28 @@ class PromHTTPServer:
             with counters_lock:
                 counters[(name, label)] = counters.get((name, label), 0) + 1
 
+        # Known-endpoint buckets only: counting raw client paths would let
+        # arbitrary /api/* strings (404s, arbitrary label names) grow the
+        # counter map without bound on a long-running server, and a path
+        # containing ``"`` / ``\`` / newline would corrupt the exposition
+        # output for every scraper thereafter.  Dynamic label-values paths
+        # collapse to one bucket; everything else is endpoint="other".
+        _ENDPOINTS = frozenset((
+            "/api/v1/query", "/api/v1/query_range", "/api/v1/format_query",
+            "/api/v1/parse_query", "/api/v1/series", "/api/v1/labels"))
+
+        def _endpoint_bucket(path: str) -> str:
+            if path in _ENDPOINTS:
+                return path
+            if path.startswith("/api/v1/label/") and path.endswith("/values"):
+                return "/api/v1/label/:name/values"
+            return "other"
+
+        def _esc_label(v: str) -> str:
+            # Prometheus text exposition escaping for label values
+            return (v.replace("\\", r"\\").replace('"', r"\"")
+                     .replace("\n", r"\n"))
+
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
@@ -450,6 +472,19 @@ class PromHTTPServer:
             def do_POST(self):  # noqa: N802
                 try:
                     u = urlparse(self.path)
+                    if u.path in ("/-/healthy", "/-/ready", "/metrics"):
+                        # Drain any request body BEFORE responding: leaving
+                        # Content-Length bytes unread is harmless on
+                        # HTTP/1.0 (no keep-alive) but becomes a
+                        # request-desync if protocol_version is ever
+                        # bumped to HTTP/1.1.
+                        if self.headers.get("Content-Length"):
+                            remaining = int(self.headers["Content-Length"])
+                            while remaining > 0:
+                                chunk = self.rfile.read(min(remaining, 65536))
+                                if not chunk:
+                                    break
+                                remaining -= len(chunk)
                     if u.path in ("/-/healthy", "/-/ready"):
                         # reference cmd/config.go:183-191: plain "OK"
                         self._send_text(b"OK")
@@ -462,7 +497,8 @@ class PromHTTPServer:
                             "by endpoint.",
                             "# TYPE pqg_http_requests_total counter"]
                         lines += [
-                            f'pqg_http_requests_total{{endpoint="{lb}"}} {v}'
+                            f'pqg_http_requests_total'
+                            f'{{endpoint="{_esc_label(lb)}"}} {v}'
                             for (name, lb), v in items
                             if name == "requests"]
                         lines += [
@@ -470,14 +506,15 @@ class PromHTTPServer:
                             "responses by type.",
                             "# TYPE pqg_http_errors_total counter"]
                         lines += [
-                            f'pqg_http_errors_total{{type="{lb}"}} {v}'
+                            f'pqg_http_errors_total'
+                            f'{{type="{_esc_label(lb)}"}} {v}'
                             for (name, lb), v in items if name == "errors"]
                         self._send_text(("\n".join(lines) + "\n").encode(),
                                         ctype="text/plain; version=0.0.4; "
                                               "charset=utf-8")
                         return
                     if u.path.startswith("/api/"):
-                        _count("requests", u.path)
+                        _count("requests", _endpoint_bucket(u.path))
                     qs = parse_qs(u.query)
                     if self.headers.get("Content-Length"):
                         n = int(self.headers["Content-Length"])

@@ -3547,14 +3547,16 @@ ranked AS (
 SELECT t, "user",
        CAST(max(CASE WHEN rmax = 1 THEN ts END) AS DOUBLE) / 1000.0 AS ts_max_s,
        CAST(max(CASE WHEN rmin = 1 THEN ts END) AS DOUBLE) / 1000.0 AS ts_min_s,
-       CAST(max(ts) AS DOUBLE) / 1000.0 AS ts_last_s
+       CAST(max(ts) AS DOUBLE) / 1000.0 AS ts_last_s,
+       CAST(min(ts) AS DOUBLE) / 1000.0 AS ts_first_s
 FROM ranked GROUP BY t, "user"
 """)
 def promql_ts_of(spark, sf_dir):
-    """ts_of_{{max,min,last}}_over_time (experimental Prometheus 3.x):
-    timestamp in seconds of the window extreme/last sample; tied extremes
-    resolve to the LAST occurrence in (ts, value) sort order, which the
-    oracle expresses as max_by/min_by over row(value, ±ts)."""
+    """ts_of_{{max,min,last,first}}_over_time (experimental Prometheus
+    3.x): timestamp in seconds of the window extreme/last/first sample;
+    tied extremes resolve to the LAST occurrence in (ts, value) sort
+    order, which the oracle expresses as max_by/min_by over
+    row(value, ±ts); first is simply the earliest sample timestamp."""
     eng = _engine(spark, sf_dir)
     def one(q, alias):
         return (eng.query_range(q, R_START, R_END, STEP).df
@@ -3563,7 +3565,9 @@ def promql_ts_of(spark, sf_dir):
     mx = one("ts_of_max_over_time(purchase[2d])", "ts_max_s")
     mn = one("ts_of_min_over_time(purchase[2d])", "ts_min_s")
     lst = one("ts_of_last_over_time(purchase[2d])", "ts_last_s")
-    return mx.join(mn, ["t", "user"]).join(lst, ["t", "user"])
+    fst = one("ts_of_first_over_time(purchase[2d])", "ts_first_s")
+    return (mx.join(mn, ["t", "user"]).join(lst, ["t", "user"])
+              .join(fst, ["t", "user"]))
 
 
 @q("promql_info", f"""
