@@ -258,6 +258,44 @@ def test_query_annotations(server):
     assert "warnings" not in out and "infos" not in out
 
 
+def test_mixed_range_ignored_histograms_info(spark):
+    """HistogramIgnoredInMixedRangeInfo surfaces through the v1 API: a
+    hist-IGNORING over_time fn (upstream functions.go funcMinOverTime et
+    al.) over a window holding BOTH floats and histograms must carry the
+    'ignored histograms' info annotation in the top-level "infos" array
+    (corpus coverage: gen_hist_overtime.test:75-140)."""
+    import urllib.parse
+    import urllib.request
+
+    from tests.conftest import make_samples
+    from thanos_parquet_gateway_spark.api import PromHTTPServer
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    inf = float("inf")
+    h = (6.0, 9.0, [(0.0, 1.0), (1.0, 2.0), (4.0, 3.0), (inf, 0.0)], 0)
+    rows = [({"__name__": "mm", "job": "a"}, 10 * S, 2.5),
+            ({"__name__": "mm", "job": "a"}, 20 * S, {"hist": h}),
+            ({"__name__": "mm", "job": "a"}, 30 * S, 4.5)]
+    eng = PromQLEngine(make_samples(spark, rows), lookback_ms=60 * S,
+                       deterministic=True)
+    srv = PromHTTPServer(eng, port=0)
+    srv.serve_background()
+    try:
+        for fn in ("min_over_time", "max_over_time", "stddev_over_time",
+                   "quantile_over_time(0.5, mm[40s])"):
+            q = fn if "(" in fn else f"{fn}(mm[40s])"
+            out = _get(srv, "/api/v1/query?query="
+                            f"{urllib.parse.quote(q)}&time=35")
+            assert out["status"] == "success", q
+            assert any("ignored histograms in a range containing both "
+                       "floats and histograms" in i
+                       for i in out.get("infos", [])), q
+            # the float fold still produced the row (histograms dropped)
+            assert len(out["data"]["result"]) == 1, q
+    finally:
+        srv.shutdown()
+
+
 def test_parse_query_endpoint(server):
     import urllib.parse
     q = urllib.parse.quote('sum by (job) (rate(m{job="a"}[5m] @ end())) > bool 2')
