@@ -9,6 +9,8 @@ this environment, so byte-compat is proven against the spec itself.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from thanos_parquet_gateway_spark.convert import sidecar_pb as pb
 
 
@@ -145,3 +147,68 @@ def test_streaming_convert_sidecar_refresh(spark, tmp_path):
     assert meta["version"] == C.SCHEMA_VERSION and meta["shards"] >= 1
     assert meta["mint"] == 1704067200000
     assert meta["maxt"] == 1704067200000 + 86_400_000
+
+
+def test_sidecars_on_uri_out_path(spark, sf_dir, tmp_path):
+    """Object-store-safe sidecar I/O (fsio): the whole conversion +
+    sidecar + retention flow over an EXPLICIT ``file:`` URI out_path.
+    Under the old pathlib implementation every sidecar write silently
+    no-op'd on a scheme-qualified path (``Path('file:/x')`` is a relative
+    dir named 'file:'), so each assertion here fails on a local-FS-only
+    regression; on a real deployment the same calls hit s3a/gs through
+    the identical Hadoop FileSystem route (reference bucket client,
+    locate/bucket.go:37-105)."""
+    import datetime as dt
+
+    from thanos_parquet_gateway_spark.convert import convert as C
+    from thanos_parquet_gateway_spark.convert import fsio
+    from thanos_parquet_gateway_spark.convert import retention as R
+    from thanos_parquet_gateway_spark.convert.convert import (
+        convert_streams,
+        read_stream_descriptors,
+    )
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    out = "file:" + str(tmp_path / "uri_table")
+    raw = samples_from_events(spark, sf_dir).limit(4000)
+    user = F.element_at("labels", "user").cast("long")
+    manifest = convert_streams(
+        {"a": raw.filter(user % 2 == 0), "b": raw.filter(user % 2 == 1)},
+        out, ext_labels={"a": {"replica": "a"}, "b": {"replica": "b"}})
+    rows = manifest.collect()
+    assert rows
+
+    # meta.pb written + readable through the Hadoop FS route
+    r0 = rows[0]
+    meta = C.read_block_meta(out, r0["stream"], r0["date"], spark)
+    assert meta["version"] == C.SCHEMA_VERSION
+    assert meta["shards"] >= 1  # shard counting keyed on qualified URIs
+    assert meta["mint"] <= r0["mint"] <= r0["maxt"] < meta["maxt"]
+
+    # stream.pb sidecars exist under the URI path
+    assert read_stream_descriptors(spark, out) == {
+        "a": {"replica": "a"}, "b": {"replica": "b"}}
+    for s in ("a", "b"):
+        assert fsio.exists(fsio.join(out, f"stream={s}", pb.STREAM_FILE),
+                           spark)
+
+    # two-phase retention: markers written + discovered + swept, all on
+    # the URI path
+    dates = sorted({r["date"] for r in rows})
+    oldest = dt.datetime.strptime(dates[0], "%Y-%m-%d") \
+        .replace(tzinfo=dt.timezone.utc)
+    now_ms = int((oldest.timestamp() + 2.5 * 86400) * 1000)
+    marked = R.mark_for_deletion(manifest, retention_days=1, now_ms=now_ms,
+                                 table_path=out)
+    n_marked = marked.filter("deleted_at IS NOT NULL").count()
+    assert n_marked >= 1
+    found = R.deletion_marked(out, spark)
+    assert len(found) == n_marked
+    raw_marker = fsio.read_bytes(
+        fsio.join(out, f"stream={found[0][0]}", f"date={found[0][1]}",
+                  pb.DELETION_MARKER_FILE), spark)
+    assert pb.decode_deletion_mark(raw_marker) == {"reason": "retention"}
+    deleted = R.apply_retention(marked, out,
+                                now_ms=now_ms + R.CONSISTENCY_DELAY_MS + 1)
+    assert len(deleted) == n_marked
+    assert R.deletion_marked(out, spark) == []

@@ -23,7 +23,6 @@ write streamed to a bucket.  In Spark the whole thing is ONE declarative job
 
 from __future__ import annotations
 
-from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -117,19 +116,25 @@ def write_block_sidecars(spark, out_path: str, manifest_rows) -> None:
     import datetime as _dt
     from collections import Counter
 
+    from thanos_parquet_gateway_spark.convert import fsio
+
+    # inputFiles() returns qualified URIs; qualify the manifest-derived
+    # block dirs the same way so the shard counts key consistently on
+    # file:, s3a:, gs:, ... (fsio docstring — this used to strip a
+    # hardcoded "file:" prefix and was local-FS-only)
     shard_count: Counter = Counter()
     for f in spark.read.parquet(out_path).inputFiles():
-        p = Path(f.removeprefix("file:"))
-        shard_count[str(p.parent)] += 1
+        shard_count[fsio.parent(f, spark)] += 1
     for r in manifest_rows:
-        d = Path(out_path) / f"stream={r['stream']}" / f"date={r['date']}"
+        d = fsio.join(out_path, f"stream={r['stream']}", f"date={r['date']}")
+        dq = fsio.qualified(d, spark)
         day0 = int(_dt.datetime.strptime(r["date"], "%Y-%m-%d")
                    .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
         meta = sidecar_pb.encode_metadata(
             mint=day0, maxt=day0 + 86_400_000,
-            shards=shard_count.get(str(d), 0), version=SCHEMA_VERSION)
-        if d.is_dir():
-            (d / sidecar_pb.META_FILE).write_bytes(meta)
+            shards=shard_count.get(dq, 0), version=SCHEMA_VERSION)
+        if fsio.is_dir(d, spark):
+            fsio.write_bytes(fsio.join(d, sidecar_pb.META_FILE), meta, spark)
 
 
 def refresh_sidecars(spark, out_path: str) -> DataFrame:
@@ -142,10 +147,12 @@ def refresh_sidecars(spark, out_path: str) -> DataFrame:
     return _finish_conversion(spark, out_path)
 
 
-def read_block_meta(out_path: str, stream: str, date: str) -> dict:
-    p = (Path(out_path) / f"stream={stream}" / f"date={date}"
-         / sidecar_pb.META_FILE)
-    return sidecar_pb.decode_metadata(p.read_bytes())
+def read_block_meta(out_path: str, stream: str, date: str,
+                    spark=None) -> dict:
+    from thanos_parquet_gateway_spark.convert import fsio
+    p = fsio.join(out_path, f"stream={stream}", f"date={date}",
+                  sidecar_pb.META_FILE)
+    return sidecar_pb.decode_metadata(fsio.read_bytes(p, spark))
 
 
 def _manifest_from_written(spark, out_path: str) -> DataFrame:
@@ -228,14 +235,15 @@ def write_stream_descriptors(spark, out_path: str,
     per stream, (stream, labels map) — plus the reference's own wire format
     (streampb.StreamDescriptor, convert/convert.go:154) as stream.pb in
     each stream's prefix for cross-tool compatibility."""
+    from thanos_parquet_gateway_spark.convert import fsio
     rows = [(s, ls) for s, ls in sorted(ext_labels.items())]
     (spark.createDataFrame(rows, "stream string, labels map<string,string>")
      .coalesce(1).write.mode("overwrite").parquet(f"{out_path}/_streams"))
     for s, ls in sorted(ext_labels.items()):
-        d = Path(out_path) / f"stream={s}"
-        d.mkdir(parents=True, exist_ok=True)
-        (d / sidecar_pb.STREAM_FILE).write_bytes(
-            sidecar_pb.encode_stream_descriptor(ls))
+        d = fsio.join(out_path, f"stream={s}")
+        fsio.mkdirs(d, spark)
+        fsio.write_bytes(fsio.join(d, sidecar_pb.STREAM_FILE),
+                         sidecar_pb.encode_stream_descriptor(ls), spark)
 
 
 def read_stream_descriptors(spark, out_path: str) -> dict[str, dict[str, str]]:
