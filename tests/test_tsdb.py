@@ -1,0 +1,251 @@
+"""Prometheus TSDB block reader (sources/tsdb.py) against hand-built
+fixture blocks (sources/tsdb_writer.py) — B1 parity (the reference reads
+blocks via tsdb.NewBlockChunkSeriesSet, convert/convert.go:353-396).
+
+Structural byte-layout invariants are asserted directly against the
+public format docs (tsdb/docs/format/*.md) so a symmetric reader/writer
+misreading can't hide behind roundtrip symmetry for: magics, versions,
+TOC placement, CRC32C values, 16-byte series alignment, symbol table
+ordering, and zigzag varints.  Full foreign-interop (a Prometheus-
+written block) is on the networked-round checklist (tests/NOTES.md).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from thanos_parquet_gateway_spark.sources import tsdb
+from thanos_parquet_gateway_spark.sources.tsdb_writer import write_block
+
+
+def _mkseries():
+    return [
+        ({"__name__": "up", "job": "a"},
+         [(1000 * i, float(i)) for i in range(300)]),
+        ({"__name__": "up", "job": "b"},
+         [(1000 * i, 2.5 * i) for i in range(5)]),
+        ({"__name__": "http_reqs", "job": "a", "code": "200"},
+         [(500 + 250 * i, float(i * i)) for i in range(130)]),
+    ]
+
+
+@pytest.fixture()
+def block(tmp_path):
+    d = str(tmp_path / "block")
+    info = write_block(d, _mkseries())
+    return d, info
+
+
+# ------------------------------------------------------------ low level
+def test_varint_encodings():
+    """Golden byte values straight from the LEB128 / zigzag definitions."""
+    out = bytearray()
+    tsdb.put_uvarint(out, 300)
+    assert bytes(out) == b"\xac\x02"
+    assert tsdb.uvarint(bytes(out), 0) == (300, 2)
+    out = bytearray()
+    tsdb.put_varint(out, -3)  # zigzag(-3) = 5
+    assert bytes(out) == b"\x05"
+    assert tsdb.varint(b"\x05", 0) == (-3, 1)
+    out = bytearray()
+    tsdb.put_varint(out, 3)  # zigzag(3) = 6
+    assert bytes(out) == b"\x06"
+
+
+def test_crc32c_known_vector():
+    # RFC 3720 B.4: CRC32C of 32 zero bytes
+    assert tsdb.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert tsdb.crc32c(b"123456789") == 0xE3069283  # classic check value
+
+
+def test_on_disk_structure(block):
+    """Magics/versions/TOC per the public format docs."""
+    d, info = block
+    idx_bytes = open(f"{d}/index", "rb").read()
+    assert struct.unpack_from(">I", idx_bytes, 0)[0] == 0xBAAAD700
+    assert idx_bytes[4] == 2
+    toc = idx_bytes[-52:]
+    assert tsdb.crc32c(toc[:48]) == struct.unpack(">I", toc[48:])[0]
+    seg = open(f"{d}/chunks/000001", "rb").read()
+    assert struct.unpack_from(">I", seg, 0)[0] == 0x85BD40DD
+    assert seg[4] == 1 and seg[5:8] == b"\x00\x00\x00"
+    tomb = open(f"{d}/tombstones", "rb").read()
+    assert struct.unpack_from(">I", tomb, 0)[0] == 0x0130BA30
+    assert tomb[4] == 1
+    # series refs point at 16-byte-aligned entries (ref = offset/16)
+    idx = tsdb.read_index(d)
+    assert idx.all_postings() == sorted(info["series_refs"])
+    # symbols sorted lexicographically, refs = ordinals
+    assert idx.symbols == sorted(idx.symbols)
+    assert set(idx.symbols) == {"__name__", "up", "http_reqs", "job", "a",
+                                "b", "code", "200"}
+
+
+def test_index_series_entries(block):
+    d, _ = block
+    idx = tsdb.read_index(d)
+    got = {}
+    for r in idx.all_postings():
+        labels, chunks = idx.series(r)
+        got[tuple(sorted(labels.items()))] = chunks
+    want_sets = {tuple(sorted(ls.items())) for ls, _ in _mkseries()}
+    assert set(got) == want_sets
+    # chunk metas: 300 samples at 120/chunk -> 3 chunks with exact bounds
+    up_a = got[(("__name__", "up"), ("job", "a"))]
+    assert len(up_a) == 3
+    assert up_a[0][1:] == (0, 119_000)
+    assert up_a[1][1:] == (120_000, 239_000)
+    assert up_a[2][1:] == (240_000, 299_000)
+    # per-(name,value) postings exist alongside the all-postings key
+    entries = dict(((n, v), off)
+                   for n, v, off in idx.postings_offset_entries())
+    assert ("", "") in entries and ("job", "a") in entries
+    job_a = idx.postings(entries[("job", "a")])
+    assert len(job_a) == 2 and job_a == sorted(job_a)
+
+
+def test_checksums_fail_loudly(block, tmp_path):
+    d, info = block
+    # corrupt one byte inside the first chunk's data
+    seg_path = f"{d}/chunks/000001"
+    seg = bytearray(open(seg_path, "rb").read())
+    seg[12] ^= 0xFF
+    open(seg_path, "wb").write(seg)
+    work = tsdb.block_chunk_work(d)
+    first = min(work, key=lambda w: w["offset"])
+    buf = open(seg_path, "rb").read()
+    with pytest.raises(ValueError, match="checksum"):
+        tsdb._parse_chunk_at(buf, first["offset"], verify_crc=True)
+    # corrupt the index TOC
+    idx_path = f"{d}/index"
+    idx = bytearray(open(idx_path, "rb").read())
+    idx[-10] ^= 0xFF
+    open(idx_path, "wb").write(idx)
+    with pytest.raises(ValueError, match="TOC checksum"):
+        tsdb.read_index(d)
+
+
+def test_unsupported_versions_fail_loudly(tmp_path):
+    d = tmp_path / "b"
+    d.mkdir()
+    (d / "index").write_bytes(
+        struct.pack(">IB", 0xBAAAD700, 1) + b"\x00" * 60)
+    with pytest.raises(ValueError, match="version 1"):
+        tsdb.read_index(str(d))
+    (d / "index").write_bytes(struct.pack(">I", 0xDEAD) + b"\x00" * 60)
+    with pytest.raises(ValueError, match="magic"):
+        tsdb.read_index(str(d))
+
+
+# --------------------------------------------------------------- reading
+def test_block_roundtrip_exact(spark, block):
+    d, _ = block
+    rows = tsdb.tsdb_block_samples(spark, d).collect()
+    got = sorted((tuple(sorted(dict(r["labels"]).items())),
+                  r["ts"], r["value"]) for r in rows)
+    want = sorted((tuple(sorted(ls.items())), t, v)
+                  for ls, ss in _mkseries() for t, v in ss)
+    assert got == want  # bit-exact XOR roundtrip, no row lost or invented
+
+
+def test_tombstones_applied(spark, tmp_path):
+    d = str(tmp_path / "block")
+    # sorted series order: http_reqs.., up/a, up/b -> up/b is position 2
+    write_block(d, _mkseries(),
+                tombstones={2: [(1000, 2000)],        # partial intervals
+                            0: [(0, 10_000_000)]})    # whole series
+    assert tsdb.read_tombstones(d)  # parse side
+    # whole-chunk-deleted work rows never reach executors
+    work = tsdb.block_chunk_work(d)
+    assert all(dict(w["labels"])["__name__"] != "http_reqs" for w in work)
+    rows = tsdb.tsdb_block_samples(spark, d).collect()
+    got = {(dict(r["labels"])["job"], r["ts"]) for r in rows}
+    assert ("b", 1000) not in got and ("b", 2000) not in got
+    assert ("b", 0) in got and ("b", 3000) in got
+    assert not any(j == "a" and dict == "http_reqs" for j, _ in got)
+    assert len(rows) == 300 + (5 - 2)  # up/a intact, up/b minus 2, no http
+
+
+def test_stale_nan_maps_to_null(spark, tmp_path):
+    """Prometheus staleness markers (NaN payload 0x7ff0000000000002)
+    become value IS NULL — the long format's staleness encoding
+    (schema.py); ordinary NaNs stay NaN."""
+    stale = struct.unpack(">d", struct.pack(">Q", 0x7FF0000000000002))[0]
+    d = str(tmp_path / "block")
+    write_block(d, [({"__name__": "m"},
+                     [(0, 1.0), (1000, stale), (2000, float("nan")),
+                      (3000, 2.0)])])
+    rows = {r["ts"]: r["value"]
+            for r in tsdb.tsdb_block_samples(spark, d).collect()}
+    assert rows[0] == 1.0 and rows[3000] == 2.0
+    assert rows[1000] is None
+    import math
+    assert math.isnan(rows[2000])
+
+
+def test_histogram_chunks_decode(spark, tmp_path):
+    """Float-histogram chunks (enc 3) surface as engine-model hist
+    structs (count/sum/le-buckets/schema), same mapping the gRPC Series
+    path uses."""
+    h = [{"count": 4.0 + i, "zero_count": 1.0, "sum": 10.0 + i,
+          "schema": 0, "zero_threshold": 0.0,
+          "pos": [(1, 2.0 + i), (2, 1.0)], "neg": []}
+         for i in range(3)]
+    d = str(tmp_path / "block")
+    write_block(d, [({"__name__": "hm"},
+                     [(1000 * (i + 1), hi) for i, hi in enumerate(h)])])
+    rows = sorted(tsdb.tsdb_block_samples(spark, d).collect(),
+                  key=lambda r: r["ts"])
+    assert len(rows) == 3
+    for i, r in enumerate(rows):
+        assert r["hist"] is not None
+        assert r["hist"]["count"] == 4.0 + i
+        assert r["hist"]["sum"] == 10.0 + i
+        assert r["hist"]["schema"] == 0
+        les = {b["le"]: b["count"] for b in r["hist"]["buckets"]}
+        # schema 0 -> base 2: pos idx 1 covers (1,2], idx 2 covers (2,4]
+        assert les[0.0] == 1.0 and les[2.0] == 2.0 + i and les[4.0] == 1.0
+
+
+def test_empty_block(spark, tmp_path):
+    d = str(tmp_path / "block")
+    write_block(d, [])
+    assert tsdb.tsdb_block_samples(spark, d).count() == 0
+
+
+def test_meta_json(block):
+    d, _ = block
+    meta = tsdb.read_block_meta_json(d)
+    assert meta["version"] == 1
+    assert meta["minTime"] == 0 and meta["maxTime"] == 299_001
+    assert meta["stats"]["numSeries"] == 3
+    assert meta["stats"]["numSamples"] == 435
+
+
+# ------------------------------------------------------------ end-to-end
+def test_convert_tsdb_block_e2e(spark, tmp_path):
+    """Block dir → partitioned samples table → PromQL query: the full B1
+    path the reference runs (convert/convert.go:353-396 feeding the same
+    conversion pipeline)."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    day = 1704067200000  # 2024-01-01
+    d = str(tmp_path / "block")
+    write_block(d, [
+        ({"__name__": "up", "job": "a"},
+         [(day + 60_000 * i, float(i)) for i in range(100)]),
+        ({"__name__": "up", "job": "b"},
+         [(day + 90_000_000 + 60_000 * i, 10.0 * i) for i in range(50)]),
+    ])
+    out = str(tmp_path / "table")
+    manifest = tsdb.convert_tsdb_block(spark, d, out)
+    got = {(r["stream"], r["date"]): r["n_samples"]
+           for r in manifest.collect()}
+    assert got == {("0", "2024-01-01"): 100, ("0", "2024-01-02"): 50}
+    conv = spark.read.parquet(out)
+    eng = PromQLEngine(conv, lookback_ms=600_000, deterministic=True)
+    res = eng.query_instant("sum by (job) (up)", day + 10 * 60_000)
+    vals = {dict(r["labels"])["job"]: r["value"] for r in res.df.collect()}
+    assert vals == {"a": 10.0}  # job=b starts the next day

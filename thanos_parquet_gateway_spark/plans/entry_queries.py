@@ -2626,6 +2626,72 @@ def convert_manifest(spark, sf_dir):
                  F.count("*").alias("n_samples")))
 
 
+_TSDB_BLOCK_CACHE: dict[str, str] = {}
+
+
+def _tsdb_fixture_block(spark, sf_dir: str) -> str:
+    """Deterministically materialize the events table as a real Prometheus
+    TSDB block (index v2 + XOR chunks + tombstones + meta.json) in /tmp —
+    the differential input for convert_tsdb_block.  Duplicate (series, ts)
+    samples collapse to max(value), the only TSDB-legal shape that is also
+    expressible in the oracle SQL.  Driver-side on the small SF the
+    correctness gate runs at; the READ side is the distributed path under
+    test."""
+    if sf_dir in _TSDB_BLOCK_CACHE:
+        return _TSDB_BLOCK_CACHE[sf_dir]
+    import tempfile
+
+    from thanos_parquet_gateway_spark.sources.tsdb_writer import write_block
+
+    rows = (samples_from_events(spark, sf_dir)
+            .groupBy(F.element_at("labels", "__name__").alias("name"),
+                     F.element_at("labels", "user").alias("user"),
+                     F.element_at("labels", "shard").alias("shard"), "ts")
+            .agg(F.max("value").alias("value"))
+            .collect())
+    series: dict[tuple, list] = {}
+    for r in rows:
+        series.setdefault((r["name"], r["user"], r["shard"]), []) \
+              .append((r["ts"], r["value"]))
+    block = tempfile.mkdtemp(prefix="tsdb_fixture_") + "/block"
+    write_block(block, [
+        ({"__name__": n, "user": u, "shard": s}, sorted(samples))
+        for (n, u, s), samples in sorted(series.items())])
+    _TSDB_BLOCK_CACHE[sf_dir] = block
+    return block
+
+
+@q("convert_tsdb_block", """
+WITH s AS (
+    SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+           epoch_ms(ts) AS ts, max(value) AS value
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT name, "user", count(*) AS n,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       min(value) AS v_min, max(value) AS v_max
+FROM s GROUP BY name, "user"
+""")
+def convert_tsdb_block(spark, sf_dir):
+    """B1 parity: native Prometheus TSDB-block ingestion
+    (sources/tsdb.py; reference convert/convert.go:353-396 via
+    tsdb.NewBlockChunkSeriesSet).  The events table is written into a
+    REAL block dir (driver-side fixture), read back through the
+    distributed index/chunks/tombstones decoder, and compared sample-
+    exactly (count + ts/value extremes are float-fold-order-free) against
+    SQL over the original rows — so a decode that loses, invents, or
+    corrupts any sample hash-mismatches."""
+    from thanos_parquet_gateway_spark.sources.tsdb import tsdb_block_samples
+    block = _tsdb_fixture_block(spark, sf_dir)
+    df = tsdb_block_samples(spark, block)
+    return (df.groupBy(F.element_at("labels", "__name__").alias("name"),
+                       F.element_at("labels", "user").alias("user"))
+            .agg(F.count("*").alias("n"),
+                 F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max"),
+                 F.min("value").alias("v_min"),
+                 F.max("value").alias("v_max")))
+
+
 # =====================================================================
 # PromQL surface widening: modifiers, subqueries, vector matching,
 # rate-family siblings, math/time/label functions (SURVEY.md §2.C)
