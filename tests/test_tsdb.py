@@ -249,3 +249,91 @@ def test_convert_tsdb_block_e2e(spark, tmp_path):
     res = eng.query_instant("sum by (job) (up)", day + 10 * 60_000)
     vals = {dict(r["labels"])["job"]: r["value"] for r in res.df.collect()}
     assert vals == {"a": 10.0}  # job=b starts the next day
+
+
+# -------------------------------------------- discovery / planning / CLI
+def test_discover_blocks_and_multi_block_union(spark, tmp_path):
+    root = tmp_path / "blocks"
+    day = 1704067200000
+    write_block(str(root / "01BLOCKA"),
+                [({"__name__": "m", "job": "a"},
+                  [(day + 1000 * i, float(i)) for i in range(10)])])
+    write_block(str(root / "01BLOCKB"),
+                [({"__name__": "m", "job": "b"},
+                  [(day + 1000 * i, 2.0 * i) for i in range(10)])])
+    (root / "not_a_block").mkdir()
+    found = tsdb.discover_blocks(str(root))
+    assert [b.rsplit("/", 1)[1] for b in found] == ["01BLOCKA", "01BLOCKB"]
+    # src itself being a block
+    assert tsdb.discover_blocks(str(root / "01BLOCKA")) == \
+        [str(root / "01BLOCKA")]
+    rows = tsdb.tsdb_samples(spark, str(root)).collect()
+    assert len(rows) == 20
+    assert {dict(r["labels"])["job"] for r in rows} == {"a", "b"}
+
+
+def test_chunk_range_pruning(spark, tmp_path):
+    """[min_ms, max_ms) prunes chunks at the index metas (no data read)
+    and trims boundary chunks exactly."""
+    d = str(tmp_path / "block")
+    # 300 samples @1s -> 3 chunks: [0,119s], [120s,239s], [240s,299s]
+    write_block(d, [({"__name__": "m"},
+                     [(1000 * i, float(i)) for i in range(300)])])
+    all_work = tsdb.block_chunk_work(d)
+    assert len(all_work) == 3
+    pruned = tsdb.block_chunk_work(d, min_ms=130_000, max_ms=200_000)
+    assert len(pruned) == 1 and pruned[0]["mint"] == 120_000
+    rows = tsdb.tsdb_block_samples(
+        spark, d, min_ms=130_000, max_ms=200_000).collect()
+    assert sorted(r["ts"] for r in rows) == \
+        [1000 * i for i in range(130, 200)]
+    # block-level skip: meta window disjoint from the request
+    assert tsdb.tsdb_samples(spark, d, min_ms=10**12).count() == 0
+
+
+def test_tsdb_source_days(spark, tmp_path):
+    """Planner coverage straight from meta.json — day rows with clipped
+    bounds, consumable by convert.planner.plan_days."""
+    from thanos_parquet_gateway_spark.convert.planner import plan_days
+
+    day = 1704067200000  # 2024-01-01
+    d = str(tmp_path / "blocks" / "01B")
+    # samples span 1.5 days
+    write_block(d, [({"__name__": "m"},
+                     [(day + 60_000 * i, float(i)) for i in range(2160)])])
+    src = tsdb.tsdb_source_days(spark, str(tmp_path / "blocks"))
+    got = {r["date"]: (r["mint"], r["maxt"]) for r in src.collect()}
+    assert set(got) == {"2024-01-01", "2024-01-02"}
+    assert got["2024-01-01"] == (day, day + 86_400_000 - 1)
+    # maxTime in meta is exclusive: maxt clips to last covered ms
+    assert got["2024-01-02"][0] == day + 86_400_000
+    # plan_days consumes it: day 2 is partial -> dropped as newest
+    plan = plan_days(src, None)
+    assert [r["date"] for r in plan.collect()] == ["2024-01-01"]
+
+
+def test_cli_convert_tsdb_source(spark, tmp_path):
+    """`convert --src-format tsdb` ingests a block dir end-to-end: plans
+    from metas, decodes only planned days, and the converted table
+    answers PromQL like the block contents."""
+    from thanos_parquet_gateway_spark.cli import main
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    day = 1704067200000
+    blocks = tmp_path / "blocks"
+    # two full days + a partial third (planner drops the partial newest)
+    write_block(str(blocks / "01B"), [
+        ({"__name__": "up", "job": "a"},
+         [(day + 60_000 * i, float(i)) for i in range(2 * 1440 + 10)]),
+    ])
+    dst = str(tmp_path / "conv")
+    assert main(["convert", "--src", str(blocks), "--src-format", "tsdb",
+                 "--dst", dst]) == 0
+    import glob as _glob
+    days = sorted(p.split("date=")[-1]
+                  for p in _glob.glob(f"{dst}/stream=0/date=*"))
+    assert days == ["2024-01-01", "2024-01-02"]
+    eng = PromQLEngine(spark.read.parquet(dst), lookback_ms=600_000,
+                       deterministic=True)
+    res = eng.query_instant("up", day + 100 * 60_000).df.collect()
+    assert len(res) == 1 and res[0]["value"] == 100.0

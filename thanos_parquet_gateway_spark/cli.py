@@ -118,6 +118,12 @@ def cmd_query(args) -> int:
     return 0
 
 
+def _date_ms(date: str) -> int:
+    import datetime as _dt
+    return int(_dt.datetime.strptime(date, "%Y-%m-%d")
+               .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+
+
 def cmd_convert(args) -> int:
     import time
 
@@ -131,12 +137,22 @@ def cmd_convert(args) -> int:
     from thanos_parquet_gateway_spark.convert.planner import plan_days, source_days
 
     spark = get_spark("convert")
-    raw = spark.read.parquet(args.src)
+    tsdb_src = getattr(args, "src_format", "parquet") == "tsdb"
+    if tsdb_src:
+        # native Prometheus block ingestion (B1, reference
+        # convert/convert.go:353-396): plan straight from block metas —
+        # no chunk I/O at plan time
+        from thanos_parquet_gateway_spark.sources import tsdb as _tsdb
+        src_cov = _tsdb.tsdb_source_days(spark, args.src)
+        raw = None
+    else:
+        raw = spark.read.parquet(args.src)
+        src_cov = source_days(raw)
     try:
         existing = read_manifest(spark, args.dst)
     except Exception:  # noqa: BLE001 — first conversion, no manifest yet
         existing = None
-    plan = plan_days(source_days(raw), existing, max_days=args.max_plan_days)
+    plan = plan_days(src_cov, existing, max_days=args.max_plan_days)
     days = [r["date"] for r in plan.collect()]
     if args.grace_period_ms:
         # reference convert.grace-period: skip days younger than the cutoff
@@ -147,6 +163,13 @@ def cmd_convert(args) -> int:
     print(f"planned days: {sorted(days)}")
     if not days:
         return 0
+    if tsdb_src:
+        # decode only the planned window: chunk-range pruning happens at
+        # the index metas, boundary chunks are trimmed exactly
+        day_ms = [(_date_ms(d), _date_ms(d) + 86_400_000) for d in days]
+        raw = _tsdb.tsdb_samples(spark, args.src,
+                                 min_ms=min(a for a, _ in day_ms),
+                                 max_ms=max(b for _, b in day_ms))
     date_col = F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
     manifest = convert_samples(
         raw.filter(date_col.isin(days)), args.dst,
@@ -238,6 +261,11 @@ def main(argv: list[str] | None = None) -> int:
                        "stream/date-partitioned layout (reference cmd/convert.go)")
     c.add_argument("--src", required=True)
     c.add_argument("--dst", required=True)
+    c.add_argument("--src-format", choices=("parquet", "tsdb"),
+                   default="parquet",
+                   help="source kind: raw samples parquet, or a dir of "
+                   "Prometheus TSDB blocks (native B1 ingestion, "
+                   "reference convert/convert.go:353-396)")
     c.add_argument("--grace-period-ms", type=int, default=0,
                    help="don't convert days younger than this "
                    "(reference convert.grace-period)")

@@ -314,13 +314,35 @@ def _parse_chunk_at(buf: bytes, pos: int,
     return enc, data, end
 
 
+# ------------------------------------------------------ block discovery
+def discover_blocks(src: str) -> list[str]:
+    """Block dirs under ``src`` (reference locate/discover.go: a block is
+    a ULID dir carrying meta.json).  ``src`` itself being a block counts.
+    One directory LIST — driver-side, object-store-safe via pyarrow.fs."""
+    from pyarrow import fs as pafs
+    fsys, p = _fs_path(src.rstrip("/"))
+    if fsys.get_file_info(f"{p}/meta.json").type != pafs.FileType.NotFound:
+        return [src.rstrip("/")]
+    out = []
+    for info in fsys.get_file_info(pafs.FileSelector(p)):
+        if info.type == pafs.FileType.Directory and \
+                fsys.get_file_info(f"{info.path}/meta.json").type != \
+                pafs.FileType.NotFound:
+            # keep the caller's scheme/prefix form
+            out.append(f"{src.rstrip('/')}/{info.base_name}")
+    return sorted(out)
+
+
 # --------------------------------------------------- block → samples df
-def block_chunk_work(block_dir: str) -> list[dict]:
+def block_chunk_work(block_dir: str, min_ms: int | None = None,
+                     max_ms: int | None = None) -> list[dict]:
     """Driver-side compile: one work row per live chunk —
     {labels, seg (segment file path), offset, mint, maxt, dranges}.
     Tombstoned intervals ride along; fully-deleted chunks are dropped
     here so executors never fetch them (the reference's tombstone-aware
-    ChunkSeriesSet does the same)."""
+    ChunkSeriesSet does the same), and an optional [min_ms, max_ms) window
+    prunes non-overlapping chunks from the index metas — the reference's
+    chunk-range pruning, no data touched for skipped chunks."""
     block_dir = block_dir.rstrip("/")
     idx = read_index(block_dir)
     stones = read_tombstones(block_dir)
@@ -331,6 +353,10 @@ def block_chunk_work(block_dir: str) -> list[dict]:
         for cref, mint, maxt in chunks:
             if any(dm <= mint and maxt <= dx for dm, dx in dranges):
                 continue  # whole chunk deleted
+            if min_ms is not None and maxt < min_ms:
+                continue
+            if max_ms is not None and mint >= max_ms:
+                continue
             seq, off = cref >> 32, cref & 0xFFFFFFFF
             work.append({
                 "labels": labels,
@@ -349,7 +375,9 @@ _SAMPLES_SCHEMA = ("labels map<string,string>, ts long, value double, "
 
 
 def tsdb_block_samples(spark, block_dir: str,
-                       verify_crc: bool = True):
+                       verify_crc: bool = True,
+                       min_ms: int | None = None,
+                       max_ms: int | None = None):
     """Ingest one TSDB block as a samples DataFrame
     (labels, ts, value, hist) — the input shape convert_samples and the
     PromQL engine take.  See the module docstring for the distribution
@@ -363,7 +391,7 @@ def tsdb_block_samples(spark, block_dir: str,
 
     from pyspark.sql import functions as F
 
-    work = block_chunk_work(block_dir)
+    work = block_chunk_work(block_dir, min_ms, max_ms)
     if not work:
         return spark.createDataFrame([], _SAMPLES_SCHEMA)
     wdf = spark.createDataFrame(
@@ -427,7 +455,13 @@ def tsdb_block_samples(spark, block_dir: str,
                  pa.array(rows["value"], pa.float64()),
                  pa.array(rows["hist"], hist_t)], schema=out_t)
 
-    return wdf.mapInArrow(decode_batches, _SAMPLES_SCHEMA)
+    out = wdf.mapInArrow(decode_batches, _SAMPLES_SCHEMA)
+    # chunk pruning keeps boundary-straddling chunks; trim them exactly
+    if min_ms is not None:
+        out = out.filter(F.col("ts") >= min_ms)
+    if max_ms is not None:
+        out = out.filter(F.col("ts") < max_ms)
+    return out
 
 
 def _read_segment_span(seg: str, start: int, verify_header: bool) -> bytes:
@@ -448,11 +482,61 @@ def _read_segment_span(seg: str, start: int, verify_header: bool) -> bytes:
         return f.read_at(size - start, start)
 
 
+def tsdb_samples(spark, src: str, verify_crc: bool = True,
+                 min_ms: int | None = None, max_ms: int | None = None):
+    """Samples from EVERY block under ``src`` (one block dir or a parent
+    holding several), unioned — overlapping blocks are legal TSDB state
+    and the conversion's dropDuplicates handles the overlap, exactly like
+    the reference's vertical merge over multiple source blocks.  Blocks
+    whose meta.json window misses [min_ms, max_ms) are skipped without
+    opening their index."""
+    dfs = []
+    for b in discover_blocks(src):
+        meta = read_block_meta_json(b)
+        if min_ms is not None and meta.get("maxTime", 1 << 62) <= min_ms:
+            continue
+        if max_ms is not None and meta.get("minTime", 0) >= max_ms:
+            continue
+        dfs.append(tsdb_block_samples(spark, b, verify_crc, min_ms, max_ms))
+    if not dfs:
+        return spark.createDataFrame([], _SAMPLES_SCHEMA)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def tsdb_source_days(spark, src: str):
+    """Planner source coverage straight from block META files — one tiny
+    JSON read per block, NO index or chunk I/O at plan time (the
+    reference plans from block metas the same way, convert/plan.go:41-178).
+    Returns the (stream, date, mint, maxt) shape convert.planner.plan_days
+    consumes."""
+    import datetime as _dt
+    day_ms = 86_400_000
+    rows = []
+    for b in discover_blocks(src):
+        meta = read_block_meta_json(b)
+        mint, maxt = int(meta["minTime"]), int(meta["maxTime"])  # [mint, maxt)
+        day = mint - mint % day_ms
+        while day < maxt:
+            date = _dt.datetime.fromtimestamp(
+                day / 1000, tz=_dt.timezone.utc).strftime("%Y-%m-%d")
+            rows.append((date, max(mint, day),
+                         min(maxt - 1, day + day_ms - 1)))
+            day += day_ms
+    df = spark.createDataFrame(rows or [], "date string, mint long, maxt long")
+    from pyspark.sql import functions as F
+    return (df.groupBy("date")
+            .agg(F.min("mint").alias("mint"), F.max("maxt").alias("maxt"))
+            .withColumn("stream", F.lit("0")))
+
+
 def convert_tsdb_block(spark, block_dir: str, out_path: str, *,
                        stream: str = "0", **kwargs):
     """End-to-end B1 parity: Prometheus block dir → the partitioned
     samples table (reference convert/convert.go:353-396 feeding the same
     conversion pipeline).  Returns the conversion manifest."""
     from thanos_parquet_gateway_spark.convert.convert import convert_samples
-    samples = tsdb_block_samples(spark, block_dir)
+    samples = tsdb_samples(spark, block_dir)
     return convert_samples(samples, out_path, stream=stream, **kwargs)
