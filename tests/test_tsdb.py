@@ -337,3 +337,27 @@ def test_cli_convert_tsdb_source(spark, tmp_path):
                        deterministic=True)
     res = eng.query_instant("up", day + 100 * 60_000).df.collect()
     assert len(res) == 1 and res[0]["value"] == 100.0
+
+
+def test_multi_segment_chunk_refs(spark, tmp_path):
+    """Chunk refs pack (segment sequence << 32) | offset; segment files
+    are 1-based (000001...) while the sequence is 0-based — the exact
+    mapping tsdb/chunks.go uses.  A tiny max_segment_bytes forces several
+    segments and the reader must follow refs across all of them."""
+    d = str(tmp_path / "block")
+    series = [({"__name__": "m", "i": str(i)},
+               [(1000 * j, float(i * 1000 + j)) for j in range(150)])
+              for i in range(4)]
+    write_block(d, series, max_segment_bytes=400)
+    import glob as _glob
+    segs = sorted(_glob.glob(f"{d}/chunks/*"))
+    assert len(segs) >= 3
+    assert [s.rsplit("/", 1)[1] for s in segs][:2] == ["000001", "000002"]
+    # index refs actually point into later segments
+    work = tsdb.block_chunk_work(d)
+    assert {w["seg"].rsplit("/", 1)[1] for w in work} == \
+        {s.rsplit("/", 1)[1] for s in segs}
+    rows = tsdb.tsdb_block_samples(spark, d).collect()
+    got = sorted((dict(r["labels"])["i"], r["ts"], r["value"]) for r in rows)
+    want = sorted((ls["i"], t, v) for ls, ss in series for t, v in ss)
+    assert got == want

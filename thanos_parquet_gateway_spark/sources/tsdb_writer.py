@@ -48,13 +48,17 @@ def write_block(block_dir: str,
                 *,
                 tombstones: dict[int, list[tuple[int, int]]] | None = None,
                 max_per_chunk: int = _DEFAULT_CHUNK_SAMPLES,
+                max_segment_bytes: int | None = None,
                 ulid: str = "01TESTFIXTUREBLOCK00000000") -> dict:
     """Write a block from ``[(labels, [(ts_ms, value), ...]), ...]``.
 
     Samples must be ascending per series; series are sorted by label set
     (an index invariant).  ``tombstones`` keys are positions in the
     SORTED series order (0-based) — they are rewritten to the real series
-    refs.  Returns {"series_refs": [...], "mint": m, "maxt": x}.
+    refs.  ``max_segment_bytes`` cuts additional chunks segment files
+    (000002, ...) like Prometheus's 512 MiB segment roll — chunk refs
+    then carry the 0-based segment sequence in their upper 32 bits.
+    Returns {"series_refs": [...], "mint": m, "maxt": x}.
     """
     out = Path(block_dir)
     (out / "chunks").mkdir(parents=True, exist_ok=True)
@@ -69,7 +73,8 @@ def write_block(block_dir: str,
         encode_float_histogram_chunk,
         encode_xor_chunk,
     )
-    seg = bytearray(struct.pack(">IB3x", CHUNKS_MAGIC, CHUNKS_VERSION))
+    _SEG_HDR = struct.pack(">IB3x", CHUNKS_MAGIC, CHUNKS_VERSION)
+    segments: list[bytearray] = [bytearray(_SEG_HDR)]
     chunk_metas: list[list[tuple[int, int, int]]] = []  # per series
     for _labels, samples in series:
         metas = []
@@ -81,7 +86,15 @@ def write_block(block_dir: str,
             else:
                 data = encode_xor_chunk(chunk)
                 enc = 1  # ENC_XOR
-            ref = (0 << 32) | len(seg)  # segment seq 0 == file 000001
+            if (max_segment_bytes is not None
+                    and len(segments[-1]) > len(_SEG_HDR)
+                    and len(segments[-1]) + len(data) + 16
+                        > max_segment_bytes):
+                segments.append(bytearray(_SEG_HDR))  # roll the segment
+            seg = segments[-1]
+            # ref packs (0-based segment sequence << 32) | offset of the
+            # length uvarint; file names are 1-based (%06d)
+            ref = ((len(segments) - 1) << 32) | len(seg)
             put_uvarint(seg, len(data))
             body_start = len(seg)
             seg.append(enc)
@@ -89,7 +102,8 @@ def write_block(block_dir: str,
             seg += struct.pack(">I", crc32c(seg[body_start:]))
             metas.append((ref, chunk[0][0], chunk[-1][0]))
         chunk_metas.append(metas)
-    (out / "chunks" / "000001").write_bytes(seg)
+    for i, seg in enumerate(segments):
+        (out / "chunks" / f"{i + 1:06d}").write_bytes(seg)
 
     # ------------------------------------------------------- index
     buf = bytearray(struct.pack(">IB", INDEX_MAGIC, INDEX_VERSION))
