@@ -111,6 +111,52 @@ def test_byte_quota_admission(spark, sf_dir):
     assert len(api.query("sum(click)", t)["result"]) == 1
 
 
+def test_shard_quota_admission(spark, sf_dir, tmp_path):
+    """Shard-quota parity (reference internal/limits shard quota): a query
+    may touch at most N parquet files, counted AFTER partition pruning —
+    a narrow time window over the partitioned layout passes where a wide
+    one is rejected, proving admission sees the pruned listing and not
+    the table's total file count."""
+    import pytest as _pytest
+
+    from thanos_parquet_gateway_spark.api.http import (
+        QueryAPI,
+        QuotaExceeded,
+        plan_scan_files,
+    )
+    from thanos_parquet_gateway_spark.convert.convert import convert_samples
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    from thanos_parquet_gateway_spark.sources import samples_from_events
+
+    out = str(tmp_path / "table")
+    convert_samples(samples_from_events(spark, sf_dir), out,
+                    max_records_per_file=200)  # many files per day
+    conv = spark.read.parquet(out)
+    total_files = len(conv.inputFiles())
+    assert total_files >= 10
+    eng = PromQLEngine(conv, lookback_ms=86400_000, deterministic=True)
+    t = 1704412800000  # 2024-01-05: 1d lookback prunes to ~2 day-partitions
+
+    # interface pin: the pruned-count probe works on a real plan (a Spark
+    # upgrade changing FileSourceScanExec internals must fail HERE, not
+    # silently disable the quota via the advisory-0 fallback)
+    n_narrow = plan_scan_files(eng.query_instant("sum(click)", t).df)
+    assert 0 < n_narrow < total_files
+
+    api = QueryAPI(eng, shard_quota=n_narrow)
+    assert api.query("sum(click)", t)["result"]  # narrow: admitted
+    # the same query over a 29-day window touches every partition
+    with _pytest.raises(QuotaExceeded, match="shards"):
+        api.query_range("sum(count_over_time(click[5d]))",
+                        1704153600000, 1706572800000, 86400_000)
+    # broken frames degrade to advisory 0 (quota open), never crash
+    class Broken:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no plan")
+    assert plan_scan_files(Broken()) == 0
+
+
 def test_duplicate_labelset_rejected(spark, sf_dir):
     """Prometheus execution error parity: an instant vector with two samples
     sharing one labelset (label_replace collapsing distinct series) is an

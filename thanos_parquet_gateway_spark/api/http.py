@@ -122,6 +122,39 @@ def plan_input_bytes(df) -> int:
         return 0
 
 
+def plan_scan_files(df) -> int:
+    """Post-pruning file count the query would scan, summed over the
+    plan's file scans — the admission analogue of the reference's SHARD
+    quota (a Select may touch at most N parquet shards; the repo's
+    conversion writes ~6M-row shard files, so files ≡ shards here).
+    Driver-side only: reads FileSourceScanExec.selectedPartitions (the
+    pruned listing the scan will use anyway — computed once, cached by
+    the node).  Advisory: returns 0 when the private interface is
+    unavailable (pinned by test_api so a Spark upgrade fails loudly)."""
+    try:
+        def walk(node, out):
+            cls = node.getClass().getSimpleName()
+            if cls.startswith("AdaptiveSparkPlan"):
+                walk(node.initialPlan(), out)  # pre-execution: no stages yet
+                return
+            ch = node.children()
+            if ch.size() == 0:
+                out.append(node)
+                return
+            for i in range(ch.size()):
+                walk(ch.apply(i), out)
+
+        leaves: list = []
+        walk(df._jdf.queryExecution().executedPlan(), leaves)
+        total = 0
+        for leaf in leaves:
+            if leaf.getClass().getSimpleName() == "FileSourceScanExec":
+                total += int(leaf.selectedPartitions().totalNumberOfFiles())
+        return total
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return 0
+
+
 def _walk_leaves(node, out):
     """Collect physical-plan leaves, descending through AQE wrappers
     (AdaptiveSparkPlanExec / *QueryStageExec / ReusedExchangeExec), which
@@ -179,13 +212,16 @@ class QueryAPI:
     """Transport-independent request handlers (unit-testable without HTTP).
 
     ``row_quota`` bounds the rows a single query may materialize to the
-    driver; ``byte_quota`` bounds the estimated input bytes a query may scan.
-    Both reject with QuotaExceeded before shipping oversized work, mirroring
-    the reference's Quota.Reserve admission.
+    driver; ``byte_quota`` bounds the estimated input bytes a query may
+    scan; ``shard_quota`` bounds the post-pruning file count a query may
+    touch (the reference's shard quota).  All reject with QuotaExceeded
+    before shipping oversized work, mirroring the reference's
+    Quota.Reserve admission.
     """
 
     def __init__(self, engine: PromQLEngine, max_concurrent: int = 100,
                  row_quota: int = 0, byte_quota: int = 0,
+                 shard_quota: int = 0,
                  label_names_row_quota: int = 0,
                  label_values_row_quota: int = 0,
                  default_metadata_row_quota: int = DEFAULT_METADATA_ROW_QUOTA):
@@ -193,6 +229,7 @@ class QueryAPI:
         self.sem = threading.Semaphore(max_concurrent)
         self.row_quota = row_quota
         self.byte_quota = byte_quota
+        self.shard_quota = shard_quota
         # per-endpoint metadata quotas, mirroring the reference's
         # LabelNamesRowCountQuota / LabelValuesRowCountQuota options
         # (api/http/query.go:130-140 wired to internal/limits Quota)
@@ -212,6 +249,12 @@ class QueryAPI:
                 raise QuotaExceeded(
                     f"resource exhausted (query would scan ~{est} bytes, "
                     f"quota {self.byte_quota})")
+        if self.shard_quota:
+            n = plan_scan_files(df)
+            if n > self.shard_quota:
+                raise QuotaExceeded(
+                    f"resource exhausted (query would scan {n} shards, "
+                    f"quota {self.shard_quota})")
 
     def _collect(self, df):
         """Collect under the row quota.  Returns (rows, executed_df): scan
@@ -389,11 +432,12 @@ class QueryAPI:
 class PromHTTPServer:
     def __init__(self, engine: PromQLEngine, port: int = 9090,
                  max_concurrent: int = 100, row_quota: int = 0,
-                 byte_quota: int = 0, label_names_row_quota: int = 0,
+                 byte_quota: int = 0, shard_quota: int = 0,
+                 label_names_row_quota: int = 0,
                  label_values_row_quota: int = 0,
                  default_metadata_row_quota: int = DEFAULT_METADATA_ROW_QUOTA):
         self.api = QueryAPI(engine, max_concurrent, row_quota=row_quota,
-                            byte_quota=byte_quota,
+                            byte_quota=byte_quota, shard_quota=shard_quota,
                             label_names_row_quota=label_names_row_quota,
                             label_values_row_quota=label_values_row_quota,
                             default_metadata_row_quota=default_metadata_row_quota)

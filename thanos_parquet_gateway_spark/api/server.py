@@ -40,6 +40,7 @@ class QueryServer:
                  deterministic: bool = False,
                  max_concurrent: int = 100,
                  row_quota: int = 0, byte_quota: int = 0,
+                 shard_quota: int = 0,
                  label_names_row_quota: int = 0,
                  label_values_row_quota: int = 0,
                  default_metadata_row_quota: int | None = None):
@@ -51,6 +52,7 @@ class QueryServer:
         self.max_concurrent = max_concurrent
         self.row_quota = row_quota
         self.byte_quota = byte_quota
+        self.shard_quota = shard_quota
         self.label_names_row_quota = label_names_row_quota
         self.label_values_row_quota = label_values_row_quota
         self.default_metadata_row_quota = default_metadata_row_quota
@@ -90,6 +92,7 @@ class QueryServer:
         api = QueryAPI(eng, self.max_concurrent,
                        row_quota=self.row_quota,
                        byte_quota=self.byte_quota,
+                       shard_quota=self.shard_quota,
                        label_names_row_quota=self.label_names_row_quota,
                        label_values_row_quota=self.label_values_row_quota,
                        **({} if self.default_metadata_row_quota is None else

@@ -63,7 +63,8 @@ def cmd_serve(args) -> int:
     srv = PromHTTPServer(eng, port=args.port,
                          max_concurrent=args.max_concurrent,
                          row_quota=args.max_row_count,
-                         byte_quota=args.max_chunk_bytes)
+                         byte_quota=args.max_chunk_bytes,
+                         shard_quota=args.max_shard_count)
     gsrv = None
     if args.grpc_port is not None:
         # reference serves HTTP and gRPC side by side (cmd/serve.go:60-140)
@@ -77,7 +78,8 @@ def cmd_serve(args) -> int:
                          lookback_ms=args.lookback_ms,
                          max_concurrent=args.max_concurrent,
                          row_quota=args.max_row_count,
-                         byte_quota=args.max_chunk_bytes)
+                         byte_quota=args.max_chunk_bytes,
+                         shard_quota=args.max_shard_count)
         gsrv = ThanosGrpcServer(qs, port=args.grpc_port).start()
     print(f"serving {args.path} on :{srv.port}"
           + (f" grpc :{gsrv.port}" if gsrv else "")
@@ -235,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="query.limits.select.max-row-count (0 = unlimited)")
     s.add_argument("--max-chunk-bytes", type=int, default=0,
                    help="query.limits.select.max-chunk-bytes (0 = unlimited)")
+    s.add_argument("--max-shard-count", type=int, default=0,
+                   help="query.limits.max-shard-count: post-pruning parquet "
+                   "files a query may touch (reference cmd/serve.go:106; "
+                   "0 = unlimited)")
     s.add_argument("--replica-label", action="append",
                    help="replica label to drop+dedup (repeatable)")
     s.add_argument("--external-label", action="append",
