@@ -361,3 +361,109 @@ def test_multi_segment_chunk_refs(spark, tmp_path):
     got = sorted((dict(r["labels"])["i"], r["ts"], r["value"]) for r in rows)
     want = sorted((ls["i"], t, v) for ls, ss in series for t, v in ss)
     assert got == want
+
+
+# ------------------------------------------------------------- fuzz
+def _decode_block_driver_side(d: str) -> list[tuple[tuple, int, object]]:
+    """Pure-Python decode of every live sample in a block (no Spark):
+    the same parse path tsdb_block_samples ships to executors."""
+    out = []
+    bufs: dict[str, bytes] = {}
+    for w in tsdb.block_chunk_work(d):
+        if w["seg"] not in bufs:
+            bufs[w["seg"]] = open(w["seg"], "rb").read()
+        enc, data, _ = tsdb._parse_chunk_at(
+            bufs[w["seg"]], w["offset"], verify_crc=True)
+        deleted = [(x["mint"], x["maxt"]) for x in (w["dranges"] or [])]
+        for t, v in tsdb.decode_chunk(enc, data):
+            if any(dm <= t <= dx for dm, dx in deleted):
+                continue
+            out.append((tuple(sorted(w["labels"].items())), t, v))
+    return out
+
+
+def test_tsdb_roundtrip_fuzz(tmp_path):
+    """Property fuzz over the whole writer→reader path: random unicode
+    label sets, adversarial float values (NaN / ±Inf / -0.0 / stale-NaN /
+    subnormals), random chunking and segment rolling, random tombstone
+    intervals — decoded samples must equal the input minus tombstoned
+    rows, with stale-NaN mapped to None and ordinary NaN preserved."""
+    import math
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    stale = struct.unpack(">d", struct.pack(">Q", 0x7FF0000000000002))[0]
+    label_str = st.text(
+        alphabet=st.characters(codec="utf-8",
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=8)
+    values = st.one_of(
+        st.floats(allow_nan=False, width=64),
+        st.sampled_from([float("nan"), float("inf"), float("-inf"),
+                         -0.0, 5e-324, stale]))
+
+    @st.composite
+    def blocks(draw):
+        n_series = draw(st.integers(1, 5))
+        used = set()
+        series = []
+        for i in range(n_series):
+            labels = draw(st.dictionaries(label_str, label_str,
+                                          min_size=1, max_size=3))
+            labels["__name__"] = draw(label_str)
+            key = tuple(sorted(labels.items()))
+            if key in used:
+                continue
+            used.add(key)
+            ts = sorted(draw(st.sets(st.integers(0, 10_000_000),
+                                     min_size=1, max_size=60)))
+            series.append((labels, [(t, draw(values)) for t in ts]))
+        stones = {}
+        for pos in range(len(series)):
+            if draw(st.booleans()):
+                a = draw(st.integers(0, 10_000_000))
+                b = draw(st.integers(0, 10_000_000))
+                stones[pos] = [(min(a, b), max(a, b))]
+        return (series, stones, draw(st.integers(1, 25)),
+                draw(st.sampled_from([None, 300, 4096])))
+
+    import os
+    n_examples = int(os.environ.get("FUZZ_N_TSDB", "60"))
+
+    @settings(max_examples=n_examples, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(blocks())
+    def check(case):
+        series, stones, per_chunk, seg_bytes = case
+        d = str(tmp_path / "fuzz_block")
+        shutil.rmtree(d, ignore_errors=True)
+        write_block(d, series, tombstones=stones,
+                    max_per_chunk=per_chunk, max_segment_bytes=seg_bytes)
+        got = sorted(_decode_block_driver_side(d),
+                     key=lambda r: (r[0], r[1]))
+        series_sorted = sorted(series, key=lambda s: sorted(s[0].items()))
+        want = []
+        for pos, (labels, samples) in enumerate(series_sorted):
+            dels = stones.get(pos, [])
+            for t, v in samples:
+                if any(dm <= t <= dx for dm, dx in dels):
+                    continue
+                if struct.unpack(">Q", struct.pack(">d", v))[0] \
+                        == 0x7FF0000000000002:
+                    v = None
+                want.append((tuple(sorted(labels.items())), t, v))
+        want.sort(key=lambda r: (r[0], r[1]))
+        assert len(got) == len(want)
+        for (gl, gt, gv), (wl, wt, wv) in zip(got, want):
+            assert gl == wl and gt == wt
+            if wv is None:
+                assert gv is None
+            elif isinstance(wv, float) and math.isnan(wv):
+                assert math.isnan(gv)
+            else:
+                # bit-exact XOR roundtrip, ±0.0 and subnormals included
+                assert struct.pack(">d", gv) == struct.pack(">d", wv)
+
+    check()
