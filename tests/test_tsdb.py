@@ -467,3 +467,35 @@ def test_tsdb_roundtrip_fuzz(tmp_path):
                 assert struct.pack(">d", gv) == struct.pack(">d", wv)
 
     check()
+
+
+def test_postings_for_matchers_selective_read(spark, block, tmp_path):
+    """Equality matchers select series through the postings index
+    (Prometheus PostingsForMatchers): non-matching series entries and
+    chunks are never compiled into work rows — the targeted-backfill
+    fast path."""
+    d, _ = block
+    idx = tsdb.read_index(d)
+    all_refs = idx.all_postings()
+    # single matcher
+    up = idx.postings_for_matchers({"__name__": "up"})
+    assert len(up) == 2 and set(up) < set(all_refs)
+    # intersection of two matchers
+    up_a = idx.postings_for_matchers({"__name__": "up", "job": "a"})
+    assert len(up_a) == 1
+    labels, _chunks = idx.series(up_a[0])
+    assert labels == {"__name__": "up", "job": "a"}
+    # absent (name, value) -> empty, no series scan
+    assert idx.postings_for_matchers({"job": "nope"}) == []
+    assert idx.postings_for_matchers({}) == all_refs
+    # work compile honors matchers: only the selected series' chunks
+    work = tsdb.block_chunk_work(d, matchers={"__name__": "up"})
+    assert work and all(
+        dict(w["labels"])["__name__"] == "up" for w in work)
+    # end-to-end selective decode, composed with a time window
+    rows = tsdb.tsdb_block_samples(
+        spark, d, matchers={"__name__": "up", "job": "a"},
+        min_ms=100_000, max_ms=200_000).collect()
+    assert sorted(r["ts"] for r in rows) == \
+        [1000 * i for i in range(100, 200)]
+    assert {dict(r["labels"])["job"] for r in rows} == {"a"}

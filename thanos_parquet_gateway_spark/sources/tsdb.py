@@ -20,7 +20,7 @@ Scale design (100 TB lens): the index is read ONCE driver-side (the
 reference downloads it the same way; it is MBs per block, not data) and
 compiled into a small work table of one row per chunk.  Chunk DECODING —
 the actual data volume — runs on executors via Arrow-batched
-``mapInPandas``: work rows are range-partitioned by (segment, offset) so
+``mapInArrow``: work rows are range-partitioned by (segment, offset) so
 each task reads ONE contiguous byte span of one segment (coalesced
 sequential I/O, no read amplification), then decodes with the pure-
 Python codecs.  File access goes through ``pyarrow.fs`` so the same code
@@ -235,6 +235,30 @@ class IndexReader:
                 return self.postings(off)
         raise ValueError("index has no all-postings entry")
 
+    def postings_for_matchers(
+            self, matchers: dict[str, str]) -> list[int]:
+        """Series refs whose label sets satisfy every equality matcher —
+        the PostingsForMatchers fast path (Prometheus
+        tsdb/querier.go): intersect the per-(name, value) postings lists
+        instead of scanning series entries.  Postings lists are sorted
+        (an index invariant), so intersection is a k-way sorted merge.
+        A matcher naming an absent (name, value) pair yields [] without
+        touching any series entry."""
+        if not matchers:
+            return self.all_postings()
+        table = {(n, v): off
+                 for n, v, off in self.postings_offset_entries()}
+        lists = []
+        for name, value in sorted(matchers.items()):
+            off = table.get((name, value))
+            if off is None:
+                return []
+            lists.append(self.postings(off))
+        out = set(lists[0])
+        for refs in lists[1:]:
+            out.intersection_update(refs)
+        return sorted(out)
+
     def series(self, ref: int) -> tuple[dict[str, str],
                                         list[tuple[int, int, int]]]:
         """Series entry at ref (byte offset = ref*16, index v2) →
@@ -335,19 +359,24 @@ def discover_blocks(src: str) -> list[str]:
 
 # --------------------------------------------------- block → samples df
 def block_chunk_work(block_dir: str, min_ms: int | None = None,
-                     max_ms: int | None = None) -> list[dict]:
+                     max_ms: int | None = None,
+                     matchers: dict[str, str] | None = None) -> list[dict]:
     """Driver-side compile: one work row per live chunk —
     {labels, seg (segment file path), offset, mint, maxt, dranges}.
     Tombstoned intervals ride along; fully-deleted chunks are dropped
     here so executors never fetch them (the reference's tombstone-aware
     ChunkSeriesSet does the same), and an optional [min_ms, max_ms) window
     prunes non-overlapping chunks from the index metas — the reference's
-    chunk-range pruning, no data touched for skipped chunks."""
+    chunk-range pruning, no data touched for skipped chunks.
+    ``matchers`` (label equality, e.g. {"__name__": "up"}) select series
+    through the postings index — the PostingsForMatchers fast path — so
+    a targeted backfill never reads non-matching series entries or
+    chunks."""
     block_dir = block_dir.rstrip("/")
     idx = read_index(block_dir)
     stones = read_tombstones(block_dir)
     work: list[dict] = []
-    for sref in idx.all_postings():
+    for sref in idx.postings_for_matchers(matchers or {}):
         labels, chunks = idx.series(sref)
         dranges = stones.get(sref, [])
         for cref, mint, maxt in chunks:
@@ -377,7 +406,8 @@ _SAMPLES_SCHEMA = ("labels map<string,string>, ts long, value double, "
 def tsdb_block_samples(spark, block_dir: str,
                        verify_crc: bool = True,
                        min_ms: int | None = None,
-                       max_ms: int | None = None):
+                       max_ms: int | None = None,
+                       matchers: dict[str, str] | None = None):
     """Ingest one TSDB block as a samples DataFrame
     (labels, ts, value, hist) — the input shape convert_samples and the
     PromQL engine take.  See the module docstring for the distribution
@@ -391,7 +421,7 @@ def tsdb_block_samples(spark, block_dir: str,
 
     from pyspark.sql import functions as F
 
-    work = block_chunk_work(block_dir, min_ms, max_ms)
+    work = block_chunk_work(block_dir, min_ms, max_ms, matchers)
     if not work:
         return spark.createDataFrame([], _SAMPLES_SCHEMA)
     wdf = spark.createDataFrame(
@@ -483,7 +513,8 @@ def _read_segment_span(seg: str, start: int, verify_header: bool) -> bytes:
 
 
 def tsdb_samples(spark, src: str, verify_crc: bool = True,
-                 min_ms: int | None = None, max_ms: int | None = None):
+                 min_ms: int | None = None, max_ms: int | None = None,
+                 matchers: dict[str, str] | None = None):
     """Samples from EVERY block under ``src`` (one block dir or a parent
     holding several), unioned — overlapping blocks are legal TSDB state
     and the conversion's dropDuplicates handles the overlap, exactly like
@@ -497,7 +528,8 @@ def tsdb_samples(spark, src: str, verify_crc: bool = True,
             continue
         if max_ms is not None and meta.get("minTime", 0) >= max_ms:
             continue
-        dfs.append(tsdb_block_samples(spark, b, verify_crc, min_ms, max_ms))
+        dfs.append(tsdb_block_samples(spark, b, verify_crc, min_ms, max_ms,
+                                      matchers))
     if not dfs:
         return spark.createDataFrame([], _SAMPLES_SCHEMA)
     out = dfs[0]
