@@ -499,3 +499,47 @@ def test_postings_for_matchers_selective_read(spark, block, tmp_path):
     assert sorted(r["ts"] for r in rows) == \
         [1000 * i for i in range(100, 200)]
     assert {dict(r["labels"])["job"] for r in rows} == {"a"}
+
+
+def test_postings_for_matchers_full_surface(block):
+    """Regex / negative matchers with PromQL's missing-label rule: a
+    matcher whose predicate accepts "" also matches series that don't
+    carry the label at all — resolved purely from the postings tables."""
+    d, _ = block
+    idx = tsdb.read_index(d)
+    def names(refs):
+        out = set()
+        for r in refs:
+            labels, _ = idx.series(r)
+            out.add((labels["__name__"], labels.get("job", ""),
+                     labels.get("code", "")))
+        return out
+
+    # regex positive (anchored fullmatch: "up" must not match "upx")
+    assert names(idx.postings_for_matchers([("__name__", "=~", "u.")])) == \
+        {("up", "a", ""), ("up", "b", "")}
+    assert idx.postings_for_matchers([("__name__", "=~", "u")]) == []
+    # != : series MISSING the label match too (code!="404" includes the
+    # two up series, which have no code label)
+    got = names(idx.postings_for_matchers([("code", "!=", "404")]))
+    assert got == {("up", "a", ""), ("up", "b", ""),
+                   ("http_reqs", "a", "200")}
+    # != with a present value excludes exactly it
+    got = names(idx.postings_for_matchers([("code", "!=", "200")]))
+    assert got == {("up", "a", ""), ("up", "b", "")}
+    # =~ matching empty ≡ "label absent or matching"
+    got = names(idx.postings_for_matchers([("code", "=~", "2.*|")]))
+    assert got == {("up", "a", ""), ("up", "b", ""),
+                   ("http_reqs", "a", "200")}
+    # !~ rejects matching values, keeps absent
+    got = names(idx.postings_for_matchers([("code", "!~", "2.*")]))
+    assert got == {("up", "a", ""), ("up", "b", "")}
+    # combination: equality + negative regex
+    got = names(idx.postings_for_matchers(
+        [("__name__", "=", "up"), ("job", "!~", "b")]))
+    assert got == {("up", "a", "")}
+    # presence matcher: x!="" ≡ label must exist non-empty
+    got = names(idx.postings_for_matchers([("code", "!=", "")]))
+    assert got == {("http_reqs", "a", "200")}
+    with pytest.raises(ValueError, match="unsupported matcher op"):
+        idx.postings_for_matchers([("job", "~", "a")])

@@ -236,28 +236,60 @@ class IndexReader:
         raise ValueError("index has no all-postings entry")
 
     def postings_for_matchers(
-            self, matchers: dict[str, str]) -> list[int]:
-        """Series refs whose label sets satisfy every equality matcher —
-        the PostingsForMatchers fast path (Prometheus
-        tsdb/querier.go): intersect the per-(name, value) postings lists
-        instead of scanning series entries.  Postings lists are sorted
-        (an index invariant), so intersection is a k-way sorted merge.
-        A matcher naming an absent (name, value) pair yields [] without
-        touching any series entry."""
+            self,
+            matchers: dict[str, str] | list[tuple[str, str, str]],
+    ) -> list[int]:
+        """Series refs whose label sets satisfy every matcher — the
+        PostingsForMatchers path (Prometheus tsdb/querier.go), resolved
+        entirely against the postings offset table + postings lists,
+        never by scanning series entries.
+
+        ``matchers`` is either a dict (equality only) or a list of
+        ``(name, op, value)`` with ops ``= != =~ !~`` (regex anchored,
+        fullmatch — PromQL semantics).  The missing-label rule is
+        honored exactly: a matcher its predicate accepts the EMPTY
+        string for (``x!="a"``, ``x=~".*"``, ``x=""``) also matches
+        series that don't carry the label at all, computed as
+        all-postings minus the union of rejected values' lists."""
+        import re
+        if isinstance(matchers, dict):
+            matchers = [(n, "=", v) for n, v in matchers.items()]
         if not matchers:
             return self.all_postings()
-        table = {(n, v): off
-                 for n, v, off in self.postings_offset_entries()}
-        lists = []
-        for name, value in sorted(matchers.items()):
-            off = table.get((name, value))
-            if off is None:
+        by_name: dict[str, list[tuple[str, int]]] = {}
+        for n, v, off in self.postings_offset_entries():
+            if n != "":
+                by_name.setdefault(n, []).append((v, off))
+        result: set[int] | None = None
+        for name, op, value in matchers:
+            if op == "=":
+                pred = lambda v: v == value          # noqa: E731
+            elif op == "!=":
+                pred = lambda v: v != value          # noqa: E731
+            elif op in ("=~", "!~"):
+                rx = re.compile(value)
+                if op == "=~":
+                    pred = lambda v: rx.fullmatch(v) is not None  # noqa: E731
+                else:
+                    pred = lambda v: rx.fullmatch(v) is None      # noqa: E731
+            else:
+                raise ValueError(f"unsupported matcher op {op!r}")
+            vals = by_name.get(name, [])
+            if pred(""):
+                # missing label matches too: complement of rejected values
+                sat = set(self.all_postings())
+                for v, off in vals:
+                    if not pred(v):
+                        sat.difference_update(self.postings(off))
+            else:
+                sat = set()
+                for v, off in vals:
+                    if pred(v):
+                        sat.update(self.postings(off))
+            result = sat if result is None else (result & sat)
+            if not result:
                 return []
-            lists.append(self.postings(off))
-        out = set(lists[0])
-        for refs in lists[1:]:
-            out.intersection_update(refs)
-        return sorted(out)
+        return sorted(result)
 
     def series(self, ref: int) -> tuple[dict[str, str],
                                         list[tuple[int, int, int]]]:
