@@ -126,6 +126,40 @@ def _date_ms(date: str) -> int:
                .replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
 
 
+def _contiguous_day_runs(days: list[str]) -> list[tuple[int, int]]:
+    """Sorted day strings → merged [min_ms, max_ms) windows of CONTIGUOUS
+    runs, so a sparse plan (two days a year apart) decodes two small
+    windows instead of one min/max span over everything in between —
+    chunk-range pruning at the index metas then skips the gap entirely."""
+    day_len = 86_400_000
+    runs: list[list[int]] = []
+    for d in sorted(set(days)):
+        a = _date_ms(d)
+        if runs and runs[-1][1] == a:
+            runs[-1][1] = a + day_len
+        else:
+            runs.append([a, a + day_len])
+    return [(a, b) for a, b in runs]
+
+
+def _parse_selectors(items: list[str]) -> list[tuple[str, str, str]]:
+    """``name<op>value`` selector strings → (name, op, value) matcher
+    triples, ops ``= != =~ !~`` (reference
+    tsdb.discovery.select-external-labels, cmd/convert.go:123)."""
+    out = []
+    for it in items:
+        for op in ("!~", "=~", "!=", "="):  # longest ops first
+            name, sep, value = it.partition(op)
+            if sep:
+                out.append((name.strip(), op, value))
+                break
+        else:
+            raise SystemExit(f"bad external-label selector {it!r} "
+                             "(want name=value, name!=value, name=~re, "
+                             "name!~re)")
+    return out
+
+
 def cmd_convert(args) -> int:
     import time
 
@@ -140,12 +174,19 @@ def cmd_convert(args) -> int:
 
     spark = get_spark("convert")
     tsdb_src = getattr(args, "src_format", "parquet") == "tsdb"
+    streams = None
     if tsdb_src:
-        # native Prometheus block ingestion (B1, reference
-        # convert/convert.go:353-396): plan straight from block metas —
-        # no chunk I/O at plan time
+        # native Prometheus block ingestion (B1/B15, reference
+        # convert/convert.go:353-396 + TSDBDiscoverer locate/discover.go:
+        # 518-651): discover blocks grouped into external-label streams,
+        # plan straight from block metas — no chunk I/O at plan time
         from thanos_parquet_gateway_spark.sources import tsdb as _tsdb
-        src_cov = _tsdb.tsdb_source_days(spark, args.src)
+        streams = _tsdb.discover_streams(
+            args.src,
+            ext_label_matchers=_parse_selectors(
+                getattr(args, "select_external_labels", None) or []) or None,
+            min_age_ms=getattr(args, "min_block_age_ms", 0) or None)
+        src_cov = _tsdb.tsdb_source_days(spark, args.src, streams=streams)
         raw = None
     else:
         raw = spark.read.parquet(args.src)
@@ -155,7 +196,8 @@ def cmd_convert(args) -> int:
     except Exception:  # noqa: BLE001 — first conversion, no manifest yet
         existing = None
     plan = plan_days(src_cov, existing, max_days=args.max_plan_days)
-    days = [r["date"] for r in plan.collect()]
+    plan_rows = plan.collect()
+    days = sorted({r["date"] for r in plan_rows})
     if args.grace_period_ms:
         # reference convert.grace-period: skip days younger than the cutoff
         cutoff = time.strftime(
@@ -165,17 +207,34 @@ def cmd_convert(args) -> int:
     print(f"planned days: {sorted(days)}")
     if not days:
         return 0
-    if tsdb_src:
-        # decode only the planned window: chunk-range pruning happens at
-        # the index metas, boundary chunks are trimmed exactly
-        day_ms = [(_date_ms(d), _date_ms(d) + 86_400_000) for d in days]
-        raw = _tsdb.tsdb_samples(spark, args.src,
-                                 min_ms=min(a for a, _ in day_ms),
-                                 max_ms=max(b for _, b in day_ms))
     date_col = F.date_format(F.timestamp_millis(F.col("ts")), "yyyy-MM-dd")
-    manifest = convert_samples(
-        raw.filter(date_col.isin(days)), args.dst,
-        max_records_per_file=args.rowgroup_size * args.rowgroup_count)
+    if tsdb_src:
+        # per-stream decode of only the planned days, in CONTIGUOUS run
+        # windows (a sparse plan never decodes the gap between runs);
+        # chunk-range pruning happens at the index metas, boundary
+        # chunks are trimmed exactly
+        from thanos_parquet_gateway_spark.convert import convert_streams
+        days_by_stream: dict[str, list[str]] = {}
+        for r in plan_rows:
+            if r["date"] in days:
+                days_by_stream.setdefault(r["stream"], []).append(r["date"])
+        raws = {}
+        for skey, sdays in sorted(days_by_stream.items()):
+            parts = [_tsdb.tsdb_samples(spark, blocks=streams[skey]["blocks"],
+                                        min_ms=a, max_ms=b)
+                     for a, b in _contiguous_day_runs(sdays)]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            raws[skey] = df.filter(date_col.isin(sdays))
+        manifest = convert_streams(
+            raws, args.dst,
+            ext_labels={k: streams[k]["labels"] for k in raws},
+            max_records_per_file=args.rowgroup_size * args.rowgroup_count)
+    else:
+        manifest = convert_samples(
+            raw.filter(date_col.isin(days)), args.dst,
+            max_records_per_file=args.rowgroup_size * args.rowgroup_count)
     # manifest covers the whole table, not just this run (dynamic partition
     # overwrite leaves other days in place) — recompute from footer stats
     conv = spark.read.parquet(args.dst)
@@ -272,6 +331,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="source kind: raw samples parquet, or a dir of "
                    "Prometheus TSDB blocks (native B1 ingestion, "
                    "reference convert/convert.go:353-396)")
+    c.add_argument("--select-external-labels", action="append",
+                   metavar="SELECTOR",
+                   help="tsdb source: only blocks whose external labels "
+                   "match (name=value, name!=value, name=~re, name!~re; "
+                   "repeatable — reference "
+                   "tsdb.discovery.select-external-labels)")
+    c.add_argument("--min-block-age-ms", type=int, default=0,
+                   help="tsdb source: skip blocks with data younger than "
+                   "this (reference tsdb.discovery.min-block-age)")
     c.add_argument("--grace-period-ms", type=int, default=0,
                    help="don't convert days younger than this "
                    "(reference convert.grace-period)")

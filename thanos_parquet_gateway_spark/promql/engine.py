@@ -81,6 +81,24 @@ class PromQLEngine:
         decorated per stream."""
         if "__name__" not in samples.columns:
             samples = samples.withColumn("__name__", label("labels", "__name__"))
+        ext_rep = grp_of_stream = None
+        if replica_labels and streams:
+            # Replica labels usually live in the stream EXTERNAL label
+            # sets (two Prometheis uploading replica="a"/"b" blocks —
+            # reference TSDBDiscoverer keys them into separate streams,
+            # locate/discover.go:495-516).  Thanos semantics: the replica
+            # labels are dropped from each stream's decoration, and
+            # series dedup crosses exactly the streams whose REMAINING
+            # external labels coincide (db/db.go:124-128) — streams that
+            # differ in a non-replica label (cluster=...) never merge.
+            ext_rep = {s: "\x1f".join(ls.get(r, "") for r in replica_labels)
+                       for s, ls in streams.items()}
+            streams = {s: {k: v for k, v in ls.items()
+                           if k not in replica_labels}
+                       for s, ls in streams.items()}
+            grp_of_stream = {
+                s: "\x1f".join(f"{k}\x1e{v}" for k, v in sorted(ls.items()))
+                for s, ls in streams.items()}
         if replica_labels:
             # Winner-replica dedup (reference db/shard.go:252-268 keeps ONE
             # series per post-drop labelset; Thanos penalty dedup never mixes
@@ -91,17 +109,42 @@ class PromQLEngine:
             # time filters still push through to partition pruning.
             rep = F.concat_ws("\x1f",
                               *[label("labels", r) for r in replica_labels])
+            if ext_rep is not None and "stream" in samples.columns:
+                # the stream's external replica values join the winner
+                # key (lowest replica wins across streams too)
+                rep_ext = F.coalesce(
+                    F.element_at(
+                        F.create_map(*[F.lit(x)
+                                       for kv in sorted(ext_rep.items())
+                                       for x in kv]),
+                        F.col("stream").cast("string")),
+                    F.lit(""))
+                rep = F.concat_ws("\x1f", rep, rep_ext)
             samples = (samples
                        .withColumn("__rep", rep)
                        .withColumn("labels",
                                    drop_labels("labels", replica_labels)))
+            if grp_of_stream is not None and "stream" in samples.columns:
+                # dedup group = the stream's post-drop external label
+                # set: identical sets dedup across streams, different
+                # ones stay separate series
+                samples = samples.withColumn(
+                    "__extgrp",
+                    F.coalesce(
+                        F.element_at(
+                            F.create_map(*[F.lit(x) for kv in
+                                           sorted(grp_of_stream.items())
+                                           for x in kv]),
+                            F.col("stream").cast("string")),
+                        F.lit("")))
             if "series_hash" in samples.columns:
                 samples = samples.withColumn("series_hash",
                                              series_hash("labels"))
             keys = ["__sig", "ts"] + (["date"] if "date" in samples.columns
-                                      else [])
+                                      else []) \
+                + (["__extgrp"] if "__extgrp" in samples.columns else [])
             payload = [c for c in samples.columns
-                       if c not in ("ts", "date", "__rep")]
+                       if c not in ("ts", "date", "__rep", "__extgrp")]
             # NULL value = staleness marker; map it to -inf so a real sample
             # from the winning replica is preferred over its stale marker.
             order_key = F.struct(
@@ -115,7 +158,9 @@ class PromQLEngine:
                        .groupBy(*keys)
                        .agg(F.min_by(F.struct(*payload), order_key)
                             .alias("__row"))
-                       .select(*[k for k in keys if k != "__sig"], "__row.*"))
+                       .select(*[k for k in keys
+                                 if k not in ("__sig", "__extgrp")],
+                               "__row.*"))
         self.samples = samples
         self.lookback_ms = lookback_ms
         self.deterministic = deterministic

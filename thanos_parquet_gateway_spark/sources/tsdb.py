@@ -20,12 +20,16 @@ Scale design (100 TB lens): the index is read ONCE driver-side (the
 reference downloads it the same way; it is MBs per block, not data) and
 compiled into a small work table of one row per chunk.  Chunk DECODING —
 the actual data volume — runs on executors via Arrow-batched
-``mapInArrow``: work rows are range-partitioned by (segment, offset) so
-each task reads ONE contiguous byte span of one segment (coalesced
-sequential I/O, no read amplification), then decodes with the pure-
-Python codecs.  File access goes through ``pyarrow.fs`` so the same code
-reads ``file:``, ``s3://``, ``gs://``, ``hdfs://`` blocks — the executor-
-side equivalent of the reference's bucket client (locate/bucket.go).
+``mapInArrow``: work rows are assigned contiguous BANDS of ~512 chunks
+per segment driver-side, each band carrying its exact byte bounds
+[first chunk offset, next band's first offset), so every task issues
+ONE ranged read of exactly its own span — bands collectively read each
+segment once, sequentially, with no overlap (the same read-each-range-
+once property as the reference's gap-based page partitioner,
+search/partitioner.go:38-66).  File access goes through ``pyarrow.fs``
+so the same code reads ``file:``, ``s3://``, ``gs://``, ``hdfs://``
+blocks — the executor-side equivalent of the reference's bucket client
+(locate/bucket.go).
 """
 
 from __future__ import annotations
@@ -102,6 +106,82 @@ def put_varint(out: bytearray, n: int) -> None:
     put_uvarint(out, (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1)
 
 
+# ---------------------------------------------------------------- XXH64
+# Pure-Python XXH64 (public algorithm: xxHash spec, Yann Collet,
+# github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md).  Needed for
+# the reference's stream keying — ExternalLabels.Hash is xxhash64 over
+# the sorted (k, v) concatenation (reference schema/block.go:44-66) and
+# the stream prefix is its decimal string.  Pinned against the spec's
+# test vectors AND differentially against Spark's xxhash64 (seed 42)
+# in tests/test_tsdb.py.
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xrotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<4Q", data, i)
+            v1 = (_xrotl((v1 + l1 * _XP2) & _M64, 31) * _XP1) & _M64
+            v2 = (_xrotl((v2 + l2 * _XP2) & _M64, 31) * _XP1) & _M64
+            v3 = (_xrotl((v3 + l3 * _XP2) & _M64, 31) * _XP1) & _M64
+            v4 = (_xrotl((v4 + l4 * _XP2) & _M64, 31) * _XP1) & _M64
+            i += 32
+        h = (_xrotl(v1, 1) + _xrotl(v2, 7) +
+             _xrotl(v3, 12) + _xrotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_xrotl((v * _XP2) & _M64, 31) * _XP1) & _M64
+            h = (h * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h ^= (_xrotl((k * _XP2) & _M64, 31) * _XP1) & _M64
+        h = (_xrotl(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h ^= (k * _XP1) & _M64
+        h = (_xrotl(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_xrotl(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def external_labels_hash(labels: dict[str, str]) -> int:
+    """Stream key of an external-label set — the reference's
+    ExternalLabels.Hash (schema/block.go:44-66): 0 for the empty set,
+    else xxhash64 over the name-sorted concatenation of each key then
+    value.  The stream partition value is ``str()`` of this (the
+    reference's ExternalLabelsHash.String, "%d")."""
+    if not labels:
+        return 0
+    return xxh64(b"".join(k.encode("utf-8") + labels[k].encode("utf-8")
+                          for k in sorted(labels)))
+
+
 # ------------------------------------------------------------ pyarrow fs
 def _fs_path(path: str):
     """(pyarrow FileSystem, fs-local path) for a URI or plain path."""
@@ -156,6 +236,33 @@ def read_tombstones(block_dir: str) -> dict[int, list[tuple[int, int]]]:
         maxt, i = varint(content, i)
         out.setdefault(ref, []).append((mint, maxt))
     return out
+
+
+# -------------------------------------------------------------- matchers
+def _matcher_pred(op: str, value: str):
+    """Value predicate for one ``(op, value)`` matcher, ops ``= != =~ !~``
+    (regex anchored via fullmatch — PromQL semantics).
+
+    RE2-divergence caveat: Prometheus matchers are RE2 (linear-time, no
+    backreferences/lookaround); this compiles with Python ``re``
+    (backtracking, a superset syntax).  For the RE2-expressible patterns
+    PromQL users write the two agree; a pattern using Python-only syntax
+    would be rejected by Prometheus, and an adversarial pattern can
+    backtrack superlinearly here.  These matchers run DRIVER-side during
+    conversion planning (CLI-supplied, trusted), never on the query
+    path — query-time regex matching is Spark's ``rlike`` (Java regex,
+    promql/compiler.py)."""
+    if op == "=":
+        return lambda v: v == value
+    if op == "!=":
+        return lambda v: v != value
+    if op in ("=~", "!~"):
+        import re
+        rx = re.compile(value)
+        if op == "=~":
+            return lambda v: rx.fullmatch(v) is not None
+        return lambda v: rx.fullmatch(v) is None
+    raise ValueError(f"unsupported matcher op {op!r}")
 
 
 # ------------------------------------------------------------ index file
@@ -251,7 +358,6 @@ class IndexReader:
         string for (``x!="a"``, ``x=~".*"``, ``x=""``) also matches
         series that don't carry the label at all, computed as
         all-postings minus the union of rejected values' lists."""
-        import re
         if isinstance(matchers, dict):
             matchers = [(n, "=", v) for n, v in matchers.items()]
         if not matchers:
@@ -262,18 +368,7 @@ class IndexReader:
                 by_name.setdefault(n, []).append((v, off))
         result: set[int] | None = None
         for name, op, value in matchers:
-            if op == "=":
-                pred = lambda v: v == value          # noqa: E731
-            elif op == "!=":
-                pred = lambda v: v != value          # noqa: E731
-            elif op in ("=~", "!~"):
-                rx = re.compile(value)
-                if op == "=~":
-                    pred = lambda v: rx.fullmatch(v) is not None  # noqa: E731
-                else:
-                    pred = lambda v: rx.fullmatch(v) is None      # noqa: E731
-            else:
-                raise ValueError(f"unsupported matcher op {op!r}")
+            pred = _matcher_pred(op, value)
             vals = by_name.get(name, [])
             if pred(""):
                 # missing label matches too: complement of rejected values
@@ -371,6 +466,9 @@ def _parse_chunk_at(buf: bytes, pos: int,
 
 
 # ------------------------------------------------------ block discovery
+DELETION_MARK_FILE = "deletion-mark.json"  # thanos block/metadata filename
+
+
 def discover_blocks(src: str) -> list[str]:
     """Block dirs under ``src`` (reference locate/discover.go: a block is
     a ULID dir carrying meta.json).  ``src`` itself being a block counts.
@@ -387,6 +485,80 @@ def discover_blocks(src: str) -> list[str]:
             # keep the caller's scheme/prefix form
             out.append(f"{src.rstrip('/')}/{info.base_name}")
     return sorted(out)
+
+
+def block_external_labels(meta: dict) -> dict[str, str]:
+    """External labels from meta.json's thanos section (written by Thanos
+    sidecar/receive; absent on vanilla Prometheus blocks → empty set)."""
+    return dict((meta.get("thanos") or {}).get("labels") or {})
+
+
+def _has_file(block_dir: str, name: str) -> bool:
+    from pyarrow import fs as pafs
+    fsys, p = _fs_path(block_dir.rstrip("/"))
+    return fsys.get_file_info(f"{p}/{name}").type != pafs.FileType.NotFound
+
+
+def discover_streams(
+        src: str, *,
+        ext_label_matchers: list[tuple[str, str, str]] | None = None,
+        min_age_ms: int | None = None,
+        now_ms: int | None = None,
+) -> dict[str, dict]:
+    """Group blocks under ``src`` into STREAMS keyed by their external-
+    label hash — the reference's TSDBDiscoverer (locate/discover.go:
+    518-651 + TSDBBlocksStreams grouping, keyed per schema/block.go:
+    37-76).  Returns ``{stream_key: {"labels": {...}, "blocks": [dirs],
+    "mint": m, "maxt": x}}`` with blocks sorted, where ``stream_key`` is
+    the decimal string of ``external_labels_hash`` ("0" for label-less
+    vanilla-Prometheus blocks).
+
+    Filters, mirroring the reference's Discover:
+    - a block carrying ``deletion-mark.json`` is skipped (about to be
+      deleted);
+    - a downsampled block (thanos.downsample.resolution != 0) is
+      skipped — only raw resolution converts;
+    - a block with stats.numChunks == 0 is skipped (nothing to convert;
+      a missing stats section is NOT treated as empty);
+    - ``ext_label_matchers`` ``[(name, op, value), ...]`` (ops
+      ``= != =~ !~``) must all accept the block's external labels, a
+      missing label matching as "";
+    - ``min_age_ms``: blocks whose maxTime is after ``now - min_age``
+      are skipped (still in Prometheus's retention churn window);
+      ``now_ms`` pins "now" for tests.
+
+    Driver-side: one LIST + one tiny meta.json read per block — no index
+    or chunk I/O, same cost shape as the reference's discoverer."""
+    out: dict[str, dict] = {}
+    for b in discover_blocks(src):
+        if _has_file(b, DELETION_MARK_FILE):
+            continue
+        meta = read_block_meta_json(b)
+        thanos = meta.get("thanos") or {}
+        if ((thanos.get("downsample") or {}).get("resolution") or 0) != 0:
+            continue
+        stats = meta.get("stats")
+        if stats is not None and stats.get("numChunks", 1) == 0:
+            continue
+        if min_age_ms is not None:
+            import time as _time
+            now = now_ms if now_ms is not None else int(_time.time() * 1000)
+            if int(meta.get("maxTime", 0)) > now - min_age_ms:
+                continue
+        labels = block_external_labels(meta)
+        if ext_label_matchers and not all(
+                _matcher_pred(op, value)(labels.get(name, ""))
+                for name, op, value in ext_label_matchers):
+            continue
+        key = str(external_labels_hash(labels))
+        st = out.setdefault(key, {"labels": labels, "blocks": [],
+                                  "mint": 1 << 62, "maxt": -(1 << 62)})
+        st["blocks"].append(b)
+        st["mint"] = min(st["mint"], int(meta["minTime"]))
+        st["maxt"] = max(st["maxt"], int(meta["maxTime"]))
+    for st in out.values():
+        st["blocks"].sort()
+    return out
 
 
 # --------------------------------------------------- block → samples df
@@ -435,38 +607,73 @@ _SAMPLES_SCHEMA = ("labels map<string,string>, ts long, value double, "
                    "schema:int>")
 
 
+def _assign_bands(work: list[dict], band_chunks: int) -> int:
+    """Driver-side I/O plan: sort work rows by (seg, offset), cut each
+    segment's rows into contiguous bands of ``band_chunks``, and stamp
+    every row with its ``band`` id and the band's exclusive byte ``end``
+    = the NEXT band's first chunk offset (None = read to EOF, exact for
+    the segment's last band since the file ends after the last chunk's
+    CRC).  Chunk offsets strictly increase and a chunk always ends at or
+    before the next chunk's offset, so ``[first offset, end)`` fully
+    contains every chunk of the band — bands collectively read each
+    segment EXACTLY once (disjoint spans), the property the reference's
+    gap-based page partitioner has (search/partitioner.go:38-66).
+    Mutates ``work``; returns the total band count."""
+    from itertools import groupby
+    work.sort(key=lambda w: (w["seg"], w["offset"]))
+    nbands = 0
+    for _seg, rows_it in groupby(work, key=lambda w: w["seg"]):
+        rows = list(rows_it)
+        for b in range(-(-len(rows) // band_chunks)):
+            band, nxt = rows[b * band_chunks:(b + 1) * band_chunks], \
+                (b + 1) * band_chunks
+            end = rows[nxt]["offset"] if nxt < len(rows) else None
+            for w in band:
+                w["band"] = nbands + b
+                w["end"] = end
+        nbands += -(-len(rows) // band_chunks)
+    return nbands
+
+
 def tsdb_block_samples(spark, block_dir: str,
                        verify_crc: bool = True,
                        min_ms: int | None = None,
                        max_ms: int | None = None,
-                       matchers: dict[str, str] | None = None):
+                       matchers: dict[str, str] | None = None,
+                       band_chunks: int = 512,
+                       io_trace_dir: str | None = None):
     """Ingest one TSDB block as a samples DataFrame
     (labels, ts, value, hist) — the input shape convert_samples and the
     PromQL engine take.  See the module docstring for the distribution
     design; ``verify_crc`` checks every chunk's CRC32C (on by default —
     corruption must fail loudly, same as the reference's chunk reader).
+    ``band_chunks`` sizes the per-read band (~512 chunks ≈ 60k samples
+    ≈ 2 MB decoded); ``io_trace_dir`` makes every executor segment read
+    append one JSON line (seg, start, n) there — the instrumentation the
+    read-amplification test asserts on.
 
     Decoding runs via ``mapInArrow`` (not mapInPandas): a pandas float64
     column cannot carry NULL and NaN as distinct values, and the format
     needs both — NULL is the staleness marker, NaN is a real sample."""
     import pyarrow as pa
-
     from pyspark.sql import functions as F
 
     work = block_chunk_work(block_dir, min_ms, max_ms, matchers)
     if not work:
         return spark.createDataFrame([], _SAMPLES_SCHEMA)
+    nbands = _assign_bands(work, band_chunks)
     wdf = spark.createDataFrame(
-        [(w["labels"], w["seg"], w["offset"], w["mint"], w["maxt"],
-          w["dranges"]) for w in work],
-        "labels map<string,string>, seg string, offset long, mint long, "
-        "maxt long, dranges array<struct<mint:long,maxt:long>>")
-    # contiguous offset bands per task → one coalesced span read each;
-    # ~512 chunks (~60k samples, ~2 MB decoded) per task, capped at 4x
+        [(w["labels"], w["seg"], w["band"], w["end"], w["offset"],
+          w["mint"], w["maxt"], w["dranges"]) for w in work],
+        "labels map<string,string>, seg string, band int, end long, "
+        "offset long, mint long, maxt long, "
+        "dranges array<struct<mint:long,maxt:long>>")
+    # one whole band (= one exact-span ranged read) per task group;
+    # hash-partition on (seg, band) so a band never splits, capped at 4x
     # parallelism so a billion-chunk block still schedules sanely
-    npart = max(1, min(-(-len(work) // 512),
+    npart = max(1, min(nbands,
                        spark.sparkContext.defaultParallelism * 4))
-    wdf = wdf.repartitionByRange(npart, F.col("seg"), F.col("offset"))
+    wdf = wdf.repartition(npart, "seg", "band")
 
     hist_t = pa.struct([
         ("count", pa.float64()), ("sum", pa.float64()),
@@ -481,14 +688,16 @@ def tsdb_block_samples(spark, block_dir: str,
         for batch in batches:
             rows = {"labels": [], "ts": [], "value": [], "hist": []}
             cols = {n: batch.column(n).to_pylist()
-                    for n in ("labels", "seg", "offset", "dranges")}
-            by_seg: dict[str, list[int]] = {}
-            for i, seg in enumerate(cols["seg"]):
-                by_seg.setdefault(seg, []).append(i)
-            for seg, idxs in by_seg.items():
+                    for n in ("labels", "seg", "band", "end", "offset",
+                              "dranges")}
+            by_band: dict[tuple, list[int]] = {}
+            for i, key in enumerate(zip(cols["seg"], cols["band"])):
+                by_band.setdefault(key, []).append(i)
+            for (seg, _band), idxs in by_band.items():
                 idxs.sort(key=lambda i: cols["offset"][i])
                 base = cols["offset"][idxs[0]]
-                buf = _read_segment_span(seg, base, verify_crc)
+                buf = _read_segment_span(seg, base, cols["end"][idxs[0]],
+                                         verify_crc, io_trace_dir)
                 for i in idxs:
                     enc, data, _ = _parse_chunk_at(
                         buf, cols["offset"][i] - base, verify_crc)
@@ -526,13 +735,18 @@ def tsdb_block_samples(spark, block_dir: str,
     return out
 
 
-def _read_segment_span(seg: str, start: int, verify_header: bool) -> bytes:
-    """Read segment bytes from ``start`` to EOF in one ranged request.
-    Each task's work rows form a contiguous offset band of one segment
-    (repartitionByRange above), so tasks collectively read each segment
-    about once, sequentially — reading to EOF instead of to the band's
-    last chunk costs one over-read per segment tail but avoids a second
-    round-trip to learn the final chunk's length."""
+def _read_segment_span(seg: str, start: int, end: int | None,
+                       verify_header: bool,
+                       io_trace_dir: str | None = None) -> bytes:
+    """Read segment bytes ``[start, end)`` in one ranged request
+    (``end`` None = to EOF — only the segment's LAST band carries None,
+    and the file ends right after that band's final chunk CRC, so even
+    that read is exact).  Band bounds are assigned driver-side
+    (_assign_bands): spans are disjoint and cover each segment once, so
+    total bytes fetched across all tasks ≈ total segment bytes — no
+    re-reading of later bands' ranges regardless of how many tasks share
+    a segment.  ``io_trace_dir`` (tests/ops) logs one JSON line per
+    read."""
     fs, p = _fs_path(seg)
     with fs.open_input_file(p) as f:
         if verify_header:
@@ -540,21 +754,33 @@ def _read_segment_span(seg: str, start: int, verify_header: bool) -> bytes:
             magic, ver = struct.unpack(">IB", hdr[:5])
             if magic != CHUNKS_MAGIC or ver != CHUNKS_VERSION:
                 raise ValueError(f"{seg}: bad chunks segment header")
-        size = f.size()
-        return f.read_at(size - start, start)
+        n = (f.size() if end is None else end) - start
+        buf = f.read_at(n, start)
+    if io_trace_dir is not None:
+        import json as _json
+        import os
+        import uuid
+        path = f"{io_trace_dir.rstrip('/')}/read-{uuid.uuid4().hex}.json"
+        with open(path, "w") as fh:
+            _json.dump({"seg": seg, "start": start, "n": len(buf),
+                        "pid": os.getpid()}, fh)
+    return buf
 
 
-def tsdb_samples(spark, src: str, verify_crc: bool = True,
+def tsdb_samples(spark, src: str | None = None, verify_crc: bool = True,
                  min_ms: int | None = None, max_ms: int | None = None,
-                 matchers: dict[str, str] | None = None):
+                 matchers: dict[str, str] | None = None, *,
+                 blocks: list[str] | None = None):
     """Samples from EVERY block under ``src`` (one block dir or a parent
-    holding several), unioned — overlapping blocks are legal TSDB state
-    and the conversion's dropDuplicates handles the overlap, exactly like
-    the reference's vertical merge over multiple source blocks.  Blocks
+    holding several) — or from an explicit ``blocks`` dir list (the
+    per-stream path: discover_streams groups, this reads one group) —
+    unioned.  Overlapping blocks are legal TSDB state and the
+    conversion's dropDuplicates handles the overlap, exactly like the
+    reference's vertical merge over multiple source blocks.  Blocks
     whose meta.json window misses [min_ms, max_ms) are skipped without
     opening their index."""
     dfs = []
-    for b in discover_blocks(src):
+    for b in (blocks if blocks is not None else discover_blocks(src)):
         meta = read_block_meta_json(b)
         if min_ms is not None and meta.get("maxTime", 1 << 62) <= min_ms:
             continue
@@ -570,30 +796,40 @@ def tsdb_samples(spark, src: str, verify_crc: bool = True,
     return out
 
 
-def tsdb_source_days(spark, src: str):
+def tsdb_source_days(spark, src: str, streams: dict | None = None,
+                     **discover_kwargs):
     """Planner source coverage straight from block META files — one tiny
     JSON read per block, NO index or chunk I/O at plan time (the
     reference plans from block metas the same way, convert/plan.go:41-178).
-    Returns the (stream, date, mint, maxt) shape convert.planner.plan_days
-    consumes."""
+    PER STREAM: blocks are grouped by external-label hash first
+    (discover_streams; reference TSDBBlocksStream.DiscoveredDays,
+    locate/discover.go:495-516), so the (stream, date, mint, maxt) rows
+    this returns anti-join against the converted manifest stream-wise —
+    two Prometheis with different external labels plan independently.
+    ``discover_kwargs`` pass through (ext_label_matchers, min_age_ms);
+    a precomputed ``streams`` dict (discover_streams) skips the walk."""
     import datetime as _dt
     day_ms = 86_400_000
     rows = []
-    for b in discover_blocks(src):
-        meta = read_block_meta_json(b)
-        mint, maxt = int(meta["minTime"]), int(meta["maxTime"])  # [mint, maxt)
-        day = mint - mint % day_ms
-        while day < maxt:
-            date = _dt.datetime.fromtimestamp(
-                day / 1000, tz=_dt.timezone.utc).strftime("%Y-%m-%d")
-            rows.append((date, max(mint, day),
-                         min(maxt - 1, day + day_ms - 1)))
-            day += day_ms
-    df = spark.createDataFrame(rows or [], "date string, mint long, maxt long")
+    if streams is None:
+        streams = discover_streams(src, **discover_kwargs)
+    for skey, st in streams.items():
+        for b in st["blocks"]:
+            meta = read_block_meta_json(b)
+            mint, maxt = int(meta["minTime"]), int(meta["maxTime"])
+            day = mint - mint % day_ms  # meta window is [mint, maxt)
+            while day < maxt:
+                date = _dt.datetime.fromtimestamp(
+                    day / 1000, tz=_dt.timezone.utc).strftime("%Y-%m-%d")
+                rows.append((skey, date, max(mint, day),
+                             min(maxt - 1, day + day_ms - 1)))
+                day += day_ms
+    df = spark.createDataFrame(
+        rows or [], "stream string, date string, mint long, maxt long")
     from pyspark.sql import functions as F
-    return (df.groupBy("date")
+    return (df.groupBy("stream", "date")
             .agg(F.min("mint").alias("mint"), F.max("maxt").alias("maxt"))
-            .withColumn("stream", F.lit("0")))
+            .select("date", "mint", "maxt", "stream"))
 
 
 def convert_tsdb_block(spark, block_dir: str, out_path: str, *,
@@ -604,3 +840,32 @@ def convert_tsdb_block(spark, block_dir: str, out_path: str, *,
     from thanos_parquet_gateway_spark.convert.convert import convert_samples
     samples = tsdb_samples(spark, block_dir)
     return convert_samples(samples, out_path, stream=stream, **kwargs)
+
+
+def convert_tsdb_streams(spark, src: str, out_path: str, *,
+                         ext_label_matchers=None, min_age_ms=None,
+                         now_ms=None,
+                         min_ms: int | None = None,
+                         max_ms: int | None = None,
+                         **kwargs):
+    """Multi-stream B15 parity: every stream of TSDB blocks under
+    ``src`` → ONE partitioned layout with per-stream ``stream=<hash>``
+    prefixes + stream.pb descriptors (reference TSDBDiscoverer grouping,
+    locate/discover.go:495-651, keyed per schema/block.go:37-76, feeding
+    the same per-stream conversion the parquet path takes).  Blocks from
+    two Prometheis with different external labels land in DIFFERENT
+    streams, so replica dedup across them stays a query-time decision
+    (PromQLEngine streams= + replica_labels=), never a silent convert-
+    time merge.  Returns the conversion manifest."""
+    streams = discover_streams(src, ext_label_matchers=ext_label_matchers,
+                               min_age_ms=min_age_ms, now_ms=now_ms)
+    if not streams:
+        raise ValueError(f"no convertible TSDB blocks under {src}")
+    from thanos_parquet_gateway_spark.convert.convert import convert_streams
+    raws = {skey: tsdb_samples(spark, blocks=st["blocks"],
+                               min_ms=min_ms, max_ms=max_ms)
+            for skey, st in sorted(streams.items())}
+    return convert_streams(
+        raws, out_path,
+        ext_labels={skey: st["labels"] for skey, st in streams.items()},
+        **kwargs)

@@ -49,7 +49,8 @@ def write_block(block_dir: str,
                 tombstones: dict[int, list[tuple[int, int]]] | None = None,
                 max_per_chunk: int = _DEFAULT_CHUNK_SAMPLES,
                 max_segment_bytes: int | None = None,
-                ulid: str = "01TESTFIXTUREBLOCK00000000") -> dict:
+                ulid: str = "01TESTFIXTUREBLOCK00000000",
+                meta_extra: dict | None = None) -> dict:
     """Write a block from ``[(labels, [(ts_ms, value), ...]), ...]``.
 
     Samples must be ascending per series; series are sorted by label set
@@ -58,6 +59,9 @@ def write_block(block_dir: str,
     refs.  ``max_segment_bytes`` cuts additional chunks segment files
     (000002, ...) like Prometheus's 512 MiB segment roll — chunk refs
     then carry the 0-based segment sequence in their upper 32 bits.
+    ``meta_extra`` dict-merges into meta.json top-level — e.g.
+    ``{"thanos": {"labels": {...}}}`` builds a Thanos-uploaded block
+    with external labels (stream-discovery fixtures).
     Returns {"series_refs": [...], "mint": m, "maxt": x}.
     """
     out = Path(block_dir)
@@ -66,11 +70,14 @@ def write_block(block_dir: str,
 
     # ------------------------------------------------ chunks/000001
     # float series → XOR chunks (enc 1); a series whose sample values are
-    # native-histogram dicts (the encode_float_histogram_chunk shape:
-    # ts/count/zero_count/sum/schema/zero_threshold/pos/neg) → float-
-    # histogram chunks (enc 3)
+    # native-histogram dicts (the encode_*_histogram_chunk shape:
+    # ts/count/zero_count/sum/schema/zero_threshold/pos/neg) → integer-
+    # histogram chunks (enc 2) when the dict carries ``"int": True``
+    # (count/zero_count/bucket counts must be ints — the shape Prometheus
+    # scrapes produce), else float-histogram chunks (enc 3)
     from thanos_parquet_gateway_spark.api.chunkenc import (
         encode_float_histogram_chunk,
+        encode_histogram_chunk_int,
         encode_xor_chunk,
     )
     _SEG_HDR = struct.pack(">IB3x", CHUNKS_MAGIC, CHUNKS_VERSION)
@@ -80,9 +87,13 @@ def write_block(block_dir: str,
         metas = []
         for chunk in _chunk_series(samples, max_per_chunk):
             if isinstance(chunk[0][1], dict):
-                data = encode_float_histogram_chunk(
-                    [dict(h, ts=t) for t, h in chunk])
-                enc = 3  # ENC_FLOAT_HISTOGRAM
+                hists = [dict(h, ts=t) for t, h in chunk]
+                if chunk[0][1].get("int"):
+                    data = encode_histogram_chunk_int(hists)
+                    enc = 2  # ENC_HISTOGRAM
+                else:
+                    data = encode_float_histogram_chunk(hists)
+                    enc = 3  # ENC_FLOAT_HISTOGRAM
             else:
                 data = encode_xor_chunk(chunk)
                 enc = 1  # ENC_XOR
@@ -215,5 +226,6 @@ def write_block(block_dir: str,
             "stats": {"numSamples": len(all_ts),
                       "numSeries": len(series), "numChunks": nchunks},
             "compaction": {"level": 1, "sources": [ulid]}, "version": 1}
+    meta.update(meta_extra or {})
     (out / "meta.json").write_text(json.dumps(meta))
     return {"series_refs": series_refs, "mint": mint, "maxt": maxt}
