@@ -253,7 +253,13 @@ def main():
         for _ in range(2):
             pass_times = {}
             for name, fn in b10.items():
-                pass_times[name] = _converged_min(fn)
+                # min_reps=4 on the decade-2 rung: the committed r11
+                # artifact (min over fewer reps) read tpch_q3 at
+                # 5.8x/decade while same-day fresh-session min-of-4
+                # probes converged to 3.0-3.6x — the extra reps are what
+                # it takes for this rung's numbers to agree with probes
+                # within ~20% (r11 verdict item #5)
+                pass_times[name] = _converged_min(fn, min_reps=4)
                 t10[name] = round(min(t10.get(name, float("inf")),
                                       pass_times[name]), 3)
             sf10_pass_totals.append(round(sum(pass_times.values()), 3))

@@ -122,6 +122,9 @@ def plan_input_bytes(df) -> int:
         return 0
 
 
+_scan_files_probe_warned = False
+
+
 def plan_scan_files(df) -> int:
     """Post-pruning file count the query would scan, summed over the
     plan's file scans — the admission analogue of the reference's SHARD
@@ -129,52 +132,65 @@ def plan_scan_files(df) -> int:
     conversion writes ~6M-row shard files, so files ≡ shards here).
     Driver-side only: reads FileSourceScanExec.selectedPartitions (the
     pruned listing the scan will use anyway — computed once, cached by
-    the node).  Advisory: returns 0 when the private interface is
-    unavailable (pinned by test_api so a Spark upgrade fails loudly)."""
-    try:
-        def walk(node, out):
-            cls = node.getClass().getSimpleName()
-            if cls.startswith("AdaptiveSparkPlan"):
-                walk(node.initialPlan(), out)  # pre-execution: no stages yet
-                return
-            ch = node.children()
-            if ch.size() == 0:
-                out.append(node)
-                return
-            for i in range(ch.size()):
-                walk(ch.apply(i), out)
+    the node).
 
+    UPPER-BOUND admission: this walks the AQE ``initialPlan`` (the query
+    has not run at admission time), so counts reflect static partition
+    pruning only — files that dynamic partition pruning or AQE would
+    later skip at runtime are still counted.  The quota therefore only
+    ever over-estimates (rejects a query that would have scanned fewer
+    files), never under-admits — the conservative direction for an
+    admission control (pinned by test_api).
+
+    Advisory: returns 0 (quota off) when the private interface is
+    unavailable, with a ONE-TIME warning so a silently-disabled quota is
+    visible (the shape is also pinned by test_api so a Spark upgrade
+    fails loudly)."""
+    global _scan_files_probe_warned
+    try:
         leaves: list = []
-        walk(df._jdf.queryExecution().executedPlan(), leaves)
+        _walk_leaves(df._jdf.queryExecution().executedPlan(), leaves,
+                     adaptive="initial")
         total = 0
         for leaf in leaves:
             if leaf.getClass().getSimpleName() == "FileSourceScanExec":
                 total += int(leaf.selectedPartitions().totalNumberOfFiles())
         return total
     except Exception:  # noqa: BLE001 — stats are advisory
+        if not _scan_files_probe_warned:
+            _scan_files_probe_warned = True
+            import warnings
+            warnings.warn(
+                "plan_scan_files: FileSourceScanExec.selectedPartitions "
+                "probe failed — the shard quota is DISABLED (returns 0) "
+                "for this process", RuntimeWarning, stacklevel=2)
         return 0
 
 
-def _walk_leaves(node, out):
+def _walk_leaves(node, out, adaptive: str = "executed"):
     """Collect physical-plan leaves, descending through AQE wrappers
     (AdaptiveSparkPlanExec / *QueryStageExec / ReusedExchangeExec), which
-    collectLeaves() treats as opaque."""
+    collectLeaves() treats as opaque.  ``adaptive`` picks which side of
+    an AdaptiveSparkPlanExec to walk: "executed" (post-run, for stats)
+    or "initial" (pre-run, for admission — no stages exist yet)."""
     cls = node.getClass().getSimpleName()
     if cls.startswith("AdaptiveSparkPlan"):
-        _walk_leaves(node.executedPlan(), out)
+        sub = (node.initialPlan() if adaptive == "initial"
+               else node.executedPlan())
+        _walk_leaves(sub, out, adaptive)
         return
     if "QueryStage" in cls:
-        _walk_leaves(node.plan(), out)
+        _walk_leaves(node.plan(), out, adaptive)
         return
     if cls.startswith("ReusedExchange"):
-        _walk_leaves(node.child(), out)
+        _walk_leaves(node.child(), out, adaptive)
         return
     ch = node.children()
     if ch.size() == 0:
         out.append(node)
         return
     for i in range(ch.size()):
-        _walk_leaves(ch.apply(i), out)
+        _walk_leaves(ch.apply(i), out, adaptive)
 
 
 def scan_stats(df) -> dict:

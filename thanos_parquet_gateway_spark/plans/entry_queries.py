@@ -2692,6 +2692,95 @@ def convert_tsdb_block(spark, sf_dir):
                  F.max("value").alias("v_max")))
 
 
+_TSDB_STREAMS_CACHE: dict[str, str] = {}
+
+# stream keys are deterministic (xxhash64 of the external-label set,
+# reference schema/block.go:37-76) — computed once, embedded in the
+# oracle SQL as literals
+def _stream_key(labels: dict) -> str:
+    from thanos_parquet_gateway_spark.sources.tsdb import (
+        external_labels_hash,
+    )
+    return str(external_labels_hash(labels))
+
+
+def _tsdb_two_stream_table(spark, sf_dir: str) -> str:
+    """Materialize the events table as TWO Prometheus TSDB blocks with
+    different external labels (replica a/b; replica b's values offset by
+    +1000.0) and convert them through the multi-stream path
+    (convert_tsdb_streams) — returns the converted table dir."""
+    if sf_dir in _TSDB_STREAMS_CACHE:
+        return _TSDB_STREAMS_CACHE[sf_dir]
+    import tempfile
+
+    from thanos_parquet_gateway_spark.sources.tsdb import (
+        convert_tsdb_streams,
+    )
+    from thanos_parquet_gateway_spark.sources.tsdb_writer import write_block
+
+    rows = (samples_from_events(spark, sf_dir)
+            .groupBy(F.element_at("labels", "__name__").alias("name"),
+                     F.element_at("labels", "user").alias("user"),
+                     F.element_at("labels", "shard").alias("shard"), "ts")
+            .agg(F.max("value").alias("value"))
+            .collect())
+    series: dict[tuple, list] = {}
+    for r in rows:
+        series.setdefault((r["name"], r["user"], r["shard"]), []) \
+              .append((r["ts"], r["value"]))
+    root = tempfile.mkdtemp(prefix="tsdb_streams_")
+    for rep, off, ulid in [("a", 0.0, "01STREAMFIXTUREA0000000000"),
+                           ("b", 1000.0, "01STREAMFIXTUREB0000000000")]:
+        write_block(f"{root}/block_{rep}", [
+            ({"__name__": n, "user": u, "shard": s},
+             sorted((t, v + off) for t, v in samples))
+            for (n, u, s), samples in sorted(series.items())],
+            ulid=ulid,
+            meta_extra={"thanos": {"labels": {"replica": rep}}})
+    out = tempfile.mkdtemp(prefix="tsdb_streams_conv_")
+    convert_tsdb_streams(spark, root, out)
+    _TSDB_STREAMS_CACHE[sf_dir] = out
+    return out
+
+
+_KA = _stream_key({"replica": "a"})
+_KB = _stream_key({"replica": "b"})
+
+
+@q("convert_tsdb_streams", f"""
+WITH s AS (
+    SELECT event_type AS name, CAST(user_id AS VARCHAR) AS "user",
+           epoch_ms(ts) AS ts, max(value) AS value
+    FROM events GROUP BY 1, 2, 3
+), streams(stream, off) AS (
+    VALUES ('{_KA}', 0.0), ('{_KB}', 1000.0)
+)
+SELECT stream, name, count(*) AS n,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       min(value + off) AS v_min, max(value + off) AS v_max
+FROM s CROSS JOIN streams GROUP BY stream, name
+""")
+def convert_tsdb_streams_q(spark, sf_dir):
+    """B15 parity: multi-stream TSDB ingestion (sources/tsdb.py
+    discover_streams + convert_tsdb_streams; reference TSDBDiscoverer
+    locate/discover.go:495-651 keyed per schema/block.go:37-76).  Two
+    blocks with different external labels (replica a/b) convert into
+    per-stream partitions; the converted table is aggregated per
+    (stream, name) and compared sample-exactly against SQL over the
+    original rows — a conversion that merged, dropped, or cross-
+    contaminated streams hash-mismatches (replica b's +1000.0 offset
+    makes any mixing visible in the extremes)."""
+    out = _tsdb_two_stream_table(spark, sf_dir)
+    conv = spark.read.parquet(out)
+    return (conv.groupBy(
+                F.col("stream").cast("string").alias("stream"),
+                F.element_at("labels", "__name__").alias("name"))
+            .agg(F.count("*").alias("n"),
+                 F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max"),
+                 F.min("value").alias("v_min"),
+                 F.max("value").alias("v_max")))
+
+
 # =====================================================================
 # PromQL surface widening: modifiers, subqueries, vector matching,
 # rate-family siblings, math/time/label functions (SURVEY.md §2.C)
