@@ -1027,3 +1027,68 @@ def test_cli_convert_tsdb_multistream(spark, tmp_path):
                  "--select-external-labels", "replica=b"]) == 0
     got = [p.rsplit("stream=", 1)[1] for p in _glob.glob(f"{dst2}/stream=*")]
     assert got == [kb]
+
+
+def test_band_reads_survive_arrow_batch_splits(spark, tmp_path):
+    """Arrow input batching (~10k rows/batch by default) is orthogonal
+    to bands; the decoder groups work rows across the whole partition
+    iterator, so a band split across several incoming Arrow batches
+    still costs exactly ONE ranged read — forced here with a 3-row
+    Arrow batch size against 8-chunk bands."""
+    import glob as _glob
+    import json as _json
+
+    d = str(tmp_path / "block")
+    series = [({"__name__": "m", "i": f"{i:02d}"},
+               [(1000 * j, float(i + j)) for j in range(30)])
+              for i in range(32)]
+    write_block(d, series)
+    trace = tmp_path / "io_trace"
+    trace.mkdir()
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        rows = tsdb.tsdb_block_samples(
+            spark, d, band_chunks=8, io_trace_dir=str(trace)).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = sorted((dict(r["labels"])["i"], r["ts"], r["value"]) for r in rows)
+    want = sorted((ls["i"], t, v) for ls, ss in series for t, v in ss)
+    assert got == want
+    reads = [_json.loads(open(p).read())
+             for p in _glob.glob(f"{trace}/read-*.json")]
+    # 32 chunks / 8 per band = 4 bands -> exactly 4 disjoint reads
+    assert len(reads) == 4
+    spans = sorted((r["start"], r["start"] + r["n"]) for r in reads)
+    for (a0, a1), (b0, _b1) in zip(spans, spans[1:]):
+        assert a1 <= b0
+
+
+def test_discover_streams_meta_edge_cases(tmp_path):
+    """Meta corner rules: a missing stats section is NOT treated as
+    zero-chunk (only an explicit numChunks==0 skips); empty thanos
+    labels and an absent thanos section both key stream "0" and group
+    together (reference ExternalLabels.Hash: empty set -> 0)."""
+    import json as _json
+
+    root = tmp_path / "blocks"
+    day = 1704067200000
+    write_block(str(root / "01A"), [({"__name__": "m"}, [(day, 1.0)])],
+                ulid="01A00000000000000000000000")
+    # strip the stats section entirely
+    mp = root / "01A" / "meta.json"
+    meta = _json.loads(mp.read_text())
+    del meta["stats"]
+    mp.write_text(_json.dumps(meta))
+    # empty thanos.labels (vs 01A's absent thanos section)
+    write_block(str(root / "01B"), [({"__name__": "n"}, [(day, 2.0)])],
+                ulid="01B00000000000000000000000",
+                meta_extra={"thanos": {"labels": {}}})
+    streams = tsdb.discover_streams(str(root))
+    assert set(streams) == {"0"}
+    assert len(streams["0"]["blocks"]) == 2
+    assert streams["0"]["labels"] == {}

@@ -685,41 +685,53 @@ def tsdb_block_samples(spark, block_dir: str,
         ("ts", pa.int64()), ("value", pa.float64()), ("hist", hist_t)])
 
     def decode_batches(batches):
+        # Group work rows across ALL of the partition's incoming Arrow
+        # batches FIRST: Arrow batching (~10k rows/batch) is orthogonal
+        # to bands, and grouping per-batch would re-read a band's span
+        # once per batch that touches it.  Work rows are metadata (a few
+        # hundred bytes each), so materializing the partition's worth is
+        # cheap; the DATA stays streamed — one ranged read + one output
+        # batch per band (~band_chunks chunks ≈ 2 MB decoded) bounds
+        # executor memory however large the partition is.
+        by_band: dict[tuple, list[dict]] = {}
         for batch in batches:
-            rows = {"labels": [], "ts": [], "value": [], "hist": []}
             cols = {n: batch.column(n).to_pylist()
                     for n in ("labels", "seg", "band", "end", "offset",
                               "dranges")}
-            by_band: dict[tuple, list[int]] = {}
-            for i, key in enumerate(zip(cols["seg"], cols["band"])):
-                by_band.setdefault(key, []).append(i)
-            for (seg, _band), idxs in by_band.items():
-                idxs.sort(key=lambda i: cols["offset"][i])
-                base = cols["offset"][idxs[0]]
-                buf = _read_segment_span(seg, base, cols["end"][idxs[0]],
-                                         verify_crc, io_trace_dir)
-                for i in idxs:
-                    enc, data, _ = _parse_chunk_at(
-                        buf, cols["offset"][i] - base, verify_crc)
-                    lab = cols["labels"][i]  # [(k, v), ...] from MapArray
-                    dr = cols["dranges"][i]
-                    deleted = ([] if dr is None else
-                               [(d["mint"], d["maxt"]) for d in dr])
-                    for t, v in decode_chunk(enc, data):
-                        if any(dm <= t <= dx for dm, dx in deleted):
-                            continue
-                        rows["labels"].append(lab)
-                        rows["ts"].append(t)
-                        if isinstance(v, dict):
-                            rows["value"].append(float("nan"))
-                            rows["hist"].append({
-                                "count": v["count"], "sum": v["sum"],
-                                "buckets": [{"le": le, "count": c}
-                                            for le, c in v["buckets"]],
-                                "schema": v.get("schema")})
-                        else:
-                            rows["value"].append(v)
-                            rows["hist"].append(None)
+            for i in range(batch.num_rows):
+                by_band.setdefault(
+                    (cols["seg"][i], cols["band"][i]), []).append(
+                    {"labels": cols["labels"][i], "end": cols["end"][i],
+                     "offset": cols["offset"][i],
+                     "dranges": cols["dranges"][i]})
+        for (seg, _band), rows_w in by_band.items():
+            rows_w.sort(key=lambda w: w["offset"])
+            base = rows_w[0]["offset"]
+            buf = _read_segment_span(seg, base, rows_w[0]["end"],
+                                     verify_crc, io_trace_dir)
+            rows = {"labels": [], "ts": [], "value": [], "hist": []}
+            for w in rows_w:
+                enc, data, _ = _parse_chunk_at(
+                    buf, w["offset"] - base, verify_crc)
+                lab = w["labels"]  # [(k, v), ...] from MapArray
+                dr = w["dranges"]
+                deleted = ([] if dr is None else
+                           [(d["mint"], d["maxt"]) for d in dr])
+                for t, v in decode_chunk(enc, data):
+                    if any(dm <= t <= dx for dm, dx in deleted):
+                        continue
+                    rows["labels"].append(lab)
+                    rows["ts"].append(t)
+                    if isinstance(v, dict):
+                        rows["value"].append(float("nan"))
+                        rows["hist"].append({
+                            "count": v["count"], "sum": v["sum"],
+                            "buckets": [{"le": le, "count": c}
+                                        for le, c in v["buckets"]],
+                            "schema": v.get("schema")})
+                    else:
+                        rows["value"].append(v)
+                        rows["hist"].append(None)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(rows["labels"], out_t.field("labels").type),
                  pa.array(rows["ts"], pa.int64()),
