@@ -1092,3 +1092,123 @@ def test_discover_streams_meta_edge_cases(tmp_path):
     assert set(streams) == {"0"}
     assert len(streams["0"]["blocks"]) == 2
     assert streams["0"]["labels"] == {}
+
+
+def test_stream_key_above_int64_survives_partition_inference(spark,
+                                                             tmp_path):
+    """Stream keys are uint64 decimal strings and can exceed int64 max
+    (e.g. replica=r1 -> 10485900719457318063).  Spark's partition-value
+    inference must not mangle them (20-digit values infer as decimal,
+    not long) — conversion, manifest, descriptors, and engine stream
+    decoration all keep the exact key."""
+    day = 1704067200000
+    root = tmp_path / "blocks"
+    labels = {"replica": "r1"}
+    key = str(tsdb.external_labels_hash(labels))
+    assert int(key) > (1 << 63)  # the hazard under test
+    write_block(str(root / "01B"), [
+        ({"__name__": "up"}, [(day + 1000 * i, float(i))
+                              for i in range(10)])],
+        ulid="01BIGKEY000000000000000000",
+        meta_extra={"thanos": {"labels": labels}})
+    out = str(tmp_path / "conv")
+    manifest = tsdb.convert_tsdb_streams(spark, str(root), out)
+    assert [r["stream"] for r in manifest.collect()] == [key]
+    from thanos_parquet_gateway_spark.convert.convert import (
+        read_stream_descriptors,
+    )
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    streams = read_stream_descriptors(spark, out)
+    assert streams == {key: labels}
+    conv = spark.read.parquet(out)
+    got = {str(r["stream"]) for r in conv.select("stream").distinct()
+           .collect()}
+    assert got == {key}
+    eng = PromQLEngine(conv, lookback_ms=600_000, deterministic=True,
+                       streams=streams, replica_labels=["replica"])
+    res = eng.query_instant("up", day + 9000).df.collect()
+    assert len(res) == 1 and res[0]["value"] == 9.0
+    assert "replica" not in dict(res[0]["labels"])
+
+
+def test_cross_stream_dedup_differential_fuzz(spark):
+    """Hypothesis differential over the streams+replica dedup path: for
+    random stream layouts (random ext labels incl. 0-2 replica labels),
+    random sparse samples (incl. staleness NULLs), the engine's deduped
+    sample set must equal a pure-Python model — dedup crosses exactly
+    the streams whose non-replica ext labels coincide, lowest
+    (intrinsic + ext) replica key wins, stale markers lose to real
+    samples of the winning key, decoration = stripped ext labels."""
+    import os
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+
+    t0 = 1704067200000
+    REPS = ["replica", "rep2"]
+
+    @st.composite
+    def layouts(draw):
+        n_streams = draw(st.integers(1, 4))
+        streams = {}
+        for i in range(n_streams):
+            ls = {}
+            if draw(st.booleans()):
+                ls["env"] = draw(st.sampled_from(["p", "q"]))
+            for rl in REPS:
+                if draw(st.booleans()):
+                    ls[rl] = draw(st.sampled_from(["a", "b", "c"]))
+            streams[f"s{i}"] = ls
+        rows = []
+        for s in streams:
+            for ts_off in draw(st.sets(st.integers(0, 3), min_size=1,
+                                       max_size=4)):
+                val = draw(st.one_of(st.none(),
+                                     st.floats(allow_nan=False, width=32)))
+                rows.append((s, t0 + ts_off * 1000, val))
+        return streams, rows
+
+    n_examples = int(os.environ.get("FUZZ_N_STREAM_DEDUP", "12"))
+
+    @settings(max_examples=n_examples, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(layouts())
+    def check(case):
+        streams, rows = case
+        samples = spark.createDataFrame(
+            [({"__name__": "m"}, ts, v, s) for s, ts, v in rows],
+            "labels map<string,string>, ts long, value double, "
+            "stream string")
+        eng = PromQLEngine(samples, lookback_ms=600_000,
+                           deterministic=True, streams=streams,
+                           replica_labels=REPS)
+        got = {}
+        for r in eng.samples.select("labels", "ts", "value",
+                                    "stream").collect():
+            grp_labels = tuple(sorted(
+                {k: v for k, v in streams[r["stream"]].items()
+                 if k not in REPS}.items()))
+            got[(grp_labels, r["ts"])] = r["value"]
+        # pure-Python model
+        want = {}
+        best = {}
+        for s, ts, v in rows:
+            ls = streams[s]
+            grp = tuple(sorted((k, x) for k, x in ls.items()
+                               if k not in REPS))
+            repkey = ("\x1f" + "\x1f".join(ls.get(rl, "") for rl in REPS),
+                      -(v if v is not None else float("-inf")))
+            k = (grp, ts)
+            if k not in best or repkey < best[k]:
+                best[k] = repkey
+                want[k] = v
+        assert set(got) == set(want)
+        for k in want:
+            if want[k] is None:
+                assert got[k] is None
+            else:
+                assert got[k] == want[k]
+
+    check()
