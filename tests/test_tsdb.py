@@ -1198,8 +1198,12 @@ def test_cross_stream_dedup_differential_fuzz(spark):
             ls = streams[s]
             grp = tuple(sorted((k, x) for k, x in ls.items()
                                if k not in REPS))
+            # mirror the engine's order key: (replica rank, stale flag,
+            # -value) — a real sample (any value, incl. -inf) beats a
+            # stale marker at the same rank
             repkey = ("\x1f" + "\x1f".join(ls.get(rl, "") for rl in REPS),
-                      -(v if v is not None else float("-inf")))
+                      1 if v is None else 0,
+                      float("inf") if v is None else -v)
             k = (grp, ts)
             if k not in best or repkey < best[k]:
                 best[k] = repkey

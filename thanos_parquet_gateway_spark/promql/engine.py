@@ -145,10 +145,13 @@ class PromQLEngine:
                 + (["__extgrp"] if "__extgrp" in samples.columns else [])
             payload = [c for c in samples.columns
                        if c not in ("ts", "date", "__rep", "__extgrp")]
-            # NULL value = staleness marker; map it to -inf so a real sample
-            # from the winning replica is preferred over its stale marker.
+            # NULL value = staleness marker; an EXPLICIT stale flag (not a
+            # -inf sentinel, which a genuine -inf sample would tie with)
+            # makes any real sample — including -inf — beat a stale marker
+            # at the same replica rank, deterministically.
             order_key = F.struct(
                 F.col("__rep").alias("r"),
+                F.col("value").isNull().cast("int").alias("s"),
                 (-F.coalesce(F.col("value"),
                              F.lit(float("-inf")))).alias("v"))
             # 8-byte dedup key (xxhash64 of the canonical sig) — the

@@ -433,12 +433,13 @@ def decode_chunk(enc: int, data: bytes) -> list[tuple[int, object]]:
     floats (the reserved 0x7ff0000000000002 payload) map to None — the
     long format's staleness encoding (schema.py)."""
     if enc == ENC_XOR:
-        from thanos_parquet_gateway_spark.api.chunkenc import decode_xor_chunk
-        out = []
-        for t, v in decode_xor_chunk(data):
-            bits = struct.unpack(">Q", struct.pack(">d", v))[0]
-            out.append((t, None if bits == _STALE_NAN_BITS else v))
-        return out
+        from thanos_parquet_gateway_spark.api.chunkenc import (
+            _b2f,
+            decode_xor_chunk_bits,
+        )
+        stale = _STALE_NAN_BITS
+        return [(t, None if bits == stale else _b2f(bits))
+                for t, bits in decode_xor_chunk_bits(data)]
     if enc in (ENC_HISTOGRAM, ENC_FLOAT_HISTOGRAM):
         from thanos_parquet_gateway_spark.api.grpc_pb import (
             CHUNK_FLOAT_HISTOGRAM,
