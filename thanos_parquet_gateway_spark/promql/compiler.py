@@ -154,17 +154,30 @@ def _quantile_agg_expr(q: float) -> Column:
 
 
 def hgroup(df: DataFrame, sig_col: str, *aggs,
-           extra_keys: tuple = ("t",)) -> DataFrame:
-    """groupBy keyed on xxhash64 of a canonical-sig string, carrying the
-    string itself via first() — the reference's hash-column shuffle trick
-    (convert/tsdb.go:132, schema/schema.go:27): the exchange sorts and
-    compares an 8-byte long instead of a long JSON string; the string moves
-    once per group per map partition (partial-agg payload), not once per
-    row."""
+           extra_keys: tuple = ("t",), labels: str | None = None) -> DataFrame:
+    """groupBy keyed on (extra_keys, xxhash64(sig), sig) — the reference's
+    hash-column shuffle trick (convert/tsdb.go:132, schema/schema.go:27):
+    the 8-byte hash leads the compound key so exchange/compare work is
+    mostly on a long.
+
+    The sig string rides as a grouping KEY, not a ``first(sig)`` aggregate:
+    grouping keys may be any type under HashAggregateExec, but aggregation
+    BUFFERS must be UnsafeRow-mutable (fixed-width) types — a first(string)
+    or first(map) buffer silently demotes the whole aggregation to
+    SortAggregate (full sort of the input on both sides of the exchange).
+
+    For the same reason, callers should NOT pass ``F.first("labels")``:
+    pass ``labels="labels"`` instead and the label map is rebuilt post-agg
+    from the canonical sig (labels_from_sig is the exact inverse of
+    canonical_sig), keeping native aggregations on the codegen
+    HashAggregate path with map-side partial aggregation."""
     h = F.xxhash64(sig_col).alias("__kh")
-    return (df.groupBy(*extra_keys, h)
-            .agg(F.first(sig_col).alias(sig_col), *aggs)
-            .drop("__kh"))
+    out = (df.groupBy(*extra_keys, h, sig_col)
+           .agg(*aggs)
+           .drop("__kh"))
+    if labels is not None:
+        out = out.withColumn(labels, labels_from_sig(sig_col))
+    return out
 
 
 def _matcher_matches(m: A.Matcher, v: str) -> bool:
@@ -442,36 +455,52 @@ class Compiler:
         # series at steps where it is latest (Prometheus staleness semantics)
         has_hist = "hist" in base.columns
         pair_cols = ["ts", "value"] + (["hist"] if has_hist else [])
-        sel_extra = ([F.col("sv.hist").alias("hist")] if has_hist else [])
-        alive = (F.col("sv.value").isNotNull() |
-                 F.col("sv.hist").isNotNull()) if has_hist else \
-            F.col("sv.value").isNotNull()
+        if self.p.deterministic:
+            # order-stable: struct max breaks (sig-hash-collision) ties by
+            # (ts, value[, hist]) tuple order — SortAggregate, oracle mode
+            sel_aggs = [F.max(F.struct(*pair_cols)).alias("sv")]
+            sel_cols = [F.col("sv.ts").alias("__sts"),
+                        F.col("sv.value").alias("__sval")] + \
+                ([F.col("sv.hist").alias("__shist")] if has_hist else [])
+        else:
+            # production: (sig, ts) is unique, so "latest sample" is
+            # max(ts) + max_by(value, ts) — primitive/small buffers keep the
+            # aggregation on the hash-based path (ObjectHashAggregate)
+            # instead of the full-sort SortAggregate that max(struct) forces
+            sel_aggs = [F.max("ts").alias("__mts"),
+                        F.max_by("value", "ts").alias("__mval")] + \
+                ([F.max_by("hist", "ts").alias("__mhist")] if has_hist else [])
+            sel_cols = [F.col("__mts").alias("__sts"),
+                        F.col("__mval").alias("__sval")] + \
+                ([F.col("__mhist").alias("__shist")] if has_hist else [])
+        sel_extra = ([F.col("__shist").alias("hist")] if has_hist else [])
+        alive = (F.col("__sval").isNotNull() |
+                 F.col("__shist").isNotNull()) if has_hist else \
+            F.col("__sval").isNotNull()
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms) + vs.offset_ms * 0  # offset applied in base
-            at_df = hgroup(
+            at_df = (hgroup(
                 base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at)),
-                "sig",
-                F.max(F.struct(*pair_cols)).alias("sv"),
-                F.first("labels").alias("labels"),
-                extra_keys=()).filter(alive)
+                "sig", *sel_aggs,
+                extra_keys=(), labels="labels")
+                .select("sig", "labels", *sel_cols).filter(alive))
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
-                           (F.col("sv.ts") - F.lit(vs.offset_ms))
+                           (F.col("__sts") - F.lit(vs.offset_ms))
                            .alias("sample_ts"),
-                           F.col("sv.value").alias("value"), *sel_extra))
+                           F.col("__sval").alias("value"), *sel_extra))
             return InstantVector(out)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
-        out = (hgroup(exploded, "sig",
-                      F.max(F.struct(*pair_cols)).alias("sv"),
-                      F.first("labels").alias("labels"))
+        out = (hgroup(exploded, "sig", *sel_aggs, labels="labels")
+               .select("t", "sig", "labels", *sel_cols)
                .filter(alive)
                .select("t", "sig", "labels",
                        # selection runs in the offset-shifted frame; the
                        # user-visible sample timestamp (timestamp()) is the
                        # ORIGINAL one (upstream vectorSelectorSingle)
-                       (F.col("sv.ts") - F.lit(vs.offset_ms))
+                       (F.col("__sts") - F.lit(vs.offset_ms))
                        .alias("sample_ts"),
-                       F.col("sv.value").alias("value"), *sel_extra))
+                       F.col("__sval").alias("value"), *sel_extra))
         return InstantVector(out)
 
     def _matrix_selector(self, ms: A.MatrixSelector) -> RangeVector:
@@ -503,8 +532,22 @@ class Compiler:
                            .alias("ts"), "value", *hist_cols))
             return RangeVector(out, rng)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), rng)))
+        prev = None
+        if not self.p.deterministic:
+            # production: attach each sample's predecessor (lag per series,
+            # BEFORE the grid explode — one un-replicated shuffle of the
+            # samples) so the rate family can aggregate natively; lazy, so
+            # the extra window plan only executes for consumers that use it
+            from pyspark.sql import Window as _W
+            w = _W.partitionBy("sig").orderBy("ts")
+            based = (base.withColumn("__pv", F.lag("value").over(w))
+                     .withColumn("__pts", F.lag("ts").over(w)))
+            prev = (based.withColumn(
+                "t", F.explode(self._serve_steps(F.col("ts"), rng)))
+                .select("t", "sig", "labels", "ts", "value",
+                        "__pv", "__pts", *hist_cols))
         return RangeVector(exploded.select("t", "sig", "labels", "ts", "value",
-                                           *hist_cols), rng)
+                                           *hist_cols), rng, prev=prev)
 
     def _subquery(self, sq: A.Subquery) -> RangeVector:
         """x[range:step] — inner expr evaluated on its own epoch-aligned grid,
@@ -813,8 +856,8 @@ class Compiler:
             out = (hgroup(df.withColumn("labels", nl)
                           .withColumn("sig", canonical_sig(F.col("labels"))),
                           "sig",
-                          F.first("labels").alias("labels"),
-                          F.count("*").cast("double").alias("value"))
+                          F.count("*").cast("double").alias("value"),
+                          labels="labels")
                    .select("t", "sig", "labels",
                            F.lit(None).cast("long").alias("sample_ts"), "value"))
             return InstantVector(out)
@@ -885,7 +928,7 @@ class Compiler:
                      if param_df is not None else [])
             g = hgroup(df, "gsig",
                        folds.sorted_pairs(F.col("sig"), F.col("value")).alias("arr"),
-                       F.first("glabels").alias("labels"), *extra)
+                       *extra, labels="labels")
             arr = F.col("arr")
             vals = folds.values_of(arr)
             non_nan = F.filter(vals, lambda v: ~F.isnan(v))
@@ -923,7 +966,7 @@ class Compiler:
         }
         out = (hgroup(df, "gsig",
                       exprs[agg.op].alias("value"),
-                      F.first("glabels").alias("labels"))
+                      labels="labels")
                .select("t", F.col("gsig").alias("sig"), "labels",
                        F.lit(None).cast("long").alias("sample_ts"),
                        F.col("value").cast("double").alias("value")))

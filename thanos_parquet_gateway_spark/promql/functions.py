@@ -90,7 +90,7 @@ def _collect_window(rv: RangeVector):
     from thanos_parquet_gateway_spark.promql.compiler import hgroup
     return hgroup(rv.df, "sig",
                   folds.sorted_pairs(F.col("ts"), F.col("value")).alias("arr"),
-                  F.first("labels").alias("labels"))
+                  labels="labels")
 
 
 # over_time/regression functions that IGNORE native-histogram samples:
@@ -121,7 +121,7 @@ def _collect_window_floats(c: Compiler, rv: RangeVector, min_n: int = 1):
             F.struct(F.col("ts").alias("o"),
                      F.col("value").alias("v"))))).alias("arr"),
         F.count(F.col("hist")).alias("__nh"),  # count() skips NULLs
-        F.first("labels").alias("labels"))
+        labels="labels")
     g = g.filter(F.size("arr") >= min_n)
     c.add_data_probe(
         g.filter(F.col("__nh") > 0).limit(1).select(
@@ -166,6 +166,42 @@ _OVER_TIME = {
     "ts_of_first_over_time": lambda arr: F.element_at(arr, 1)["o"].cast(D) / 1000.0,
     "ts_of_max_over_time": lambda arr: _fold_ts_of(arr, "max"),
     "ts_of_min_over_time": lambda arr: _fold_ts_of(arr, "min"),
+}
+
+
+# Production-mode (deterministic=False) native-aggregation twins of the
+# order-insensitive _OVER_TIME folds: each entry yields the .agg(...) list,
+# with the result aliased "__v".  Range vectors exclude stale markers
+# (value is never NULL) and the native path is only taken when the range
+# vector carries no histogram column, so plain value aggregates see exactly
+# the fold's float samples.  min/max skip NaN like the folds (NaN→NULL
+# before min/max; all-NaN windows coalesce back to NaN); every window has
+# ≥1 sample by construction (explode emits a (t, sig) group only for
+# samples inside it).
+def _nanf() -> Column:
+    v = F.col("value")
+    return F.when(~F.isnan(v), v)
+
+
+_OVER_TIME_NATIVE = {
+    "count_over_time": lambda: [F.count(F.lit(1)).cast(D).alias("__v")],
+    "sum_over_time": lambda: [F.sum("value").alias("__v")],
+    "avg_over_time": lambda: [F.avg("value").alias("__v")],
+    "min_over_time": lambda: [
+        F.coalesce(F.min(_nanf()), F.first(NAN())).alias("__v")],
+    "max_over_time": lambda: [
+        F.coalesce(F.max(_nanf()), F.first(NAN())).alias("__v")],
+    "last_over_time": lambda: [F.max_by("value", "ts").alias("__v")],
+    "first_over_time": lambda: [F.min_by("value", "ts").alias("__v")],
+    "present_over_time": lambda: [F.first(F.lit(1.0)).alias("__v")],
+    "stddev_over_time": lambda: [
+        F.coalesce(F.stddev_pop("value"), F.first(NAN())).alias("__v")],
+    "stdvar_over_time": lambda: [
+        F.coalesce(F.var_pop("value"), F.first(NAN())).alias("__v")],
+    "ts_of_last_over_time": lambda: [
+        (F.max("ts").cast(D) / 1000.0).alias("__v")],
+    "ts_of_first_over_time": lambda: [
+        (F.min("ts").cast(D) / 1000.0).alias("__v")],
 }
 
 
@@ -231,7 +267,7 @@ def _over_time_hist(c: Compiler, rv: RangeVector, fn: str) -> InstantVector:
             F.when(F.col("hist").isNotNull(),
                    F.struct(F.col("ts").alias("o"),
                             F.col("hist").alias("h"))))).alias("harr"),
-        F.first("labels").alias("labels"))
+        labels="labels")
     arr, harr = F.col("arr"), F.col("harr")
     nf, nh = F.size(arr), F.size(harr)
     is_float = (nf >= 1) & (nh == 0)
@@ -283,9 +319,25 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         rv = _range_arg(c, call, 0)
         if fn in _OVER_TIME_HIST and "hist" in rv.df.columns:
             return _over_time_hist(c, rv, fn)
-        g = (_window_floats(c, rv) if fn in _HIST_IGNORE
-             else _collect_window(rv))
-        val = _OVER_TIME[fn](F.col("arr"))
+        if (not c.p.deterministic and fn in _OVER_TIME_NATIVE
+                and "hist" not in rv.df.columns):
+            # production mode: the window fold is a plain aggregation —
+            # compile it as native (mostly codegen HashAggregate) aggregate
+            # functions with map-side partial aggregation, instead of
+            # shipping every sample through a collect_list buffer to the
+            # reducer and folding the sorted array there.  Exact for
+            # count/min/max/first/last/ts_of_*/present; sum/avg/stddev/
+            # stdvar trade the order-stable Kahan fold for float-addition
+            # reassociation (run-to-run low-bit nondeterminism — the same
+            # trade the cross-series production aggregations already make).
+            from thanos_parquet_gateway_spark.promql.compiler import hgroup
+            g = hgroup(rv.df, "sig", *_OVER_TIME_NATIVE[fn](),
+                       labels="labels")
+            val = F.col("__v")
+        else:
+            g = (_window_floats(c, rv) if fn in _HIST_IGNORE
+                 else _collect_window(rv))
+            val = _OVER_TIME[fn](F.col("arr"))
         if fn.startswith("ts_of_"):
             # window points live in the shifted evaluation frame (static
             # offset at the selector base + the per-step @ re-anchor in the
@@ -335,6 +387,8 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     warning)."""
     if "hist" in rv.df.columns:
         return _extrapolated_hist(c, rv, counter, is_rate)
+    if not c.p.deterministic and rv.prev is not None:
+        return _extrapolated_native(c, rv, counter, is_rate)
     g = _collect_window(rv).filter(F.size("arr") >= 2)
     arr = F.col("arr")
     n = F.size(arr).cast(D)
@@ -358,6 +412,68 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     if counter:
         dur_to_zero = F.when(delta > 0, sampled * (first_v / delta)).otherwise(dur_start)
         dur_start = F.when((delta > 0) & (first_v >= 0) & (dur_to_zero < dur_start),
+                           dur_to_zero).otherwise(dur_start)
+    extrap = (sampled
+              + dur_start
+              + F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end))
+    factor = extrap / sampled
+    val = delta * factor / rng_s if is_rate else delta * factor
+    out = g.select("t", "sig", "labels",
+                   F.lit(None).cast("long").alias("sample_ts"),
+                   val.alias("value"))
+    return _iv(_drop_name(out))
+
+
+def _extrapolated_native(c: Compiler, rv: RangeVector, counter: bool,
+                         is_rate: bool) -> InstantVector:
+    """Production-mode twin of _extrapolated's float path: with each
+    sample's predecessor attached pre-explode (RangeVector.prev), the
+    window statistics the extrapolation needs — n, first/last ts+value and
+    the counter-reset correction — are plain aggregates, so the whole rate
+    family runs as a native aggregation with map-side partials instead of
+    shipping every (replicated) sample through a collect_list buffer.  The
+    reset correction counts a (prev, cur) pair iff the predecessor is
+    itself inside the window (__pts > t - range; every in-window adjacent
+    pair's right element is in the window by construction).  Boundary math
+    below mirrors _extrapolated line for line; the only semantic delta is
+    float-sum reassociation in the reset correction (production trade,
+    same as the cross-series aggregations)."""
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+    rng = rv.range_ms
+    in_win_pair = F.col("__pts") > (F.col("t") - F.lit(rng))
+    corr = F.when(in_win_pair
+                  & ~F.isnan(F.col("value")) & ~F.isnan(F.col("__pv"))
+                  & (F.col("value") < F.col("__pv")),
+                  F.col("__pv")).otherwise(F.lit(0.0))
+    g = (hgroup(rv.prev, "sig",
+                F.count(F.lit(1)).alias("__wn"),
+                F.min("ts").alias("__ft"),
+                F.max("ts").alias("__lt"),
+                F.min_by("value", "ts").alias("__fv"),
+                F.max_by("value", "ts").alias("__lv"),
+                F.sum(corr).alias("__rc"),
+                labels="labels")
+         .filter(F.col("__wn") >= 2))
+    n = F.col("__wn").cast(D)
+    first_t, last_t = F.col("__ft"), F.col("__lt")
+    first_v, last_v = F.col("__fv"), F.col("__lv")
+    delta = (last_v - first_v + F.col("__rc")) if counter \
+        else (last_v - first_v)
+    g = g.withColumn("__delta", delta)
+    delta = F.col("__delta")
+
+    rng_s = F.lit(rng / 1000.0)
+    dur_start = (first_t - (F.col("t") - F.lit(rng))).cast(D) / 1000.0
+    dur_end = (F.col("t") - last_t).cast(D) / 1000.0
+    sampled = (last_t - first_t).cast(D) / 1000.0
+    avg_dur = sampled / (n - 1)
+    threshold = avg_dur * 1.1
+    dur_start = F.when(dur_start >= threshold, avg_dur / 2).otherwise(dur_start)
+    if counter:
+        dur_to_zero = F.when(delta > 0, sampled * (first_v / delta)) \
+                       .otherwise(dur_start)
+        dur_start = F.when((delta > 0) & (first_v >= 0)
+                           & (dur_to_zero < dur_start),
                            dur_to_zero).otherwise(dur_start)
     extrap = (sampled
               + dur_start
@@ -395,7 +511,7 @@ def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
             F.when(F.col("hist").isNotNull(),
                    F.struct(F.col("ts").alias("o"),
                             F.col("hist").alias("h"))))).alias("harr"),
-        F.first("labels").alias("labels"))
+        labels="labels")
     is_float = (F.size("arr") >= 2) & (F.size("harr") == 0)
     is_hist = (F.size("harr") >= 2) & (F.size("arr") == 0)
     g = g.filter(is_float | is_hist)
@@ -456,6 +572,33 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
     stands alone, mirroring the float counter rule)."""
     if "hist" in rv.df.columns:
         return _instant_pair_hist(c, rv, kind)
+    if not c.p.deterministic and rv.prev is not None:
+        # production: the window's last TWO samples are the max_by(ts) row
+        # plus the predecessor it carries (attached pre-explode) — one
+        # native aggregation, no collect_list fold.  ≥2-samples filter ≡
+        # "the last sample's predecessor is itself inside the window".
+        from thanos_parquet_gateway_spark.promql.compiler import hgroup
+        g = (hgroup(rv.prev, "sig",
+                    F.max("ts").alias("__lt"),
+                    F.max_by(F.struct(F.col("value").alias("v"),
+                                      F.col("__pv").alias("pv"),
+                                      F.col("__pts").alias("pt")),
+                             "ts").alias("__lp"),
+                    labels="labels")
+             .filter(F.col("__lp.pt").isNotNull()
+                     & (F.col("__lp.pt") > F.col("t") - F.lit(rv.range_ms))))
+        last_t, prev_t = F.col("__lt"), F.col("__lp.pt")
+        last_v, prev_v = F.col("__lp.v"), F.col("__lp.pv")
+        dt_s = (last_t - prev_t).cast(D) / 1000.0
+        if kind == "irate":
+            dv = F.when(last_v >= prev_v, last_v - prev_v).otherwise(last_v)
+            val = dv / dt_s
+        else:
+            val = last_v - prev_v
+        out = g.select("t", "sig", "labels",
+                       F.lit(None).cast("long").alias("sample_ts"),
+                       val.alias("value"))
+        return _iv(_drop_name(out))
     g = _collect_window(rv).filter(F.size("arr") >= 2)
     arr = F.col("arr")
     last_t, prev_t = F.element_at(arr, -1)["o"], F.element_at(arr, -2)["o"]
@@ -485,7 +628,7 @@ def _instant_pair_hist(c: Compiler, rv: RangeVector, kind: str) -> InstantVector
             F.when(F.col("hist").isNotNull(),
                    F.struct(F.col("ts").alias("o"),
                             F.col("hist").alias("h"))))).alias("harr"),
-        F.first("labels").alias("labels"))
+        labels="labels")
     is_float = (F.size("arr") >= 2) & (F.size("harr") == 0)
     is_hist = (F.size("harr") >= 2) & (F.size("arr") == 0)
     g = g.filter(is_float | is_hist)
@@ -586,7 +729,7 @@ def _counts_hist(c: Compiler, rv: RangeVector, mode: str) -> InstantVector:
         F.array_sort(F.collect_list(F.struct(
             F.col("ts").alias("o"), F.col("value").alias("v"),
             F.col("hist").alias("h")))).alias("marr"),
-        F.first("labels").alias("labels"))
+        labels="labels")
     marr = F.col("marr")
     acc0 = F.struct(F.lit(False).alias("init"),
                     F.lit(None).cast(D).alias("pv"),
@@ -706,8 +849,8 @@ def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
     from thanos_parquet_gateway_spark.promql.compiler import hgroup
     g = hgroup(df, "sig",
                folds.sorted_pairs(F.col("__le"), F.col("value")).alias("arr"),
-               F.first("labels").alias("labels"),
-               F.first("__mname").alias("__mname"))
+               F.first("__mname").alias("__mname"),
+               labels="labels")
     arr = F.col("arr")
     les = F.transform(arr, lambda x: x["o"])
     # running-max monotonicity fix-up

@@ -48,10 +48,21 @@ class InstantVector:
 @dataclass
 class RangeVector:
     """df: (t long, sig string, labels map<string,string>, ts long, value double)
-    — all samples in (t - range, t] per step t."""
+    — all samples in (t - range, t] per step t.
+
+    ``prev``: production-mode (deterministic=False) twin of ``df`` carrying
+    two extra columns per sample — ``__pv`` / ``__pts``, the value/ts of the
+    series' PREVIOUS sample (lag over (sig, ts), computed BEFORE the step
+    grid explode so the samples are shuffled once, un-replicated).  With the
+    predecessor attached, the rate family's window math (counter resets,
+    first/last sample) becomes plain native aggregation instead of a
+    collect_list fold.  None on paths that don't provide it (@-anchored
+    windows, subqueries, deterministic mode) — consumers must fall back to
+    the fold."""
 
     df: DataFrame
     range_ms: int = 0
+    prev: DataFrame | None = None
 
 
 @dataclass
