@@ -79,11 +79,24 @@ def main():
         ("name filter pushed", r"PushedFilters: \[.*EqualTo\(event_type,click\)"),
         ("time-window filter before explode", TS_ROW_FILTER),
         ("ts window pushed to parquet stats", TS_PUSHED),
-        ("window agg shuffles on (t, xxhash64(sig)) — 8-byte long key",
-         r"hashpartitioning\(t#\d+L?, (?:__kh|_groupingexpression)#\d+L"),
+        # r12: the production rate path attaches per-series lag BEFORE the
+        # grid explode, so samples cross the network exactly once — one
+        # sig-keyed exchange feeds the lag Window AND (partitioning on sig
+        # satisfies grouping on (t, hash, sig)) the window aggregation,
+        # which is a native partial/final HashAggregate, not a collect fold.
+        ("samples shuffled once: sig-keyed exchange shared by lag + agg",
+         r"hashpartitioning\(sig#\d+"),
+        ("window stats aggregate natively", r"\(\d+\) HashAggregate"),
     ]))
     if "CartesianProduct" in p2:
         print("  [MISS] cartesian grid join present")
+        results.append(False)
+    n_exch2 = len(re.findall(r"\(\d+\) Exchange", p2))
+    if n_exch2 != 1:
+        print(f"  [MISS] rate path has {n_exch2} shuffle exchanges (want exactly 1)")
+        results.append(False)
+    if re.search(r"\(\d+\) (?:Sort|Object)Aggregate", p2):
+        print("  [MISS] rate aggregation fell off the hash-aggregate path")
         results.append(False)
 
     # 2b. metadata scan (/series): raw-layout ts bounds must reach parquet
