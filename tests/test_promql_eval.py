@@ -684,3 +684,85 @@ def test_count_values_denormal_shortest_roundtrip(spark):
     assert got == want
     # every label round-trips to its source double
     assert {float(s) for s in got} == set(vals.values())
+
+
+def _mat(result):
+    """range result df → {(t, labels_frozenset): value}"""
+    out = {}
+    for r in result.df.collect():
+        out[(r["t"], frozenset(dict(r["labels"]).items()))] = r["value"]
+    return out
+
+
+def _plan_str(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_production_native_range_functions_agree(spark):
+    """r12: in production mode (deterministic=False) the order-insensitive
+    *_over_time folds, the rate family (via pre-explode lag) and
+    resets/changes compile to native aggregations.  Differential pin: the
+    native twins must agree with the deterministic folds on a corpus with
+    counter resets, NaN runs, ±Inf, off-grid/sparse series and
+    single-sample windows — and the production plans must actually BE
+    native (no collect_list fold, no SortAggregate)."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    inf, nan = float("inf"), float("nan")
+    rows = (
+        counter("c", {"job": "a"}, 0, 10 * S, [0, 5, 2, 9, 3, 10, 10, 12]) +
+        counter("c", {"job": "b"}, 5 * S, 15 * S, [1, 1, 4, 2, 8]) +
+        counter("g", {"job": "a"}, 0, 10 * S, [1.5, nan, nan, 2.0, 2.0, -3.5]) +
+        counter("g", {"job": "nanlead"}, 0, 10 * S, [nan, nan, 3.0]) +
+        counter("g", {"job": "inf"}, 0, 20 * S, [-inf, 3.0, inf, 3.0]) +
+        [({"__name__": "g", "job": "one"}, 37 * S, 42.0)]
+    )
+    det = eng_for(spark, rows)
+    prod = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                        deterministic=False)
+
+    exact = {"count_over_time", "min_over_time", "max_over_time",
+             "first_over_time", "last_over_time", "present_over_time",
+             "ts_of_first_over_time", "ts_of_last_over_time",
+             "resets", "changes"}
+    over_time = ["count_over_time", "sum_over_time", "avg_over_time",
+                 "min_over_time", "max_over_time", "first_over_time",
+                 "last_over_time", "present_over_time", "stddev_over_time",
+                 "stdvar_over_time", "ts_of_first_over_time",
+                 "ts_of_last_over_time"]
+    queries = ([f"{fn}(g[30s])" for fn in over_time] +
+               ["rate(c[30s])", "increase(c[30s])", "delta(c[30s])",
+                "irate(c[30s])", "idelta(c[30s])",
+                "resets(c[30s])", "changes(c[30s])", "changes(g[25s])",
+                "rate(c[30s] offset 10s)",
+                # fold fallbacks in production mode (prev unavailable):
+                # subquery range vectors and @-anchored windows
+                "rate(c[40s:10s])", "sum_over_time(g[30s] @ 60)"])
+    for q in queries:
+        fn = q.split("(")[0]
+        a = _mat(det.query_range(q, 0, 80 * S, 10 * S))
+        b = _mat(prod.query_range(q, 0, 80 * S, 10 * S))
+        assert set(a) == set(b), q
+        for k in a:
+            if math.isnan(a[k]):
+                assert math.isnan(b[k]), (q, k)
+            elif fn in exact:
+                assert a[k] == b[k], (q, k, a[k], b[k])
+            else:
+                assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-300), \
+                    (q, k, a[k], b[k])
+
+    # the production plans must be native aggregations: no collect_list
+    # buffer, no SortAggregate demotion (the optimization this pins)
+    for q in ("rate(c[30s])", "count_over_time(g[30s])", "resets(c[30s])",
+              "irate(c[30s])"):
+        p = _plan_str(prod.query_range(q, 0, 80 * S, 10 * S).df)
+        assert "collect_list" not in p, q
+        assert "SortAggregate" not in p, q
+    # ...and the deterministic engine keeps the order-stable fold
+    p = _plan_str(det.query_range("rate(c[30s])", 0, 80 * S, 10 * S).df)
+    assert "collect_list" in p

@@ -578,17 +578,23 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
         # native aggregation, no collect_list fold.  ≥2-samples filter ≡
         # "the last sample's predecessor is itself inside the window".
         from thanos_parquet_gateway_spark.promql.compiler import hgroup
+        # three primitive max_by's, not one max_by(struct): a struct
+        # aggregation BUFFER is not UnsafeRow-mutable and demotes the whole
+        # aggregation to SortAggregate (caught by the r12 plan pin); the
+        # primitive buffers stay on codegen HashAggregate.  All three are
+        # keyed on the same ts, so they read the same sample row whenever
+        # (sig, ts) is unique — tied timestamps pick per-column, the same
+        # production-mode tie trade the latest-sample selection makes.
         g = (hgroup(rv.prev, "sig",
                     F.max("ts").alias("__lt"),
-                    F.max_by(F.struct(F.col("value").alias("v"),
-                                      F.col("__pv").alias("pv"),
-                                      F.col("__pts").alias("pt")),
-                             "ts").alias("__lp"),
+                    F.max_by("value", "ts").alias("__lv"),
+                    F.max_by("__pv", "ts").alias("__lpv"),
+                    F.max_by("__pts", "ts").alias("__lpt"),
                     labels="labels")
-             .filter(F.col("__lp.pt").isNotNull()
-                     & (F.col("__lp.pt") > F.col("t") - F.lit(rv.range_ms))))
-        last_t, prev_t = F.col("__lt"), F.col("__lp.pt")
-        last_v, prev_v = F.col("__lp.v"), F.col("__lp.pv")
+             .filter(F.col("__lpt").isNotNull()
+                     & (F.col("__lpt") > F.col("t") - F.lit(rv.range_ms))))
+        last_t, prev_t = F.col("__lt"), F.col("__lpt")
+        last_v, prev_v = F.col("__lv"), F.col("__lpv")
         dt_s = (last_t - prev_t).cast(D) / 1000.0
         if kind == "irate":
             dv = F.when(last_v >= prev_v, last_v - prev_v).otherwise(last_v)
@@ -695,22 +701,29 @@ def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
 
 def _counts_fold(arr: Column, mode: str) -> Column:
     """resets: count v[i] < v[i-1]; changes: count v[i] != v[i-1] (NaN→NaN is
-    not a change)."""
-    acc0 = F.struct(F.lit(None).cast(D).alias("prev"), F.lit(0.0).alias("n"))
+    not a change).  The explicit ``init`` flag (same as _counts_hist) keeps
+    the window's FIRST sample from ever counting — upstream funcChanges/
+    funcResets iterate from the second sample, and without the flag a
+    leading-NaN sample scored a phantom change (isnan(x) forced the hit
+    while both_nan stayed NULL against the NULL accumulator; caught by the
+    r12 det-vs-prod differential)."""
+    acc0 = F.struct(F.lit(False).alias("init"),
+                    F.lit(None).cast(D).alias("prev"), F.lit(0.0).alias("n"))
 
     def merge(a, x):
         if mode == "resets":
             # Spark orders NaN above every double (so 5 < NaN is TRUE here),
             # but Go/IEEE comparisons with NaN are always false — mask NaN on
             # either side so NaN transitions never count as resets.
-            hit = F.when(~F.isnan(x["v"]) & ~F.isnan(a["prev"])
-                         & (x["v"] < a["prev"]), 1.0)
+            hit = ~F.isnan(x["v"]) & ~F.isnan(a["prev"]) & (x["v"] < a["prev"])
         else:
             both_nan = F.isnan(x["v"]) & F.isnan(a["prev"])
-            hit = F.when((x["v"] != a["prev"]) | F.isnan(x["v"]) | F.isnan(a["prev"]),
-                         F.when(both_nan, 0.0).otherwise(1.0))
-        return F.struct(x["v"].alias("prev"),
-                        (a["n"] + F.coalesce(hit, F.lit(0.0))).alias("n"))
+            hit = (((x["v"] != a["prev"]) | F.isnan(x["v"])
+                    | F.isnan(a["prev"])) & ~both_nan)
+        inc = F.when(a["init"] & F.coalesce(hit, F.lit(False)), 1.0) \
+               .otherwise(0.0)
+        return F.struct(F.lit(True).alias("init"), x["v"].alias("prev"),
+                        (a["n"] + inc).alias("n"))
 
     return F.aggregate(arr, acc0, merge)["n"]
 
@@ -1133,6 +1146,33 @@ def dispatch(c: Compiler, call: A.Call):
         rv = _range_arg(c, call)
         if "hist" in rv.df.columns:
             return _counts_hist(c, rv, fn)
+        if not c.p.deterministic and rv.prev is not None:
+            # production: a transition count is a plain aggregation over
+            # (sample, predecessor) pairs — a pair counts iff the
+            # predecessor is itself inside the window (__pts > t - range),
+            # which is exactly the set of consecutive pairs _counts_fold
+            # walks.  Native HashAggregate with map-side partials, and
+            # integer-exact (sums of 0.0/1.0 — no float-reassociation
+            # trade, unlike sum_over_time).  NaN rules mirror the fold
+            # verbatim; a NULL predecessor (first sample of a series)
+            # falls out via coalesce(hit, false).
+            from thanos_parquet_gateway_spark.promql.compiler import hgroup
+            v, pv = F.col("value"), F.col("__pv")
+            in_win = F.col("__pts") > (F.col("t") - F.lit(rv.range_ms))
+            if fn == "resets":
+                hit = ~F.isnan(v) & ~F.isnan(pv) & (v < pv)
+            else:
+                both_nan = F.isnan(v) & F.isnan(pv)
+                hit = ((v != pv) | F.isnan(v) | F.isnan(pv)) & ~both_nan
+            g = hgroup(
+                rv.prev, "sig",
+                F.sum(F.when(F.coalesce(in_win & hit, F.lit(False)),
+                             F.lit(1.0)).otherwise(F.lit(0.0))).alias("__v"),
+                labels="labels")
+            out = g.select("t", "sig", "labels",
+                           F.lit(None).cast("long").alias("sample_ts"),
+                           F.col("__v").alias("value"))
+            return _iv(_drop_name(out))
         g = _collect_window(rv)
         val = _counts_fold(F.col("arr"), fn)
         out = g.select("t", "sig", "labels",
