@@ -18,13 +18,49 @@ from pyspark.sql import functions as F
 from thanos_parquet_gateway_spark.operators.topk import grouped_topk
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double precision (deterministic)."""
+def _sql_ref(c: str) -> str:
+    """Backtick-quote a column name for embedding in an expr() string."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def _sql_double_array(vals) -> str:
+    """SQL literal for array<double>.  repr() is shortest-round-trip and
+    Spark's string→double cast (Java parseDouble) is correctly rounded, so
+    the parsed literal is bit-identical to F.lit(float(x))."""
+    return ("array(" +
+            ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals) + ")")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the same sequential fold ``dot`` builds — one expr()
+    parse instead of dozens of py4j round trips per plane (the Column path
+    costs ~1 JVM round trip per literal/lambda; query *compile* time is
+    part of serving latency).  Operand strings may be quoted column refs or
+    nested SQL (e.g. a literal array)."""
+    return (f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"SQRT(aggregate(transform({a}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-fold dot product in double precision (deterministic).
+    String arguments are treated as column names and compiled via one
+    expr() parse (same expression tree, far fewer py4j round trips)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(_sql_ref(a), _sql_ref(b)))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(_sql_ref(a)))
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
@@ -106,13 +142,13 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     once per row before the join and the query norm once per query, so
     each (row, query) pair costs ONE fold (the dot product) instead of
     three — same sequential folds, bit-identical cosine."""
-    emb_n = embeddings.withColumn("__norm", norm(F.col(vec_col)))
-    q_n = queries.withColumn("__qnorm", norm(F.col(query_vec_col)))
+    emb_n = embeddings.select("*", norm(vec_col).alias("__norm"))
+    q_n = queries.select("*", norm(query_vec_col).alias("__qnorm"))
     j = emb_n.crossJoin(F.broadcast(q_n))
     scored = j.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        (dot(F.col(vec_col), F.col(query_vec_col))
+        (dot(vec_col, query_vec_col)
          / (F.col("__norm") * F.col("__qnorm"))).alias("cos_sim"))
     return _topk_per_query(scored, k, "cos_sim", descending=True,
                            payload_cols=("cos_sim",))
@@ -189,8 +225,19 @@ def brute_force_topk_vectorized(
                            payload_cols=("cos_sim",))
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-sketch LSH bucket key: bit i = (vec · plane_i) >= 0."""
+def hyperplane_signature(vec: Column | str,
+                         planes: list[list[float]]) -> Column:
+    """Sign-sketch LSH bucket key: bit i = (vec · plane_i) >= 0.
+
+    With a column *name* the whole signature (planes × dims literals + the
+    fold lambdas) compiles as ONE expr() parse — the Column path costs one
+    py4j round trip per plane element, which profiling showed dominated the
+    lsh_topk query build."""
+    if isinstance(vec, str):
+        v = _sql_ref(vec)
+        bits = [f"CASE WHEN {_dot_sql(v, _sql_double_array(p))} >= 0 "
+                "THEN '1' ELSE '0' END" for p in planes]
+        return F.expr("concat(" + ", ".join(bits) + ")")
     bits = [F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
                    F.lit("1")).otherwise(F.lit("0"))
             for p in planes]
@@ -206,17 +253,17 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
     equals the query's are scored (equi-join on the bucket key — the scale
     path; recall grows with fewer planes / multi-probe).
     Returns (query_id, rank, vec_id, cos_sim)."""
-    emb_b = embeddings.withColumn(
-        "__bucket", hyperplane_signature(F.col(vec_col), planes)) \
-        .withColumn("__norm", norm(F.col(vec_col)))
-    q_b = queries.withColumn(
-        "__bucket", hyperplane_signature(F.col(query_vec_col), planes)) \
-        .withColumn("__qnorm", norm(F.col(query_vec_col)))
+    emb_b = embeddings.select(
+        "*", hyperplane_signature(vec_col, planes).alias("__bucket"),
+        norm(vec_col).alias("__norm"))
+    q_b = queries.select(
+        "*", hyperplane_signature(query_vec_col, planes).alias("__bucket"),
+        norm(query_vec_col).alias("__qnorm"))
     j = emb_b.join(F.broadcast(q_b), "__bucket")
     scored = j.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        (dot(F.col(vec_col), F.col(query_vec_col))
+        (dot(vec_col, query_vec_col)
          / (F.col("__norm") * F.col("__qnorm"))).alias("cos_sim"))
     return _topk_per_query(scored, k, "cos_sim", descending=True,
                            payload_cols=("cos_sim",))
@@ -666,7 +713,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     e = (embeddings.select(F.col(id_col).alias("id"),
                            F.col(vec_col).alias("v"))
          # norm hoisted out of the pair loop: one fold per input row
-         .withColumn("__n", norm(F.col("v"))))
+         .withColumn("__n", norm("v")))
     if all_pairs:
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      F.col("__n").alias("__na"))
@@ -674,7 +721,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                      F.col("__n").alias("__nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif planes is not None:
-        e = e.withColumn("__bucket", hyperplane_signature(F.col("v"), planes))
+        e = e.withColumn("__bucket", hyperplane_signature("v", planes))
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
                      F.col("__n").alias("__na"), "__bucket")
         b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
@@ -694,7 +741,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                  .filter(F.col("id_a") < F.col("id_b"))
                  .dropDuplicates(["id_a", "id_b"]))
     return (pairs.withColumn("cos_sim",
-                             dot(F.col("va"), F.col("vb"))
+                             dot("va", "vb")
                              / (F.col("__na") * F.col("__nb")))
             .filter(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))

@@ -88,7 +88,7 @@ def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
     stage, buffer bounded by a whole input split instead of 1/B of one.
     """
     kcol = (F.lit(int(k)) if isinstance(k, int) else k).cast("long")
-    staged = df.withColumn("__k", key).withColumn("__kk", kcol)
+    staged = df.select("*", key.alias("__k"), kcol.alias("__kk"))
     n_buckets = _adaptive_buckets(df) if buckets is None else int(buckets)
 
     def _cut(arr: Column, kk: Column) -> Column:

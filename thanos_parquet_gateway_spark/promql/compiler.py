@@ -384,12 +384,18 @@ class Compiler:
         search/constraint.go → materialize.go).  On time-partitioned converted
         data the same predicate also drives partition pruning + page skipping."""
         df = self.samples
+        # All predicates are collected and applied as ONE conjunctive
+        # filter: Catalyst splits the conjunction for pushdown exactly as it
+        # would a filter chain, but each DataFrame.filter call is a JVM plan
+        # step with its own incremental re-analysis — measurable driver
+        # latency on every query compile (guide §7.3).
+        conds: list[Column] = []
         if vs.name:
-            df = df.filter(F.col("__name__") == vs.name)  # parquet pushdown
+            conds.append(F.col("__name__") == vs.name)  # parquet pushdown
         for m in vs.matchers:
             cond = self._matcher_cond(m)
             if cond is not None:
-                df = df.filter(cond)
+                conds.append(cond)
         if vs.at_ms is not None:
             wmax = self._resolve_at(vs.at_ms)
         else:
@@ -399,7 +405,7 @@ class Compiler:
         # bounds are on raw sample ts: effective ts = ts + offset must fall
         # in (wmin, wmax]
         lo, hi = wmin - vs.offset_ms, wmax - vs.offset_ms
-        df = df.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+        conds.append((F.col("ts") > lo) & (F.col("ts") <= hi))
         # The ms `ts` above is an expression over the raw parquet column
         # (unix_millis / div 1000000), so that filter cannot reach parquet
         # stats.  Re-state the window (lo, hi] ≡ [lo+1, hi] as literal
@@ -411,7 +417,7 @@ class Compiler:
         )
         raw_win = pushable_ts_window(df, lo + 1, hi)
         if raw_win is not None:
-            df = df.filter(raw_win)
+            conds.append(raw_win)
         if "date" in df.columns:
             # converted layout (convert/convert.py): derive partition-column
             # predicates from the window so Catalyst prunes day partitions
@@ -421,7 +427,11 @@ class Compiler:
                                               _dt.timezone.utc).strftime("%Y-%m-%d")
             hi_d = _dt.datetime.fromtimestamp(max(hi, 0) / 1000,
                                               _dt.timezone.utc).strftime("%Y-%m-%d")
-            df = df.filter((F.col("date") >= lo_d) & (F.col("date") <= hi_d))
+            conds.append((F.col("date") >= lo_d) & (F.col("date") <= hi_d))
+        acc = conds[0]
+        for cnd in conds[1:]:
+            acc = acc & cnd
+        df = df.filter(acc)
         if self.ext_labels:
             ext = F.create_map(*[F.lit(x) for kv in self.ext_labels.items()
                                  for x in kv])
@@ -459,9 +469,8 @@ class Compiler:
             # order-stable: struct max breaks (sig-hash-collision) ties by
             # (ts, value[, hist]) tuple order — SortAggregate, oracle mode
             sel_aggs = [F.max(F.struct(*pair_cols)).alias("sv")]
-            sel_cols = [F.col("sv.ts").alias("__sts"),
-                        F.col("sv.value").alias("__sval")] + \
-                ([F.col("sv.hist").alias("__shist")] if has_hist else [])
+            raw_ts, raw_val = F.col("sv.ts"), F.col("sv.value")
+            raw_hist = F.col("sv.hist") if has_hist else None
         else:
             # production: (sig, ts) is unique, so "latest sample" is
             # max(ts) + max_by(value, ts) — primitive/small buffers keep the
@@ -470,37 +479,37 @@ class Compiler:
             sel_aggs = [F.max("ts").alias("__mts"),
                         F.max_by("value", "ts").alias("__mval")] + \
                 ([F.max_by("hist", "ts").alias("__mhist")] if has_hist else [])
-            sel_cols = [F.col("__mts").alias("__sts"),
-                        F.col("__mval").alias("__sval")] + \
-                ([F.col("__mhist").alias("__shist")] if has_hist else [])
-        sel_extra = ([F.col("__shist").alias("hist")] if has_hist else [])
-        alive = (F.col("__sval").isNotNull() |
-                 F.col("__shist").isNotNull()) if has_hist else \
-            F.col("__sval").isNotNull()
+            raw_ts, raw_val = F.col("__mts"), F.col("__mval")
+            raw_hist = F.col("__mhist") if has_hist else None
+        # filter + ONE final projection straight off the aggregate outputs
+        # (labels rebuilt from sig exactly once) — fewer JVM plan steps per
+        # compile than the select→filter→select chain it replaces
+        alive = (raw_val.isNotNull() | raw_hist.isNotNull()) if has_hist \
+            else raw_val.isNotNull()
+        sel_extra = ([raw_hist.alias("hist")] if has_hist else [])
         if vs.at_ms is not None:
             at = self._resolve_at(vs.at_ms) + vs.offset_ms * 0  # offset applied in base
             at_df = (hgroup(
                 base.filter((F.col("ts") > at - lb) & (F.col("ts") <= at)),
                 "sig", *sel_aggs,
-                extra_keys=(), labels="labels")
-                .select("sig", "labels", *sel_cols).filter(alive))
+                extra_keys=())
+                .filter(alive))
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
-                   .select("t", "sig", "labels",
-                           (F.col("__sts") - F.lit(vs.offset_ms))
-                           .alias("sample_ts"),
-                           F.col("__sval").alias("value"), *sel_extra))
+                   .select("t", "sig",
+                           labels_from_sig("sig").alias("labels"),
+                           (raw_ts - F.lit(vs.offset_ms)).alias("sample_ts"),
+                           raw_val.alias("value"), *sel_extra))
             return InstantVector(out)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
-        out = (hgroup(exploded, "sig", *sel_aggs, labels="labels")
-               .select("t", "sig", "labels", *sel_cols)
+        out = (hgroup(exploded, "sig", *sel_aggs)
                .filter(alive)
-               .select("t", "sig", "labels",
+               .select("t", "sig",
+                       labels_from_sig("sig").alias("labels"),
                        # selection runs in the offset-shifted frame; the
                        # user-visible sample timestamp (timestamp()) is the
                        # ORIGINAL one (upstream vectorSelectorSingle)
-                       (F.col("__sts") - F.lit(vs.offset_ms))
-                       .alias("sample_ts"),
-                       F.col("__sval").alias("value"), *sel_extra))
+                       (raw_ts - F.lit(vs.offset_ms)).alias("sample_ts"),
+                       raw_val.alias("value"), *sel_extra))
         return InstantVector(out)
 
     def _matrix_selector(self, ms: A.MatrixSelector) -> RangeVector:
@@ -531,7 +540,7 @@ class Compiler:
                            (F.col("ts") + (F.col("t") - F.lit(at)))
                            .alias("ts"), "value", *hist_cols))
             return RangeVector(out, rng)
-        exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), rng)))
+        steps = F.explode(self._serve_steps(F.col("ts"), rng)).alias("t")
         prev = None
         if not self.p.deterministic:
             # production: attach each sample's predecessor (lag per series,
@@ -540,14 +549,12 @@ class Compiler:
             # the extra window plan only executes for consumers that use it
             from pyspark.sql import Window as _W
             w = _W.partitionBy("sig").orderBy("ts")
-            based = (base.withColumn("__pv", F.lag("value").over(w))
-                     .withColumn("__pts", F.lag("ts").over(w)))
-            prev = (based.withColumn(
-                "t", F.explode(self._serve_steps(F.col("ts"), rng)))
-                .select("t", "sig", "labels", "ts", "value",
-                        "__pv", "__pts", *hist_cols))
-        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value",
-                                           *hist_cols), rng, prev=prev)
+            based = base.select("*", F.lag("value").over(w).alias("__pv"),
+                                F.lag("ts").over(w).alias("__pts"))
+            prev = based.select(steps, "sig", "labels", "ts", "value",
+                                "__pv", "__pts", *hist_cols)
+        return RangeVector(base.select(steps, "sig", "labels", "ts", "value",
+                                       *hist_cols), rng, prev=prev)
 
     def _subquery(self, sq: A.Subquery) -> RangeVector:
         """x[range:step] — inner expr evaluated on its own epoch-aligned grid,
@@ -1224,30 +1231,36 @@ class Compiler:
                 # materialized BEFORE the value column is overwritten with
                 # the arithmetic result — the scale factor reads it
                 j = j.withColumn("__hout", hist_out)
+        # ONE fused projection per branch (result labels + sig + value in a
+        # single select) instead of a withColumn chain — each chained step
+        # is a JVM plan op with incremental re-analysis, pure compile
+        # latency.  canonical_sig(rl) duplicates the rl subtree in the
+        # projection; physical-plan subexpression elimination dedupes it.
+        sample_ts = F.lit(None).cast("long").alias("sample_ts")
+        # arithmetic results and non-bool ==/!= filters carry the (lhs)
+        # histogram; bool comparisons yield plain 0/1 floats
+        hist_keep = ([F.col("__hout").alias("hist")]
+                     if hist_out is not None else [])
         if op in A.COMPARISON_OPS:
             cond = ieee_cmp(op, lv, rv)
             if hist_cmp is not None:
                 cond = F.when(hist_cmp[0], hist_cmp[1]).otherwise(cond)
             if be.bool_modifier:
-                out = (j.withColumn("value", cond.cast("double"))
-                       .withColumn("labels", self._result_labels(vm))
-                       .withColumn("sig", canonical_sig(F.col("labels"))))
+                rl = self._result_labels(vm)
+                out = j.select("t", canonical_sig(rl).alias("sig"),
+                               rl.alias("labels"), sample_ts,
+                               cond.cast("double").alias("value"))
             else:
-                out = j.filter(cond).withColumn("value", lv)
+                out = j.filter(cond).select(
+                    "t", "sig", "labels", sample_ts,
+                    lv.alias("value"), *hist_keep)
         else:
-            out = (j.withColumn("value", arith_value(op, lv, rv))
-                   .withColumn("labels", self._result_labels(vm))
-                   .withColumn("sig", canonical_sig(F.col("labels"))))
-        hist_cols = []
-        if hist_out is not None and (op not in A.COMPARISON_OPS
-                                     or not be.bool_modifier):
-            # arithmetic results and non-bool ==/!= filters carry the
-            # (lhs) histogram; bool comparisons yield plain 0/1 floats
-            hist_cols = [F.col("__hout").alias("hist")]
-        return InstantVector(
-            out.select("t", "sig", "labels",
-                       F.lit(None).cast("long").alias("sample_ts"), "value",
-                       *hist_cols))
+            rl = self._result_labels(vm)
+            out = j.select("t", canonical_sig(rl).alias("sig"),
+                           rl.alias("labels"), sample_ts,
+                           arith_value(op, lv, rv).alias("value"),
+                           *hist_keep)
+        return InstantVector(out)
 
     def _result_labels(self, vm: A.VectorMatching) -> Column:
         """Result label set of an arithmetic/bool vector-vector op: on(...) 1:1

@@ -34,7 +34,11 @@ from thanos_parquet_gateway_spark.promql.values import (
     ScalarV,
     StringV,
 )
-from thanos_parquet_gateway_spark.schema import canonical_sig, drop_labels
+from thanos_parquet_gateway_spark.schema import (
+    canonical_sig,
+    drop_labels,
+    labels_from_sig,
+)
 
 D = "double"
 
@@ -48,6 +52,28 @@ def _iv(df) -> InstantVector:
     extra = ["hist"] if "hist" in df.columns else []
     return InstantVector(df.select("t", "sig", "labels", "sample_ts", "value",
                                    *extra))
+
+
+def _finalize(g, val: Column, *, drop_name: bool = True,
+              hist: Column | None = None) -> InstantVector:
+    """ONE fused projection off an aggregated frame ``g``: labels (taken
+    from the column when present, rebuilt from the canonical sig when the
+    aggregation skipped the rebuild), the optional __name__ drop with its
+    sig re-canonicalization, the NULL sample_ts and the value — replacing
+    the select → _drop_name (2 withColumns) → _iv(select) chain.  Each
+    chained DataFrame op is a JVM plan step with incremental re-analysis;
+    fusing them is pure per-query compile-latency reduction (same plan
+    after optimization)."""
+    lbl = F.col("labels") if "labels" in g.columns else labels_from_sig("sig")
+    sample_ts = F.lit(None).cast("long").alias("sample_ts")
+    extra = [hist.alias("hist")] if hist is not None else []
+    if drop_name:
+        nl = drop_labels(lbl, ["__name__"])
+        return InstantVector(g.select(
+            "t", canonical_sig(nl).alias("sig"), nl.alias("labels"),
+            sample_ts, val.alias("value"), *extra))
+    return InstantVector(g.select("t", "sig", lbl.alias("labels"),
+                                  sample_ts, val.alias("value"), *extra))
 
 
 def _range_arg(c: Compiler, call: A.Call, idx: int = 0) -> RangeVector:
@@ -331,8 +357,10 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
             # reassociation (run-to-run low-bit nondeterminism — the same
             # trade the cross-series production aggregations already make).
             from thanos_parquet_gateway_spark.promql.compiler import hgroup
-            g = hgroup(rv.df, "sig", *_OVER_TIME_NATIVE[fn](),
-                       labels="labels")
+            # labels are NOT rebuilt here: the fused projection below
+            # (and _drop_name's successor) builds them once from sig —
+            # one plan step instead of hgroup's extra withColumn
+            g = hgroup(rv.df, "sig", *_OVER_TIME_NATIVE[fn]())
             val = F.col("__v")
         else:
             g = (_window_floats(c, rv) if fn in _HIST_IGNORE
@@ -352,12 +380,21 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
             if at_ms is not None:
                 at = c._resolve_at(at_ms)
                 val = val - (F.col("t") - F.lit(at)).cast(D) / 1000.0
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   val.alias("value"))
-    if fn != "last_over_time":  # last_over_time keeps the metric name
-        out = _drop_name(out)
-    return _iv(out)
+    # ONE fused projection: labels (rebuilt from sig on the native path,
+    # which skips hgroup's rebuild), the __name__ drop, the re-canonicalized
+    # sig and the value — replacing the select → _drop_name (2 withColumns)
+    # → _iv(select) chain.  Each chained step is a JVM plan op with its own
+    # incremental re-analysis; this is pure per-query compile latency.
+    lbl = F.col("labels") if "labels" in g.columns else labels_from_sig("sig")
+    sample_ts = F.lit(None).cast("long").alias("sample_ts")
+    if fn == "last_over_time":  # last_over_time keeps the metric name
+        out = g.select("t", "sig", lbl.alias("labels"), sample_ts,
+                       val.alias("value"))
+    else:
+        nl = drop_labels(lbl, ["__name__"])
+        out = g.select("t", canonical_sig(nl).alias("sig"),
+                       nl.alias("labels"), sample_ts, val.alias("value"))
+    return InstantVector(out)
 
 
 # -------------------------------------------------------------- rate family
@@ -418,10 +455,7 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
               + F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end))
     factor = extrap / sampled
     val = delta * factor / rng_s if is_rate else delta * factor
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   val.alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, val)
 
 
 def _extrapolated_native(c: Compiler, rv: RangeVector, counter: bool,
@@ -451,8 +485,7 @@ def _extrapolated_native(c: Compiler, rv: RangeVector, counter: bool,
                 F.max("ts").alias("__lt"),
                 F.min_by("value", "ts").alias("__fv"),
                 F.max_by("value", "ts").alias("__lv"),
-                F.sum(corr).alias("__rc"),
-                labels="labels")
+                F.sum(corr).alias("__rc"))
          .filter(F.col("__wn") >= 2))
     n = F.col("__wn").cast(D)
     first_t, last_t = F.col("__ft"), F.col("__lt")
@@ -480,10 +513,7 @@ def _extrapolated_native(c: Compiler, rv: RangeVector, counter: bool,
               + F.when(dur_end >= threshold, avg_dur / 2).otherwise(dur_end))
     factor = extrap / sampled
     val = delta * factor / rng_s if is_rate else delta * factor
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   val.alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, val)
 
 
 def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
@@ -558,12 +588,8 @@ def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
     hscale = hfactor / rng_s if is_rate else hfactor
     hval = H.scale_hist(F.col("__hdelta"), hscale)
 
-    out = g.select(
-        "t", "sig", "labels",
-        F.lit(None).cast("long").alias("sample_ts"),
-        F.when(is_float, fval).otherwise(NAN()).alias("value"),
-        F.when(is_hist, hval).otherwise(H.null_hist()).alias("hist"))
-    return _iv(_drop_name(out))
+    return _finalize(g, F.when(is_float, fval).otherwise(NAN()),
+                     hist=F.when(is_hist, hval).otherwise(H.null_hist()))
 
 
 def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
@@ -589,8 +615,7 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
                     F.max("ts").alias("__lt"),
                     F.max_by("value", "ts").alias("__lv"),
                     F.max_by("__pv", "ts").alias("__lpv"),
-                    F.max_by("__pts", "ts").alias("__lpt"),
-                    labels="labels")
+                    F.max_by("__pts", "ts").alias("__lpt"))
              .filter(F.col("__lpt").isNotNull()
                      & (F.col("__lpt") > F.col("t") - F.lit(rv.range_ms))))
         last_t, prev_t = F.col("__lt"), F.col("__lpt")
@@ -601,10 +626,7 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
             val = dv / dt_s
         else:
             val = last_v - prev_v
-        out = g.select("t", "sig", "labels",
-                       F.lit(None).cast("long").alias("sample_ts"),
-                       val.alias("value"))
-        return _iv(_drop_name(out))
+        return _finalize(g, val)
     g = _collect_window(rv).filter(F.size("arr") >= 2)
     arr = F.col("arr")
     last_t, prev_t = F.element_at(arr, -1)["o"], F.element_at(arr, -2)["o"]
@@ -615,9 +637,7 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
         val = dv / dt_s
     else:
         val = last_v - prev_v
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, val)
 
 
 def _instant_pair_hist(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
@@ -657,12 +677,8 @@ def _instant_pair_hist(c: Compiler, rv: RangeVector, kind: str) -> InstantVector
         hval = H.scale_hist(dh, F.lit(1.0) / hdt)
     else:
         hval = H.sub_two(lh, ph)
-    out = g.select(
-        "t", "sig", "labels",
-        F.lit(None).cast("long").alias("sample_ts"),
-        F.when(is_float, fval).otherwise(NAN()).alias("value"),
-        F.when(is_hist, hval).otherwise(H.null_hist()).alias("hist"))
-    return _iv(_drop_name(out))
+    return _finalize(g, F.when(is_float, fval).otherwise(NAN()),
+                     hist=F.when(is_hist, hval).otherwise(H.null_hist()))
 
 
 def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
@@ -693,10 +709,7 @@ def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
 
     res = F.aggregate(F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
                       acc0, step)
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   res["s"].alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, res["s"])
 
 
 def _counts_fold(arr: Column, mode: str) -> Column:
@@ -770,10 +783,7 @@ def _counts_hist(c: Compiler, rv: RangeVector, mode: str) -> InstantVector:
                         (a["n"] + F.when(hit, 1.0).otherwise(0.0)).alias("n"))
 
     val = F.aggregate(marr, acc0, merge)["n"]
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   val.alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, val)
 
 
 def _linreg(arr: Column, intercept_t: Column):
@@ -799,10 +809,7 @@ def _deriv(c: Compiler, call: A.Call) -> InstantVector:
     rv = _range_arg(c, call)
     g = _window_floats(c, rv, min_n=2)
     slope, _ = _linreg(F.col("arr"), F.element_at(F.col("arr"), 1)["o"])
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   slope.alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, slope)
 
 
 def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
@@ -811,9 +818,7 @@ def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
     g = _window_floats(c, rv, min_n=2)
     slope, intercept = _linreg(F.col("arr"), F.col("t"))
     val = intercept + slope * F.lit(float(dur))
-    out = g.select("t", "sig", "labels",
-                   F.lit(None).cast("long").alias("sample_ts"), val.alias("value"))
-    return _iv(_drop_name(out))
+    return _finalize(g, val)
 
 
 # --------------------------------------------------------- histogram_quantile
@@ -1167,18 +1172,11 @@ def dispatch(c: Compiler, call: A.Call):
             g = hgroup(
                 rv.prev, "sig",
                 F.sum(F.when(F.coalesce(in_win & hit, F.lit(False)),
-                             F.lit(1.0)).otherwise(F.lit(0.0))).alias("__v"),
-                labels="labels")
-            out = g.select("t", "sig", "labels",
-                           F.lit(None).cast("long").alias("sample_ts"),
-                           F.col("__v").alias("value"))
-            return _iv(_drop_name(out))
+                             F.lit(1.0)).otherwise(F.lit(0.0))).alias("__v"))
+            return _finalize(g, F.col("__v"))
         g = _collect_window(rv)
         val = _counts_fold(F.col("arr"), fn)
-        out = g.select("t", "sig", "labels",
-                       F.lit(None).cast("long").alias("sample_ts"),
-                       val.alias("value"))
-        return _iv(_drop_name(out))
+        return _finalize(g, val)
     if fn == "deriv":
         return _deriv(c, call)
     if fn == "predict_linear":

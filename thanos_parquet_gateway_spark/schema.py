@@ -21,6 +21,8 @@ Missing label ≡ empty string in matchers (reference search/constraint.go:130-1
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -49,11 +51,23 @@ def is_stale(value_col: Column | str) -> Column:
     return c.isNull()
 
 
+# Column objects are immutable wrappers over (unresolved) JVM expression
+# trees, freely reusable across DataFrames and plans.  The helpers below are
+# rebuilt for every compiled query with the same string argument, and each
+# construction costs a py4j round trip per sub-expression — measurable
+# driver latency per query compile.  Cache the name-keyed variants; the
+# Column-argument variants (expression inputs) stay uncached.
+@functools.lru_cache(maxsize=256)
+def _label_cached(name: str, key: str) -> Column:
+    return F.coalesce(F.element_at(F.col(name), key), F.lit(""))
+
+
 def label(labels_col: Column | str, key: str) -> Column:
     """A label value; missing key decays to '' per reference semantics
     (search/constraint.go:130-138)."""
-    c = F.col(labels_col) if isinstance(labels_col, str) else labels_col
-    return F.coalesce(F.element_at(c, key), F.lit(""))
+    if isinstance(labels_col, str):
+        return _label_cached(labels_col, key)
+    return F.coalesce(F.element_at(labels_col, key), F.lit(""))
 
 
 def canonical_sig(labels_col: Column | str) -> Column:
@@ -64,8 +78,14 @@ def canonical_sig(labels_col: Column | str) -> Column:
     reference's ``___cf_meta_hash`` label-set hash (schema/schema.go:27,
     convert/tsdb.go:132) but is collision-free and order-independent.
     """
-    c = F.col(labels_col) if isinstance(labels_col, str) else labels_col
-    return F.to_json(F.array_sort(F.map_entries(c)))
+    if isinstance(labels_col, str):
+        return _canonical_sig_cached(labels_col)
+    return F.to_json(F.array_sort(F.map_entries(labels_col)))
+
+
+@functools.lru_cache(maxsize=256)
+def _canonical_sig_cached(name: str) -> Column:
+    return F.to_json(F.array_sort(F.map_entries(F.col(name))))
 
 
 def labels_from_sig(sig_col: Column | str) -> Column:
@@ -73,27 +93,59 @@ def labels_from_sig(sig_col: Column | str) -> Column:
     canonical JSON serialization.  Lets orderable operators (two-phase
     top-k) carry the string ``sig`` through a sort key instead of the
     unorderable ``map`` column."""
-    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    if isinstance(sig_col, str):
+        return _labels_from_sig_cached(sig_col)
     return F.map_from_entries(
-        F.from_json(c, "array<struct<key:string,value:string>>"))
+        F.from_json(sig_col, "array<struct<key:string,value:string>>"))
+
+
+@functools.lru_cache(maxsize=256)
+def _labels_from_sig_cached(name: str) -> Column:
+    return F.map_from_entries(
+        F.from_json(F.col(name), "array<struct<key:string,value:string>>"))
 
 
 def series_hash(labels_col: Column | str) -> Column:
     """64-bit series identity = xxhash64 of the canonical label serialization
     (same dedup/join role as reference ___cf_meta_hash)."""
+    if isinstance(labels_col, str):
+        return _series_hash_cached(labels_col)
     return F.xxhash64(canonical_sig(labels_col))
+
+
+@functools.lru_cache(maxsize=256)
+def _series_hash_cached(name: str) -> Column:
+    return F.xxhash64(_canonical_sig_cached(name))
 
 
 def drop_labels(labels_col: Column | str, keys: list[str]) -> Column:
     """Remove label names (replica-label drop, reference db/db.go:124-128;
     ``without(...)`` grouping; __name__ drop on arithmetic)."""
-    c = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    if isinstance(labels_col, str):
+        return _drop_labels_cached(labels_col, tuple(keys))
     keys_arr = F.array(*[F.lit(k) for k in keys])
-    return F.map_filter(c, lambda k, _v: ~F.array_contains(keys_arr, k))
+    return F.map_filter(labels_col,
+                        lambda k, _v: ~F.array_contains(keys_arr, k))
+
+
+@functools.lru_cache(maxsize=256)
+def _drop_labels_cached(name: str, keys: tuple[str, ...]) -> Column:
+    keys_arr = F.array(*[F.lit(k) for k in keys])
+    return F.map_filter(F.col(name),
+                        lambda k, _v: ~F.array_contains(keys_arr, k))
 
 
 def keep_labels(labels_col: Column | str, keys: list[str]) -> Column:
     """Keep only the listed label names (``by(...)`` grouping / on(...) match)."""
-    c = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    if isinstance(labels_col, str):
+        return _keep_labels_cached(labels_col, tuple(keys))
     keys_arr = F.array(*[F.lit(k) for k in keys])
-    return F.map_filter(c, lambda k, _v: F.array_contains(keys_arr, k))
+    return F.map_filter(labels_col,
+                        lambda k, _v: F.array_contains(keys_arr, k))
+
+
+@functools.lru_cache(maxsize=256)
+def _keep_labels_cached(name: str, keys: tuple[str, ...]) -> Column:
+    keys_arr = F.array(*[F.lit(k) for k in keys])
+    return F.map_filter(F.col(name),
+                        lambda k, _v: F.array_contains(keys_arr, k))

@@ -49,6 +49,12 @@ def get_spark(app_name: str = "thanos_parquet_gateway_spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's error-context enrichment walks the Python stack and
+        # makes one extra JVM round trip (PySparkCurrentOrigin) for EVERY
+        # DataFrame/Column API call — profiling showed ~600 such calls per
+        # compiled query, pure driver-side latency.  Query compile time is
+        # serving latency here, so trade the error call-site decoration away.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

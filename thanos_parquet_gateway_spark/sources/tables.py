@@ -22,6 +22,25 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Session-scoped table handles: the (lazy, immutable) DataFrame for a
+    given (sf_dir, table) is built once per session and reused — the
+    per-open costs (parquet footer/schema read, file listing, the events
+    dtype probe below) are catalog work a serving process does once, not
+    per query.  No data or results are cached — the handle is an unexecuted
+    plan over the parquet files, re-scanned by every action.  The cache
+    lives ON the session object so it dies with the session; callers that
+    rewrite a table path mid-session should read it directly instead."""
+    cache = getattr(spark, "_tpgs_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._tpgs_table_cache = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = _load_table(spark, sf_dir, name)
+    return cache[key]
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) read as long ns (see session.py); normalize
