@@ -104,39 +104,35 @@ def grouped_topk(df: DataFrame, group_cols: list[str], key: Column,
     # own bucket, so the union of per-bucket cuts is a superset of the
     # (group, partition) top-k that phase 1 extracts.  With one bucket the
     # stage is an exact no-op, so it is fused into phase 1 (adaptive skip).
+    # Each phase's cut is FUSED into its .agg() result expressions (the
+    # post-agg projection computed on the agg outputs inside one plan op):
+    # a separate .select() per phase is a JVM Dataset op with a full eager
+    # re-analysis of the accumulated plan — pure per-query compile latency.
+    # Identical aggregate instances (the collect_list under both the cut
+    # and the size clamp) are deduplicated by the physical planner.
     if n_buckets > 1:
         pre = (staged
                .groupBy(*group_cols, F.spark_partition_id().alias("__pid"),
                         F.pmod(F.xxhash64("__k"),
                                F.lit(n_buckets)).alias("__b"))
-               .agg(F.collect_list("__k").alias("__l"),
-                    F.first("__kk").alias("__kk"))
-               .select(*group_cols, "__pid",
-                       _cut(F.array_sort("__l"), F.col("__kk")).alias("__t"),
-                       "__kk"))
+               .agg(_cut(F.array_sort(F.collect_list("__k")),
+                         F.first("__kk")).alias("__t"),
+                    F.first("__kk").alias("__kk")))
         partial = (pre
                    .groupBy(*group_cols, "__pid")
-                   .agg(F.flatten(F.collect_list("__t")).alias("__l"),
-                        F.first("__kk").alias("__kk"))
-                   .select(*group_cols,
-                           _cut(F.array_sort("__l"),
-                                F.col("__kk")).alias("__t"),
-                           "__kk"))
+                   .agg(_cut(F.array_sort(F.flatten(F.collect_list("__t"))),
+                             F.first("__kk")).alias("__t"),
+                        F.first("__kk").alias("__kk")))
     else:
         partial = (staged
                    .groupBy(*group_cols,
                             F.spark_partition_id().alias("__pid"))
-                   .agg(F.collect_list("__k").alias("__l"),
-                        F.first("__kk").alias("__kk"))
-                   .select(*group_cols,
-                           _cut(F.array_sort("__l"),
-                                F.col("__kk")).alias("__t"),
-                           "__kk"))
+                   .agg(_cut(F.array_sort(F.collect_list("__k")),
+                             F.first("__kk")).alias("__t"),
+                        F.first("__kk").alias("__kk")))
     merged = (partial
               .groupBy(*group_cols)
-              .agg(F.flatten(F.collect_list("__t")).alias("__l"),
-                   F.first("__kk").alias("__kk"))
-              .select(*group_cols,
-                      _cut(F.array_sort("__l"), F.col("__kk")).alias("__t")))
+              .agg(_cut(F.array_sort(F.flatten(F.collect_list("__t"))),
+                        F.first("__kk")).alias("__t")))
     return merged.select(*group_cols,
                          F.posexplode("__t").alias("__pos", "__x"))

@@ -95,6 +95,27 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread_small_scan(df):
+    """Round-robin-repartition ``df`` to cluster parallelism ONLY when its
+    scan is too small to fill the cores (estimated splits < parallelism).
+    Uses the leaf relations' catalog size estimate (driver-side, no job) —
+    the same probe as topk._adaptive_buckets.  At 100 TB the estimate
+    saturates and this is a no-op; the repartition exists purely to spread
+    a few-split local input across cores before CPU-heavy map work."""
+    spark = df.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
+                  for i in range(leaves.size()))
+        if est // max_split >= par:
+            return df
+    except Exception:
+        pass  # stats unavailable: keep the spread (the safe local default)
+    return df.repartition(par)
+
+
 def _engine(spark: SparkSession, sf_dir: str, lookback_ms: int = LOOKBACK) -> PromQLEngine:
     return PromQLEngine(samples_from_events(spark, sf_dir),
                         lookback_ms=lookback_ms, deterministic=True)
@@ -3495,10 +3516,12 @@ GROUP BY 1, 2
 def events_hopping_window(spark, sf_dir):
     """Hopping window (7d window, 1d hop): explode window starts map-side —
     the batch analogue of sliding-window streaming aggregation.  The input
-    is repartitioned first: the testdata parquet is a single row group, and
-    the 7× explode + partial agg would otherwise run in one task."""
-    e = load_table(spark, sf_dir, "events")
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    is spread first when (and only when) the scan yields fewer splits than
+    cores: the testdata parquet is a single row group, and the 7× explode +
+    partial agg would otherwise run in one task.  A many-split 100 TB input
+    skips the repartition — an unconditional one would be a full wasted
+    shuffle of the fact table (scale-adaptive per the r12 plan audit)."""
+    e = _spread_small_scan(load_table(spark, sf_dir, "events"))
     w = e.select(
         "event_type", "value",
         F.explode(F.expr(

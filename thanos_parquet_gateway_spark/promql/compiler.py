@@ -545,16 +545,24 @@ class Compiler:
         if not self.p.deterministic:
             # production: attach each sample's predecessor (lag per series,
             # BEFORE the grid explode — one un-replicated shuffle of the
-            # samples) so the rate family can aggregate natively; lazy, so
-            # the extra window plan only executes for consumers that use it
-            from pyspark.sql import Window as _W
-            w = _W.partitionBy("sig").orderBy("ts")
-            based = base.select("*", F.lag("value").over(w).alias("__pv"),
-                                F.lag("ts").over(w).alias("__pts"))
-            prev = based.select(steps, "sig", "labels", "ts", "value",
-                                "__pv", "__pts", *hist_cols)
-        return RangeVector(base.select(steps, "sig", "labels", "ts", "value",
-                                       *hist_cols), rng, prev=prev)
+            # samples) so the rate family can aggregate natively
+            def prev():
+                from pyspark.sql import Window as _W
+                w = _W.partitionBy("sig").orderBy("ts")
+                based = base.select("*",
+                                    F.lag("value").over(w).alias("__pv"),
+                                    F.lag("ts").over(w).alias("__pts"))
+                return based.select(steps, "sig", "labels", "ts", "value",
+                                    "__pv", "__pts", *hist_cols)
+        # Both variants are THUNKS: each consumer reads exactly one of
+        # df/prev, and building the other is a wasted JVM plan op with a
+        # full eager re-analysis of the selector subtree — measured at
+        # ~50 ms per op on the bench plans, pure per-query compile latency.
+        return RangeVector(
+            lambda: base.select(steps, "sig", "labels", "ts", "value",
+                                *hist_cols),
+            rng, prev=prev,
+            columns=["t", "sig", "labels", "ts", "value", *hist_cols])
 
     def _subquery(self, sq: A.Subquery) -> RangeVector:
         """x[range:step] — inner expr evaluated on its own epoch-aligned grid,
@@ -1134,18 +1142,21 @@ class Compiler:
         # key instead of a JSON string (reference convert/tsdb.go:132)
         mh = F.xxhash64(self._match_sig(vm))
         from pyspark.sql import Window as W
-        mw = W.partitionBy("t", "__mh")
         # Match-group uniqueness (Prometheus errors instead of joining
         # per-pair): the 'one' side (rhs here; group_right was swapped) must
         # be unique per (t, match-labels); in one-to-one the lhs must be too.
         # Counted with a window over the join key — the join shuffles on the
         # same key, so Catalyst reuses the exchange; raise_error fires only
-        # on offending rows (`when` short-circuits).
-        ldf = l.df.withColumn("__mh", mh)
-        if vm.card == "one-to-one":
-            ldf = ldf.withColumn("__lcnt", F.count("*").over(mw))
-        else:
-            ldf = ldf.withColumn("__lcnt", F.lit(1))
+        # on offending rows (`when` short-circuits).  The window partitions
+        # by the PROJECTED __mh attribute, not the mh expression: keying the
+        # window on the raw expression makes Spark project a second copy
+        # (_w0) next to __mh, i.e. the match-sig JSON+hash computed twice
+        # per row — per-task work is the wrong trade for one fewer plan op.
+        ldf = l.df.select("*", mh.alias("__mh"))
+        mw = W.partitionBy("t", "__mh")
+        lcnt = (F.count("*").over(mw) if vm.card == "one-to-one"
+                else F.lit(1))
+        ldf = ldf.select("*", lcnt.alias("__lcnt"))
         side = "left" if swap_values else "right"
         # The 'one'-side guard is applied to the PRE-join rows: Prometheus
         # raises while building its rightSigs map, before matching, so a
@@ -1162,10 +1173,10 @@ class Compiler:
                 F.to_json("labels"),
                 F.lit(f" on the {side} hand-side of the operation")))
         ).otherwise(F.col("__mh_raw"))
-        lhist = "hist" in ldf.columns
+        lhist = "hist" in l.df.columns
         rhist = "hist" in r.df.columns
         rextra = ([F.col("hist").alias("__rhist")] if rhist else [])
-        rdf = (r.df.withColumn("__mh_raw", mh)
+        rdf = (r.df.select("*", mh.alias("__mh_raw"))
                .select("t", rguard.alias("__mh"),
                        F.col("value").alias("__rv"),
                        F.col("labels").alias("__rlabels"), *rextra))

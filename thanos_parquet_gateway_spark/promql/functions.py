@@ -162,7 +162,7 @@ def _collect_window_floats(c: Compiler, rv: RangeVector, min_n: int = 1):
 def _window_floats(c: Compiler, rv: RangeVector, min_n: int = 1):
     """Dispatch: float-only collection (+ mixed-range info probe) when the
     range vector can carry histograms, the plain collect otherwise."""
-    if "hist" in rv.df.columns:
+    if "hist" in rv.columns:
         return _collect_window_floats(c, rv, min_n)
     g = _collect_window(rv)
     return g.filter(F.size("arr") >= min_n) if min_n > 1 else g
@@ -343,10 +343,10 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         val = folds.fold_quantile(F.col("arr"), F.lit(q))
     else:
         rv = _range_arg(c, call, 0)
-        if fn in _OVER_TIME_HIST and "hist" in rv.df.columns:
+        if fn in _OVER_TIME_HIST and "hist" in rv.columns:
             return _over_time_hist(c, rv, fn)
         if (not c.p.deterministic and fn in _OVER_TIME_NATIVE
-                and "hist" not in rv.df.columns):
+                and "hist" not in rv.columns):
             # production mode: the window fold is a plain aggregation —
             # compile it as native (mostly codegen HashAggregate) aggregate
             # functions with map-side partial aggregation, instead of
@@ -422,7 +422,7 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     histogram samples take the bucket-wise path (_extrapolated_hist); mixed
     float/histogram windows are dropped (Prometheus skips them with a
     warning)."""
-    if "hist" in rv.df.columns:
+    if "hist" in rv.columns:
         return _extrapolated_hist(c, rv, counter, is_rate)
     if not c.p.deterministic and rv.prev is not None:
         return _extrapolated_native(c, rv, counter, is_rate)
@@ -596,7 +596,7 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
     """irate/idelta from the last two samples of the window.  Histogram
     windows take the bucket-wise analogue (reset -> the last histogram
     stands alone, mirroring the float counter rule)."""
-    if "hist" in rv.df.columns:
+    if "hist" in rv.columns:
         return _instant_pair_hist(c, rv, kind)
     if not c.p.deterministic and rv.prev is not None:
         # production: the window's last TWO samples are the max_by(ts) row
@@ -1133,7 +1133,7 @@ def dispatch(c: Compiler, call: A.Call):
     if fn in ("rate", "increase"):
         rv = _range_arg(c, call)
         name = _selector_name(call.args[0])
-        if (name and "hist" not in rv.df.columns and
+        if (name and "hist" not in rv.columns and
                 not re.search(r"_(total|sum|count|bucket)$", name)):
             # upstream annotations.NewPossibleNonCounterInfo (emitted on the
             # float path only — native-histogram series carry no suffix)
@@ -1149,7 +1149,7 @@ def dispatch(c: Compiler, call: A.Call):
         return _double_exp_smoothing(c, call)
     if fn in ("resets", "changes"):
         rv = _range_arg(c, call)
-        if "hist" in rv.df.columns:
+        if "hist" in rv.columns:
             return _counts_hist(c, rv, fn)
         if not c.p.deterministic and rv.prev is not None:
             # production: a transition count is a plain aggregation over

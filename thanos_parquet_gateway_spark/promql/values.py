@@ -45,7 +45,6 @@ class InstantVector:
     df: DataFrame
 
 
-@dataclass
 class RangeVector:
     """df: (t long, sig string, labels map<string,string>, ts long, value double)
     — all samples in (t - range, t] per step t.
@@ -58,11 +57,40 @@ class RangeVector:
     first/last sample) becomes plain native aggregation instead of a
     collect_list fold.  None on paths that don't provide it (@-anchored
     windows, subqueries, deterministic mode) — consumers must fall back to
-    the fold."""
+    the fold.
 
-    df: DataFrame
-    range_ms: int = 0
-    prev: DataFrame | None = None
+    ``df`` and ``prev`` may be passed as zero-arg thunks: each consumer uses
+    exactly one of the two variants, and building the unused one is pure
+    driver latency (every classic-mode DataFrame op eagerly re-analyzes the
+    whole accumulated plan on the JVM).  The thunk is forced and cached on
+    first attribute access; ``columns`` lets hist-dispatch checks run
+    without forcing anything when the constructor declared the layout."""
+
+    def __init__(self, df: DataFrame, range_ms: int = 0,
+                 prev: DataFrame | None = None,
+                 columns: list[str] | None = None):
+        self._df = df
+        self.range_ms = range_ms
+        self._prev = prev
+        self._columns = columns
+
+    @property
+    def df(self) -> DataFrame:
+        if callable(self._df):
+            self._df = self._df()
+        return self._df
+
+    @property
+    def prev(self) -> DataFrame | None:
+        if self._prev is not None and callable(self._prev):
+            self._prev = self._prev()
+        return self._prev
+
+    @property
+    def columns(self) -> list[str]:
+        if self._columns is None:
+            self._columns = self.df.columns
+        return self._columns
 
 
 @dataclass
