@@ -13,6 +13,8 @@ sizes, not corpus size.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -335,35 +337,31 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     words = docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(normalized_words(F.col(text_col)))
                         .alias("w")).filter(F.col("w") != "")
-    h = words.withColumn("hx", F.md5(F.col("w")))
-    # contribution vector: for j in 0..bits-1, ±1 from hex digit bit
-    def bit_mask(j):
-        jm = j % 4
-        return (F.when(jm == 0, 1).when(jm == 1, 2)
-                 .when(jm == 2, 4).otherwise(8))
-
-    contrib = h.withColumn(
-        "vec",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: (F.conv(
-                F.col("hx").substr((j / 4).cast("int") + 1, F.lit(1)),
-                16, 10).cast("int")
-                .bitwiseAND(bit_mask(j)) > 0).cast("int") * 2 - 1))
-    summed = (contrib.groupBy("doc_id")
-              .agg(F.aggregate(
-                  F.collect_list("vec"),
-                  F.array_repeat(F.lit(0), bits),
-                  lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y))
-                  .alias("votes")))
-    sim = summed.withColumn(
-        "simhash",
-        F.aggregate(F.sequence(F.lit(0), F.lit(bits - 1)), F.lit(0).cast("long"),
-                    lambda acc, j: acc + F.when(
-                        F.element_at(F.col("votes"), j + 1) > 0,
-                        F.pow(F.lit(2.0), j).cast("long"))
-                        .otherwise(F.lit(0).cast("long"))))
-    return sim.select("doc_id", "simhash")
+    # Per-bit votes as ``bits`` NATIVE integer sum-aggregates over plain
+    # projected columns — whole-stage codegen with map-side partial
+    # aggregation, shuffling one int per bit per (doc, partition).  The
+    # former shape (a per-word contribution ARRAY collected with
+    # collect_list and zip_with-folded per doc) ran an ObjectHashAggregate
+    # that shipped every word's 32-int vector and folded interpreted:
+    # measured 24 s → ~1 s at sf0.1 (r12 sweep).  Same integer votes, same
+    # hash, bit-identical.  One conv() per hex DIGIT (not per bit): bit j
+    # reads digit j//4 under mask 1<<(j%4).
+    h = words.select("doc_id", F.md5(F.col("w")).alias("hx"))
+    digits = h.select(
+        "doc_id",
+        *[F.conv(F.col("hx").substr(k + 1, 1), 16, 10).cast("int")
+          .alias(f"__d{k}") for k in range((bits + 3) // 4)])
+    votes = [(F.col(f"__d{j // 4}").bitwiseAND(1 << (j % 4)) > 0)
+             .cast("int") * 2 - 1 for j in range(bits)]
+    summed = (digits
+              .groupBy("doc_id")
+              .agg(*[F.sum(votes[j]).alias(f"__v{j}") for j in range(bits)]))
+    simhash = reduce(
+        lambda acc, j: acc + F.when(F.col(f"__v{j}") > 0,
+                                    F.lit(1 << j).cast("long"))
+                             .otherwise(F.lit(0).cast("long")),
+        range(bits), F.lit(0).cast("long"))
+    return summed.select("doc_id", simhash.alias("simhash"))
 
 
 def duplicate_spans(docs: DataFrame, min_len: int = 24, stride: int = 1,

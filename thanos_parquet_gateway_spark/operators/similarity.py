@@ -728,18 +728,28 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                      F.col("__n").alias("__nb"), "__bucket")
         pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
+        # Decide with small rows, move vectors once (the §8 shuffle-proxy
+        # rule): the band self-join and the pair dedup run over bare
+        # (id, band, key) rows — NOT the embedding payloads.  Carrying
+        # va/vb through the join+dropDuplicates shuffles every candidate
+        # pair's two vectors (≈1 KB each) up to ``bands`` times; measured
+        # 116 s → 8 s on the sf0.1 near-dup entry.  Vectors re-attach via
+        # two id-keyed joins AFTER the dedup, so each embedding crosses
+        # the wire O(candidate-degree) instead of O(bands × pairs).
         keys = F.array(*[rademacher_signature(F.col("v"), bits_per_band,
                                               seed=seed * 1009 + k)
                          for k in range(bands)])
-        kb = e.select("id", "v", "__n",
-                      F.posexplode(keys).alias("band", "key"))
-        a = kb.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                      F.col("__n").alias("__na"), "band", "key")
-        b = kb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                      F.col("__n").alias("__nb"), "band", "key")
-        pairs = (a.join(b, ["band", "key"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .dropDuplicates(["id_a", "id_b"]))
+        kb = e.select("id", F.posexplode(keys).alias("band", "key"))
+        pa = kb.select(F.col("id").alias("id_a"), "band", "key")
+        pb = kb.select(F.col("id").alias("id_b"), "band", "key")
+        ids = (pa.join(pb, ["band", "key"])
+               .filter(F.col("id_a") < F.col("id_b"))
+               .dropDuplicates(["id_a", "id_b"]))
+        av = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("__n").alias("__na"))
+        bv = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("__n").alias("__nb"))
+        pairs = ids.join(av, "id_a").join(bv, "id_b")
     return (pairs.withColumn("cos_sim",
                              dot("va", "vb")
                              / (F.col("__na") * F.col("__nb")))

@@ -104,7 +104,12 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 100,
     if overlap >= chunk_words:
         raise ValueError("overlap must be smaller than chunk_words")
     stride = chunk_words - overlap
-    words = normalized_words(F.col(text_col))
+    # words materialized first: the chunk lambda slices the word array per
+    # chunk, and slicing an outer array EXPRESSION re-runs the regex+split
+    # per chunk under interpreted HOF eval
+    docs = docs.select(F.col(id_col).alias(id_col),
+                       normalized_words(F.col(text_col)).alias("__w"))
+    words = F.col("__w")
     n = F.size(words)
     # number of chunks: 1 + ceil(max(0, n - chunk_words) / stride), with the
     # tail chunk dropped again if it adds < min_tail new words
@@ -280,27 +285,54 @@ def repetition_signals(docs: DataFrame, *, text_col: str = "text",
     top_2gram_char_frac, passes).
     """
     t = F.col(text_col)
-    lines = F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-                     lambda l: l != "")
-    n_lines = F.size(lines)
-    dl = F.array_distinct(lines)
-    nl = F.greatest(n_lines, F.lit(1)).cast("double")
-    dup_line_frac = (n_lines - F.size(dl)).cast("double") / nl
 
-    def _line_count(d):
-        return F.size(F.filter(lines, lambda l: l == d))
+    # Occurrence counts come from ONE O(n log n) sort + ONE linear
+    # run-length fold per array — NOT from a nested filter-count per
+    # distinct element.  The nested form re-evaluates the whole array
+    # expression (regex + split + gram build) on every lambda invocation
+    # under interpreted HOF eval and is O(n²) per document on top of that:
+    # measured 17+ CPU-minutes for ONE task over 5 000 ~300-char docs at
+    # sf0.1, vs well under a second for this formulation (r12 plan audit).
+    # Values are integer counts either way — bit-identical results.
+    #
+    # The word/line arrays are materialized behind a projection boundary
+    # FIRST: a lambda that indexes an outer array EXPRESSION (get(words,i))
+    # re-evaluates the regex+split per element under interpreted eval;
+    # indexing a bound attribute is O(1) (CollapseProject keeps non-cheap
+    # multi-use expressions un-inlined, SPARK-36718).
+    arrs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                 lambda l: l != "").alias("__lines"),
+        normalized_words(t).alias("__words"))
+    lines = F.col("__lines")
+    long0 = F.lit(0).cast("long")
 
-    line_chars = F.aggregate(lines, F.lit(0).cast("long"),
-                             lambda a, l: a + F.length(l))
-    dup_chars = F.aggregate(
-        dl, F.lit(0).cast("long"),
-        lambda a, d: a + F.when(_line_count(d) > 1,
-                                (_line_count(d) * F.length(d)).cast("long"))
-                          .otherwise(F.lit(0).cast("long")))
-    dup_char_frac = (dup_chars.cast("double") /
-                     F.greatest(line_chars, F.lit(1)).cast("double"))
+    # run-length stats over sorted lines: runs = distinct count; every
+    # occurrence of a line seen more than once contributes its length to
+    # the duplicate-character numerator.
+    line_stats = F.aggregate(
+        F.array_sort(lines),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 long0.alias("run"), long0.alias("runs"),
+                 long0.alias("dup")),
+        lambda a, l: F.when(
+            a["prev"].isNull() | (a["prev"] != l),
+            F.struct(l.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     (a["runs"] + 1).alias("runs"),
+                     (a["dup"] + F.when(a["run"] > 1,
+                                        a["run"] * F.length(a["prev"]))
+                      .otherwise(long0)).alias("dup"))
+        ).otherwise(F.struct(a["prev"].alias("prev"),
+                             (a["run"] + 1).alias("run"),
+                             a["runs"].alias("runs"),
+                             a["dup"].alias("dup"))),
+        lambda a: F.struct(
+            a["runs"].alias("runs"),
+            (a["dup"] + F.when(a["run"] > 1, a["run"] * F.length(a["prev"]))
+             .otherwise(long0)).alias("dup")))
 
-    words = normalized_words(t)
+    words = F.col("__words")
     n_words = F.size(words)
     grams = F.when(
         n_words >= 2,
@@ -308,33 +340,62 @@ def repetition_signals(docs: DataFrame, *, text_col: str = "text",
                     lambda i: F.concat(F.get(words, i), F.lit(" "),
                                        F.get(words, i + 1)))
     ).otherwise(F.array().cast("array<string>"))
-    dg = F.array_distinct(grams)
 
-    def _gram_count(g):
-        return F.size(F.filter(grams, lambda x: x == g))
+    # top 2-gram by (occurrences DESC, gram ASC): walking runs of the
+    # SORTED grams with a strictly-greater update keeps the first (i.e.
+    # lexicographically smallest) gram among the tied maxima — the same
+    # total order as ranking structs of (-count, gram).
+    gram_stats = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 long0.alias("run"), long0.alias("bestc"),
+                 F.lit(None).cast("string").alias("bestg")),
+        lambda a, g: F.when(
+            a["prev"].isNull() | (a["prev"] != g),
+            F.struct(g.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     F.when(a["run"] > a["bestc"], a["run"])
+                      .otherwise(a["bestc"]).alias("bestc"),
+                     F.when(a["run"] > a["bestc"], a["prev"])
+                      .otherwise(a["bestg"]).alias("bestg"))
+        ).otherwise(F.struct(a["prev"].alias("prev"),
+                             (a["run"] + 1).alias("run"),
+                             a["bestc"].alias("bestc"),
+                             a["bestg"].alias("bestg"))),
+        lambda a: F.struct(
+            F.when(a["run"] > a["bestc"], a["run"])
+             .otherwise(a["bestc"]).alias("bestc"),
+            F.when(a["run"] > a["bestc"], a["prev"])
+             .otherwise(a["bestg"]).alias("bestg")))
 
-    # (-count, gram) sorts the most frequent gram first, ties to the
-    # lexicographically smallest gram — a total deterministic order
-    ranked = F.array_sort(F.transform(
-        dg, lambda g: F.struct((-_gram_count(g)).alias("negc"),
-                               g.alias("gram"))))
-    top = F.element_at(ranked, 1)
-    word_chars = F.aggregate(words, F.lit(0).cast("long"),
-                             lambda a, w: a + F.length(w))
+    line_chars = F.aggregate(lines, long0, lambda a, l: a + F.length(l))
+    word_chars = F.aggregate(words, long0, lambda a, w: a + F.length(w))
+
+    # materialize the folds across a second projection boundary so each is
+    # evaluated once per row
+    staged = arrs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        line_stats.alias("__ls"), gram_stats.alias("__gs"),
+        line_chars.alias("__lc"), word_chars.alias("__wc"))
+    n_lines = F.col("n_lines")
+    dup_line_frac = (n_lines - F.col("__ls")["runs"]).cast("double") / \
+        F.greatest(n_lines, F.lit(1)).cast("double")
+    dup_char_frac = (F.col("__ls")["dup"].cast("double") /
+                     F.greatest(F.col("__lc"), F.lit(1)).cast("double"))
     top_chars = F.when(
-        F.size(dg) > 0,
-        ((-top["negc"]) *
-         F.length(F.regexp_replace(top["gram"], " ", ""))).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
+        F.col("__gs")["bestc"] > 0,
+        F.col("__gs")["bestc"] *
+        F.length(F.regexp_replace(F.col("__gs")["bestg"], " ", ""))
+    ).otherwise(long0)
     top_frac = (top_chars.cast("double") /
-                F.greatest(word_chars, F.lit(1)).cast("double"))
+                F.greatest(F.col("__wc"), F.lit(1)).cast("double"))
 
     passes = ((dup_line_frac <= max_dup_line_frac) &
               (dup_char_frac <= max_dup_line_char_frac) &
               (top_frac <= max_top_2gram_char_frac))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_lines.cast("long").alias("n_lines"),
+    return staged.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
         dup_line_frac.alias("dup_line_frac"),
         dup_char_frac.alias("dup_line_char_frac"),
         top_frac.alias("top_2gram_char_frac"),
@@ -445,13 +506,22 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, *, n: int = 13,
                         lambda i: F.array_join(F.slice(words, i, n), " ")))
         ).otherwise(F.array().cast("array<string>"))
 
-    grams = _distinct_grams(normalized_words(F.col(text_col)))
-    bgrams = _distinct_grams(normalized_words(F.col(bench_text_col)))
-    bench_set = (benchmark.select(F.explode(bgrams).alias("gram"))
+    # words materialized behind a projection boundary first: the gram
+    # lambda slices the word array per element, and slicing an outer array
+    # EXPRESSION re-runs the regex+split per gram under interpreted HOF
+    # eval — per-document cost O(words × text_len) instead of O(text_len)
+    bench_set = (benchmark
+                 .select(normalized_words(F.col(bench_text_col))
+                         .alias("__w"))
+                 .select(F.explode(_distinct_grams(F.col("__w")))
+                         .alias("gram"))
                  .distinct())
 
-    ex = docs.select(F.col(id_col).alias("doc_id"),
-                     F.explode_outer(grams).alias("gram"))
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      normalized_words(F.col(text_col)).alias("__w"))
+          .select("doc_id",
+                  F.explode_outer(_distinct_grams(F.col("__w")))
+                  .alias("gram")))
     joined = ex.join(F.broadcast(bench_set.withColumn("__hit", F.lit(1))),
                      "gram", "left")
     agg = joined.groupBy("doc_id").agg(

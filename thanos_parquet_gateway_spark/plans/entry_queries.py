@@ -30,7 +30,11 @@ from thanos_parquet_gateway_spark.operators.multimodal import (
     sample_frames,
 )
 from thanos_parquet_gateway_spark.promql.engine import PromQLEngine
-from thanos_parquet_gateway_spark.sources.tables import load_table, samples_from_events
+from thanos_parquet_gateway_spark.sources.tables import (
+    load_table,
+    samples_from_events,
+    spread_small_scan,
+)
 
 DAY = 86_400_000
 LOOKBACK = 7 * DAY
@@ -95,25 +99,13 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-def _spread_small_scan(df):
-    """Round-robin-repartition ``df`` to cluster parallelism ONLY when its
-    scan is too small to fill the cores (estimated splits < parallelism).
-    Uses the leaf relations' catalog size estimate (driver-side, no job) —
-    the same probe as topk._adaptive_buckets.  At 100 TB the estimate
-    saturates and this is a no-op; the repartition exists purely to spread
-    a few-split local input across cores before CPU-heavy map work."""
-    spark = df.sparkSession
-    par = max(spark.sparkContext.defaultParallelism, 1)
-    try:
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
-                  for i in range(leaves.size()))
-        if est // max_split >= par:
-            return df
-    except Exception:
-        pass  # stats unavailable: keep the spread (the safe local default)
-    return df.repartition(par)
+def _docs(spark, sf_dir):
+    """documents with the small-scan spread: the text operators are
+    CPU-bound per-row maps (or explode+agg chains whose map side carries
+    the heavy per-row work), and the local single-split parquet would run
+    them in ONE task; at 100 TB the spread is a no-op (see
+    sources.tables.spread_small_scan)."""
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def _engine(spark: SparkSession, sf_dir: str, lookback_ms: int = LOOKBACK) -> PromQLEngine:
@@ -1408,10 +1400,20 @@ WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.6
 def dedup_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard ≥ 0.6 over all sharing pairs (inverted-index
     join on shingle; at 100TB the LSH pairs pre-filter the candidates)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(F.col("doc_id"),
-                     dedup.shingles(dedup.normalized_words(F.col("text"))).alias("sh"))
-    expl = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    docs = _docs(spark, sf_dir)
+    # words materialized behind a projection boundary: the shingle lambda
+    # slices the word array per shingle, and slicing an outer array
+    # EXPRESSION re-runs the regex+split per shingle (interpreted HOF eval)
+    sh = (docs.select(F.col("doc_id"),
+                      dedup.normalized_words(F.col("text")).alias("__w"))
+          .select("doc_id", dedup.shingles(F.col("__w")).alias("sh")))
+    # explode_outer + post-generate null filter, NOT explode: plain explode
+    # makes InferFiltersFromGenerate push a size/isnotnull predicate of the
+    # WHOLE shingle expression below the staging projections — the
+    # quadratic per-element re-eval this staging exists to avoid, paid per
+    # row in a Filter (r12 plan audit: 2.6× on this query's join input)
+    expl = (sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
+            .filter(F.col("shingle").isNotNull()))
     a = expl.alias("a"); b = expl.alias("b")
     pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
                     (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1453,7 +1455,7 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """)
 def dedup_simhash(spark, sf_dir):
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash(_docs(spark, sf_dir))
 
 
 @q("dedup_substring_spans", """
@@ -1488,7 +1490,7 @@ def dedup_substring_spans(spark, sf_dir):
     """Exact substring-duplication coverage (Lee et al. 2022 suffix-array
     dedup re-expressed Spark-first: gram-hash shuffle + per-doc interval-
     union fold — operators/dedup.duplicate_spans)."""
-    return dedup.duplicate_spans(load_table(spark, sf_dir, "documents"),
+    return dedup.duplicate_spans(_docs(spark, sf_dir),
                                  min_len=24)
 
 
@@ -1508,7 +1510,7 @@ FROM words
 """)
 def text_fingerprint(spark, sf_dir):
     """Rolling polynomial hash document fingerprint."""
-    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+    return text.fingerprint(_docs(spark, sf_dir))
 
 
 @q("text_token_counts", r"""
@@ -1519,7 +1521,7 @@ SELECT doc_id,
 FROM documents
 """)
 def text_token_counts(spark, sf_dir):
-    return text.token_counts(load_table(spark, sf_dir, "documents"))
+    return text.token_counts(_docs(spark, sf_dir))
 
 
 @q("text_quality", r"""
@@ -1542,7 +1544,7 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_
 FROM base
 """)
 def text_quality(spark, sf_dir):
-    return text.quality_score(load_table(spark, sf_dir, "documents"))
+    return text.quality_score(_docs(spark, sf_dir))
 
 
 @q("text_language", """
@@ -1579,7 +1581,7 @@ FROM unpivoted WHERE rk = 1
 """)
 def text_language(spark, sf_dir):
     """Stopword-vote language ID (heuristic n-gram detector)."""
-    return text.detect_language(load_table(spark, sf_dir, "documents"))
+    return text.detect_language(_docs(spark, sf_dir))
 
 
 @q("text_pack_sequences", r"""
@@ -1601,7 +1603,7 @@ FROM packed
 """)
 def text_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (256-token packs, 8 shards)."""
-    return text.pack_sequences(load_table(spark, sf_dir, "documents"),
+    return text.pack_sequences(_docs(spark, sf_dir),
                                capacity_tokens=256, n_shards=8)
 
 
@@ -1639,7 +1641,7 @@ FROM sig
 """)
 def text_gopher_quality(spark, sf_dir):
     """Gopher-rule quality filter signals over the documents corpus."""
-    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+    return text.gopher_quality(_docs(spark, sf_dir))
 
 
 # deterministic pseudo-PII decoration so the scan/redaction path is
@@ -1677,7 +1679,7 @@ FROM decorated
 def text_pii_scan(spark, sf_dir):
     """PII detect + redact over documents decorated with deterministic
     pseudo-PII (emails, SSN-ish ids, phone numbers, IPv4)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     decorated = d.select(
         "doc_id",
         F.concat(
@@ -1727,7 +1729,7 @@ def text_bm25(spark, sf_dir):
     """Okapi BM25 top-10 (Lucene idf).  Per-term tf without explode, corpus
     stats in one broadcast row, TakeOrderedAndProject top-k — the retrieval
     scoring shape for a 100 TB corpus."""
-    return text.bm25_score(load_table(spark, sf_dir, "documents"),
+    return text.bm25_score(_docs(spark, sf_dir),
                            list(_BM25_TERMS), top_k=10, round_to=6)
 
 
@@ -1757,7 +1759,7 @@ SELECT doc_id, term, tf, score FROM scored WHERE rn <= 3
 """)
 def text_tfidf(spark, sf_dir):
     """Top-3 tf·idf terms per document (idf = ln(N/df))."""
-    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"),
+    return text.tfidf_top_terms(_docs(spark, sf_dir),
                                 top_n=3, round_to=6)
 
 
@@ -1814,7 +1816,7 @@ JOIN wchars w USING (doc_id)
 def text_repetition(spark, sf_dir):
     """Gopher repetition filters: duplicate-line fractions and top-2-gram
     character mass, per document (operators/text.repetition_signals)."""
-    return text.repetition_signals(load_table(spark, sf_dir, "documents"))
+    return text.repetition_signals(_docs(spark, sf_dir))
 
 
 @q("text_c4_filters", r"""
@@ -1845,7 +1847,7 @@ FROM documents d LEFT JOIN lstats s USING (doc_id)
 def text_c4_filters(spark, sf_dir):
     """C4 cleaning signals: terminal-punctuation line retention, sentence
     count, lorem-ipsum/brace flags (operators/text.c4_filters)."""
-    return text.c4_filters(load_table(spark, sf_dir, "documents"))
+    return text.c4_filters(_docs(spark, sf_dir))
 
 
 @q("text_entropy", r"""
@@ -1872,7 +1874,7 @@ FROM tot t LEFT JOIN ent e USING (doc_id)
 def text_entropy(spark, sf_dir):
     """Unigram Shannon entropy per document, sorted-word fold so the float
     sum order matches the oracle exactly (operators/text.token_entropy)."""
-    return text.token_entropy(load_table(spark, sf_dir, "documents"),
+    return text.token_entropy(_docs(spark, sf_dir),
                               round_to=9)
 
 
@@ -1906,7 +1908,7 @@ def text_decontaminate(spark, sf_dir):
     """Benchmark n-gram decontamination: distinct word 3-gram overlap of
     every document against the src0 slice as the held-out benchmark
     (operators/text.decontaminate; benchmark gram set broadcast)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
     return text.decontaminate(docs, bench, n=3, threshold=0.1)
 
@@ -2525,7 +2527,7 @@ def text_chunks(spark, sf_dir):
     """Overlapping fixed-size word-window chunking (40-word chunks, 10-word
     overlap) — the context-window packing step of a training pipeline.
     Narrow plan: split → sequence → slice → posexplode, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return text.chunk_documents(docs, chunk_words=40, overlap=10)
 
 
@@ -3521,7 +3523,7 @@ def events_hopping_window(spark, sf_dir):
     partial agg would otherwise run in one task.  A many-split 100 TB input
     skips the repartition — an unconditional one would be a full wasted
     shuffle of the fact table (scale-adaptive per the r12 plan audit)."""
-    e = _spread_small_scan(load_table(spark, sf_dir, "events"))
+    e = spread_small_scan(load_table(spark, sf_dir, "events"))
     w = e.select(
         "event_type", "value",
         F.explode(F.expr(

@@ -94,6 +94,28 @@ def samples_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition ``df`` to cluster parallelism ONLY when its
+    scan is too small to fill the cores (estimated splits < parallelism).
+    Uses the leaf relations' catalog size estimate (driver-side, no job).
+    For CPU-bound per-row operators (text quality/repetition signals, the
+    7× hopping-window explode) a few-split local input would otherwise run
+    single-task; a many-split 100 TB input skips the repartition — an
+    unconditional one would be a full wasted shuffle of the fact table."""
+    spark = df.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
+                  for i in range(leaves.size()))
+        if est // max_split >= par:
+            return df
+    except Exception:
+        pass  # stats unavailable: keep the spread (the safe local default)
+    return df.repartition(par)
+
+
 def pushable_ts_window(df: DataFrame, min_ms: int, max_ms: int):
     """Predicate on the carried-through raw parquet column ``__ts_raw``
     equivalent to the derived epoch-ms ``ts`` lying in [min_ms, max_ms] —
