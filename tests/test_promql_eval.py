@@ -739,6 +739,10 @@ def test_production_native_range_functions_agree(spark):
                 "irate(c[30s])", "idelta(c[30s])",
                 "resets(c[30s])", "changes(c[30s])", "changes(g[25s])",
                 "rate(c[30s] offset 10s)",
+                # r12 resumed session: native covar_pop/var_pop regression
+                "deriv(c[30s])", "deriv(g[30s])",
+                "predict_linear(c[30s], 120)", "predict_linear(g[25s], 60)",
+                "deriv(c[40s:10s])",  # subqueries take the native path too
                 # fold fallbacks in production mode (prev unavailable):
                 # subquery range vectors and @-anchored windows
                 "rate(c[40s:10s])", "sum_over_time(g[30s] @ 60)"])
@@ -759,7 +763,7 @@ def test_production_native_range_functions_agree(spark):
     # the production plans must be native aggregations: no collect_list
     # buffer, no SortAggregate demotion (the optimization this pins)
     for q in ("rate(c[30s])", "count_over_time(g[30s])", "resets(c[30s])",
-              "irate(c[30s])"):
+              "irate(c[30s])", "deriv(c[30s])", "predict_linear(c[30s], 60)"):
         p = _plan_str(prod.query_range(q, 0, 80 * S, 10 * S).df)
         assert "collect_list" not in p, q
         assert "SortAggregate" not in p, q

@@ -805,8 +805,37 @@ def _linreg(arr: Column, intercept_t: Column):
     return slope, intercept
 
 
+def _linreg_native(rv: RangeVector):
+    """Production-mode regression stats as NATIVE aggregates (map-side
+    partials, codegen HashAggregate) instead of the collect_list fold:
+    with x = (ts - t) seconds, slope = covar_pop(x, y) / var_pop(x) and
+    intercept-at-t = avg(y) - slope * avg(x).  covar_pop/var_pop are
+    Spark's central-moment aggregates (Welford-style co-moment updates),
+    numerically MORE stable than the fold's normal equations — the
+    cancellation concern that kept this on the fold (r12 "Not yet
+    optimized") applies to n*Σxy - ΣxΣy, which this formulation never
+    builds.  The slope is anchor-invariant, so anchoring x at t (instead
+    of the fold's first-sample anchor for deriv) changes nothing.
+    Returns (aggregated frame filtered to n >= 2, slope, intercept)."""
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+    x = (F.col("ts") - F.col("t")).cast(D) / 1000.0
+    g = (hgroup(rv.df, "sig",
+                F.count(F.lit(1)).alias("__wn"),
+                F.covar_pop(x, F.col("value")).alias("__cxy"),
+                F.var_pop(x).alias("__vx"),
+                F.avg(x).alias("__mx"),
+                F.avg("value").alias("__my"))
+         .filter(F.col("__wn") >= 2))
+    slope = F.col("__cxy") / F.col("__vx")
+    intercept = F.col("__my") - slope * F.col("__mx")
+    return g, slope, intercept
+
+
 def _deriv(c: Compiler, call: A.Call) -> InstantVector:
     rv = _range_arg(c, call)
+    if not c.p.deterministic and "hist" not in rv.columns:
+        g, slope, _ = _linreg_native(rv)
+        return _finalize(g, slope)
     g = _window_floats(c, rv, min_n=2)
     slope, _ = _linreg(F.col("arr"), F.element_at(F.col("arr"), 1)["o"])
     return _finalize(g, slope)
@@ -815,6 +844,9 @@ def _deriv(c: Compiler, call: A.Call) -> InstantVector:
 def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
     rv = _range_arg(c, call, 0)
     dur = _scalar_lit(c, call, 1)
+    if not c.p.deterministic and "hist" not in rv.columns:
+        g, slope, intercept = _linreg_native(rv)
+        return _finalize(g, intercept + slope * F.lit(float(dur)))
     g = _window_floats(c, rv, min_n=2)
     slope, intercept = _linreg(F.col("arr"), F.col("t"))
     val = intercept + slope * F.lit(float(dur))
