@@ -13,6 +13,42 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _install_jvm_function_cache() -> None:
+    """Memoize PySpark's JVM function-handle lookups (driver latency only).
+
+    ``pyspark.sql.functions`` resolves ``org.apache.spark.sql.functions.<f>``
+    through TWO py4j reflection round trips on EVERY call
+    (``_get_jvm_function``: JVMView getattr -> JavaClass getattr), i.e. 2 of
+    the 3 socket round trips each F.<fn>() costs — ~340 of the ~1240 round
+    trips of one compiled PromQL binop query (cProfile, guide §7.3).  The
+    resolved JavaMember is a stable handle on the static functions class for
+    the lifetime of the gateway, so cache it keyed on the live JVMView id;
+    a restarted session gets a fresh JVMView (new id) and re-resolves.
+    Query COMPILE latency is serving-path latency for this engine, and this
+    touches no plan, no data and no result.  Guarded: any pyspark-internal
+    signature drift skips the patch (pinned by test_session_function_cache)."""
+    try:
+        from pyspark.sql.functions import builtin as _builtin
+        orig = _builtin._get_jvm_function
+        if getattr(orig, "_tpgs_cached", False):
+            return
+        cache: dict = {}
+
+        def cached(name, sc):
+            key = (id(sc._jvm), name)
+            jf = cache.get(key)
+            if jf is None:
+                jf = orig(name, sc)
+                cache[key] = jf
+            return jf
+
+        cached._tpgs_cached = True
+        cached._tpgs_orig = orig
+        _builtin._get_jvm_function = cached
+    except Exception:
+        pass  # pyspark internals moved: keep the stock (uncached) path
+
+
 def get_spark(app_name: str = "thanos_parquet_gateway_spark",
               extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -60,4 +96,5 @@ def get_spark(app_name: str = "thanos_parquet_gateway_spark",
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _install_jvm_function_cache()
     return spark
