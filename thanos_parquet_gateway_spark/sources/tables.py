@@ -94,6 +94,19 @@ def samples_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scan_splits_estimate(df: DataFrame) -> int:
+    """Estimated scan-split count of ``df``'s leaf relations: catalog size
+    estimate // maxPartitionBytes (driver-side metadata only, no job).
+    Raises when the stats probe is unavailable — callers choose their own
+    safe default."""
+    spark = df.sparkSession
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
+              for i in range(leaves.size()))
+    return int(est // max_split)
+
+
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin-repartition ``df`` to cluster parallelism ONLY when its
     scan is too small to fill the cores (estimated splits < parallelism).
@@ -105,14 +118,15 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     par = max(spark.sparkContext.defaultParallelism, 1)
     try:
-        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
-                  for i in range(leaves.size()))
-        if est // max_split >= par:
+        if scan_splits_estimate(df) >= par:
             return df
     except Exception:
-        pass  # stats unavailable: keep the spread (the safe local default)
+        # Stats probe failed: do NOTHING.  The function exists to fix a
+        # small-scan corner; an unknown scan may be the 100 TB fact table,
+        # where the repartition is a full wasted shuffle — the no-op is the
+        # safe default at scale (a local few-split scan merely stays
+        # unspread, costing parallelism, not a data move).
+        return df
     return df.repartition(par)
 
 
