@@ -743,9 +743,15 @@ def test_production_native_range_functions_agree(spark):
                 "deriv(c[30s])", "deriv(g[30s])",
                 "predict_linear(c[30s], 120)", "predict_linear(g[25s], 60)",
                 "deriv(c[40s:10s])",  # subqueries take the native path too
-                # fold fallbacks in production mode (prev unavailable):
-                # subquery range vectors and @-anchored windows
-                "rate(c[40s:10s])", "sum_over_time(g[30s] @ 60)"])
+                # r13: subquery range vectors carry prev too, so the whole
+                # rate family is native over subqueries as well
+                "rate(c[40s:10s])", "increase(c[40s:10s])",
+                "delta(g[40s:10s])", "irate(c[40s:10s])",
+                "idelta(c[40s:10s])", "resets(c[40s:10s])",
+                "changes(c[40s:10s])", "rate(c[35s:10s] offset 10s)",
+                # fold fallback in production mode (prev unavailable):
+                # @-anchored windows
+                "sum_over_time(g[30s] @ 60)", "rate(c[40s:10s] @ 60)"])
     for q in queries:
         fn = q.split("(")[0]
         a = _mat(det.query_range(q, 0, 80 * S, 10 * S))
@@ -763,7 +769,10 @@ def test_production_native_range_functions_agree(spark):
     # the production plans must be native aggregations: no collect_list
     # buffer, no SortAggregate demotion (the optimization this pins)
     for q in ("rate(c[30s])", "count_over_time(g[30s])", "resets(c[30s])",
-              "irate(c[30s])", "deriv(c[30s])", "predict_linear(c[30s], 60)"):
+              "irate(c[30s])", "deriv(c[30s])", "predict_linear(c[30s], 60)",
+              # r13: rate over a subquery is native too (prev through the
+              # inner grid); the inner selector itself is aggregation-free
+              "rate(c[40s:10s])", "irate(c[40s:10s])"):
         p = _plan_str(prod.query_range(q, 0, 80 * S, 10 * S).df)
         assert "collect_list" not in p, q
         assert "SortAggregate" not in p, q

@@ -611,11 +611,32 @@ class Compiler:
                            (F.col("ts") + (F.col("t") - F.lit(at)))
                            .alias("ts"), "value", *hist_cols))
             return RangeVector(out, sq.range_ms)
-        exploded = pts.withColumn(
-            "t", F.explode(self._serve_steps(F.col("ts"), sq.range_ms)))
-        return RangeVector(exploded.select("t", "sig", "labels", "ts", "value",
-                                           *hist_cols),
-                           sq.range_ms)
+        steps = F.explode(self._serve_steps(F.col("ts"), sq.range_ms)).alias("t")
+        prev = None
+        if not self.p.deterministic:
+            # production: attach each inner-grid point's predecessor (lag
+            # per series BEFORE the window explode), exactly like the
+            # matrix-selector path — the rate family then aggregates
+            # natively over subquery windows too.  Sound because the inner
+            # result has one row per (sig, inner step): (sig, ts) is unique,
+            # and every grid point that can fall inside ANY outer window is
+            # ≥ inner_start by construction, so a window's true predecessor
+            # chain is fully contained in ``pts`` (a predecessor before
+            # inner_start is outside every window and consumers gate on
+            # __pts > t - range).
+            def prev():
+                from pyspark.sql import Window as _W
+                w = _W.partitionBy("sig").orderBy("ts")
+                based = pts.select("*",
+                                   F.lag("value").over(w).alias("__pv"),
+                                   F.lag("ts").over(w).alias("__pts"))
+                return based.select(steps, "sig", "labels", "ts", "value",
+                                    "__pv", "__pts", *hist_cols)
+        return RangeVector(
+            lambda: pts.select(steps, "sig", "labels", "ts", "value",
+                                *hist_cols),
+            sq.range_ms, prev=prev,
+            columns=["t", "sig", "labels", "ts", "value", *hist_cols])
 
     def compile_vector(self, node: A.Node) -> InstantVector:
         v = self.compile(node)

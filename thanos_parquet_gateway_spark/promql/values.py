@@ -55,8 +55,10 @@ class RangeVector:
     grid explode so the samples are shuffled once, un-replicated).  With the
     predecessor attached, the rate family's window math (counter resets,
     first/last sample) becomes plain native aggregation instead of a
-    collect_list fold.  None on paths that don't provide it (@-anchored
-    windows, subqueries, deterministic mode) — consumers must fall back to
+    collect_list fold.  Provided by matrix selectors AND subqueries (the
+    inner result has one row per (sig, inner step), so the lag is
+    well-defined there too).  None on paths that don't provide it
+    (@-anchored windows, deterministic mode) — consumers must fall back to
     the fold.
 
     ``df`` and ``prev`` may be passed as zero-arg thunks: each consumer uses
