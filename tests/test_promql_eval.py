@@ -779,3 +779,106 @@ def test_production_native_range_functions_agree(spark):
     # ...and the deterministic engine keeps the order-stable fold
     p = _plan_str(det.query_range("rate(c[30s])", 0, 80 * S, 10 * S).df)
     assert "collect_list" in p
+
+
+def _hmat(result):
+    """range result df → {(t, labels): (value, hist-tuple|None)}"""
+    out = {}
+    for r in result.df.collect():
+        h = r["hist"] if "hist" in r.__fields__ else None
+        ht = None
+        if h is not None:
+            ht = (h["count"], h["sum"],
+                  tuple((b["le"], b["count"]) for b in h["buckets"]),
+                  h["schema"])
+        out[(r["t"], frozenset(dict(r["labels"]).items()))] = \
+            (r["value"], ht)
+    return out
+
+
+def test_production_native_histogram_rate_agrees(spark):
+    """r13: the histogram-window rate family compiles to native
+    aggregations in production mode (no per-sample ObjectHashAggregate
+    collect).  Differential pin against the deterministic fold over a
+    corpus with histogram counter resets, bucket-set changes mid-window,
+    NULL (custom) and exponential schemas, float series alongside,
+    mixed float/histogram windows (dropped) and single-sample windows —
+    values, bucket SETS (a mid-window-only le must not appear: it would
+    shift histogram_quantile anchors), counts and schema must all agree."""
+    from thanos_parquet_gateway_spark.promql import PromQLEngine
+    nan = float("nan")
+
+    def h(cnt, s, bks, sch=None):
+        return {"hist": (cnt, s, bks, sch) if sch is not None
+                else (cnt, s, bks)}
+
+    rows = (
+        # plain growing counter histogram (custom/NULL schema)
+        [({"__name__": "lh", "job": "a"}, i * 10 * S,
+          h(4 + 3 * i, 10.5 + 2.25 * i,
+            [(1.0, 1 + i), (5.0, 2 + i), (float("inf"), 1 + i)]))
+         for i in range(8)] +
+        # counter reset at i=3 + a bucket (2.5) that exists only mid-window
+        [({"__name__": "lh", "job": "rst"}, i * 10 * S,
+          h(*(lambda c: (c, 2.0 * c,
+                         ([(1.0, c / 2), (2.5, 1), (float("inf"), c / 2)]
+                          if i in (2, 3) else
+                          [(1.0, c / 2), (float("inf"), c / 2)])))(
+              [4, 8, 12, 2, 6, 10, 14, 18][i])))
+         for i in range(8)] +
+        # exponential schema 0
+        [({"__name__": "lh", "job": "exp"}, i * 10 * S,
+          h(2 * i + 2, 3.0 * i + 1.0,
+            [(2.0, i + 1), (4.0, i + 1)], sch=0))
+         for i in range(6)] +
+        # float series under the same metric name
+        counter("lh", {"job": "flt"}, 0, 10 * S, [0, 5, 2, 9, 3, 10]) +
+        # mixed series: float then histograms (mixed windows drop)
+        [({"__name__": "lh", "job": "mix"}, 0, 1.0),
+         ({"__name__": "lh", "job": "mix"}, 10 * S, 2.0),
+         ({"__name__": "lh", "job": "mix"}, 20 * S, h(3, 4.0, [(1.0, 3)])),
+         ({"__name__": "lh", "job": "mix"}, 30 * S, h(5, 6.0, [(1.0, 5)]))] +
+        # singleton (never >= 2 samples in any window)
+        [({"__name__": "lh", "job": "one"}, 37 * S, h(1, 1.0, [(1.0, 1)]))]
+    )
+    det = eng_for(spark, rows)
+    prod = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
+                        deterministic=False)
+    queries = ["rate(lh[30s])", "increase(lh[30s])", "delta(lh[30s])",
+               "rate(lh[25s] offset 10s)", "rate(lh[30s] @ 60)"]
+    for q in queries:
+        a = _hmat(det.query_range(q, 0, 80 * S, 10 * S))
+        b = _hmat(prod.query_range(q, 0, 80 * S, 10 * S))
+        assert set(a) == set(b), q
+        for k in a:
+            av, ah = a[k]
+            bv, bh = b[k]
+            if math.isnan(av):
+                assert math.isnan(bv), (q, k)
+            else:
+                assert av == pytest.approx(bv, rel=1e-9, abs=1e-300), (q, k)
+            assert (ah is None) == (bh is None), (q, k)
+            if ah is not None:
+                assert ah[0] == pytest.approx(bh[0], rel=1e-9, abs=1e-12), \
+                    (q, k, "count")
+                assert ah[1] == pytest.approx(bh[1], rel=1e-9, abs=1e-12), \
+                    (q, k, "sum")
+                assert ah[3] == bh[3], (q, k, "schema")
+                les_a = [x[0] for x in ah[2]]
+                les_b = [x[0] for x in bh[2]]
+                assert les_a == les_b, (q, k, "bucket set")
+                for (le, ca), (_, cb) in zip(ah[2], bh[2]):
+                    assert ca == pytest.approx(cb, rel=1e-9, abs=1e-12), \
+                        (q, k, le)
+
+    # plan pins: the per-sample collect fold is gone — the only collect
+    # left is the k-bounded bucket-array rebuild; no SortAggregate
+    p = _plan_str(prod.query_range("rate(lh[30s])", 0, 80 * S, 10 * S).df)
+    # the remaining collects hold only the boundary/reset BUCKET ARRAYS
+    # (≤ 2 + resets elements per window); the per-sample (ts, hist)-struct
+    # collect — an O(samples-per-window) object buffer — is gone
+    assert "struct(o," not in p
+    assert "SortAggregate" not in p
+    pd = _plan_str(det.query_range("rate(lh[30s])", 0, 80 * S, 10 * S).df)
+    # the fold collects every sample into (o, v)/(o, h) struct arrays
+    assert "struct(o," in pd

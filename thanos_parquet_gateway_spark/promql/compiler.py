@@ -549,11 +549,22 @@ class Compiler:
             def prev():
                 from pyspark.sql import Window as _W
                 w = _W.partitionBy("sig").orderBy("ts")
+                # histogram-carrying selectors additionally lag the hist and
+                # lead the ts (same WindowExec, no extra exchange/sort): the
+                # native histogram rate needs the predecessor histogram for
+                # reset pairs and the successor ts to decide first/last-in-
+                # window membership per ROW (__nts > t ≡ last in (t-r, t])
+                hist_lag = ([F.lag("hist").over(w).alias("__ph"),
+                             F.lead("ts").over(w).alias("__nts")]
+                            if hist_cols else [])
                 based = base.select("*",
                                     F.lag("value").over(w).alias("__pv"),
-                                    F.lag("ts").over(w).alias("__pts"))
+                                    F.lag("ts").over(w).alias("__pts"),
+                                    *hist_lag)
                 return based.select(steps, "sig", "labels", "ts", "value",
-                                    "__pv", "__pts", *hist_cols)
+                                    "__pv", "__pts", *hist_cols,
+                                    *(["__ph", "__nts"] if hist_cols
+                                      else []))
         # Both variants are THUNKS: each consumer reads exactly one of
         # df/prev, and building the other is a wasted JVM plan op with a
         # full eager re-analysis of the selector subtree — measured at
@@ -627,11 +638,17 @@ class Compiler:
             def prev():
                 from pyspark.sql import Window as _W
                 w = _W.partitionBy("sig").orderBy("ts")
+                hist_lag = ([F.lag("hist").over(w).alias("__ph"),
+                             F.lead("ts").over(w).alias("__nts")]
+                            if hist_cols else [])
                 based = pts.select("*",
                                    F.lag("value").over(w).alias("__pv"),
-                                   F.lag("ts").over(w).alias("__pts"))
+                                   F.lag("ts").over(w).alias("__pts"),
+                                   *hist_lag)
                 return based.select(steps, "sig", "labels", "ts", "value",
-                                    "__pv", "__pts", *hist_cols)
+                                    "__pv", "__pts", *hist_cols,
+                                    *(["__ph", "__nts"] if hist_cols
+                                      else []))
         return RangeVector(
             lambda: pts.select(steps, "sig", "labels", "ts", "value",
                                 *hist_cols),

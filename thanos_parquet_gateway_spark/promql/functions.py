@@ -423,6 +423,8 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     float/histogram windows are dropped (Prometheus skips them with a
     warning)."""
     if "hist" in rv.columns:
+        if not c.p.deterministic and rv.prev is not None:
+            return _extrapolated_hist_native(c, rv, counter, is_rate)
         return _extrapolated_hist(c, rv, counter, is_rate)
     if not c.p.deterministic and rv.prev is not None:
         return _extrapolated_native(c, rv, counter, is_rate)
@@ -588,6 +590,169 @@ def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
     hscale = hfactor / rng_s if is_rate else hfactor
     hval = H.scale_hist(F.col("__hdelta"), hscale)
 
+    return _finalize(g, F.when(is_float, fval).otherwise(NAN()),
+                     hist=F.when(is_hist, hval).otherwise(H.null_hist()))
+
+
+def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
+                              is_rate: bool) -> InstantVector:
+    """Production-mode twin of _extrapolated_hist: with the predecessor
+    (value, ts AND hist) attached pre-explode, the histogram rate's window
+    statistics become native aggregations instead of one ObjectHashAggregate
+    collecting every (ts, hist) struct of every (grid-replicated) window.
+
+    Exactness model (mirrors the float production path):
+    - first/last count/sum/ts and the float stats are EXACT selections
+      (min_by/max_by on primitive buffers);
+    - the reset corrections are native sums over lag pairs (a pair counts
+      iff the predecessor is inside the window) — float reassociation
+      across multiple resets, the documented production trade;
+    - bucket deltas come from the first/last histograms' bucket arrays and
+      the pre-reset predecessors', collected under per-row boundary flags —
+      the buffers hold ≤ (2 + resets) small arrays, and the OUTPUT bucket
+      set replicates the fold's union(last.les, first.les[, pre-reset
+      prevs' les]) exactly (a zero-count le present only mid-window must
+      NOT appear: it would shift histogram_quantile's interpolation
+      anchors)."""
+    from thanos_parquet_gateway_spark.promql import histograms as H
+    from thanos_parquet_gateway_spark.promql.compiler import hgroup
+    rng = rv.range_ms
+    rows = rv.prev
+    hist, ph = F.col("hist"), F.col("__ph")
+    in_pair = F.col("__pts") > (F.col("t") - F.lit(rng))
+    hpair = in_pair & hist.isNotNull() & ph.isNotNull()
+    hreset = (hpair & H.detect_reset(ph, hist)) if counter else F.lit(False)
+    fcorr = F.when(in_pair
+                   & ~F.isnan(F.col("value")) & ~F.isnan(F.col("__pv"))
+                   & (F.col("value") < F.col("__pv")),
+                   F.col("__pv")).otherwise(F.lit(0.0))
+    # schema survives like the fold's coalesce chain: last sample's, else
+    # first sample's, else (counter) the earliest pre-reset prev's non-null
+    # schema.  NULL schema (custom bounds) is legitimate, and max_by skips
+    # NULL values — encode it as a sentinel so "last row's schema IS null"
+    # wins over an earlier non-null one, exactly like the fold.
+    _SENT = -(2 ** 31)
+    sch_enc = F.coalesce(hist["schema"], F.lit(_SENT))
+
+    def _dec(col: Column) -> Column:
+        return F.when(col == _SENT, F.lit(None).cast("int")).otherwise(col)
+
+    # first/last-in-window membership per ROW off the series lag/lead —
+    # collect_list skips the NULLed non-matching rows, so these buffers
+    # hold exactly one bucket array each (plus one per reset for __rbk)
+    at_first_row = F.col("__pts").isNull() \
+        | (F.col("__pts") <= F.col("t") - F.lit(rng))
+    at_last_row = F.col("__nts").isNull() | (F.col("__nts") > F.col("t"))
+    bk_aggs = [
+        F.collect_list(F.when(at_first_row & hist.isNotNull(),
+                              hist["buckets"])).alias("__fbk"),
+        F.collect_list(F.when(at_last_row & hist.isNotNull(),
+                              hist["buckets"])).alias("__lbk"),
+    ] + ([F.collect_list(F.when(hreset, ph["buckets"])).alias("__rbk")]
+         if counter else [])
+
+    g = hgroup(
+        rows, "sig",
+        F.count(F.when(hist.isNull(), F.lit(1))).alias("__nf"),
+        F.count(hist).alias("__nh"),
+        F.min("ts").alias("__ft"),
+        F.max("ts").alias("__lt"),
+        F.min_by("value", "ts").alias("__fv"),
+        F.max_by("value", "ts").alias("__lv"),
+        F.sum(fcorr).alias("__frc"),
+        F.min_by(hist["count"], F.col("ts")).alias("__hfc"),
+        F.max_by(hist["count"], F.col("ts")).alias("__hlc"),
+        F.min_by(hist["sum"], F.col("ts")).alias("__hfs"),
+        F.max_by(hist["sum"], F.col("ts")).alias("__hls"),
+        F.sum(F.when(hreset, ph["count"]).otherwise(F.lit(0.0))).alias("__hrc"),
+        F.sum(F.when(hreset, ph["sum"]).otherwise(F.lit(0.0))).alias("__hrs"),
+        F.max_by(sch_enc, F.col("ts")).alias("__lsch"),
+        F.min_by(sch_enc, F.col("ts")).alias("__fsch"),
+        F.min_by(F.when(hreset, ph["schema"]),
+                 F.when(hreset & ph["schema"].isNotNull(), F.col("ts")))
+         .alias("__rsch"),
+        *bk_aggs)
+    is_float = (F.col("__nf") >= 2) & (F.col("__nh") == 0)
+    is_hist = (F.col("__nh") >= 2) & (F.col("__nf") == 0)
+    g = g.filter(is_float | is_hist)
+    rng_s = F.lit(rng / 1000.0)
+
+    def factor(n, with_zero_clamp, delta, first_v):
+        # mirrors _extrapolated_hist.extrap_factor line for line, off the
+        # aggregated scalar columns (first/last ts are per-kind on kept
+        # windows — single-kind by the filter above)
+        dur_start = (F.col("__ft") - (F.col("t") - F.lit(rng))).cast(D) / 1000.0
+        dur_end = (F.col("t") - F.col("__lt")).cast(D) / 1000.0
+        sampled = (F.col("__lt") - F.col("__ft")).cast(D) / 1000.0
+        avg_dur = sampled / (n - 1)
+        threshold = avg_dur * 1.1
+        dur_start = F.when(dur_start >= threshold, avg_dur / 2) \
+                     .otherwise(dur_start)
+        if with_zero_clamp:
+            dur_to_zero = F.when(delta > 0, sampled * (first_v / delta)) \
+                           .otherwise(dur_start)
+            dur_start = F.when((delta > 0) & (first_v >= 0)
+                               & (dur_to_zero < dur_start),
+                               dur_to_zero).otherwise(dur_start)
+        extrap = (sampled + dur_start
+                  + F.when(dur_end >= threshold, avg_dur / 2)
+                     .otherwise(dur_end))
+        return extrap / sampled
+
+    # float path (identical math to _extrapolated_native)
+    fdelta_raw = F.col("__lv") - F.col("__fv")
+    fdelta = (fdelta_raw + F.col("__frc")) if counter else fdelta_raw
+    g = g.withColumn("__delta", F.when(is_float, fdelta))
+    ffactor = factor(F.col("__nf").cast(D), counter, F.col("__delta"),
+                     F.col("__fv"))
+    fval = (F.col("__delta") * ffactor / rng_s if is_rate
+            else F.col("__delta") * ffactor)
+
+    # histogram scalars: delta = last - first (+ pre-reset correction)
+    hfactor = factor(F.col("__nh").cast(D), False, None, None)
+    hscale = hfactor / rng_s if is_rate else hfactor
+    hc = F.col("__hlc") - F.col("__hfc")
+    hs = F.col("__hls") - F.col("__hfs")
+    if counter:
+        hc = hc + F.col("__hrc")
+        hs = hs + F.col("__hrs")
+    sch = F.coalesce(_dec(F.col("__lsch")), _dec(F.col("__fsch")),
+                     *([F.col("__rsch")] if counter else []))
+
+    # bucket deltas: the delta needs only the FIRST and LAST histograms'
+    # bucket arrays plus the pre-reset predecessors' — ≤ (2 + resets) small
+    # arrays per window, collected under flags decided PER ROW from the
+    # series lag/lead (the first in-window sample's predecessor is outside
+    # the window; the last one's successor is past t).  The math then runs
+    # as per-row array expressions post-agg — exactly the fold's
+    # sub_two/merge shape.  An exploded per-(t, series, le) aggregation was
+    # built first and MEASURED SLOWER than the fold (2k series × 120
+    # samples, 30× window replication: 21 s vs 11.6 s — the ×les explode
+    # and the second pass over the base cost more than the object buffers
+    # save), so the aggregation keeps the fold's single-pass shape and only
+    # shrinks what the buffers hold: O(1 + resets) bucket arrays instead of
+    # every (grid-replicated) window sample.
+    bk_first = F.try_element_at(F.col("__fbk"), F.lit(1))
+    bk_last = F.try_element_at(F.col("__lbk"), F.lit(1))
+    _BK = "array<struct<le:double,count:double>>"
+    neg_first = F.transform(
+        F.coalesce(bk_first, F.array().cast(_BK)),
+        lambda b: F.struct(b["le"].alias("le"), (-b["count"]).alias("count")))
+    parts = [F.coalesce(bk_last, F.array().cast(_BK)), neg_first]
+    if counter:
+        parts.append(F.coalesce(F.flatten(F.col("__rbk")),
+                                F.array().cast(_BK)))
+    allb = F.concat(*parts)
+    les = F.array_sort(F.array_distinct(
+        F.transform(allb, lambda e: e["le"])))
+    hval = H.make_hist(
+        hc * hscale, hs * hscale,
+        F.transform(les, lambda le: F.struct(
+            le.alias("le"),
+            (F.aggregate(F.filter(allb, lambda e: e["le"] == le), F.lit(0.0),
+                         lambda acc, e: acc + e["count"])
+             * hscale).alias("count"))),
+        sch)
     return _finalize(g, F.when(is_float, fval).otherwise(NAN()),
                      hist=F.when(is_hist, hval).otherwise(H.null_hist()))
 
