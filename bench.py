@@ -213,12 +213,15 @@ def main():
         "SPARK_GRAFT_SF10_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench", "sf10"))
-    # the three heaviest sf0.1->sf1 scalers plus two shape canaries the
+    # the three heaviest sf0.1->sf1 scalers plus three shape canaries the
     # trio doesn't cover: a fact-to-fact join (tpch_q3, 60M-row lineitem
-    # at sf10 — the plan must flip from broadcast to shuffle join) and a
-    # user-keyed window pass (events_sessionize)
+    # at sf10 — the plan must flip from broadcast to shuffle join), a
+    # user-keyed window pass (events_sessionize), and the single-exchange
+    # native rate path (promql_range_rate — added r13: the lag-before-
+    # explode rate plan previously had no at-scale measurement; additive,
+    # no existing rung entry removed or changed)
     heavy = ("promql_instant_sum", "sim_topk", "dedup_lsh",
-             "tpch_q3", "events_sessionize")
+             "tpch_q3", "events_sessionize", "promql_range_rate")
     if os.path.isdir(sf10_dir) and "sf1" in out:
         # Fresh session for decade 2: by this point the bench JVM has run
         # several hundred jobs (7-rep x 12-query x 2-pass sf0.1 + sf1), and

@@ -11,6 +11,10 @@ import glob
 
 import pyarrow.parquet as pq
 import pytest
+
+# heavy seeded-fuzz/property suite: excluded from the default pytest
+# run (see pytest.ini); select with -m ""
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F

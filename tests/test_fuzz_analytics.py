@@ -30,6 +30,10 @@ import random
 import pandas as pd
 import pytest
 
+# heavy seeded-fuzz/property suite: excluded from the default pytest
+# run (see pytest.ini); select with -m ""
+pytestmark = pytest.mark.slow
+
 ANALYTICS = [
     "events_tumbling_window",
     "events_sessionize",

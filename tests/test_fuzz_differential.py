@@ -1030,6 +1030,7 @@ def _spark_range_result(eng, promql, start, end, step):
     return out
 
 
+@pytest.mark.slow
 def test_differential_fuzz_range(corpus):
     """Range-query differential: per-step results must match a DuckDB grid
     evaluation (grid CTE x lookback/window joins)."""
@@ -1061,6 +1062,7 @@ def test_differential_fuzz_range(corpus):
                           + "\n".join(failures[:25]))
 
 
+@pytest.mark.slow
 def test_differential_fuzz_range_modifiers(corpus):
     """offset/@/subquery randomized range differential — the axis where
     the r9 (@-anchor extrapolation) and r10 (@-in-subquery grid) bugs
@@ -1093,6 +1095,7 @@ def test_differential_fuzz_range_modifiers(corpus):
                           "divergences:\n" + "\n".join(failures[:25]))
 
 
+@pytest.mark.slow
 def test_differential_fuzz(corpus):
     eng, con = corpus
     rng = random.Random(515151)
@@ -1196,6 +1199,7 @@ def _compose_tree(rng, t):
 N_COMPOSED = int(os.environ.get("FUZZ_N_COMPOSED", "140"))
 
 
+@pytest.mark.slow
 def test_differential_fuzz_composed(corpus):
     """Composed-grammar differential: nested trees of the template families
     must match the equally-composed DuckDB oracle (VERDICT r7 #6)."""
@@ -1281,6 +1285,7 @@ def _rcompose_tree(rng, start, end, step):
 N_RCOMPOSED = int(os.environ.get("FUZZ_N_RCOMPOSED", "50"))
 
 
+@pytest.mark.slow
 def test_differential_fuzz_range_composed(corpus):
     """Nested range-query trees per grid step vs the lockstep DuckDB
     oracle — the range-eval counterpart of the composed instant fuzz."""
@@ -1461,6 +1466,7 @@ def _norm_ml(rows, label_cols):
 N_ML_QUERIES = 160
 
 
+@pytest.mark.slow
 def test_differential_fuzz_random_matchers(corpus_ml):
     """Seeded random matcher sets + random call arguments over the
     optional-label corpus must match DuckDB on every case."""
@@ -1529,6 +1535,7 @@ def _ml_range_shape(rng, start, end, step) -> tuple[str, str, list[str]]:
             f"GROUP BY t, {g}", [g])
 
 
+@pytest.mark.slow
 def test_differential_fuzz_random_matchers_range(corpus_ml):
     """Range-query flavor of the randomized matcher fuzz: 60 seeded cases
     over the optional-label corpus, per-step equality vs DuckDB."""
@@ -1596,6 +1603,7 @@ def _ml_match_shape(rng, t) -> tuple[str, str, list[str]]:
     return p, sql, ["job", "inst", "zone"]
 
 
+@pytest.mark.slow
 def test_differential_fuzz_random_matching(corpus_ml):
     """80 seeded vector-matching cases: random on()/ignoring() label
     subsets (including the optional label, exercising the
@@ -1621,3 +1629,29 @@ def test_differential_fuzz_random_matching(corpus_ml):
                                 f"got {got[k]}, want {want[k]}")
     assert not failures, (f"{len(failures)}/80 divergences:\n"
                           + "\n".join(failures[:20]))
+
+
+def test_differential_fuzz_smoke(corpus):
+    """Default-run smoke slice of the seeded differential fuzz: the same
+    template families and oracle as test_differential_fuzz, 30 queries —
+    the full 300-query run (and the other fuzz suites) are slow-marked,
+    selected with `-m ""` (pytest.ini)."""
+    eng, con = corpus
+    rng = random.Random(424242)
+    failures = []
+    for i in range(30):
+        shape = rng.choice(SHAPES)
+        t = rng.randrange(50, 196) * S
+        promql, sql = shape(rng, t)
+        duck = con.execute(sql).fetchdf()
+        label_cols = [c for c in duck.columns if c != "v"]
+        want = _norm(duck.to_dict("records"), label_cols)
+        got = _spark_result(eng, promql, t)
+        if set(got) != set(want):
+            failures.append(f"[{i}] {promql!r} @{t}: labelsets differ")
+            continue
+        for k in want:
+            if not _close(got[k], want[k]):
+                failures.append(f"[{i}] {promql!r} @{t} {dict(k)}: "
+                                f"got {got[k]}, want {want[k]}")
+    assert not failures, ("divergences:\n" + "\n".join(failures[:25]))

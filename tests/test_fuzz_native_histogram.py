@@ -17,6 +17,10 @@ import random
 
 import pytest
 
+# heavy seeded-fuzz/property suite: excluded from the default pytest
+# run (see pytest.ini); select with -m ""
+pytestmark = pytest.mark.slow
+
 from tests.conftest import make_samples
 
 INF = float("inf")

@@ -15,8 +15,23 @@ from tests.promqltest_runner import parse_test, run_script
 _DIR = os.path.join(os.path.dirname(__file__), "promqltest")
 _FILES = sorted(glob.glob(os.path.join(_DIR, "*.test")))
 
+# Default-run smoke slice: one broad file per area (selectors/matching,
+# counter/rate edges, subqueries, @-modifier, staleness, histogram rate,
+# aggregation naming, limit/limitk, operators, literals) inside the pytest
+# budget.  The FULL corpus stays collected, slow-marked — run it with
+# `python -m pytest -m "" tests/test_promqltest.py` (see pytest.ini).
+_SMOKE = {
+    "literals.test", "matching.test", "subquery.test", "at_modifier.test",
+    "staleness.test", "counter_edges.test", "histogram_rate_range.test",
+    "limit.test", "operators_ext.test", "agg_name_semantics.test",
+}
+_PARAMS = [p if os.path.basename(p) in _SMOKE
+           else pytest.param(p, marks=pytest.mark.slow)
+           for p in _FILES]
 
-@pytest.mark.parametrize("path", _FILES, ids=[os.path.basename(p) for p in _FILES])
+
+@pytest.mark.parametrize("path", _PARAMS,
+                         ids=[os.path.basename(p) for p in _FILES])
 def test_promqltest_corpus(spark, path):
     from thanos_parquet_gateway_spark.promql import PromQLEngine
 

@@ -96,3 +96,16 @@ def test_scan_splits_estimate_real_parquet(spark, sf_dir, bad):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     est = tables.scan_splits_estimate(df)
     assert isinstance(est, int) and est >= 0
+
+
+def test_scan_splits_sentinel_raises(spark):
+    """In-memory relations report the defaultSizeInBytes sentinel
+    (Long.MaxValue) instead of real stats — the probe must raise, not
+    return ~7e10 'splits' (which once overflowed repartition's int)."""
+    df = _docs(spark)  # createDataFrame → ExistingRDD scan, sentinel stats
+    with pytest.raises(Exception):
+        tables.scan_splits_estimate(df)
+    # ...and both consumers fall back to their safe defaults end to end
+    assert dedup._hash_parallelism(df) == spark.sparkContext.defaultParallelism
+    out = dedup.shingle_rows(df)  # must not blow up in repartition()
+    assert out.count() > 0

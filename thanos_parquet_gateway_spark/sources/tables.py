@@ -98,13 +98,19 @@ def scan_splits_estimate(df: DataFrame) -> int:
     """Estimated scan-split count of ``df``'s leaf relations: catalog size
     estimate // maxPartitionBytes (driver-side metadata only, no job).
     Raises when the stats probe is unavailable — callers choose their own
-    safe default."""
+    safe default.  Leaves without real statistics (in-memory relations,
+    ExistingRDD scans) report the defaultSizeInBytes SENTINEL, Long.MaxValue
+    by default — that is "unknown", not "huge" (feeding it onward once
+    produced repartition(6.8e10), overflowing the Java int signature), so
+    any leaf at or above the sentinel raises too."""
     spark = df.sparkSession
     max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
     leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-    est = sum(int(str(leaves.apply(i).stats().sizeInBytes()))
-              for i in range(leaves.size()))
-    return int(est // max_split)
+    sizes = [int(str(leaves.apply(i).stats().sizeInBytes()))
+             for i in range(leaves.size())]
+    if any(s >= 2 ** 60 for s in sizes):
+        raise ValueError("leaf statistics unavailable (sentinel size)")
+    return int(sum(sizes) // max_split)
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
