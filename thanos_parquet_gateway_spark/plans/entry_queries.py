@@ -3091,6 +3091,101 @@ def promql_resets_changes(spark, sf_dir):
     return rs.join(ch, ["user"])
 
 
+# ---------------------------------------------------------------------
+# Production-mode oracle entries (r13): each runs deterministic=False —
+# the SAME native-aggregation code path bench.py times (the rest of the
+# registry runs deterministic=True by contract).  Only queries whose
+# production math is BIT-EXACT under any partition order qualify for the
+# exact-compare oracle: window counts and cross-series sums of
+# integer-valued doubles (exact below 2^53), 0/1 transition sums over lag
+# pairs, and last-two-sample selections ((series, ts) is unique in the
+# corpus, so max_by picks deterministically).  The float-reassociating
+# native families (sum/avg/stddev_over_time, rate's multi-reset correction
+# sum, the covar_pop/var_pop regression) CANNOT hash-match an exact oracle
+# by construction — their equivalence evidence is the det-vs-prod
+# differential tests in tests/test_promql_eval.py, which the default
+# pytest run executes.
+def _engine_prod(spark: SparkSession, sf_dir: str) -> PromQLEngine:
+    return PromQLEngine(samples_from_events(spark, sf_dir),
+                        lookback_ms=LOOKBACK, deterministic=False)
+
+
+@q("promql_prod_range_count", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id % 8 AS VARCHAR) AS shard, e.user_id, count(*) AS c
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {DAY} AND e.ts <= g.t
+    GROUP BY 1, 2, 3
+)
+SELECT t, shard, CAST(sum(c) AS DOUBLE) AS value
+FROM win GROUP BY t, shard
+""")
+def promql_prod_range_count(spark, sf_dir):
+    """Production over_time family + cross-series aggregation: native
+    count_over_time (codegen HashAggregate count(1)) under a native sum by
+    — integer-valued doubles, exact under any aggregation order."""
+    r = _engine_prod(spark, sf_dir).query_range(
+        "sum by (shard) (count_over_time(click[1d]))", R_START, R_END, STEP)
+    return r.df.select("t", _lbl("shard").alias("shard"), "value")
+
+
+@q("promql_prod_irate", f"""
+WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
+{_GRID},
+win AS (
+    SELECT g.t, CAST(e.user_id AS VARCHAR) AS "user", e.ts, e.value,
+           row_number() OVER (PARTITION BY g.t, e.user_id
+                              ORDER BY e.ts DESC, e.value DESC) AS rn
+    FROM grid g JOIN events_ms e
+      ON e.event_type = 'click' AND e.ts > g.t - {2 * DAY} AND e.ts <= g.t
+),
+p AS (
+    SELECT t, "user",
+           max(CASE WHEN rn = 1 THEN ts END) AS t1,
+           max(CASE WHEN rn = 1 THEN value END) AS v1,
+           max(CASE WHEN rn = 2 THEN ts END) AS t2,
+           max(CASE WHEN rn = 2 THEN value END) AS v2,
+           count(*) AS n
+    FROM win GROUP BY t, "user"
+)
+SELECT t, "user",
+       (CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END)
+         / (CAST(t1 - t2 AS DOUBLE) / 1000.0) AS value
+FROM p WHERE n >= 2
+""")
+def promql_prod_irate(spark, sf_dir):
+    """Production rate family (lag-pair machinery): irate reads the last
+    two samples via native max_by selections — exact, single division."""
+    r = _engine_prod(spark, sf_dir).query_range("irate(click[2d])",
+                                                R_START, R_END, STEP)
+    return r.df.select("t", _lbl("user").alias("user"), "value")
+
+
+@q("promql_prod_resets_changes", f"""
+WITH {_SAMPLES},
+w AS (
+    SELECT "user", ts, value,
+           lag(value) OVER (PARTITION BY "user" ORDER BY ts, value) AS pv
+    FROM samples WHERE name = 'click' AND ts > {T - LOOKBACK} AND ts <= {T}
+)
+SELECT "user",
+       CAST(sum(CASE WHEN value < pv THEN 1 ELSE 0 END) AS DOUBLE) AS resets,
+       CAST(sum(CASE WHEN value <> pv THEN 1 ELSE 0 END) AS DOUBLE) AS changes
+FROM w GROUP BY "user"
+""")
+def promql_prod_resets_changes(spark, sf_dir):
+    """Production resets/changes: native sums of 0/1 over the pre-explode
+    lag pairs — integer-exact, no float-reassociation trade."""
+    eng = _engine_prod(spark, sf_dir)
+    rs = eng.query_instant("resets(click[7d])", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("resets"))
+    ch = eng.query_instant("changes(click[7d])", T).df \
+        .select(_lbl("user").alias("user"), F.col("value").alias("changes"))
+    return rs.join(ch, ["user"])
+
+
 _LINREG_BASE = f"""
 WITH events_ms AS (SELECT event_type, user_id, epoch_ms(ts) AS ts, value FROM events),
 {_GRID},
