@@ -245,10 +245,13 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     + one equi-join — no collects, no per-node adjacency lists, so a
     10⁹-node graph is just two shuffles per round.
 
-    Driver loop notes for scale: each round ends in localCheckpoint(eager)
+    Driver loop notes for scale: each round ends in a LAZY localCheckpoint
     to truncate lineage (otherwise the plan doubles per round), and
     convergence is detected by an (edge-count, xxhash64-sum) fingerprint —
-    one tiny aggregate per round, no edge-set diff join.
+    one tiny aggregate per round, no edge-set diff join.  The fingerprint
+    collect IS the action that materializes the checkpoint, so each round
+    costs exactly ONE driver-synced job (it used to be two: an eager
+    checkpoint pass plus the fingerprint pass over the cached result).
 
     Returns (doc_id, component) for every node in the edge list; component
     is the minimum doc id of the cluster.  Isolated docs (no edges) are not
@@ -296,7 +299,10 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     fp = _fingerprint(edges)
     for _ in range(max_iter):
         edges = _star(_star(edges, large=True), large=False)
-        edges = edges.localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint's collect below is the first
+        # action on it, so one job both materializes/persists the round's
+        # edge set AND reads the convergence fingerprint
+        edges = edges.localCheckpoint(eager=False)
         nfp = _fingerprint(edges)
         if nfp == fp:
             break

@@ -22,24 +22,42 @@ def _install_jvm_function_cache() -> None:
     the 3 socket round trips each F.<fn>() costs — ~340 of the ~1240 round
     trips of one compiled PromQL binop query (cProfile, guide §7.3).  The
     resolved JavaMember is a stable handle on the static functions class for
-    the lifetime of the gateway, so cache it keyed on the live JVMView id;
-    a restarted session gets a fresh JVMView (new id) and re-resolves.
+    the lifetime of the py4j GATEWAY: SparkContext._jvm is set once per
+    gateway launch and survives plain stop()/restart (bench.py's scale
+    rungs), so cached handles stay valid across session restarts because
+    the gateway persists — the per-view keying only matters if the gateway
+    itself is relaunched in-process, which hands out a fresh JVMView.  The
+    cache is a WeakKeyDictionary keyed on the JVMView OBJECT (not its id):
+    a dead view's entries die with it, and CPython id reuse can never alias
+    a new view onto a dead gateway's handles.
     Query COMPILE latency is serving-path latency for this engine, and this
     touches no plan, no data and no result.  Guarded: any pyspark-internal
-    signature drift skips the patch (pinned by test_session_function_cache)."""
+    signature drift skips the patch (pinned by tests/test_session.py), and
+    SPARK_GRAFT_NO_FN_CACHE=1 disables it for debugging."""
+    if os.environ.get("SPARK_GRAFT_NO_FN_CACHE"):
+        return
     try:
+        import weakref
+
         from pyspark.sql.functions import builtin as _builtin
         orig = _builtin._get_jvm_function
         if getattr(orig, "_tpgs_cached", False):
             return
-        cache: dict = {}
+        caches: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
         def cached(name, sc):
-            key = (id(sc._jvm), name)
-            jf = cache.get(key)
+            try:
+                cache = caches.get(sc._jvm)
+                if cache is None:
+                    cache = {}
+                    caches[sc._jvm] = cache
+            except TypeError:
+                # non-weakrefable view (test doubles): no caching
+                return orig(name, sc)
+            jf = cache.get(name)
             if jf is None:
                 jf = orig(name, sc)
-                cache[key] = jf
+                cache[name] = jf
             return jf
 
         cached._tpgs_cached = True
