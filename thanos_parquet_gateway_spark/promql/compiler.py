@@ -31,6 +31,7 @@ from thanos_parquet_gateway_spark.promql.values import (
     StringV,
 )
 from thanos_parquet_gateway_spark.operators.topk import grouped_topk
+from thanos_parquet_gateway_spark.schema import cached_lit as _lit
 from thanos_parquet_gateway_spark.schema import (
     canonical_sig,
     drop_labels,
@@ -49,16 +50,32 @@ def fmt_g(v: float) -> str:
     return f"{v:g}"
 
 
+# NaN is excluded from the cached-literal table (NaN != NaN would churn
+# it), and these three are the most-rebuilt literal Columns in the
+# compiler — lazy module-level singletons (immutable JVM expression
+# wrappers, reusable across plans like every cached helper in schema.py)
+_CONST_COLS: dict[str, Column] = {}
+
+
+def _const_col(key: str, value: float) -> Column:
+    c = _CONST_COLS.get(key)
+    if c is None:
+        from pyspark.sql import functions as _F
+        c = _F.lit(value)
+        _CONST_COLS[key] = c
+    return c
+
+
 def NAN() -> Column:
-    return F.lit(float("nan"))
+    return _const_col("nan", float("nan"))
 
 
 def INF() -> Column:
-    return F.lit(float("inf"))
+    return _const_col("inf", float("inf"))
 
 
 def NEG_INF() -> Column:
-    return F.lit(float("-inf"))
+    return _const_col("ninf", float("-inf"))
 
 def _ieee_log(fn):
     """Spark's log functions return NULL for arguments <= 0; PromQL (Go
@@ -66,8 +83,8 @@ def _ieee_log(fn):
     def wrap(c):
         return (F.when(F.isnan(c), c)
                  .when(c > 0, fn(c))
-                 .when(c == 0, F.lit(float("-inf")))
-                 .otherwise(F.lit(float("nan"))))
+                 .when(c == 0, _lit(float("-inf")))
+                 .otherwise(_lit(float("nan"))))
     return wrap
 
 
@@ -76,7 +93,7 @@ def _ieee_intfn(fn):
     math.Ceil/Floor) stays in double.  Doubles with |v| >= 2^52 are already
     integral, so passing them (and NaN/±Inf) through unchanged is exact."""
     def wrap(c):
-        return (F.when(F.isnan(c) | (F.abs(c) >= F.lit(2.0 ** 52)), c)
+        return (F.when(F.isnan(c) | (F.abs(c) >= _lit(2.0 ** 52)), c)
                 .otherwise(fn(c).cast("double")))
     return wrap
 
@@ -110,7 +127,7 @@ def ieee_cmp(op: str, l: Column, r: Column) -> Column:
     True and NaN as greater than any double — PromQL must not.)"""
     raw = {"==": l == r, "!=": l != r, ">": l > r, "<": l < r,
            ">=": l >= r, "<=": l <= r}[op]
-    return F.when(F.isnan(l) | F.isnan(r), F.lit(op == "!=")).otherwise(raw)
+    return F.when(F.isnan(l) | F.isnan(r), _lit(op == "!=")).otherwise(raw)
 
 
 def arith_value(op: str, l: Column, r: Column) -> Column:
@@ -137,7 +154,7 @@ def arith_value(op: str, l: Column, r: Column) -> Column:
 
 
 def _nan_to_null(c: Column) -> Column:
-    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+    return F.when(F.isnan(c), _lit(None).cast("double")).otherwise(c)
 
 
 def _quantile_agg_expr(q: float) -> Column:
@@ -147,10 +164,10 @@ def _quantile_agg_expr(q: float) -> Column:
     if math.isnan(q):
         return F.first(NAN())
     if q < 0:
-        return F.first(F.lit(float("-inf")))
+        return F.first(_lit(float("-inf")))
     if q > 1:
-        return F.first(F.lit(float("inf")))
-    return F.percentile(F.col("value"), F.lit(q))
+        return F.first(_lit(float("inf")))
+    return F.percentile(F.col("value"), _lit(q))
 
 
 def hgroup(df: DataFrame, sig_col: str, *aggs,
@@ -202,7 +219,7 @@ def stream_decoration(streams: dict[str, dict[str, str]]) -> Column:
     out = F.col("labels")
     for s, ls in sorted(streams.items()):
         if ls:
-            ext = F.create_map(*[F.lit(x) for kv in sorted(ls.items())
+            ext = F.create_map(*[_lit(x) for kv in sorted(ls.items())
                                  for x in kv])
             dec = F.map_concat(drop_labels("labels", sorted(ls)), ext)
         else:
@@ -269,22 +286,22 @@ class Compiler:
         """One row per evaluation step — tiny, used only by absent()/scalar()."""
         p = self.p
         return self.spark.range(1).select(
-            F.explode(F.sequence(F.lit(p.start_ms), F.lit(p.end_ms),
-                                 F.lit(self.step))).alias("t"))
+            F.explode(F.sequence(_lit(p.start_ms), _lit(p.end_ms),
+                                 _lit(self.step))).alias("t"))
 
     def _serve_steps(self, ts: Column, window_ms: int) -> Column:
         """Grid steps t (start..end by step) with t - window < ts ≤ t,
         i.e. t ∈ [ts, ts + window).  Map-side; no join against the grid."""
         p, step = self.p, self.step
-        lo = F.greatest(ts, F.lit(p.start_ms))
-        t_first = F.lit(p.start_ms) + F.ceil((lo - F.lit(p.start_ms)) /
-                                             F.lit(step)).cast("long") * step
-        hi = F.least(F.lit(p.end_ms), ts + F.lit(window_ms - 1))
-        t_last = F.lit(p.start_ms) + F.floor((hi - F.lit(p.start_ms)) /
-                                             F.lit(step)).cast("long") * step
+        lo = F.greatest(ts, _lit(p.start_ms))
+        t_first = _lit(p.start_ms) + F.ceil((lo - _lit(p.start_ms)) /
+                                             _lit(step)).cast("long") * step
+        hi = F.least(_lit(p.end_ms), ts + _lit(window_ms - 1))
+        t_last = _lit(p.start_ms) + F.floor((hi - _lit(p.start_ms)) /
+                                             _lit(step)).cast("long") * step
         empty = F.array().cast("array<long>")
         return F.when(t_first <= t_last,
-                      F.sequence(t_first, t_last, F.lit(step))).otherwise(empty)
+                      F.sequence(t_first, t_last, _lit(step))).otherwise(empty)
 
     # ------------------------------------------------------------- dispatch
     def compile(self, node: A.Node):
@@ -317,7 +334,7 @@ class Compiler:
         short-circuit empty."""
         if m.label in self.ext_labels:
             ok = _matcher_matches(m, self.ext_labels[m.label])
-            return None if ok else F.lit(False)
+            return None if ok else _lit(False)
         if m.label in self._stream_keys:
             # per-stream elision: the matcher is consumed against a stream's
             # descriptor ONLY for streams whose own descriptor carries the
@@ -338,7 +355,7 @@ class Compiler:
                 if not ext_no:
                     return None
                 if not ext_ok:
-                    return F.lit(False)
+                    return _lit(False)
                 return F.col("stream").isin(ext_ok)
             # Mixed: streams configured WITHOUT the label keep the data-label
             # predicate.  Under complete_streams the descriptor set IS the
@@ -351,10 +368,10 @@ class Compiler:
             # coalesce: a NULL stream value is "not carrying", not excluded.
             if self.complete_streams:
                 not_carrying = F.coalesce(F.col("stream").isin(data_streams),
-                                          F.lit(False))
+                                          _lit(False))
             else:
                 not_carrying = ~F.coalesce(F.col("stream").isin(carrying),
-                                           F.lit(False))
+                                           _lit(False))
             cond = not_carrying & self._data_cond(m)
             if ext_ok:
                 cond = F.col("stream").isin(ext_ok) | cond
@@ -433,13 +450,13 @@ class Compiler:
             acc = acc & cnd
         df = df.filter(acc)
         if self.ext_labels:
-            ext = F.create_map(*[F.lit(x) for kv in self.ext_labels.items()
+            ext = F.create_map(*[_lit(x) for kv in self.ext_labels.items()
                                  for x in kv])
             keep = drop_labels("labels", list(self.ext_labels))
             df = df.withColumn("labels", F.map_concat(keep, ext))
         if self.streams:
             df = df.withColumn("labels", stream_decoration(self.streams))
-        ts_eff = F.col("ts") + F.lit(vs.offset_ms) if vs.offset_ms else F.col("ts")
+        ts_eff = F.col("ts") + _lit(vs.offset_ms) if vs.offset_ms else F.col("ts")
         cols = [canonical_sig("labels").alias("sig"),
                 F.col("labels"), ts_eff.alias("ts"), F.col("value")]
         if "hist" in df.columns:  # native-histogram samples (histograms.py)
@@ -497,7 +514,7 @@ class Compiler:
             out = (at_df.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig",
                            labels_from_sig("sig").alias("labels"),
-                           (raw_ts - F.lit(vs.offset_ms)).alias("sample_ts"),
+                           (raw_ts - _lit(vs.offset_ms)).alias("sample_ts"),
                            raw_val.alias("value"), *sel_extra))
             return InstantVector(out)
         exploded = base.withColumn("t", F.explode(self._serve_steps(F.col("ts"), lb)))
@@ -508,7 +525,7 @@ class Compiler:
                        # selection runs in the offset-shifted frame; the
                        # user-visible sample timestamp (timestamp()) is the
                        # ORIGINAL one (upstream vectorSelectorSingle)
-                       (raw_ts - F.lit(vs.offset_ms)).alias("sample_ts"),
+                       (raw_ts - _lit(vs.offset_ms)).alias("sample_ts"),
                        raw_val.alias("value"), *sel_extra))
         return InstantVector(out)
 
@@ -537,7 +554,7 @@ class Compiler:
             # back when exposing timestamps (functions.py).
             out = (win.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
-                           (F.col("ts") + (F.col("t") - F.lit(at)))
+                           (F.col("ts") + (F.col("t") - _lit(at)))
                            .alias("ts"), "value", *hist_cols))
             return RangeVector(out, rng)
         steps = F.explode(self._serve_steps(F.col("ts"), rng)).alias("t")
@@ -609,7 +626,7 @@ class Compiler:
         # fn(h[R:step]) lost its histograms)
         hist_cols = ["hist"] if "hist" in iv.df.columns else []
         pts = iv.df.select("sig", "labels",
-                           (F.col("t") + F.lit(sq.offset_ms)).alias("ts"),
+                           (F.col("t") + _lit(sq.offset_ms)).alias("ts"),
                            "value", *hist_cols)
         if sq.at_ms is not None:
             at = self._resolve_at(sq.at_ms)
@@ -619,7 +636,7 @@ class Compiler:
             # math (rate extrapolation) is anchored at the @ time
             out = (win.crossJoin(F.broadcast(self.grid_df()))
                    .select("t", "sig", "labels",
-                           (F.col("ts") + (F.col("t") - F.lit(at)))
+                           (F.col("ts") + (F.col("t") - _lit(at)))
                            .alias("ts"), "value", *hist_cols))
             return RangeVector(out, sq.range_ms)
         steps = F.explode(self._serve_steps(F.col("ts"), sq.range_ms)).alias("t")
@@ -727,8 +744,8 @@ class Compiler:
             # limitk/limit_ratio sample them through
             self.add_data_probe(
                 df.filter(F.col("hist").isNotNull()).limit(1)
-                  .select(F.lit("info").alias("kind"),
-                          F.lit(f"ignored histogram in {agg.op} "
+                  .select(_lit("info").alias("kind"),
+                          _lit(f"ignored histogram in {agg.op} "
                                 "aggregation").alias("msg")))
             df = df.filter(F.col("hist").isNull()).drop("hist")
 
@@ -737,17 +754,17 @@ class Compiler:
                 # upstream errors on NaN/overflowing k ("Scalar value %v
                 # overflows int64") — raise from the plan, not a CAST crash
                 kp = F.col("__param")
-                bad = (F.isnan(kp) | (kp >= F.lit(float(2 ** 63)))
-                       | (kp <= F.lit(-float(2 ** 63))))
+                bad = (F.isnan(kp) | (kp >= _lit(float(2 ** 63)))
+                       | (kp <= _lit(-float(2 ** 63))))
                 k = (F.when(bad, F.raise_error(F.concat(
-                        F.lit("scalar value "), kp.cast("string"),
-                        F.lit(f" overflows int64 for {agg.op}"))))
+                        _lit("scalar value "), kp.cast("string"),
+                        _lit(f" overflows int64 for {agg.op}"))))
                      .otherwise(kp)).cast("long")
             else:
                 if math.isnan(param) or abs(param) >= 2 ** 63:
                     raise PromQLCompileError(
                         f"scalar value {fmt_g(param)} overflows int64")
-                k = F.lit(int(param))
+                k = _lit(int(param))
             # Two-phase distributed top-k (operators/topk.py) — no window:
             # `topk(10, metric)` over a 10M-series metric must not funnel
             # the whole series set through one reducer per step (reference
@@ -756,11 +773,11 @@ class Compiler:
             # (isnan asc, value desc|asc, sig asc); `value` is never NULL
             # here (stale markers are dropped before aggregation), and the
             # NaN discriminator keeps the negated key finite.
-            sgn = F.lit(-1.0 if agg.op == "topk" else 1.0)
+            sgn = _lit(-1.0 if agg.op == "topk" else 1.0)
             key = F.struct(
-                F.when(F.isnan("value"), F.lit(1)).otherwise(F.lit(0))
+                F.when(F.isnan("value"), _lit(1)).otherwise(_lit(0))
                  .alias("__nan"),
-                F.when(F.isnan("value"), F.lit(0.0))
+                F.when(F.isnan("value"), _lit(0.0))
                  .otherwise(F.col("value") * sgn).alias("__ord"),
                 F.col("sig").alias("sig"),
                 F.col("value").alias("value"))
@@ -770,7 +787,7 @@ class Compiler:
             out = ranked.select(
                 "t", F.col("__x.sig").alias("sig"),
                 labels_from_sig(F.col("__x.sig")).alias("labels"),
-                F.lit(None).cast("long").alias("sample_ts"),
+                _lit(None).cast("long").alias("sample_ts"),
                 F.col("__x.value").alias("value"))
             return InstantVector(out)
 
@@ -781,7 +798,7 @@ class Compiler:
             # Same two-phase shape as topk: no per-(step, group) window.
             k = int(param)
             if k < 1:
-                return InstantVector(iv.df.filter(F.lit(False)).select(
+                return InstantVector(iv.df.filter(_lit(False)).select(
                     "t", "sig", "labels", "sample_ts", "value"))
             lk_hist = "hist" in df.columns  # sampling keeps histograms
             key = F.struct(F.col("sig").alias("sig"),
@@ -814,8 +831,8 @@ class Compiler:
                               "ratio value should be between -1 and 1, got "
                               f"{fmt_g(float(param))}, capping to {fmt_g(r)}")
             u = (F.xxhash64(F.col("sig")).cast("double")
-                 / F.lit(float(2 ** 64)) + F.lit(0.5))
-            keep = (u < F.lit(r)) if r >= 0 else (u >= F.lit(1.0 + r))
+                 / _lit(float(2 ** 64)) + _lit(0.5))
+            keep = (u < _lit(r)) if r >= 0 else (u >= _lit(1.0 + r))
             out = df.filter(keep).select(
                 "t", "sig", "labels", "sample_ts", "value",
                 *(["hist"] if "hist" in df.columns else []))  # sampling
@@ -865,7 +882,7 @@ class Compiler:
             # implements (Ryū); %.16e (17 sig digits) always round-trips,
             # so the filter is never empty.  Cold path: only the extreme
             # branches below evaluate it.
-            sign = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
+            sign = F.when(v < 0, _lit("-")).otherwise(_lit(""))
             cands = F.array(*[F.format_string(f"%.{k}e", F.abs(v))
                               for k in range(17)])
             best = F.element_at(
@@ -882,18 +899,18 @@ class Compiler:
             # still carry one, e.g. "%.1e" beating "%.0e" on a tie).
             big_fixed = F.concat(
                 sign, digits,
-                F.repeat(F.lit("0"), expn - (F.length(digits) - 1)))
+                F.repeat(_lit("0"), expn - (F.length(digits) - 1)))
             small_fixed = F.concat(
-                sign, F.lit("0."), F.repeat(F.lit("0"), -expn - 1),
+                sign, _lit("0."), F.repeat(_lit("0"), -expn - 1),
                 F.regexp_replace(digits, "0+$", ""))
-            vstr = (F.when(F.isnan(v), F.lit("NaN"))
-                    .when(v == float("inf"), F.lit("+Inf"))
-                    .when(v == float("-inf"), F.lit("-Inf"))
+            vstr = (F.when(F.isnan(v), _lit("NaN"))
+                    .when(v == float("inf"), _lit("+Inf"))
+                    .when(v == float("-inf"), _lit("-Inf"))
                     .when(v == 0.0,
                           # negative zero via Java's toString ("-0.0");
                           # 1/v would be an ANSI divide-by-zero error
                           F.when(v.cast("string").startswith("-"),
-                                 F.lit("-0")).otherwise(F.lit("0")))
+                                 _lit("-0")).otherwise(_lit("0")))
                     .when(lng.cast("double") == v, lng.cast("string"))
                     .when(big.isNotNull() & (big.cast("double") == v),
                           big.cast("string"))
@@ -904,15 +921,15 @@ class Compiler:
                     .when(F.abs(v) >= 1e38, big_fixed)
                     .otherwise(small_fixed))
             nl = F.map_concat(
-                F.map_filter(F.col("glabels"), lambda k, _v: k != F.lit(param)),
-                F.create_map(F.lit(param), vstr))
+                F.map_filter(F.col("glabels"), lambda k, _v: k != _lit(param)),
+                F.create_map(_lit(param), vstr))
             out = (hgroup(df.withColumn("labels", nl)
                           .withColumn("sig", canonical_sig(F.col("labels"))),
                           "sig",
                           F.count("*").cast("double").alias("value"),
                           labels="labels")
                    .select("t", "sig", "labels",
-                           F.lit(None).cast("long").alias("sample_ts"), "value"))
+                           _lit(None).cast("long").alias("sample_ts"), "value"))
             return InstantVector(out)
 
         hist_part = None  # histogram-group sum/avg output, unioned onto the
@@ -933,8 +950,8 @@ class Compiler:
                      .filter(F.col("__h") & F.col("__f"))
                      .select("t", "__gh"))
             self.add_data_probe(mixed.limit(1).select(
-                F.lit("warn").alias("kind"),
-                F.lit("encountered a mix of histograms and floats for "
+                _lit("warn").alias("kind"),
+                _lit("encountered a mix of histograms and floats for "
                       "aggregation").alias("msg")))
             dfh = dfh.join(mixed, ["t", "__gh"], "left_anti")
             hdf = dfh.filter(F.col("hist").isNotNull())
@@ -959,11 +976,11 @@ class Compiler:
             merged = H.make_hist(F.col("__c"), F.col("__s"), F.col("__bk"),
                                  F.col("__sch"))
             if agg.op == "avg":
-                merged = H.scale_hist(merged, F.lit(1.0) / F.col("__n"))
+                merged = H.scale_hist(merged, _lit(1.0) / F.col("__n"))
             hist_part = (totals.join(buckets, ["t", "__gh"])
                          .select("t", F.col("gsig").alias("sig"), "labels",
-                                 F.lit(None).cast("long").alias("sample_ts"),
-                                 F.lit(float("nan")).alias("value"),
+                                 _lit(None).cast("long").alias("sample_ts"),
+                                 _lit(float("nan")).alias("value"),
                                  merged.alias("hist")))
             # float rows fall through to the aggregation paths below
 
@@ -986,13 +1003,13 @@ class Compiler:
             vals = folds.values_of(arr)
             non_nan = F.filter(vals, lambda v: ~F.isnan(v))
             qparam = (F.col("__param") if param_df is not None
-                      else F.lit(float(param)) if param is not None
-                      else F.lit(0.0))
+                      else _lit(float(param)) if param is not None
+                      else _lit(0.0))
             val = {
                 "sum": lambda: folds.fold_sum(arr),
                 "avg": lambda: folds.fold_avg(arr),
                 "count": lambda: F.size(arr).cast("double"),
-                "group": lambda: F.lit(1.0),
+                "group": lambda: _lit(1.0),
                 "min": lambda: F.coalesce(F.array_min(non_nan), NAN()),
                 "max": lambda: F.coalesce(F.array_max(non_nan), NAN()),
                 "stddev": lambda: folds.fold_stddev_pop(arr),
@@ -1000,7 +1017,7 @@ class Compiler:
                 "quantile": lambda: folds.fold_quantile(arr, qparam),
             }[agg.op]()
             out = g.select("t", F.col("gsig").alias("sig"), "labels",
-                           F.lit(None).cast("long").alias("sample_ts"),
+                           _lit(None).cast("long").alias("sample_ts"),
                            val.alias("value"))
             return InstantVector(_with_hist(out))
 
@@ -1009,7 +1026,7 @@ class Compiler:
             "sum": F.sum("value"),
             "avg": F.avg("value"),
             "count": F.count("*").cast("double"),
-            "group": F.first(F.lit(1.0)),
+            "group": F.first(_lit(1.0)),
             "min": F.coalesce(F.min(nanif), F.first(NAN())),
             "max": F.coalesce(F.max(nanif), F.first(NAN())),
             "stddev": F.coalesce(F.stddev_pop("value"), F.first(NAN())),
@@ -1021,20 +1038,20 @@ class Compiler:
                       exprs[agg.op].alias("value"),
                       labels="labels")
                .select("t", F.col("gsig").alias("sig"), "labels",
-                       F.lit(None).cast("long").alias("sample_ts"),
+                       _lit(None).cast("long").alias("sample_ts"),
                        F.col("value").cast("double").alias("value")))
         return InstantVector(_with_hist(out))
 
     # -------------------------------------------------------------- binary
     def _const_scalar_df(self, v: float) -> DataFrame:
-        return self.grid_df().select("t", F.lit(v).cast("double").alias("value"))
+        return self.grid_df().select("t", _lit(v).cast("double").alias("value"))
 
     def _scalar_to_vector(self, s: ScalarV) -> InstantVector:
         empty = F.map_from_arrays(F.array().cast("array<string>"),
                                   F.array().cast("array<string>"))
         df = s.df.select("t", canonical_sig(empty).alias("sig"),
                          empty.alias("labels"),
-                         F.lit(None).cast("long").alias("sample_ts"), "value")
+                         _lit(None).cast("long").alias("sample_ts"), "value")
         return InstantVector(df)
 
     def _match_sig(self, vm: A.VectorMatching) -> Column:
@@ -1124,7 +1141,7 @@ class Compiler:
         sca = l if swap else r
         df = vec.df
         if isinstance(sca, float):
-            sc = F.lit(float(sca))
+            sc = _lit(float(sca))
         else:
             sdf = sca.df.withColumnRenamed("value", "__sv")
             df = df.join(F.broadcast(sdf), "t")
@@ -1154,7 +1171,7 @@ class Compiler:
             if has_hist:
                 # histogram scaling (upstream FloatHistogram.Mul / Div)
                 from thanos_parquet_gateway_spark.promql import histograms as H
-                factor = sc if op == "*" else F.lit(1.0) / sc
+                factor = sc if op == "*" else _lit(1.0) / sc
                 out = out.withColumn(
                     "hist", F.when(F.col("hist").isNotNull(),
                                    H.scale_hist(F.col("hist"), factor)))
@@ -1193,7 +1210,7 @@ class Compiler:
         ldf = l.df.select("*", mh.alias("__mh"))
         mw = W.partitionBy("t", "__mh")
         lcnt = (F.count("*").over(mw) if vm.card == "one-to-one"
-                else F.lit(1))
+                else _lit(1))
         ldf = ldf.select("*", lcnt.alias("__lcnt"))
         side = "left" if swap_values else "right"
         # The 'one'-side guard is applied to the PRE-join rows: Prometheus
@@ -1207,9 +1224,9 @@ class Compiler:
         rguard = F.when(
             F.count("*").over(rw) > 1,
             F.raise_error(F.concat(
-                F.lit("found duplicate series for the match group "),
+                _lit("found duplicate series for the match group "),
                 F.to_json("labels"),
-                F.lit(f" on the {side} hand-side of the operation")))
+                _lit(f" on the {side} hand-side of the operation")))
         ).otherwise(F.col("__mh_raw"))
         lhist = "hist" in l.df.columns
         rhist = "hist" in r.df.columns
@@ -1225,7 +1242,7 @@ class Compiler:
         dup = F.col("__lcnt") > 1
         guard = F.when(
             dup,
-            F.raise_error(F.lit(
+            F.raise_error(_lit(
                 "multiple matches for labels: many-to-one matching must be "
                 "explicit (group_left/group_right)")))
         lv = F.when(dup, guard).otherwise(F.col("value"))
@@ -1268,7 +1285,7 @@ class Compiler:
             elif op == "/":
                 keep = both_f | (lh.isNotNull() & rh.isNull())
                 hist_out = F.when(lh.isNotNull() & rh.isNull(),
-                                  H.scale_hist(lh, F.lit(1.0) / rv))
+                                  H.scale_hist(lh, _lit(1.0) / rv))
             else:
                 # %, ^, atan2, comparisons: float-only upstream
                 self.annotate("info", "incompatible sample types encountered"
@@ -1285,7 +1302,7 @@ class Compiler:
         # is a JVM plan op with incremental re-analysis, pure compile
         # latency.  canonical_sig(rl) duplicates the rl subtree in the
         # projection; physical-plan subexpression elimination dedupes it.
-        sample_ts = F.lit(None).cast("long").alias("sample_ts")
+        sample_ts = _lit(None).cast("long").alias("sample_ts")
         # arithmetic results and non-bool ==/!= filters carry the (lhs)
         # histogram; bool comparisons yield plain 0/1 floats
         hist_keep = ([F.col("__hout").alias("hist")]
@@ -1327,7 +1344,7 @@ class Compiler:
                 dropped += list(vm.labels)
             base = drop_labels("labels", dropped)
         if vm.include:
-            inc = F.array(*[F.lit(k) for k in vm.include])
+            inc = F.array(*[_lit(k) for k in vm.include])
             base = F.map_concat(
                 F.map_filter(base, lambda k, _v: ~F.array_contains(inc, k)),
                 F.map_filter(F.col("__rlabels"), lambda k, _v: F.array_contains(inc, k)))
@@ -1376,7 +1393,7 @@ class Compiler:
                 from thanos_parquet_gateway_spark.promql import histograms as H
                 df = df.withColumn(
                     "hist", F.when(F.col("hist").isNotNull(),
-                                   H.scale_hist(F.col("hist"), F.lit(-1.0))))
+                                   H.scale_hist(F.col("hist"), _lit(-1.0))))
                 extra = ["hist"]
             return InstantVector(
                 df.select("t", "sig", "labels", "sample_ts", "value", *extra))

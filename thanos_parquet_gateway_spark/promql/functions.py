@@ -34,6 +34,7 @@ from thanos_parquet_gateway_spark.promql.values import (
     ScalarV,
     StringV,
 )
+from thanos_parquet_gateway_spark.schema import cached_lit as _lit
 from thanos_parquet_gateway_spark.schema import (
     canonical_sig,
     drop_labels,
@@ -65,7 +66,7 @@ def _finalize(g, val: Column, *, drop_name: bool = True,
     fusing them is pure per-query compile-latency reduction (same plan
     after optimization)."""
     lbl = F.col("labels") if "labels" in g.columns else labels_from_sig("sig")
-    sample_ts = F.lit(None).cast("long").alias("sample_ts")
+    sample_ts = _lit(None).cast("long").alias("sample_ts")
     extra = [hist.alias("hist")] if hist is not None else []
     if drop_name:
         nl = drop_labels(lbl, ["__name__"])
@@ -151,11 +152,11 @@ def _collect_window_floats(c: Compiler, rv: RangeVector, min_n: int = 1):
     g = g.filter(F.size("arr") >= min_n)
     c.add_data_probe(
         g.filter(F.col("__nh") > 0).limit(1).select(
-            F.lit("info").alias("kind"),
-            F.concat(F.lit("ignored histograms in a range containing both "
+            _lit("info").alias("kind"),
+            F.concat(_lit("ignored histograms in a range containing both "
                            "floats and histograms for metric name \""),
-                     F.coalesce(F.col("labels")["__name__"], F.lit("")),
-                     F.lit("\"")).alias("msg")))
+                     F.coalesce(F.col("labels")["__name__"], _lit("")),
+                     _lit("\"")).alias("msg")))
     return g.drop("__nh")
 
 
@@ -180,7 +181,7 @@ _OVER_TIME = {
     "first_over_time": lambda arr: F.element_at(arr, 1)["v"],
     "stddev_over_time": lambda arr: folds.fold_stddev_pop(arr),
     "stdvar_over_time": lambda arr: folds.fold_var_pop(arr),
-    "present_over_time": lambda arr: F.lit(1.0),
+    "present_over_time": lambda arr: _lit(1.0),
     "mad_over_time": lambda arr: folds.fold_mad(arr),
     # experimental ts_of_* family (public Prometheus 3.x): the timestamp, in
     # SECONDS, of the last/extreme sample in the window.  Extremes update on
@@ -210,7 +211,7 @@ def _nanf() -> Column:
 
 
 _OVER_TIME_NATIVE = {
-    "count_over_time": lambda: [F.count(F.lit(1)).cast(D).alias("__v")],
+    "count_over_time": lambda: [F.count(_lit(1)).cast(D).alias("__v")],
     "sum_over_time": lambda: [F.sum("value").alias("__v")],
     "avg_over_time": lambda: [F.avg("value").alias("__v")],
     "min_over_time": lambda: [
@@ -219,7 +220,7 @@ _OVER_TIME_NATIVE = {
         F.coalesce(F.max(_nanf()), F.first(NAN())).alias("__v")],
     "last_over_time": lambda: [F.max_by("value", "ts").alias("__v")],
     "first_over_time": lambda: [F.min_by("value", "ts").alias("__v")],
-    "present_over_time": lambda: [F.first(F.lit(1.0)).alias("__v")],
+    "present_over_time": lambda: [F.first(_lit(1.0)).alias("__v")],
     "stddev_over_time": lambda: [
         F.coalesce(F.stddev_pop("value"), F.first(NAN())).alias("__v")],
     "stdvar_over_time": lambda: [
@@ -232,8 +233,8 @@ _OVER_TIME_NATIVE = {
 
 
 def _fold_ts_of(arr: Column, mode: str) -> Column:
-    acc0 = F.struct(F.lit(None).cast(D).alias("v"),
-                    F.lit(None).cast("long").alias("o"))
+    acc0 = F.struct(_lit(None).cast(D).alias("v"),
+                    _lit(None).cast("long").alias("o"))
 
     def step(a, x):
         better = (x["v"] >= a["v"]) if mode == "max" else (x["v"] <= a["v"])
@@ -302,21 +303,21 @@ def _over_time_hist(c: Compiler, rv: RangeVector, fn: str) -> InstantVector:
     # try_element_at everywhere: either array is empty on single-kind
     # windows, and plain element_at raises on out-of-bounds
     def hist_sum():
-        first = F.try_element_at(harr, F.lit(1))["h"]
-        rest = F.slice(harr, 2, F.greatest(nh - 1, F.lit(0)))
+        first = F.try_element_at(harr, _lit(1))["h"]
+        rest = F.slice(harr, 2, F.greatest(nh - 1, _lit(0)))
         return F.aggregate(rest, first, lambda acc, x: H.merge_two(acc, x["h"]))
 
     if fn in ("sum_over_time", "avg_over_time"):
         g = g.filter(is_float | is_hist)  # mixed window: skipped (upstream warns)
         hval = hist_sum()
         if fn == "avg_over_time":
-            hval = H.scale_hist(hval, F.lit(1.0) / nh.cast(D))
+            hval = H.scale_hist(hval, _lit(1.0) / nh.cast(D))
         fval = (folds.fold_sum(arr) if fn == "sum_over_time"
                 else folds.fold_avg(arr))
     else:  # last/first_over_time: overall extreme sample of either kind
-        pos = F.lit(-1) if fn == "last_over_time" else F.lit(1)
-        f_ts = F.coalesce(F.try_element_at(arr, pos)["o"], F.lit(-(2 ** 62)))
-        h_ts = F.coalesce(F.try_element_at(harr, pos)["o"], F.lit(-(2 ** 62)))
+        pos = _lit(-1) if fn == "last_over_time" else _lit(1)
+        f_ts = F.coalesce(F.try_element_at(arr, pos)["o"], _lit(-(2 ** 62)))
+        h_ts = F.coalesce(F.try_element_at(harr, pos)["o"], _lit(-(2 ** 62)))
         pick_hist = ((h_ts >= f_ts) & (nh > 0) if fn == "last_over_time"
                      else (nf == 0) | ((nh > 0) & (h_ts <= f_ts)))
         is_hist = pick_hist
@@ -325,7 +326,7 @@ def _over_time_hist(c: Compiler, rv: RangeVector, fn: str) -> InstantVector:
         fval = F.try_element_at(arr, pos)["v"]
     out = g.select(
         "t", "sig", "labels",
-        F.lit(None).cast("long").alias("sample_ts"),
+        _lit(None).cast("long").alias("sample_ts"),
         F.when(is_float, fval).otherwise(NAN()).alias("value"),
         F.when(is_hist, hval).otherwise(H.null_hist()).alias("hist"))
     if fn != "last_over_time":
@@ -340,7 +341,7 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
         _warn_quantile(c, q)
         rv = _range_arg(c, call, 1)
         g = _window_floats(c, rv)
-        val = folds.fold_quantile(F.col("arr"), F.lit(q))
+        val = folds.fold_quantile(F.col("arr"), _lit(q))
     else:
         rv = _range_arg(c, call, 0)
         if fn in _OVER_TIME_HIST and "hist" in rv.columns:
@@ -375,18 +376,18 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
             sel = arg.selector if isinstance(arg, A.MatrixSelector) else arg
             off = getattr(sel, "offset_ms", 0) or 0
             if off:
-                val = val - F.lit(off / 1000.0)
+                val = val - _lit(off / 1000.0)
             at_ms = getattr(sel, "at_ms", None)
             if at_ms is not None:
                 at = c._resolve_at(at_ms)
-                val = val - (F.col("t") - F.lit(at)).cast(D) / 1000.0
+                val = val - (F.col("t") - _lit(at)).cast(D) / 1000.0
     # ONE fused projection: labels (rebuilt from sig on the native path,
     # which skips hgroup's rebuild), the __name__ drop, the re-canonicalized
     # sig and the value — replacing the select → _drop_name (2 withColumns)
     # → _iv(select) chain.  Each chained step is a JVM plan op with its own
     # incremental re-analysis; this is pure per-query compile latency.
     lbl = F.col("labels") if "labels" in g.columns else labels_from_sig("sig")
-    sample_ts = F.lit(None).cast("long").alias("sample_ts")
+    sample_ts = _lit(None).cast("long").alias("sample_ts")
     if fn == "last_over_time":  # last_over_time keeps the metric name
         out = g.select("t", "sig", lbl.alias("labels"), sample_ts,
                        val.alias("value"))
@@ -400,7 +401,7 @@ def _over_time(c: Compiler, call: A.Call) -> InstantVector:
 # -------------------------------------------------------------- rate family
 def _reset_correction(arr: Column) -> Column:
     """Sum of counter-reset corrections: whenever v[i] < v[i-1], add v[i-1]."""
-    acc0 = F.struct(F.lit(None).cast(D).alias("prev"), F.lit(0.0).alias("corr"))
+    acc0 = F.struct(_lit(None).cast(D).alias("prev"), _lit(0.0).alias("corr"))
     acc = F.aggregate(
         arr, acc0,
         lambda a, x: F.struct(
@@ -410,7 +411,7 @@ def _reset_correction(arr: Column) -> Column:
                 # x < NaN would fire; Go's comparison is always false
                 F.when(~F.isnan(x["v"]) & ~F.isnan(a["prev"])
                        & (x["v"] < a["prev"]), a["prev"]),
-                F.lit(0.0))).alias("corr")))
+                _lit(0.0))).alias("corr")))
     return acc["corr"]
 
 
@@ -437,8 +438,8 @@ def _extrapolated(c: Compiler, rv: RangeVector, counter: bool,
     g = g.withColumn("__delta", delta)
     delta = F.col("__delta")
 
-    rng_s = F.lit(rv.range_ms / 1000.0)
-    dur_start = (first_t - (F.col("t") - F.lit(rv.range_ms))).cast(D) / 1000.0
+    rng_s = _lit(rv.range_ms / 1000.0)
+    dur_start = (first_t - (F.col("t") - _lit(rv.range_ms))).cast(D) / 1000.0
     dur_end = (F.col("t") - last_t).cast(D) / 1000.0
     sampled = (last_t - first_t).cast(D) / 1000.0
     avg_dur = sampled / (n - 1)
@@ -476,13 +477,13 @@ def _extrapolated_native(c: Compiler, rv: RangeVector, counter: bool,
     same as the cross-series aggregations)."""
     from thanos_parquet_gateway_spark.promql.compiler import hgroup
     rng = rv.range_ms
-    in_win_pair = F.col("__pts") > (F.col("t") - F.lit(rng))
+    in_win_pair = F.col("__pts") > (F.col("t") - _lit(rng))
     corr = F.when(in_win_pair
                   & ~F.isnan(F.col("value")) & ~F.isnan(F.col("__pv"))
                   & (F.col("value") < F.col("__pv")),
-                  F.col("__pv")).otherwise(F.lit(0.0))
+                  F.col("__pv")).otherwise(_lit(0.0))
     g = (hgroup(rv.prev, "sig",
-                F.count(F.lit(1)).alias("__wn"),
+                F.count(_lit(1)).alias("__wn"),
                 F.min("ts").alias("__ft"),
                 F.max("ts").alias("__lt"),
                 F.min_by("value", "ts").alias("__fv"),
@@ -497,8 +498,8 @@ def _extrapolated_native(c: Compiler, rv: RangeVector, counter: bool,
     g = g.withColumn("__delta", delta)
     delta = F.col("__delta")
 
-    rng_s = F.lit(rng / 1000.0)
-    dur_start = (first_t - (F.col("t") - F.lit(rng))).cast(D) / 1000.0
+    rng_s = _lit(rng / 1000.0)
+    dur_start = (first_t - (F.col("t") - _lit(rng))).cast(D) / 1000.0
     dur_end = (F.col("t") - last_t).cast(D) / 1000.0
     sampled = (last_t - first_t).cast(D) / 1000.0
     avg_dur = sampled / (n - 1)
@@ -547,12 +548,12 @@ def _extrapolated_hist(c: Compiler, rv: RangeVector, counter: bool,
     is_float = (F.size("arr") >= 2) & (F.size("harr") == 0)
     is_hist = (F.size("harr") >= 2) & (F.size("arr") == 0)
     g = g.filter(is_float | is_hist)
-    rng_s = F.lit(rv.range_ms / 1000.0)
+    rng_s = _lit(rv.range_ms / 1000.0)
 
     def extrap_factor(parr, with_zero_clamp, delta, first_v):
         first_t, last_t = F.element_at(parr, 1)["o"], F.element_at(parr, -1)["o"]
         n = F.size(parr).cast(D)
-        dur_start = (first_t - (F.col("t") - F.lit(rv.range_ms))).cast(D) / 1000.0
+        dur_start = (first_t - (F.col("t") - _lit(rv.range_ms))).cast(D) / 1000.0
         dur_end = (F.col("t") - last_t).cast(D) / 1000.0
         sampled = (last_t - first_t).cast(D) / 1000.0
         avg_dur = sampled / (n - 1)
@@ -619,29 +620,29 @@ def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
     rng = rv.range_ms
     rows = rv.prev
     hist, ph = F.col("hist"), F.col("__ph")
-    in_pair = F.col("__pts") > (F.col("t") - F.lit(rng))
+    in_pair = F.col("__pts") > (F.col("t") - _lit(rng))
     hpair = in_pair & hist.isNotNull() & ph.isNotNull()
-    hreset = (hpair & H.detect_reset(ph, hist)) if counter else F.lit(False)
+    hreset = (hpair & H.detect_reset(ph, hist)) if counter else _lit(False)
     fcorr = F.when(in_pair
                    & ~F.isnan(F.col("value")) & ~F.isnan(F.col("__pv"))
                    & (F.col("value") < F.col("__pv")),
-                   F.col("__pv")).otherwise(F.lit(0.0))
+                   F.col("__pv")).otherwise(_lit(0.0))
     # schema survives like the fold's coalesce chain: last sample's, else
     # first sample's, else (counter) the earliest pre-reset prev's non-null
     # schema.  NULL schema (custom bounds) is legitimate, and max_by skips
     # NULL values — encode it as a sentinel so "last row's schema IS null"
     # wins over an earlier non-null one, exactly like the fold.
     _SENT = -(2 ** 31)
-    sch_enc = F.coalesce(hist["schema"], F.lit(_SENT))
+    sch_enc = F.coalesce(hist["schema"], _lit(_SENT))
 
     def _dec(col: Column) -> Column:
-        return F.when(col == _SENT, F.lit(None).cast("int")).otherwise(col)
+        return F.when(col == _SENT, _lit(None).cast("int")).otherwise(col)
 
     # first/last-in-window membership per ROW off the series lag/lead —
     # collect_list skips the NULLed non-matching rows, so these buffers
     # hold exactly one bucket array each (plus one per reset for __rbk)
     at_first_row = F.col("__pts").isNull() \
-        | (F.col("__pts") <= F.col("t") - F.lit(rng))
+        | (F.col("__pts") <= F.col("t") - _lit(rng))
     at_last_row = F.col("__nts").isNull() | (F.col("__nts") > F.col("t"))
     bk_aggs = [
         F.collect_list(F.when(at_first_row & hist.isNotNull(),
@@ -653,7 +654,7 @@ def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
 
     g = hgroup(
         rows, "sig",
-        F.count(F.when(hist.isNull(), F.lit(1))).alias("__nf"),
+        F.count(F.when(hist.isNull(), _lit(1))).alias("__nf"),
         F.count(hist).alias("__nh"),
         F.min("ts").alias("__ft"),
         F.max("ts").alias("__lt"),
@@ -664,8 +665,8 @@ def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
         F.max_by(hist["count"], F.col("ts")).alias("__hlc"),
         F.min_by(hist["sum"], F.col("ts")).alias("__hfs"),
         F.max_by(hist["sum"], F.col("ts")).alias("__hls"),
-        F.sum(F.when(hreset, ph["count"]).otherwise(F.lit(0.0))).alias("__hrc"),
-        F.sum(F.when(hreset, ph["sum"]).otherwise(F.lit(0.0))).alias("__hrs"),
+        F.sum(F.when(hreset, ph["count"]).otherwise(_lit(0.0))).alias("__hrc"),
+        F.sum(F.when(hreset, ph["sum"]).otherwise(_lit(0.0))).alias("__hrs"),
         F.max_by(sch_enc, F.col("ts")).alias("__lsch"),
         F.min_by(sch_enc, F.col("ts")).alias("__fsch"),
         F.min_by(F.when(hreset, ph["schema"]),
@@ -675,13 +676,13 @@ def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
     is_float = (F.col("__nf") >= 2) & (F.col("__nh") == 0)
     is_hist = (F.col("__nh") >= 2) & (F.col("__nf") == 0)
     g = g.filter(is_float | is_hist)
-    rng_s = F.lit(rng / 1000.0)
+    rng_s = _lit(rng / 1000.0)
 
     def factor(n, with_zero_clamp, delta, first_v):
         # mirrors _extrapolated_hist.extrap_factor line for line, off the
         # aggregated scalar columns (first/last ts are per-kind on kept
         # windows — single-kind by the filter above)
-        dur_start = (F.col("__ft") - (F.col("t") - F.lit(rng))).cast(D) / 1000.0
+        dur_start = (F.col("__ft") - (F.col("t") - _lit(rng))).cast(D) / 1000.0
         dur_end = (F.col("t") - F.col("__lt")).cast(D) / 1000.0
         sampled = (F.col("__lt") - F.col("__ft")).cast(D) / 1000.0
         avg_dur = sampled / (n - 1)
@@ -732,8 +733,8 @@ def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
     # save), so the aggregation keeps the fold's single-pass shape and only
     # shrinks what the buffers hold: O(1 + resets) bucket arrays instead of
     # every (grid-replicated) window sample.
-    bk_first = F.try_element_at(F.col("__fbk"), F.lit(1))
-    bk_last = F.try_element_at(F.col("__lbk"), F.lit(1))
+    bk_first = F.try_element_at(F.col("__fbk"), _lit(1))
+    bk_last = F.try_element_at(F.col("__lbk"), _lit(1))
     _BK = "array<struct<le:double,count:double>>"
     neg_first = F.transform(
         F.coalesce(bk_first, F.array().cast(_BK)),
@@ -749,7 +750,7 @@ def _extrapolated_hist_native(c: Compiler, rv: RangeVector, counter: bool,
         hc * hscale, hs * hscale,
         F.transform(les, lambda le: F.struct(
             le.alias("le"),
-            (F.aggregate(F.filter(allb, lambda e: e["le"] == le), F.lit(0.0),
+            (F.aggregate(F.filter(allb, lambda e: e["le"] == le), _lit(0.0),
                          lambda acc, e: acc + e["count"])
              * hscale).alias("count"))),
         sch)
@@ -782,7 +783,7 @@ def _instant_pair(c: Compiler, rv: RangeVector, kind: str) -> InstantVector:
                     F.max_by("__pv", "ts").alias("__lpv"),
                     F.max_by("__pts", "ts").alias("__lpt"))
              .filter(F.col("__lpt").isNotNull()
-                     & (F.col("__lpt") > F.col("t") - F.lit(rv.range_ms))))
+                     & (F.col("__lpt") > F.col("t") - _lit(rv.range_ms))))
         last_t, prev_t = F.col("__lt"), F.col("__lpt")
         last_v, prev_v = F.col("__lv"), F.col("__lpv")
         dt_s = (last_t - prev_t).cast(D) / 1000.0
@@ -839,7 +840,7 @@ def _instant_pair_hist(c: Compiler, rv: RangeVector, kind: str) -> InstantVector
         .cast(D) / 1000.0
     if kind == "irate":
         dh = F.when(H.detect_reset(ph, lh), lh).otherwise(H.sub_two(lh, ph))
-        hval = H.scale_hist(dh, F.lit(1.0) / hdt)
+        hval = H.scale_hist(dh, _lit(1.0) / hdt)
     else:
         hval = H.sub_two(lh, ph)
     return _finalize(g, F.when(is_float, fval).otherwise(NAN()),
@@ -865,14 +866,14 @@ def _double_exp_smoothing(c: Compiler, call: A.Call) -> InstantVector:
     first_v = F.element_at(arr, 1)["v"]
     second_v = F.element_at(arr, 2)["v"]
     acc0 = F.struct(first_v.alias("s"), (second_v - first_v).alias("b"))
-    sfL, tfL = F.lit(float(sf)), F.lit(float(tf))
+    sfL, tfL = _lit(float(sf)), _lit(float(tf))
 
     def step(a, e):
-        s_new = sfL * e["v"] + (F.lit(1.0) - sfL) * (a["s"] + a["b"])
-        b_new = tfL * (s_new - a["s"]) + (F.lit(1.0) - tfL) * a["b"]
+        s_new = sfL * e["v"] + (_lit(1.0) - sfL) * (a["s"] + a["b"])
+        b_new = tfL * (s_new - a["s"]) + (_lit(1.0) - tfL) * a["b"]
         return F.struct(s_new.alias("s"), b_new.alias("b"))
 
-    res = F.aggregate(F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+    res = F.aggregate(F.slice(arr, 2, F.greatest(F.size(arr) - 1, _lit(0))),
                       acc0, step)
     return _finalize(g, res["s"])
 
@@ -885,8 +886,8 @@ def _counts_fold(arr: Column, mode: str) -> Column:
     leading-NaN sample scored a phantom change (isnan(x) forced the hit
     while both_nan stayed NULL against the NULL accumulator; caught by the
     r12 det-vs-prod differential)."""
-    acc0 = F.struct(F.lit(False).alias("init"),
-                    F.lit(None).cast(D).alias("prev"), F.lit(0.0).alias("n"))
+    acc0 = F.struct(_lit(False).alias("init"),
+                    _lit(None).cast(D).alias("prev"), _lit(0.0).alias("n"))
 
     def merge(a, x):
         if mode == "resets":
@@ -898,9 +899,9 @@ def _counts_fold(arr: Column, mode: str) -> Column:
             both_nan = F.isnan(x["v"]) & F.isnan(a["prev"])
             hit = (((x["v"] != a["prev"]) | F.isnan(x["v"])
                     | F.isnan(a["prev"])) & ~both_nan)
-        inc = F.when(a["init"] & F.coalesce(hit, F.lit(False)), 1.0) \
+        inc = F.when(a["init"] & F.coalesce(hit, _lit(False)), 1.0) \
                .otherwise(0.0)
-        return F.struct(F.lit(True).alias("init"), x["v"].alias("prev"),
+        return F.struct(_lit(True).alias("init"), x["v"].alias("prev"),
                         (a["n"] + inc).alias("n"))
 
     return F.aggregate(arr, acc0, merge)["n"]
@@ -922,10 +923,10 @@ def _counts_hist(c: Compiler, rv: RangeVector, mode: str) -> InstantVector:
             F.col("hist").alias("h")))).alias("marr"),
         labels="labels")
     marr = F.col("marr")
-    acc0 = F.struct(F.lit(False).alias("init"),
-                    F.lit(None).cast(D).alias("pv"),
+    acc0 = F.struct(_lit(False).alias("init"),
+                    _lit(None).cast(D).alias("pv"),
                     H.null_hist().alias("ph"),
-                    F.lit(0.0).alias("n"))
+                    _lit(0.0).alias("n"))
 
     def merge(a, x):
         bothf = a["ph"].isNull() & x["h"].isNull()
@@ -941,9 +942,9 @@ def _counts_hist(c: Compiler, rv: RangeVector, mode: str) -> InstantVector:
                       | F.isnan(a["pv"])) & ~both_nan)
             hit_h = ~a["ph"].eqNullSafe(x["h"])
         hit = a["init"] & (flip
-                           | (bothf & F.coalesce(hit_f, F.lit(False)))
-                           | (bothh & F.coalesce(hit_h, F.lit(False))))
-        return F.struct(F.lit(True).alias("init"),
+                           | (bothf & F.coalesce(hit_f, _lit(False)))
+                           | (bothh & F.coalesce(hit_h, _lit(False))))
+        return F.struct(_lit(True).alias("init"),
                         x["v"].alias("pv"), x["h"].alias("ph"),
                         (a["n"] + F.when(hit, 1.0).otherwise(0.0)).alias("n"))
 
@@ -955,8 +956,8 @@ def _linreg(arr: Column, intercept_t: Column):
     """Least-squares slope/intercept with x = (ts - intercept_t) seconds
     (Prometheus linearRegression), sequential folds."""
     x = lambda e: (e["o"] - intercept_t).cast(D) / 1000.0  # noqa: E731
-    acc0 = F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
-                    F.lit(0.0).alias("sxy"), F.lit(0.0).alias("sx2"))
+    acc0 = F.struct(_lit(0.0).alias("sx"), _lit(0.0).alias("sy"),
+                    _lit(0.0).alias("sxy"), _lit(0.0).alias("sx2"))
     s = F.aggregate(arr, acc0, lambda a, e: F.struct(
         (a["sx"] + x(e)).alias("sx"),
         (a["sy"] + e["v"]).alias("sy"),
@@ -985,7 +986,7 @@ def _linreg_native(rv: RangeVector):
     from thanos_parquet_gateway_spark.promql.compiler import hgroup
     x = (F.col("ts") - F.col("t")).cast(D) / 1000.0
     g = (hgroup(rv.df, "sig",
-                F.count(F.lit(1)).alias("__wn"),
+                F.count(_lit(1)).alias("__wn"),
                 F.covar_pop(x, F.col("value")).alias("__cxy"),
                 F.var_pop(x).alias("__vx"),
                 F.avg(x).alias("__mx"),
@@ -1011,10 +1012,10 @@ def _predict_linear(c: Compiler, call: A.Call) -> InstantVector:
     dur = _scalar_lit(c, call, 1)
     if not c.p.deterministic and "hist" not in rv.columns:
         g, slope, intercept = _linreg_native(rv)
-        return _finalize(g, intercept + slope * F.lit(float(dur)))
+        return _finalize(g, intercept + slope * _lit(float(dur)))
     g = _window_floats(c, rv, min_n=2)
     slope, intercept = _linreg(F.col("arr"), F.col("t"))
-    val = intercept + slope * F.lit(float(dur))
+    val = intercept + slope * _lit(float(dur))
     return _finalize(g, val)
 
 
@@ -1043,14 +1044,14 @@ def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
     if c is not None:
         # upstream annotations.NewBadBucketLabelWarning: float samples whose
         # ``le`` is missing or unparsable are dropped with a warning
-        raw_le = F.coalesce(F.element_at(F.col("labels"), "le"), F.lit(""))
+        raw_le = F.coalesce(F.element_at(F.col("labels"), "le"), _lit(""))
         mname = F.coalesce(F.element_at(F.col("labels"), "__name__"),
-                           F.lit(""))
+                           _lit(""))
         c.add_data_probe(
             df.filter(F.col("__le").isNull())
               .groupBy(mname.alias("__n"))
               .agg(F.first(raw_le).alias("__v"))
-              .select(F.lit("warn").alias("kind"),
+              .select(_lit("warn").alias("kind"),
                       F.format_string(
                           'bucket label "le" is missing or has a malformed '
                           'value of "%s" for metric name "%s"',
@@ -1058,7 +1059,7 @@ def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
     df = df.filter(F.col("__le").isNotNull())
     df = (df.withColumn("__mname",
                         F.coalesce(F.element_at(F.col("labels"), "__name__"),
-                                   F.lit("")))
+                                   _lit("")))
           .withColumn("labels", drop_labels("labels", ["le", "__name__"]))
           .withColumn("sig", canonical_sig(F.col("labels"))))
     from thanos_parquet_gateway_spark.promql.compiler import hgroup
@@ -1072,7 +1073,7 @@ def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
     counts = F.aggregate(
         arr, F.array().cast("array<double>"),
         lambda acc, x: F.concat(acc, F.array(
-            F.greatest(x["v"], F.try_element_at(acc, F.lit(-1))))))
+            F.greatest(x["v"], F.try_element_at(acc, _lit(-1))))))
     if c is not None:
         # upstream annotations.HistogramQuantileForcedMonotonicityInfo: a
         # series whose raw bucket counts decrease somewhere needed the
@@ -1083,7 +1084,7 @@ def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
         c.add_data_probe(
             g.filter(needs_fix)
              .select(F.col("__mname").alias("__n")).distinct()
-             .select(F.lit("info").alias("kind"),
+             .select(_lit("info").alias("kind"),
                      F.format_string(
                          "input to histogram_quantile needed to be fixed "
                          "for monotonicity (and may give inaccurate "
@@ -1092,34 +1093,34 @@ def _histogram_quantile_classic(q: float, df, c=None) -> "DataFrame":
     b = F.size(arr)
     has_inf = F.element_at(les, -1) == INF()
     total = F.element_at(counts, -1)
-    rank = F.lit(float(q)) * total
+    rank = _lit(float(q)) * total
     idx = F.aggregate(
-        F.sequence(F.lit(1), b),
-        F.lit(-1),
+        F.sequence(_lit(1), b),
+        _lit(-1),
         lambda acc, i: F.when((acc == -1) & (F.element_at(counts, i) >= rank), i)
                         .otherwise(acc))
     lower = F.when(idx == 1, F.when(F.element_at(les, 1) <= 0,
-                                    F.element_at(les, 1)).otherwise(F.lit(0.0))) \
-             .otherwise(F.element_at(les, F.greatest(idx - 1, F.lit(1))))
-    upper = F.element_at(les, F.greatest(idx, F.lit(1)))
-    count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
-        F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
-    count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
+                                    F.element_at(les, 1)).otherwise(_lit(0.0))) \
+             .otherwise(F.element_at(les, F.greatest(idx - 1, _lit(1))))
+    upper = F.element_at(les, F.greatest(idx, _lit(1)))
+    count_lo = F.when(idx == 1, _lit(0.0)).otherwise(
+        F.element_at(counts, F.greatest(idx - 1, _lit(1))))
+    count_hi = F.element_at(counts, F.greatest(idx, _lit(1)))
     # rank == count_lo == count_hi happens only for q=0 on an empty first
     # bucket; Go computes 0/0 = NaN there (bucketQuantile's rank/count) —
     # under Spark ANSI mode a literal division would throw instead
     ratio = F.when(count_hi != count_lo,
                    (rank - count_lo) / (count_hi - count_lo)).otherwise(NAN())
     interp = lower + (upper - lower) * ratio
-    val = (F.when(F.lit(qnan), NAN())
-            .when(F.lit(q) < 0, NEG_INF())
-            .when(F.lit(q) > 1, INF())
+    val = (F.when(_lit(qnan), NAN())
+            .when(_lit(q) < 0, NEG_INF())
+            .when(_lit(q) > 1, INF())
             .when(~has_inf | (b < 2) | (total == 0), NAN())
             .when(idx == b, F.element_at(les, -2))  # rank in the +Inf bucket
             .when((idx == 1) & (F.element_at(les, 1) <= 0), F.element_at(les, 1))
             .otherwise(interp))
     return g.select("t", "sig", "labels",
-                    F.lit(None).cast("long").alias("sample_ts"),
+                    _lit(None).cast("long").alias("sample_ts"),
                     val.alias("value"))
 
 
@@ -1141,12 +1142,12 @@ def _label_replace(c: Compiler, call: A.Call) -> InstantVector:
         raise PromQLCompileError(
             f"invalid destination label name in label_replace(): {dst}")
     anchored = f"^(?:{regex})$"
-    src_val = F.coalesce(F.element_at(F.col("labels"), src), F.lit(""))
+    src_val = F.coalesce(F.element_at(F.col("labels"), src), _lit(""))
     matched = src_val.rlike(anchored)
     new_val = F.regexp_replace(src_val, anchored, repl)
-    without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(dst))
+    without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != _lit(dst))
     with_dst = F.when(new_val == "", without_dst).otherwise(
-        F.map_concat(without_dst, F.create_map(F.lit(dst), new_val)))
+        F.map_concat(without_dst, F.create_map(_lit(dst), new_val)))
     nl = F.when(matched, with_dst).otherwise(F.col("labels"))
     df = (iv.df.withColumn("labels", nl)
           .withColumn("sig", canonical_sig(F.col("labels"))))
@@ -1167,10 +1168,10 @@ def _label_join(c: Compiler, call: A.Call) -> InstantVector:
             raise PromQLCompileError(
                 f"invalid source label name in label_join(): {s}")
     joined = F.concat_ws(
-        sep, *[F.coalesce(F.element_at(F.col("labels"), s), F.lit("")) for s in srcs])
-    without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(dst))
+        sep, *[F.coalesce(F.element_at(F.col("labels"), s), _lit("")) for s in srcs])
+    without_dst = F.map_filter(F.col("labels"), lambda k, _v: k != _lit(dst))
     nl = F.when(joined == "", without_dst).otherwise(
-        F.map_concat(without_dst, F.create_map(F.lit(dst), joined)))
+        F.map_concat(without_dst, F.create_map(_lit(dst), joined)))
     df = (iv.df.withColumn("labels", nl)
           .withColumn("sig", canonical_sig(F.col("labels"))))
     return _iv(df)
@@ -1203,14 +1204,14 @@ def _absent(c: Compiler, call: A.Call, over_time: bool) -> InstantVector:
         present = inner.df.select("t").distinct()
     lbls = _absent_labels(call.args[0])
     if lbls:
-        lmap = F.create_map(*[F.lit(x) for kv in sorted(lbls.items()) for x in kv])
+        lmap = F.create_map(*[_lit(x) for kv in sorted(lbls.items()) for x in kv])
     else:
         lmap = F.map_from_arrays(F.array().cast("array<string>"),
                                  F.array().cast("array<string>"))
     out = (c.grid_df().join(present, "t", "left_anti")
            .select("t", canonical_sig(lmap).alias("sig"), lmap.alias("labels"),
-                   F.lit(None).cast("long").alias("sample_ts"),
-                   F.lit(1.0).alias("value")))
+                   _lit(None).cast("long").alias("sample_ts"),
+                   _lit(1.0).alias("value")))
     return InstantVector(out)
 
 
@@ -1266,7 +1267,7 @@ def _info(c: Compiler, call: A.Call) -> InstantVector:
     idf = info_iv.df
 
     def lbl(k):
-        return F.coalesce(F.element_at(F.col("labels"), F.lit(k)), F.lit(""))
+        return F.coalesce(F.element_at(F.col("labels"), _lit(k)), _lit(""))
 
     for m in data_matchers:
         v = lbl(m.label)
@@ -1277,7 +1278,7 @@ def _info(c: Compiler, call: A.Call) -> InstantVector:
 
     data = drop_labels("labels", ["__name__", *_INFO_IDENTIFYING])
     if data_matchers:
-        names = F.array(*[F.lit(n)
+        names = F.array(*[_lit(n)
                           for n in sorted({m.label for m in data_matchers})])
         data = F.map_filter(data, lambda k, _v: F.array_contains(names, k))
     idf = idf.select("t", lbl("instance").alias("__inst"),
@@ -1293,8 +1294,8 @@ def _info(c: Compiler, call: A.Call) -> InstantVector:
     guard = F.when(
         F.col("__nvar") > 1,
         F.raise_error(F.concat(
-            F.lit("info: conflicting info series for {instance="),
-            F.col("__inst"), F.lit(", job="), F.col("__job"), F.lit("}")))
+            _lit("info: conflicting info series for {instance="),
+            F.col("__inst"), _lit(", job="), F.col("__job"), _lit("}")))
     ).otherwise(F.col("__data"))
     g = g.select("t", "__inst", "__job", guard.alias("__data"))
 
@@ -1360,7 +1361,7 @@ def dispatch(c: Compiler, call: A.Call):
             # falls out via coalesce(hit, false).
             from thanos_parquet_gateway_spark.promql.compiler import hgroup
             v, pv = F.col("value"), F.col("__pv")
-            in_win = F.col("__pts") > (F.col("t") - F.lit(rv.range_ms))
+            in_win = F.col("__pts") > (F.col("t") - _lit(rv.range_ms))
             if fn == "resets":
                 hit = ~F.isnan(v) & ~F.isnan(pv) & (v < pv)
             else:
@@ -1368,8 +1369,8 @@ def dispatch(c: Compiler, call: A.Call):
                 hit = ((v != pv) | F.isnan(v) | F.isnan(pv)) & ~both_nan
             g = hgroup(
                 rv.prev, "sig",
-                F.sum(F.when(F.coalesce(in_win & hit, F.lit(False)),
-                             F.lit(1.0)).otherwise(F.lit(0.0))).alias("__v"))
+                F.sum(F.when(F.coalesce(in_win & hit, _lit(False)),
+                             _lit(1.0)).otherwise(_lit(0.0))).alias("__v"))
             return _finalize(g, F.col("__v"))
         g = _collect_window(rv)
         val = _counts_fold(F.col("arr"), fn)
@@ -1405,8 +1406,8 @@ def dispatch(c: Compiler, call: A.Call):
                 .join(classic.select("t", "sig"), ["t", "sig"]))
         c.add_data_probe(
             coll.limit(1).select(
-                F.lit("warn").alias("kind"),
-                F.lit("vector contains a mix of classic and native "
+                _lit("warn").alias("kind"),
+                _lit("vector contains a mix of classic and native "
                       "histograms").alias("msg")))
         out = (native.join(coll, ["t", "sig"], "left_anti")
                .unionByName(classic.join(coll, ["t", "sig"], "left_anti")))
@@ -1463,9 +1464,9 @@ def dispatch(c: Compiler, call: A.Call):
         # rounds to NaN; Python raises ZeroDivisionError, so mirror the Go
         # float semantics explicitly (copysign keeps -0.0 → -Inf).
         inv = math.copysign(math.inf, to) if to == 0.0 else 1.0 / to
-        q = F.col("value") * F.lit(inv)
-        val = (F.when(F.isnan(q) | (F.abs(q) >= F.lit(2.0 ** 52)), q)
-               .otherwise(F.floor(q + F.lit(0.5)).cast(D))) / F.lit(inv)
+        q = F.col("value") * _lit(inv)
+        val = (F.when(F.isnan(q) | (F.abs(q) >= _lit(2.0 ** 52)), q)
+               .otherwise(F.floor(q + _lit(0.5)).cast(D))) / _lit(inv)
         df = iv.df.withColumn("value", val.cast(D))
         return _iv(_drop_name(df))
 
@@ -1475,19 +1476,19 @@ def dispatch(c: Compiler, call: A.Call):
         if fn == "clamp":
             mn, mx = _scalar_lit(c, call, 1), _scalar_lit(c, call, 2)
             if mx < mn:  # upstream funcClamp: empty vector (false for NaN)
-                return InstantVector(iv.df.filter(F.lit(False)))
+                return InstantVector(iv.df.filter(_lit(False)))
             if math.isnan(mn) or math.isnan(mx):
                 val = NAN()  # Go math.Min/Max propagate NaN bounds
             else:
-                val = F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
+                val = F.least(F.greatest(v, _lit(mn)), _lit(mx))
         elif fn == "clamp_min":
             b = _scalar_lit(c, call, 1)
-            val = NAN() if math.isnan(b) else F.greatest(v, F.lit(b))
+            val = NAN() if math.isnan(b) else F.greatest(v, _lit(b))
         else:
             b = _scalar_lit(c, call, 1)
             # Spark least() picks the non-NaN side (NaN sorts greatest);
             # Go math.Min propagates NaN — constant-fold the divergence.
-            val = NAN() if math.isnan(b) else F.least(v, F.lit(b))
+            val = NAN() if math.isnan(b) else F.least(v, _lit(b))
         df = iv.df.withColumn("value", F.when(F.isnan(v), v).otherwise(val))
         return _iv(_drop_name(df))
 
@@ -1552,7 +1553,7 @@ def dispatch(c: Compiler, call: A.Call):
             s = c.compile(a)
             if not isinstance(s, StringV):
                 raise PromQLCompileError(f"{fn} label arguments must be strings")
-            col = F.coalesce(F.element_at(F.col("labels"), s.value), F.lit(""))
+            col = F.coalesce(F.element_at(F.col("labels"), s.value), _lit(""))
             keys.append(col.desc() if desc else col.asc())
         keys.append(F.col("sig").desc() if desc else F.col("sig").asc())
         return InstantVector(iv.df.orderBy("t", *keys))

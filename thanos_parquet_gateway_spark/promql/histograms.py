@@ -44,6 +44,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from thanos_parquet_gateway_spark.schema import cached_lit as _lit
+
 D = "double"
 
 CUSTOM_SCHEMA = -53  # upstream histogram.CustomBucketsSchema
@@ -62,9 +64,9 @@ HIST_TYPE = T.StructType([
 def make_hist(count: Column, total: Column, buckets: Column,
               schema: Column | int | None = None) -> Column:
     if schema is None:
-        sch = F.lit(None).cast("int")  # NULL ≡ custom bounds
+        sch = _lit(None).cast("int")  # NULL ≡ custom bounds
     elif isinstance(schema, int):
-        sch = F.lit(schema).cast("int")
+        sch = _lit(schema).cast("int")
     else:
         sch = schema.cast("int")
     return F.struct(count.cast(D).alias("count"), total.cast(D).alias("sum"),
@@ -79,12 +81,12 @@ def _is_exp(hist: Column) -> Column:
 
 def _base(hist: Column) -> Column:
     """Exponential bucket base 2^(2^-schema)."""
-    return F.pow(F.lit(2.0),
-                 F.pow(F.lit(2.0), -hist["schema"].cast(D)))
+    return F.pow(_lit(2.0),
+                 F.pow(_lit(2.0), -hist["schema"].cast(D)))
 
 
 def null_hist() -> Column:
-    return F.lit(None).cast(HIST_TYPE)
+    return _lit(None).cast(HIST_TYPE)
 
 
 def exp_bucket_le(value: Column, schema: int = 0) -> Column:
@@ -92,8 +94,8 @@ def exp_bucket_le(value: Column, schema: int = 0) -> Column:
     le = base^ceil(log_base(v)), base = 2^(2^-schema).  schema=0 → powers
     of two, matching Prometheus native-histogram schema 0."""
     base = float(2.0 ** (2.0 ** -schema))
-    logb = F.log(F.lit(base), value.cast(D))
-    return F.pow(F.lit(base), F.ceil(logb).cast(D))
+    logb = F.log(_lit(base), value.cast(D))
+    return F.pow(_lit(base), F.ceil(logb).cast(D))
 
 
 def hist_count(hist: Column) -> Column:
@@ -107,11 +109,11 @@ def hist_sum(hist: Column) -> Column:
 def _fdiv(l: Column, r: Column) -> Column:
     """Go float division (0/0 → NaN, x/0 → ±Inf) — Spark ANSI mode would
     raise on a zero divisor instead."""
-    nan = F.lit(float("nan"))
+    nan = _lit(float("nan"))
     return (F.when(r == 0.0,
                    F.when(F.isnan(l) | (l == 0.0), nan)
-                    .when(l > 0, F.lit(float("inf")))
-                    .otherwise(F.lit(float("-inf"))))
+                    .when(l > 0, _lit(float("inf")))
+                    .otherwise(_lit(float("-inf"))))
              .otherwise(l / r))
 
 
@@ -127,8 +129,8 @@ def _cumulative(hist: Column) -> Column:
         F.array().cast("array<struct<le:double,count:double>>"),
         lambda acc, b: F.concat(acc, F.array(F.struct(
             b["le"].alias("le"),
-            (b["count"] + F.coalesce(F.try_element_at(acc, F.lit(-1))["count"],
-                                     F.lit(0.0))).alias("count")))))
+            (b["count"] + F.coalesce(F.try_element_at(acc, _lit(-1))["count"],
+                                     _lit(0.0))).alias("count")))))
 
 
 def _bucket_lower(hist: Column, les: Column, i: Column) -> Column:
@@ -139,15 +141,15 @@ def _bucket_lower(hist: Column, les: Column, i: Column) -> Column:
     le·base for a negative one (index i covers [-base^i, -base^(i-1))),
     le itself for the zero bucket, previous le for the +Inf cap (so
     cumulative interpolation above the last finite bound stays finite)."""
-    le = F.element_at(les, F.greatest(i, F.lit(1)))
-    prev = F.when(i == 1, F.lit(0.0)) \
-            .otherwise(F.element_at(les, F.greatest(i - 1, F.lit(1))))
+    le = F.element_at(les, F.greatest(i, _lit(1)))
+    prev = F.when(i == 1, _lit(0.0)) \
+            .otherwise(F.element_at(les, F.greatest(i - 1, _lit(1))))
     classic = F.when(i == 1,
-                     F.when(le <= 0, le).otherwise(F.lit(0.0))) \
+                     F.when(le <= 0, le).otherwise(_lit(0.0))) \
                .otherwise(prev)
     expo = (F.when(le == 0, le)
              .when(le < 0, le * _base(hist))
-             .when(le == F.lit(float("inf")), prev)
+             .when(le == _lit(float("inf")), prev)
              .otherwise(le / _base(hist)))
     return F.when(_is_exp(hist), expo).otherwise(classic)
 
@@ -161,29 +163,29 @@ def hist_quantile(q: float, hist: Column) -> Column:
     if math.isnan(q):
         # Spark orders NaN above every double, so the q > 1 branch below
         # would claim it; upstream returns NaN for NaN phi
-        return F.lit(float("nan"))
+        return _lit(float("nan"))
     cum = _cumulative(hist)
     les = F.transform(cum, lambda x: x["le"])
     counts = F.transform(cum, lambda x: x["count"])
     b = F.size(cum)
     total = hist["count"]
-    rank = F.lit(float(q)) * total
+    rank = _lit(float(q)) * total
     idx = F.aggregate(
-        F.sequence(F.lit(1), b), F.lit(-1),
+        F.sequence(_lit(1), b), _lit(-1),
         lambda acc, i: F.when((acc == -1) & (F.element_at(counts, i) >= rank), i)
                         .otherwise(acc))
     lower = _bucket_lower(hist, les, idx)
-    upper = F.element_at(les, F.greatest(idx, F.lit(1)))
-    count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
-        F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
-    count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
+    upper = F.element_at(les, F.greatest(idx, _lit(1)))
+    count_lo = F.when(idx == 1, _lit(0.0)).otherwise(
+        F.element_at(counts, F.greatest(idx - 1, _lit(1))))
+    count_hi = F.element_at(counts, F.greatest(idx, _lit(1)))
     # q=0 landing on an empty first bucket gives 0/0 — NaN in Go, an ANSI
     # error in Spark; route through Go float division
     interp = lower + (upper - lower) * _fdiv(rank - count_lo,
                                              count_hi - count_lo)
-    nan = F.lit(float("nan"))
-    return (F.when(F.lit(q) < 0, F.lit(float("-inf")))
-             .when(F.lit(q) > 1, F.lit(float("inf")))
+    nan = _lit(float("nan"))
+    return (F.when(_lit(q) < 0, _lit(float("-inf")))
+             .when(_lit(q) > 1, _lit(float("inf")))
              .when((b < 1) | (total == 0), nan)
              .when(idx == -1, nan)
              .when((idx == b) & (b >= 2), F.element_at(les, -2))
@@ -200,26 +202,26 @@ def _cum_at(hist: Column, x: Column) -> Column:
     b = F.size(cum)
     # first bucket index with le >= x
     idx = F.aggregate(
-        F.sequence(F.lit(1), b), F.lit(-1),
+        F.sequence(_lit(1), b), _lit(-1),
         lambda acc, i: F.when((acc == -1) & (F.element_at(les, i) >= x), i)
                         .otherwise(acc))
     lower = F.when(_is_exp(hist), _bucket_lower(hist, les, idx)) \
-             .otherwise(F.when(idx == 1, F.lit(0.0)).otherwise(
-                 F.element_at(les, F.greatest(idx - 1, F.lit(1)))))
-    count_lo = F.when(idx == 1, F.lit(0.0)).otherwise(
-        F.element_at(counts, F.greatest(idx - 1, F.lit(1))))
-    upper = F.element_at(les, F.greatest(idx, F.lit(1)))
-    count_hi = F.element_at(counts, F.greatest(idx, F.lit(1)))
-    frac = F.when(upper == lower, F.lit(0.0)) \
+             .otherwise(F.when(idx == 1, _lit(0.0)).otherwise(
+                 F.element_at(les, F.greatest(idx - 1, _lit(1)))))
+    count_lo = F.when(idx == 1, _lit(0.0)).otherwise(
+        F.element_at(counts, F.greatest(idx - 1, _lit(1))))
+    upper = F.element_at(les, F.greatest(idx, _lit(1)))
+    count_hi = F.element_at(counts, F.greatest(idx, _lit(1)))
+    frac = F.when(upper == lower, _lit(0.0)) \
             .otherwise((x - lower) / (upper - lower))
-    interp = count_lo + (count_hi - count_lo) * F.least(F.greatest(frac, F.lit(0.0)),
-                                                        F.lit(1.0))
+    interp = count_lo + (count_hi - count_lo) * F.least(F.greatest(frac, _lit(0.0)),
+                                                        _lit(1.0))
     total = hist["count"]
     # classic/NHCB grids have no mass below 0; exponential grids may carry
     # negative buckets, so x <= 0 interpolates generically there (the frac
     # clamp handles x below the first bucket's lower bound)
     return (F.when(idx == -1, total)           # x above every bound
-             .when(~_is_exp(hist) & (x <= F.lit(0.0)), F.lit(0.0))
+             .when(~_is_exp(hist) & (x <= _lit(0.0)), _lit(0.0))
              .otherwise(interp))
 
 
@@ -230,12 +232,12 @@ def hist_fraction(lo: float, hi: float, hist: Column) -> Column:
     (upstream histogramFraction guards, promql/quantile.go — previously the
     inverted case leaked a negative cum difference)."""
     if math.isnan(lo) or math.isnan(hi):
-        return F.lit(float("nan"))
+        return _lit(float("nan"))
     total = hist["count"]
     if lo >= hi:
-        return F.when(total == 0, F.lit(float("nan"))).otherwise(F.lit(0.0))
-    frac = (_cum_at(hist, F.lit(float(hi))) - _cum_at(hist, F.lit(float(lo)))) / total
-    return F.when(total == 0, F.lit(float("nan"))).otherwise(frac)
+        return F.when(total == 0, _lit(float("nan"))).otherwise(_lit(0.0))
+    frac = (_cum_at(hist, _lit(float(hi))) - _cum_at(hist, _lit(float(lo)))) / total
+    return F.when(total == 0, _lit(float("nan"))).otherwise(frac)
 
 
 def merge_two(a: Column, b: Column) -> Column:
@@ -245,7 +247,7 @@ def merge_two(a: Column, b: Column) -> Column:
     les = F.array_sort(F.array_distinct(F.transform(both, lambda e: e["le"])))
     merged = F.transform(les, lambda le: F.struct(
         le.alias("le"),
-        F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
+        F.aggregate(F.filter(both, lambda e: e["le"] == le), _lit(0.0),
                     lambda acc, e: acc + e["count"]).alias("count")))
     return make_hist(a["count"] + b["count"], a["sum"] + b["sum"], merged,
                      F.coalesce(a["schema"], b["schema"]))
@@ -264,7 +266,7 @@ def hist_stdvar(hist: Column) -> Column:
     bks = hist["buckets"]
     les = F.transform(bks, lambda e: e["le"])
     mean = hist["sum"] / hist["count"]
-    inf = F.lit(float("inf"))
+    inf = _lit(float("inf"))
 
     def mid(i):
         le = F.element_at(les, i)
@@ -272,17 +274,17 @@ def hist_stdvar(hist: Column) -> Column:
         arith = (F.when(le <= 0, le)
                   .when(le == inf, lower)
                   .otherwise((lower + le) / 2))
-        geo = (F.when(le == 0, F.lit(0.0))
+        geo = (F.when(le == 0, _lit(0.0))
                 .when(le == inf, lower)
                 .when(le < 0, -F.sqrt(lower * le))  # signed (upstream)
                 .otherwise(F.sqrt(lower * le)))
         return F.when(_is_exp(hist), geo).otherwise(arith)
 
     var = F.aggregate(
-        F.sequence(F.lit(1), F.size(bks)), F.lit(0.0),
+        F.sequence(_lit(1), F.size(bks)), _lit(0.0),
         lambda acc, i: acc + F.element_at(bks, i)["count"]
         * (mid(i) - mean) * (mid(i) - mean))
-    return F.when(hist["count"] == 0, F.lit(float("nan"))) \
+    return F.when(hist["count"] == 0, _lit(float("nan"))) \
             .otherwise(var / hist["count"])
 
 
@@ -294,7 +296,7 @@ def hist_stddev(hist: Column) -> Column:
 # (rate/increase/delta over native-histogram samples — the reference serves
 # rate(native_histogram[5m]) through promql-engine, db/db_test.go:344-351)
 def zero_hist() -> Column:
-    return make_hist(F.lit(0.0), F.lit(0.0),
+    return make_hist(_lit(0.0), _lit(0.0),
                      F.array().cast("array<struct<le:double,count:double>>"))
 
 
@@ -306,7 +308,7 @@ def sub_two(a: Column, b: Column) -> Column:
     les = F.array_sort(F.array_distinct(F.transform(both, lambda e: e["le"])))
     merged = F.transform(les, lambda le: F.struct(
         le.alias("le"),
-        F.aggregate(F.filter(both, lambda e: e["le"] == le), F.lit(0.0),
+        F.aggregate(F.filter(both, lambda e: e["le"] == le), _lit(0.0),
                     lambda acc, e: acc + e["count"]).alias("count")))
     return make_hist(a["count"] - b["count"], a["sum"] - b["sum"], merged,
                      F.coalesce(a["schema"], b["schema"]))
@@ -330,8 +332,8 @@ def detect_reset(prev: Column, cur: Column) -> Column:
         lambda pb: F.coalesce(
             F.try_element_at(
                 F.filter(cur["buckets"], lambda cb: cb["le"] == pb["le"]),
-                F.lit(1))["count"],
-            F.lit(0.0)) < pb["count"])
+                _lit(1))["count"],
+            _lit(0.0)) < pb["count"])
     return (cur["count"] < prev["count"]) | bucket_drop
 
 
@@ -339,7 +341,7 @@ def hist_reset_correction(harr: Column) -> Column:
     """Sum (bucket-wise merge) of pre-reset histograms over a sorted window
     array of struct(o, h) — the histogram analogue of the float rate's
     reset correction."""
-    acc0 = F.struct(F.lit(None).cast(HIST_TYPE).alias("prev"),
+    acc0 = F.struct(_lit(None).cast(HIST_TYPE).alias("prev"),
                     zero_hist().alias("corr"))
     acc = F.aggregate(
         harr, acc0,

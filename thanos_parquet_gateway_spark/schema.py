@@ -57,6 +57,26 @@ def is_stale(value_col: Column | str) -> Column:
 # construction costs a py4j round trip per sub-expression — measurable
 # driver latency per query compile.  Cache the name-keyed variants; the
 # Column-argument variants (expression inputs) stay uncached.
+@functools.lru_cache(maxsize=2048)
+def _lit_cached(value, _kind: str) -> Column:
+    # _kind disambiguates hash-equal keys of different types (True == 1,
+    # 1 == 1.0) so a bool literal can never alias an int/double one
+    return F.lit(value)
+
+
+def cached_lit(value) -> Column:
+    """F.lit with memoized Columns for hashable scalars (r13): literals are
+    the single most frequent JVM construction in a compiled PromQL query
+    (~65 per bench-query compile, ~3 py4j round trips each), and a literal
+    Column is the canonical immutable-expression-wrapper case for reuse.
+    NaN never cache-hits (NaN != NaN would churn the cache) and non-scalar
+    values (Columns, arrays, ...) pass straight through uncached."""
+    if value is None or isinstance(value, (bool, int, str)) \
+            or (isinstance(value, float) and value == value):
+        return _lit_cached(value, type(value).__name__)
+    return F.lit(value)
+
+
 @functools.lru_cache(maxsize=256)
 def _label_cached(name: str, key: str) -> Column:
     return F.coalesce(F.element_at(F.col(name), key), F.lit(""))
