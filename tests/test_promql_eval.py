@@ -845,7 +845,9 @@ def test_production_native_histogram_rate_agrees(spark):
     prod = PromQLEngine(make_samples(spark, rows), lookback_ms=300_000,
                         deterministic=False)
     queries = ["rate(lh[30s])", "increase(lh[30s])", "delta(lh[30s])",
-               "rate(lh[25s] offset 10s)", "rate(lh[30s] @ 60)"]
+               "rate(lh[25s] offset 10s)", "rate(lh[30s] @ 60)",
+               # subquery range vectors carry lagged hist + led ts too
+               "rate(lh[40s:10s])", "increase(lh[35s:10s])"]
     for q in queries:
         a = _hmat(det.query_range(q, 0, 80 * S, 10 * S))
         b = _hmat(prod.query_range(q, 0, 80 * S, 10 * S))

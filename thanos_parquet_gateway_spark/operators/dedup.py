@@ -257,16 +257,21 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     is the minimum doc id of the cluster.  Isolated docs (no edges) are not
     in the output — union them in as self-components if needed.
     """
+    # setup follows the same one-job rule as the loop: the initial edge
+    # set's LAZY checkpoint is materialized by the first fingerprint below,
+    # and ``nodes`` (read once, by the final leftovers join) materializes
+    # off the checkpointed edges at the consuming action — 2 fewer
+    # driver-synced jobs before the first contraction round
     edges = (pairs
              .select(F.least(F.col(a_col), F.col(b_col)).alias("u"),
                      F.greatest(F.col(a_col), F.col(b_col)).alias("v"))
              .filter(F.col("u") != F.col("v"))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     nodes = (edges.select(F.col("u").alias("doc_id"))
              .union(edges.select(F.col("v").alias("doc_id")))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
