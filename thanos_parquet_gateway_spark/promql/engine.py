@@ -171,6 +171,23 @@ class PromQLEngine:
         self.ext_labels = ext_labels
         self.streams = streams
         self.complete_streams = complete_streams
+        # Compiled-plan cache (r13): a serving gateway re-compiles the SAME
+        # query text at the same parameters constantly (dashboard refresh,
+        # retried panels), and compile — parse + eagerly-analyzed plan
+        # construction, ~0.1-0.5 s/query — is pure driver latency.  The
+        # cache memoizes the QueryResult's UNEXECUTED DataFrame plan keyed
+        # on (kind, query text, time parameters); no data and no results
+        # are stored (the same contract as the session table handle in
+        # sources/tables.py — every action re-scans parquet), it is bounded
+        # (LRU, 256 entries), engine-scoped (dies with the engine; engine
+        # config is fixed per instance), and each hit returns a fresh
+        # QueryResult wrapper so all_annotations' fold-in never mutates the
+        # cached entry.  SPARK_GRAFT_NO_PLAN_CACHE=1 disables it.
+        import os as _os
+        from collections import OrderedDict as _OD
+        self._plan_cache: "dict" = _OD()
+        self._plan_cache_cap = (0 if _os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE")
+                                else 256)
         # convert-time sidecar (convert.write_label_stats): the reference's
         # dictionary-shortcut LabelValues analogue — unconstrained metadata
         # queries read it instead of scanning samples
@@ -186,8 +203,32 @@ class PromQLEngine:
                         self.complete_streams)
         return comp, comp.compile(node)
 
+    def _plan_cached(self, key: tuple, build) -> QueryResult:
+        """LRU-memoized QueryResult plans (see __init__).  Hits hand back a
+        fresh QueryResult over the same immutable DataFrame plan with
+        copied annotation/probe lists."""
+        if not self._plan_cache_cap:
+            return build()
+        hit = self._plan_cache.get(key)
+        if hit is None:
+            hit = build()
+            self._plan_cache[key] = hit
+            if len(self._plan_cache) > self._plan_cache_cap:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+        else:
+            self._plan_cache.move_to_end(key)
+        return QueryResult(hit.df, hit.result_type,
+                           list(hit.annotations or []),
+                           list(hit.probes or []))
+
     def query_range(self, q: str, start_ms: int, end_ms: int,
                     step_ms: int) -> QueryResult:
+        return self._plan_cached(
+            ("range", q, start_ms, end_ms, step_ms),
+            lambda: self._query_range_uncached(q, start_ms, end_ms, step_ms))
+
+    def _query_range_uncached(self, q: str, start_ms: int, end_ms: int,
+                              step_ms: int) -> QueryResult:
         comp, v = self._compile(q, start_ms, end_ms, step_ms)
         ann = comp.annotations
         probes = comp.data_probes
@@ -208,6 +249,11 @@ class PromQLEngine:
         raise ValueError(f"unexpected result {type(v).__name__}")
 
     def query_instant(self, q: str, t_ms: int) -> QueryResult:
+        return self._plan_cached(
+            ("instant", q, t_ms),
+            lambda: self._query_instant_uncached(q, t_ms))
+
+    def _query_instant_uncached(self, q: str, t_ms: int) -> QueryResult:
         comp, v = self._compile(q, t_ms, t_ms, 1)
         ann = comp.annotations
         probes = comp.data_probes
