@@ -184,10 +184,17 @@ class PromQLEngine:
         # QueryResult wrapper so all_annotations' fold-in never mutates the
         # cached entry.  SPARK_GRAFT_NO_PLAN_CACHE=1 disables it.
         import os as _os
+        import threading as _th
         from collections import OrderedDict as _OD
         self._plan_cache: "dict" = _OD()
         self._plan_cache_cap = (0 if _os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE")
                                 else 256)
+        # the API server serves concurrent requests on ONE engine
+        # (api/server.py engine LRU + max_concurrent): guard the LRU's
+        # read-move/insert/evict sequences; plan BUILDS stay outside the
+        # lock (driver-heavy — a concurrent builder of the same key just
+        # loses the insert race, same policy as the server's engine LRU)
+        self._plan_lock = _th.Lock()
         # convert-time sidecar (convert.write_label_stats): the reference's
         # dictionary-shortcut LabelValues analogue — unconstrained metadata
         # queries read it instead of scanning samples
@@ -209,14 +216,16 @@ class PromQLEngine:
         copied annotation/probe lists."""
         if not self._plan_cache_cap:
             return build()
-        hit = self._plan_cache.get(key)
+        with self._plan_lock:
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                self._plan_cache.move_to_end(key)
         if hit is None:
-            hit = build()
-            self._plan_cache[key] = hit
-            if len(self._plan_cache) > self._plan_cache_cap:
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-        else:
-            self._plan_cache.move_to_end(key)
+            hit = build()  # outside the lock: plan construction is slow
+            with self._plan_lock:
+                self._plan_cache[key] = hit
+                while len(self._plan_cache) > self._plan_cache_cap:
+                    self._plan_cache.pop(next(iter(self._plan_cache)))
         return QueryResult(hit.df, hit.result_type,
                            list(hit.annotations or []),
                            list(hit.probes or []))
